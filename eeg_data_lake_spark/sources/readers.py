@@ -1,0 +1,93 @@
+"""File sources (SURVEY.md §2.1 S1-S7, S18-S19).
+
+All readers attach lineage columns and use explicit schemas. At 100 TB
+the scan IS the query cost, so every reader here is written to preserve
+Catalyst's pushdown: no UDF touches a column before the scan, and the
+wide→long explode happens *after* the positional projection so column
+pruning reaches the parquet/CSV reader.
+
+File-path lineage uses the Spark 4 ``_metadata.file_path`` hidden column
+rather than ``input_file_name()`` (reference: /root/reference/delta_bronze.py:35,
+/root/reference/main/combine_files.py:43) — input_file_name is
+whole-stage-codegen hostile and undefined after joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eeg_data_lake_spark import schemas
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """Attach source_file / _ingest_ts / _ingest_date lineage columns
+    (reference: /root/reference/delta_bronze.py:34-37)."""
+    return (
+        df.withColumn("source_file", F.col("_metadata.file_path"))
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withColumn("_ingest_date", F.to_date(F.col("_ingest_ts")))
+    )
+
+
+def read_channel_csv_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1: raw MindBigData CSVs as text lines — one string column ``value``
+    per physical line (reference: /root/reference/delta_bronze.py:34).
+
+    Text scan keeps ingest schema-free: each line is
+    ``channel,v1,...,vN`` with a file-dependent N, which a fixed-column
+    CSV reader can't express without padding.
+    """
+    return with_lineage(spark.read.text(path))
+
+
+def read_raw_csv_positional(
+    spark: SparkSession, path: str, recursive: bool = True
+) -> DataFrame:
+    """S2: headerless CSV with positional ``_c0.._cN`` string columns
+    (reference: /root/reference/main/combine_files.py:39-43)."""
+    reader = (
+        spark.read.option("header", "false")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    return with_lineage(reader.csv(path))
+
+
+def read_wide_trial_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S3: headered pilot CSV with an explicit 5-channel double schema
+    (reference: /root/reference/pilots/pilot_bronze.py:85-90)."""
+    df = (
+        spark.read.option("header", "true")
+        .schema(schemas.wide_channel_schema())
+        .csv(path)
+    )
+    return with_lineage(df)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """S4/S5: columnar table scan. Delta is not on this container's
+    classpath, so the lakehouse format is plain partitioned parquet; a
+    Delta reader slots in behind the same call when the jar is present."""
+    try:  # pragma: no cover - exercised only where delta-spark exists
+        import delta  # noqa: F401
+
+        return spark.read.format("delta").load(path)
+    except ImportError:
+        return spark.read.parquet(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided synthetic table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """createOrReplaceTempView for every test table (S12)."""
+    for name in TESTDATA_TABLES:
+        read_testdata(spark, sf_dir, name).createOrReplaceTempView(name)
