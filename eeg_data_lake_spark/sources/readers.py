@@ -83,8 +83,73 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided synthetic table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver-provided synthetic table (TESTDATA.md).
+
+    Spark (through 4.x) cannot scan parquet TIMESTAMP(NANOS) columns
+    (SPARK-40819); the driver's events.ts is one. We read nanos as
+    LongType via the legacy conf and rebuild a microsecond timestamp —
+    the same ns→µs truncation DuckDB applies, so oracle comparisons
+    agree. Footer sniffing happens once on the driver; the conversion
+    itself is a columnar expression.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer `div`: epoch-nanos ≈ 1.7e18 overflows double precision
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_testdata_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Structured-Streaming file source over one driver table.
+
+    The file-stream source requires a directory, so we point it at
+    sf_dir with a pathGlobFilter for the one table file. ns-timestamp
+    columns are declared LongType in the stream schema (matching the
+    nanosAsLong read) and rebuilt as µs timestamps, same as the batch
+    reader.
+    """
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = set(_nanos_timestamp_cols(path))
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = read_testdata(spark, sf_dir, name).schema
+    stream_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType, f.nullable)
+            for f in batch_schema
+        ]
+    )
+    df = (
+        spark.readStream.schema(stream_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,261 @@
+"""Deduplication workload (north-star ops): exact, shingle-Jaccard,
+MinHash(+LSH bands), SimHash.
+
+Scale design — the one thing that matters for dedup at 100 TB is never
+materializing the O(n²) pair space:
+
+- exact: hash-groupBy on a content fingerprint. One shuffle on the
+  fingerprint; group sizes are tiny unless data is pathological.
+- shingle-Jaccard: inverted-index self-join — explode distinct
+  shingles, equi-join on shingle, count shared per pair. Only pairs
+  sharing ≥1 shingle ever exist. Hot shingles (boilerplate) are the
+  skew risk → drop shingles with document frequency above a cap
+  (standard trick; cap keeps the join linear-ish).
+- MinHash/LSH: fixed-size signature per doc (k md5 salts), band join —
+  candidate pairs are band-bucket collisions only. Pure column HOFs;
+  md5 keeps the signature oracle-checkable in DuckDB.
+- SimHash: 64-bit fingerprint from xxhash64(shingle) bit-majorities;
+  Spark-native (xxhash64 has no DuckDB twin) → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+#: shingles with document frequency above this are ignored by the
+#: Jaccard candidate join (boilerplate guard; see module docstring).
+MAX_SHINGLE_DF = 1_000_000
+
+
+def _shingles(col, n: int = 3):
+    """Distinct n-word shingles of a token array (1-based element_at,
+    mirroring the DuckDB oracle's tl[i] indexing). Empty for <n tokens."""
+    toks = F.split(col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(generate_series(1, len(tl) - 2), "
+    "i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2]))"
+)
+
+
+@register(
+    "q32_exact_dedup_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           count(*)               AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    tags=("dedup", "exact"),
+)
+def q32_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content hash, keep min doc_id.
+    The dedup *decision* (n_docs, representative) is the output; a
+    pipeline applies it with a semi-join on keep_doc_id."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "q33_neardup_shingle_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sl) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, shared,
+           round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+    """,
+    tags=("dedup", "neardup", "jaccard"),
+)
+def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via inverted-index
+    self-join — the candidate-pair plan that avoids O(n²)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    sizes = sh.select("doc_id", F.size("sl").alias("n"))
+    inv = sh.select("doc_id", F.explode("sl").alias("shingle"))
+    # boilerplate guard: drop ultra-common shingles before the self-join
+    hot = inv.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF)
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = F.col("shared").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("shared")
+    )
+    return (
+        pairs.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
+        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+MINHASH_SALTS = ["s0:", "s1:", "s2:", "s3:"]
+
+
+def _one_minhash(sl, salt: str):
+    # NB: the lambda must take exactly one arg — PySpark treats a 2-arg
+    # transform lambda as (element, index) and would bind the index over
+    # a defaulted salt parameter.
+    return F.array_min(F.transform(sl, lambda x: F.md5(F.concat(F.lit(salt), x))))
+
+
+def _minhash_cols(sl):
+    """k md5-based minhash signatures of a shingle array (column exprs).
+
+    md5 is bit-identical in Spark and DuckDB, which makes the signature
+    itself oracle-checkable — a property xxhash64-based minhash lacks.
+    """
+    return [_one_minhash(sl, s) for s in MINHASH_SALTS]
+
+
+def _minhash_sql(i: int) -> str:
+    return (
+        f"list_min(list_transform(sl, x -> md5('{MINHASH_SALTS[i]}' || x)))"
+    )
+
+
+@register(
+    "q34_minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    )
+    SELECT doc_id,
+           {_minhash_sql(0)} AS sig0,
+           {_minhash_sql(1)} AS sig1,
+           {_minhash_sql(2)} AS sig2,
+           {_minhash_sql(3)} AS sig3
+    FROM sh
+    """,
+    tags=("dedup", "minhash"),
+)
+def q34_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4) per document — fixed-size sketch of the
+    shingle set; Pr[sig_a = sig_b] = Jaccard(a, b) per salt. Narrow map,
+    no shuffle: the 100 TB cost is one scan."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    sigs = _minhash_cols(F.col("sl"))
+    return sh.select(
+        "doc_id", *[s.alias(f"sig{i}") for i, s in enumerate(sigs)]
+    )
+
+
+@register(
+    "q35_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id,
+             md5({_minhash_sql(0)} || {_minhash_sql(1)}) AS band0,
+             md5({_minhash_sql(2)} || {_minhash_sql(3)}) AS band1
+      FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signature (2 bands × 2 rows):
+    candidate pairs are band-bucket collisions. Implemented as two
+    equi-joins (one per band) + distinct — NEVER the OR-join the oracle
+    spells, which would be a cross product in any engine; the union of
+    per-band equi-joins is the scalable plan with identical semantics."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    s = _minhash_cols(F.col("sl"))
+    sig = sh.select(
+        "doc_id",
+        F.md5(F.concat(s[0], s[1])).alias("band0"),
+        F.md5(F.concat(s[2], s[3])).alias("band1"),
+    )
+
+    def band_pairs(col: str) -> DataFrame:
+        a, b = sig.alias("a"), sig.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    return band_pairs("band0").union(band_pairs("band1")).distinct()
+
+
+@register(
+    "q36_simhash_fingerprints",
+    oracle=None,  # xxhash64 bit-mixing has no DuckDB twin → rows-only
+    tags=("dedup", "simhash"),
+)
+def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash: per shingle xxhash64, per-bit majority vote over
+    the document's shingles, recombined into one BIGINT fingerprint.
+    Near-dups differ in few bits (checked in tests via planted dups).
+    Explode + single groupBy(doc_id) — one shuffle keyed by doc."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    h = sh.withColumn("h", F.xxhash64("shingle"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = h.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))

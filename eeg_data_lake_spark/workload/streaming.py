@@ -1,0 +1,133 @@
+"""Streaming workload (net-new capability; SURVEY.md §2.8 — the
+reference has no streaming, its incremental pattern is a boto3
+exists-check at /root/reference/bronze-to-silver.py:74-76).
+
+q40/q41 are the *batch* forms of tumbling/sliding time windows
+(F.window), oracle-checked against DuckDB time_bucket arithmetic.
+q42 runs a REAL Structured Streaming query (readStream over the events
+parquet → windowed aggregation → memory sink, complete mode) and
+returns its result as a batch DataFrame — same semantics as q40, same
+oracle, proving batch/stream unification.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "q40_tumbling_daily_windows",
+    oracle=_TUMBLING_ORACLE,
+    tags=("window", "time"),
+)
+def q40_tumbling_daily_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows via F.window — the idiomatic form of the
+    reference's epoch floor-bucketing (W5) on a timestamp axis."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q41_sliding_windows",
+    oracle="""
+    WITH starts AS (
+      SELECT e.*, s.window_start
+      FROM events e,
+      LATERAL (
+        SELECT unnest([time_bucket(INTERVAL '12 hours', ts),
+                       time_bucket(INTERVAL '12 hours', ts) - INTERVAL '12 hours'])
+               AS window_start
+      ) s
+      WHERE e.ts >= s.window_start
+        AND e.ts < s.window_start + INTERVAL '24 hours'
+    )
+    SELECT window_start, count(*) AS n_events,
+           round(sum(value), 4) / count(*) AS avg_value
+    FROM starts
+    GROUP BY window_start
+    """,
+    tags=("window", "time", "sliding"),
+)
+def q41_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day long, every 12 h): F.window duplicates
+    each row into the 2 covering windows — the correct-semantics mode
+    of the reference's intended-but-buggy epoch overlap (W5 note)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "24 hours", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.sum("value"), 4) / F.count("*")).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "q42_streaming_tumbling_ingest",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming",),
+)
+def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming: file-source readStream over the events
+    parquet, watermarked tumbling-window aggregation, memory sink in
+    complete mode, driven to completion with processAllAvailable().
+    Deterministic — it must (and does) hash-match the same DuckDB
+    oracle as the batch q40. In production the source is a directory
+    being appended to (or Kafka) and the sink is a Delta/parquet table
+    with checkpointing — this replaces the reference's boto3
+    exists-check idempotence (S15) with engine-level exactly-once."""
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        read_testdata_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

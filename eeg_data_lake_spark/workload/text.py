@@ -1,0 +1,206 @@
+"""Text-analysis workload over the documents table (north-star ops):
+tokenization, token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything is built from JVM-side expressions (split/explode/regexp/
+aggregate HOFs) — no Python UDF touches a row, so the hot path stays
+inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+#: tiny embedded stopword list for the quality/langid heuristics —
+#: must stay in sync with the SQL literal lists in the oracles below.
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q26_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)      AS n_tokens,
+           CAST(length(text) AS BIGINT)                      AS n_chars,
+           round(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6)          AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document (F2 split + size) —
+    computed without exploding, so it's a narrow map at any scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "q27_top_tokens",
+    oracle="""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 25
+    """,
+    tags=("text", "explode", "topk"),
+)
+def q27_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary via explode (F7) + count + deterministic top-k.
+    At 100 TB the explode output is huge but the partial (map-side)
+    aggregation collapses it to |vocab| rows per task before shuffling."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(25)
+    )
+
+
+@register(
+    "q28_quality_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(text, ' ') AS toks,
+             length(text) - length(replace(text, '.', '')) AS n_dots
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang, n_chars, n_dots,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS n_stop
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6)  AS stopword_ratio,
+           round(CAST(n_dots AS DOUBLE) / n_chars, 6)   AS punct_ratio,
+           round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS length_score,
+           round(0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6)
+               AS quality_score
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def q28_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: stopword ratio, punctuation density and
+    a length score combined into one quality number — the filter stage
+    of an LLM-data pipeline, all in array HOFs (F.filter) JVM-side."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    n_dots = F.length("text") - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+    # rounding only at the output edge: rounding inner terms first would
+    # manufacture exact .5 boundaries where engines' round() can differ
+    stop_ratio = n_stop.cast("double") / n_tokens
+    length_score = F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_dots.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(0.5 * stop_ratio + 0.5 * length_score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "q29_language_id",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x IN ({_SW_SQL})))
+                 AS n_en_stop,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN CAST(n_en_stop AS DOUBLE) / n_tokens >= 0.05
+                THEN 'en' ELSE 'other' END AS lang_pred
+    FROM m
+    """,
+    tags=("text", "langid"),
+)
+def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English stopword hit-rate ≥ 5% → 'en'.
+    (A real pipeline scores several stopword lists; one list keeps the
+    oracle exact while exercising the identical plan shape.)"""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hit = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    rate = hit.cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(rate >= 0.05, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+@register(
+    "q30_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q30_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of case/whitespace-normalized text.
+    md5 is bit-identical across engines, making the fingerprint itself
+    oracle-checkable (unlike xxhash64, which only Spark defines)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "q31_source_regex",
+    oracle="""
+    SELECT regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS source_kind,
+           CAST(max(CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INTEGER))
+                AS INTEGER) AS max_source_num,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source_kind
+    """,
+    tags=("text", "regex"),
+)
+def q31_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract metadata parsing (F1, the filename-metadata shape
+    of /root/reference/main/combine_files.py:46-53) on documents.source."""
+    d = t(spark, sf_dir, "documents")
+    rx = "([a-z]+)([0-9]+)"
+    return (
+        d.withColumn("source_kind", F.regexp_extract("source", rx, 1))
+        .withColumn("source_num", F.regexp_extract("source", rx, 2).try_cast("int"))
+        .groupBy("source_kind")
+        .agg(
+            F.max("source_num").alias("max_source_num"),
+            F.count("*").alias("n_docs"),
+        )
+    )

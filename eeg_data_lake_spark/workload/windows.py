@@ -1,0 +1,189 @@
+"""Window-function workload (SURVEY.md §2.5 W1-W4).
+
+These re-express the medallion's window semantics on the driver's
+tables so the DuckDB oracle can verify them: the silver z-score (W1)
+becomes a per-customer z-score of order totals, the per-file sample
+index (W2) becomes first-order-per-customer, the lag chains (W3)
+become per-user event deltas.
+
+Scale: every window here partitions by a high-cardinality key
+(custkey/user_id), so state per partition is bounded and the single
+exchange-and-sort is the whole cost. None uses an unpartitioned window
+— the thing that dies at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+
+@register(
+    "q16_order_total_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             avg(o_totalprice)         OVER (PARTITION BY o_custkey) AS m,
+             stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS s
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           round(CASE WHEN s IS NULL OR s = 0 THEN 0.0
+                      ELSE (o_totalprice - m) / s END, 6) AS z
+    FROM stats
+    """,
+    tags=("window", "silver-parity"),
+)
+def q16_order_total_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver z-score semantics (W1 + F10 guard) on orders: unbounded
+    window stats per customer without losing row grain — the exact shape
+    of /root/reference/main/silver.py:45-56, verified by oracle."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    m = F.mean("o_totalprice").over(w)
+    s = F.stddev_samp("o_totalprice").over(w)
+    z = F.when(s.isNull() | (s == 0), F.lit(0.0)).otherwise(
+        (F.col("o_totalprice") - m) / s
+    )
+    return o.select("o_orderkey", "o_custkey", F.round(z, 6).alias("z"))
+
+
+@register(
+    "q17_first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           o_orderdate AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("window", "topk-per-group"),
+)
+def q17_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking (W2) with a deterministic composite sort key —
+    the engine's replacement for the reference's read-order
+    monotonically_increasing_id hazard (SURVEY.md §2.5 W4)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+@register(
+    "q18_user_event_deltas",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dv
+      FROM events
+    )
+    SELECT user_id,
+           count(dv)                          AS n_deltas,
+           round(sum(dv), 4) / count(dv)      AS mean_delta,
+           round(stddev_samp(dv), 6)          AS std_delta,
+           round(sum(abs(dv)), 4) / count(dv) AS mean_abs_delta
+    FROM d
+    GROUP BY user_id
+    """,
+    tags=("window", "lag"),
+)
+def q18_user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered lag chain (W3) + aggregate — the Hjorth-derivative shape
+    of /root/reference/pilots/pilot_gold.py:82-85 on the events table."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn("dv", F.col("value") - F.lag("value").over(w))
+    return d.groupBy("user_id").agg(
+        F.count("dv").alias("n_deltas"),
+        # canonical avg (see q01): round(sum,4)/count is bit-stable
+        (F.round(F.sum("dv"), 4) / F.count("dv")).alias("mean_delta"),
+        F.round(F.stddev_samp("dv"), 6).alias("std_delta"),
+        (F.round(F.sum(F.abs(F.col("dv"))), 4) / F.count("dv")).alias("mean_abs_delta"),
+    )
+
+
+@register(
+    "q19_user_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*)                         AS n_events
+    FROM g
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionization"),
+)
+def q19_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(ts) + gap threshold (the batch form of
+    session_window): gap > 1h starts a new session."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > 3600.0),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q20_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 4)
+             / count(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 4)
+             / count(CASE WHEN event_type = 'error'    THEN value END) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+             / count(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 4)
+             / count(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 4)
+             / count(CASE WHEN event_type = 'view'     THEN value END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("pivot",),
+)
+def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot (A9, the trial×channel-feature matrix shape of
+    /root/reference/test_train.py:55-59). Pivot values are pinned
+    explicitly so Spark skips the extra distinct-discovery job."""
+    e = t(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 4) / F.count("value"))
+    )
+    return piv
