@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline workload queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full computation, zero
+collection overhead); one untimed warm-up query amortizes JVM/codegen
+startup so the numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from eeg_data_lake_spark.session import get_spark  # noqa: E402
+from eeg_data_lake_spark.workload import REGISTRY  # noqa: E402
+
+#: headline set: one representative per operator family, all scale-sane.
+HEADLINE = [
+    "q01_pricing_summary",        # scan → hash agg (TPC-H Q1 shape)
+    "q02_top_revenue_customers",  # 3-way join + agg + top-k
+    "q06_small_part_quantity",    # broadcast join
+    "q10_price_percentiles",      # exact percentiles
+    "q14_rollup_status_priority", # grouping sets
+    "q16_order_total_zscore",     # window z-score (silver parity)
+    "q18_user_event_deltas",      # ordered lag chains
+    "q21_daily_epoch_features",   # epoch bucketing (gold parity)
+    "q22_user_hjorth_params",     # Hjorth feature chain
+    "q27_top_tokens",             # explode + vocab agg
+    "q33_neardup_shingle_jaccard",# near-dup inverted-index join
+    "q34_minhash_signatures",     # minhash sketching
+    "q37_cosine_topk",            # brute-force similarity
+    "q40_tumbling_daily_windows", # time windows
+]
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="eeg-data-lake-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _execute(REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir))  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _execute(REGISTRY[name].spark_fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_workload_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

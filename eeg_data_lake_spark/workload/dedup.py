@@ -30,16 +30,27 @@ from eeg_data_lake_spark.workload.registry import register, t
 MAX_SHINGLE_DF = 1_000_000
 
 
-def _shingles(col, n: int = 3):
-    """Distinct n-word shingles of a token array (1-based element_at,
-    mirroring the DuckDB oracle's tl[i] indexing). Empty for <n tokens."""
-    toks = F.split(col, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+def shingled(df: DataFrame, text_col: str = "text", out: str = "sl", n: int = 3) -> DataFrame:
+    """Attach a distinct n-word-shingle array column (1-based element_at,
+    mirroring the DuckDB oracle's tl[i] indexing). Empty for <n tokens.
+
+    Two projection steps on purpose: the token array materializes as a
+    real attribute before the gram expressions reference it. Folding
+    split() into the gram lambda would re-tokenize the document once per
+    element_at — O(tokens²) string splitting (observed 35 s → <2 s on
+    the sf0.1 near-dup query when unfolded)."""
+    tl = F.col("__tl")
+    idx = F.sequence(F.lit(1), F.size(tl) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k) for k in range(n)]
+        " ", *[F.element_at(tl, i + k) for k in range(n)]
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+    sl = F.when(F.size(tl) >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
+    )
+    return (
+        df.withColumn("__tl", F.split(F.col(text_col), " "))
+        .withColumn(out, sl)
+        .drop("__tl")
     )
 
 
@@ -100,13 +111,17 @@ def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via inverted-index
     self-join — the candidate-pair plan that avoids O(n²)."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    sh = shingled(d).select("doc_id", "sl")
     sizes = sh.select("doc_id", F.size("sl").alias("n"))
     inv = sh.select("doc_id", F.explode("sl").alias("shingle"))
     # boilerplate guard: drop ultra-common shingles before the self-join
     hot = inv.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF)
     inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a = inv.alias("a")
+    # the self-join must SHUFFLE on shingle, not broadcast: the inverted
+    # index is the big side (≈ corpus size), and broadcasting it means
+    # collecting the whole index to the driver. shuffle_hash beats merge
+    # here because the per-key groups are tiny (no sort needed).
+    a = inv.alias("a").hint("shuffle_hash")
     b = inv.alias("b")
     pairs = (
         a.join(
@@ -178,7 +193,7 @@ def q34_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set; Pr[sig_a = sig_b] = Jaccard(a, b) per salt. Narrow map,
     no shuffle: the 100 TB cost is one scan."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    sh = shingled(d).select("doc_id", "sl")
     sigs = _minhash_cols(F.col("sl"))
     return sh.select(
         "doc_id", *[s.alias(f"sig{i}") for i, s in enumerate(sigs)]
@@ -211,7 +226,7 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells, which would be a cross product in any engine; the union of
     per-band equi-joins is the scalable plan with identical semantics."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sl"))
+    sh = shingled(d).select("doc_id", "sl")
     s = _minhash_cols(F.col("sl"))
     sig = sh.select(
         "doc_id",
@@ -241,7 +256,7 @@ def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dups differ in few bits (checked in tests via planted dups).
     Explode + single groupBy(doc_id) — one shuffle keyed by doc."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
     h = sh.withColumn("h", F.xxhash64("shingle"))
     bit_votes = [
         F.sum(
