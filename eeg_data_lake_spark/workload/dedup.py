@@ -84,6 +84,38 @@ def q32_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n, sl)`` with the shingle array MATERIALIZED (persisted).
+
+    Two reasons this is load-bearing, both measured at sf0.1:
+
+    - The shingle-construction expression (nested transform + concat_ws)
+      gets re-evaluated per *exploded output row* when an explode sits
+      directly on it — 260 k re-evaluations turned a 0.3 s explode into
+      ~10 s. Persisting pins ``sl`` as a real attribute, so downstream
+      generates read cached columnar batches.
+    - The driver testdata is one single-row-group parquet file, so the
+      scan is one task; ``repartition`` before the CPU-heavy shingle
+      stage restores parallelism. (At 100 TB the corpus is thousands of
+      files and this exchange is unnecessary — but it is also ~free,
+      0.6 MB/5 k docs per 32 cores here.)
+
+    Persisting the shingled corpus is the same multi-consumer reuse the
+    reference applies to silver (/root/reference/pilots/pilot_gold.py:42);
+    at 100 TB use MEMORY_AND_DISK (set here) or a checkpoint table.
+    """
+    from pyspark import StorageLevel
+
+    par = spark.sparkContext.defaultParallelism
+    d = t(spark, sf_dir, "documents").repartition(par)
+    sh = (
+        shingled(d)
+        .select("doc_id", F.size("sl").alias("n"), "sl")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return sh
+
+
 @register(
     "q33_neardup_shingle_jaccard",
     oracle=f"""
@@ -108,41 +140,56 @@ def q32_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "neardup", "jaccard"),
 )
 def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via inverted-index
-    self-join — the candidate-pair plan that avoids O(n²)."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d).select("doc_id", "sl")
-    sizes = sh.select("doc_id", F.size("sl").alias("n"))
-    inv = sh.select("doc_id", F.explode("sl").alias("shingle"))
-    # boilerplate guard: drop ultra-common shingles before the self-join
-    hot = inv.groupBy("shingle").count().filter(F.col("count") > MAX_SHINGLE_DF)
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    # the self-join must SHUFFLE on shingle, not broadcast: the inverted
-    # index is the big side (≈ corpus size), and broadcasting it means
-    # collecting the whole index to the driver. shuffle_hash beats merge
-    # here because the per-key groups are tiny (no sort needed).
-    a = inv.alias("a").hint("shuffle_hash")
-    b = inv.alias("b")
+    """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via a posting-list
+    plan (the candidate-pair strategy that avoids O(n²)):
+
+    1. inverted index: explode distinct shingles, keyed by xxhash64 of
+       the shingle (8-byte shuffle key instead of the shingle string).
+    2. posting lists: groupBy(shingle) → sorted array of (doc_id, n).
+       Lists longer than MAX_SHINGLE_DF are dropped (boilerplate guard —
+       caps the quadratic pair blow-up a hot shingle would cause).
+    3. pair generation map-side from each posting list; count shared
+       shingles per (doc_a, doc_b).
+
+    Doc shingle-counts travel inside the posting lists, so Jaccard needs
+    no extra join against a sizes table. Versus the classic inverted-
+    index *self-join*, this shuffles the index once instead of twice and
+    replaces the join with a narrow array expansion.
+    """
+    sh = shingled_cached(spark, sf_dir)
+    inv = sh.select(
+        "doc_id", "n", F.explode("sl").alias("shingle")
+    ).select("doc_id", "n", F.xxhash64("shingle").alias("sh"))
+    posting = (
+        inv.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_SHINGLE_DF))
+    )
+    ds = F.col("ds")
+    pairs_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n"].alias("na"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        posting.select(F.explode(pairs_arr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("shared"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
     jac = F.col("shared").cast("double") / (
-        F.col("na.n") + F.col("nb.n") - F.col("shared")
+        F.col("na") + F.col("nb") - F.col("shared")
     )
     return (
-        pairs.join(F.broadcast(na), F.col("doc_a") == F.col("na.doc_id"))
-        .join(F.broadcast(nb), F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= 0.5)
+        pairs.filter(jac >= 0.5)
         .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -192,8 +239,7 @@ def q34_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4) per document — fixed-size sketch of the
     shingle set; Pr[sig_a = sig_b] = Jaccard(a, b) per salt. Narrow map,
     no shuffle: the 100 TB cost is one scan."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d).select("doc_id", "sl")
+    sh = shingled_cached(spark, sf_dir)
     sigs = _minhash_cols(F.col("sl"))
     return sh.select(
         "doc_id", *[s.alias(f"sig{i}") for i, s in enumerate(sigs)]
@@ -225,8 +271,7 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins (one per band) + distinct — NEVER the OR-join the oracle
     spells, which would be a cross product in any engine; the union of
     per-band equi-joins is the scalable plan with identical semantics."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d).select("doc_id", "sl")
+    sh = shingled_cached(spark, sf_dir)
     s = _minhash_cols(F.col("sl"))
     sig = sh.select(
         "doc_id",
@@ -255,8 +300,9 @@ def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document's shingles, recombined into one BIGINT fingerprint.
     Near-dups differ in few bits (checked in tests via planted dups).
     Explode + single groupBy(doc_id) — one shuffle keyed by doc."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    sh = shingled_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sl").alias("shingle")
+    )
     h = sh.withColumn("h", F.xxhash64("shingle"))
     bit_votes = [
         F.sum(
