@@ -45,6 +45,31 @@ def zscore(df: DataFrame, value_col: str = "value", keys: tuple = ("trial_id", "
     return df.withColumn("z", guarded)
 
 
+def silver_bandpass(
+    silver: DataFrame,
+    lowcut: float = 1.0,
+    highcut: float = 40.0,
+    fs: float = 128.0,
+    order: int = 4,
+) -> DataFrame:
+    """Silver variant with a zero-phase Butterworth band-pass applied
+    per (trial_id, channel) — the reference's out-of-Spark pandas path
+    (/root/reference/bronze-to-silver.py:19-34, U1) run as a grouped-map
+    pandas UDF inside the cluster. Adds ``value_filt``."""
+    from eeg_data_lake_spark.functions.signal import bandpass_by_group
+
+    return bandpass_by_group(
+        silver,
+        group_cols=("trial_id", "channel"),
+        order_col="sample_idx",
+        value_col="value",
+        lowcut=lowcut,
+        highcut=highcut,
+        fs=fs,
+        order=order,
+    )
+
+
 def silver_from_bronze(
     bronze: DataFrame,
     z_threshold: float = Z_OUTLIER_THRESHOLD,

@@ -36,6 +36,19 @@ def get_spark(
     fragmented nor starved. On a real cluster pass ``master=None`` with
     spark-submit and these local defaults are harmless.
     """
+    # Executor Python workers must be able to import this package to
+    # unpickle pandas UDFs, even when the driver script lives elsewhere
+    # and only did sys.path.insert (which workers don't inherit). Local
+    # mode workers DO inherit the process env, so exporting PYTHONPATH
+    # before the JVM starts is the local equivalent of --py-files; on a
+    # real cluster ship the package with spark.submit.pyFiles instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -17,3 +17,6 @@ from eeg_data_lake_spark.workload import text  # noqa: F401
 from eeg_data_lake_spark.workload import dedup  # noqa: F401
 from eeg_data_lake_spark.workload import similarity  # noqa: F401
 from eeg_data_lake_spark.workload import streaming  # noqa: F401
+from eeg_data_lake_spark.workload import signalproc  # noqa: F401
+from eeg_data_lake_spark.workload import mlops  # noqa: F401
+from eeg_data_lake_spark.workload import multimodal  # noqa: F401

@@ -1,0 +1,58 @@
+"""ML workload entries (U5/U6). Iterative fitting is not
+SQL-expressible, so both are rows-only checks; numeric behavior is
+asserted in tests/test_ml.py on analytically-known data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+
+@register(
+    "q45_ml_priority_classifier",
+    oracle=None,  # iterative LBFGS fit → rows-only
+    tags=("ml", "classification"),
+)
+def q45_ml_priority_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 pipeline end-to-end on the orders table: predict order
+    priority from (totalprice, order month, weekday). Returns the
+    held-out split's predictions (indexer → assembler → scaler → LR,
+    the exact stage chain of /root/reference/main/train_model.py:66-98).
+    """
+    from eeg_data_lake_spark.ml.classify import train_classifier
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("f_price"),
+        F.month("o_orderdate").cast("double").alias("f_month"),
+        F.dayofweek("o_orderdate").cast("double").alias("f_dow"),
+    )
+    res = train_classifier(
+        o, label_col="o_orderpriority", feature_cols=["f_price", "f_month", "f_dow"]
+    )
+    return res.predictions.select(
+        "o_orderkey", F.col("prediction").cast("long").alias("predicted_label")
+    )
+
+
+@register(
+    "q46_ridge_embedding_regression",
+    oracle=None,  # matrix solve → rows-only
+    tags=("ml", "regression"),
+)
+def q46_ridge_embedding_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5's ridge (alpha=10) fitted distributed over the embeddings
+    table (embedding → label), scored JVM-side. Sufficient statistics
+    (XᵀX, Xᵀy) are the only thing that reaches the driver."""
+    from eeg_data_lake_spark.ml.ridge import ridge_fit, ridge_predict
+
+    v = t(spark, sf_dir, "embeddings")
+    dim = len(v.select("embedding").head()["embedding"])
+    w = ridge_fit(v, "embedding", "label", dim=dim, alpha=10.0)
+    return ridge_predict(v, "embedding", w).select(
+        "vec_id", "label", F.round("prediction", 4).alias("prediction")
+    )

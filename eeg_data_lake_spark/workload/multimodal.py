@@ -1,0 +1,75 @@
+"""Multimodal workload entries (north-star): binary payload columns,
+decode/feature-extract via mapInPandas, frame sampling.
+
+q47 is fully oracle-checked (byte length, md5, hex prefix are
+bit-identical between Spark and DuckDB over the same UTF-8 payload).
+The decode (q48) and frame-sig (q49) steps use Spark-only hashing /
+a stubbed codec → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_image_features,
+    frame_sample,
+)
+from eeg_data_lake_spark.workload.registry import register, t
+
+
+@register(
+    "q47_binary_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))                  AS n_bytes,
+           md5(text)                                   AS content_md5,
+           upper(substring(hex(encode(text)), 1, 8))   AS hex_prefix
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def q47_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling, end-to-end JVM: encode → byte
+    length → md5 → hex slicing. Proves binary columns round-trip
+    bit-identically (the invariant every real media pipeline needs
+    before any codec work)."""
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.upper(F.substring(F.hex(F.col("payload")), 1, 8)).alias("hex_prefix"),
+    )
+
+
+@register(
+    "q48_multimodal_decode_features",
+    oracle=None,  # codec is a documented deterministic stub → rows-only
+    tags=("multimodal", "pandas-udf"),
+)
+def q48_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract payloads with Arrow-batched mapInPandas
+    (byte stats real, codec stubbed). Narrow plan: no shuffle."""
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    out = decode_image_features(d)
+    return out.select(
+        "doc_id", "fmt", "width", "height", "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte"),
+        F.round("std_byte", 4).alias("std_byte"),
+    )
+
+
+@register(
+    "q49_frame_signatures",
+    oracle=None,  # xxhash64 frame checksums are Spark-only → rows-only
+    tags=("multimodal", "binary"),
+)
+def q49_frame_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: byte-range slicing into 4 frames,
+    one checksum per frame — the partition/batch shape of real frame
+    extraction with the decode swapped for a hash."""
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return frame_sample(d, n_frames=4)

@@ -1,0 +1,70 @@
+"""Multimodal plumbing: binary round-trip, decode-stub determinism,
+frame sampling shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from eeg_data_lake_spark.functions.multimodal import (
+    _fake_decode,
+    attach_binary_payload,
+    decode_image_features,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "héllo wörld"), (3, ""), (4, "x" * 1000)],
+        "doc_id long, text string",
+    )
+
+
+def test_payload_bytes_roundtrip(docs):
+    rows = {r.doc_id: r for r in attach_binary_payload(docs).collect()}
+    assert bytes(rows[2].payload) == "héllo wörld".encode()
+    assert rows[2].payload_meta.n_bytes == len("héllo wörld".encode())
+    assert rows[3].payload_meta.n_bytes == 0
+
+
+def test_decode_features_match_local_numpy(docs):
+    out = {r.doc_id: r for r in
+           decode_image_features(attach_binary_payload(docs)).collect()}
+    raw = "héllo wörld".encode()
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    assert out[2].n_bytes == len(raw)
+    assert out[2].mean_byte == pytest.approx(float(arr.mean()))
+    assert out[2].std_byte == pytest.approx(float(arr.std()))
+    fmt, w, h = _fake_decode(raw)
+    assert (out[2].fmt, out[2].width, out[2].height) == (fmt, w, h)
+    assert out[3].fmt == "empty" and out[3].n_bytes == 0
+
+
+def test_decode_deterministic_across_runs(docs):
+    a = sorted(map(tuple, decode_image_features(attach_binary_payload(docs)).collect()))
+    b = sorted(map(tuple, decode_image_features(attach_binary_payload(docs)).collect()))
+    assert a == b
+
+
+def test_frame_sample_shape_and_determinism(docs):
+    out = {r.doc_id: r for r in
+           frame_sample(attach_binary_payload(docs)).collect()}
+    assert all(len(r.frame_sigs) == 4 for r in out.values())
+    # distinct content ⇒ distinct signatures; same content ⇒ same
+    assert out[1].frame_sigs != out[2].frame_sigs
+    big = out[4]
+    assert big.n_bytes == 1000
+    # frames of an all-'x' payload are identical chunks ⇒ equal sigs
+    assert len(set(big.frame_sigs)) == 1
+
+
+def test_md5_matches_hashlib(docs):
+    from pyspark.sql import functions as F
+
+    d = attach_binary_payload(docs).select("doc_id", F.md5("payload").alias("h"))
+    rows = {r.doc_id: r.h for r in d.collect()}
+    assert rows[1] == hashlib.md5(b"hello world").hexdigest()
