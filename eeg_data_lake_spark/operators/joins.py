@@ -1,0 +1,89 @@
+"""As-of and range joins as DataFrame compositions.
+
+The reference's join surface is one left equi-join
+(/root/reference/pilots/pilot_gold.py:104-106); these two operators
+are the time-series joins a lakehouse engine needs beyond it.
+
+Scale design:
+
+- asof_join: the naive formulation is an inequality join (cross
+  product per key). The scalable plan used here is the union+window
+  trick: tag both sides, union, one shuffle on the key, one
+  in-partition sort by (time, side), then ``last(ignorenulls)``
+  carries the most recent right-side payload forward onto each left
+  row. Cost = exactly one exchange of |L|+|R| rows — the same shape
+  as a window aggregation, no pair blow-up, AQE-skew-handled.
+- range_count_join: an equi-join on the entity key with the range
+  predicate as a residual filter inside the hash join. The range
+  never multiplies cost beyond true matches; per-key fan-out is
+  bounded by the entity's activity, so the shuffle is the only cost.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row gains the payload
+    of the right row with the greatest ``right_ts <= left_ts`` for the
+    same key; ``tie_breakers`` resolve equal timestamps (greatest
+    wins). Right payload columns must not collide with left columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys + [right_ts]]
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {clash}")
+
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(*keys, F.col(right_ts).alias("__t"), *payload)
+        .withColumn("__side", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side", *tie_breakers)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("__side") == 1).drop("__t", "__side")
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    right_ts: str,
+    range_start,
+    range_end,
+    count_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """LEFT equi-join ``left.on[0] == right.on[1]`` with the residual
+    range predicate ``range_start <= right_ts < range_end``, then a
+    per-``group_cols`` count of matches (0 for unmatched left rows).
+    """
+    lk, rk = on
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(right_ts) >= range_start)
+        & (F.col(right_ts) < range_end)
+    )
+    return (
+        left.join(right, cond, "left")
+        .groupBy(*group_cols)
+        .agg(F.count(count_col).alias(f"n_{count_col}"))
+    )

@@ -1,0 +1,143 @@
+"""Advanced join workload: as-of, range, and embedding near-dup pairs
+(north-star ops beyond the reference's single left equi-join J1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.joins import asof_join, range_count_join
+from eeg_data_lake_spark.workload.registry import register, t
+
+COSINE_NEARDUP_TAU = 0.45
+
+
+@register(
+    "q50_asof_join_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.last_order_key, o.last_order_date
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey  AS last_order_key,
+             o_orderdate AS last_order_date
+      FROM orders
+      WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 1
+    ) o ON TRUE
+    """,
+    tags=("join", "asof"),
+)
+def q50_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gains the user's most recent order at or
+    before the event time (ties on order date broken by greatest order
+    key). Union+window plan — one shuffle of |events|+|orders| on
+    user, no inequality-join pair blow-up; the oracle spells the same
+    semantics as a LATERAL top-1."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+    out = asof_join(
+        e, o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_breakers=("last_order_key",),
+    )
+    return out.select("event_id", "user_id", "last_order_key", "last_order_date")
+
+
+@register(
+    "q51_range_join_order_activity",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(e.event_id) AS n_event_id
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def q51_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the ordering user within 7 days of each
+    order. Hash equi-join on the user key with the time range as a
+    residual predicate — never a nested-loop; per-key fan-out bounded
+    by user activity."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return range_count_join(
+        o, e,
+        on=("o_custkey", "user_id"),
+        right_ts="ts",
+        range_start=F.col("o_orderdate"),
+        range_end=F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"),
+        count_col="event_id",
+        group_cols=("o_orderkey",),
+    )
+
+
+@register(
+    "q52_embedding_neardup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= {COSINE_NEARDUP_TAU}
+    """,
+    tags=("dedup", "similarity", "neardup"),
+)
+def q52_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45): the corpus is
+    collected once (n × d doubles — MBs up to ~1M vectors), closure-
+    broadcast to executors, and each partition scores its rows against
+    it with one numpy matmul — O(n²/partitions) work, no shuffle at
+    all. Beyond broadcastable corpus size, the LSH-bucketed plan (q39)
+    replaces the matmul; this exact form is also the recall oracle for
+    that path.
+    """
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = v.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ mat.T
+            out_a, out_b, out_c = [], [], []
+            for i, vec_a in enumerate(pdf["vec_id"]):
+                mask = (sims[i] >= COSINE_NEARDUP_TAU) & (ids > vec_a)
+                out_a += [vec_a] * int(mask.sum())
+                out_b += ids[mask].tolist()
+                out_c += sims[i][mask].tolist()
+            yield pd.DataFrame(
+                {"vec_a": out_a, "vec_b": out_b, "cosine": np.round(out_c, 6)}
+            )
+
+    return v.mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
+    )

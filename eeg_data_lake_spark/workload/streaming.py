@@ -131,3 +131,86 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "q53_stateful_streaming_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*)                         AS n_events
+    FROM g
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def q53_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization
+    (gap > 1 h) via applyInPandasWithState. State = (last event time,
+    session count, event count) per user, carried across micro-batches;
+    each batch's rows are sorted and folded into it. With the whole
+    file as one batch this reproduces the batch sessionization (q19)
+    exactly — the oracle is the same SQL — proving the stateful
+    operator's semantics, while the state plumbing is what a live
+    append-source deployment would use. Shuffle is keyed by user_id
+    (state locality); state size is O(1) per user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    gap_s = 3600.0
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts in pdf["ts"]:
+                t_s = ts.timestamp()
+                if last_ts is None or t_s - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = t_s
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    name = "stateful_out_" + uuid.uuid4().hex[:8]
+    stream = (
+        read_testdata_stream(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, n_sessions long, n_events long",
+            stateStructType="last_ts double, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

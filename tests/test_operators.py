@@ -1,0 +1,91 @@
+"""asof_join / range_count_join corner-case semantics on hand-built
+frames (the oracle parity tests cover them at table scale)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from eeg_data_lake_spark.operators.joins import asof_join, range_count_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:00")),  # before any right row
+            (2, 10, _ts("2024-01-02 12:00:00")),  # between r1 and r2
+            (3, 10, _ts("2024-01-03 00:00:00")),  # exactly at r2 (inclusive)
+            (4, 99, _ts("2024-01-05 00:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-02 00:00:00"), 100),
+            (10, _ts("2024-01-03 00:00:00"), 200),
+            (10, _ts("2024-01-03 00:00:00"), 201),  # tie: greater key wins
+            (10, _ts("2024-01-04 00:00:00"), 300),  # in the future of all
+        ],
+        "user_id long, odate timestamp, okey long",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(frames):
+    left, right = frames
+    out = {
+        r.event_id: r.okey
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="odate",
+            tie_breakers=("okey",),
+        ).collect()
+    }
+    assert out[1] is None          # nothing at or before
+    assert out[2] == 100           # latest at-or-before
+    assert out[3] == 201           # inclusive + tie-break by greatest key
+    assert out[4] is None          # unmatched key preserved (left join)
+
+
+def test_asof_preserves_left_rowcount(frames):
+    left, right = frames
+    assert (
+        asof_join(left, right, "user_id", "ts", "odate", ("okey",)).count()
+        == left.count()
+    )
+
+
+def test_asof_collision_raises(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right.withColumnRenamed("okey", "event_id"),
+            "user_id", "ts", "odate",
+        )
+
+
+def test_range_count_join_zero_matches(spark, frames):
+    left, right = frames
+    from pyspark.sql import functions as F
+
+    out = {
+        r.event_id: r.n_okey
+        for r in range_count_join(
+            left,
+            right.withColumnRenamed("user_id", "r_user"),
+            on=("user_id", "r_user"),
+            right_ts="odate",
+            range_start=F.col("ts"),
+            range_end=F.col("ts") + F.expr("INTERVAL 1 DAY"),
+            count_col="okey",
+            group_cols=("event_id",),
+        ).collect()
+    }
+    # r rows within [ts, ts+1d): e1 none, e2 two at 01-03, e3 the same
+    # two (inclusive start), e4 no rows for key 99
+    assert out == {1: 0, 2: 2, 3: 2, 4: 0}
