@@ -34,10 +34,14 @@ HEADLINE = [
     "q21_daily_epoch_features",   # epoch bucketing (gold parity)
     "q22_user_hjorth_params",     # Hjorth feature chain
     "q27_top_tokens",             # explode + vocab agg
-    "q33_neardup_shingle_jaccard",# near-dup inverted-index join
+    "q33_neardup_shingle_jaccard",# near-dup posting-list plan
     "q34_minhash_signatures",     # minhash sketching
     "q37_cosine_topk",            # brute-force similarity
     "q40_tumbling_daily_windows", # time windows
+    "q43_bandpass_user_series",   # grouped-map pandas UDF (signal)
+    "q50_asof_join_last_order",   # as-of join (union+window)
+    "q52_embedding_neardup_pairs",# matmul near-dup scoring
+    "q54_tfidf_top_terms",        # tf-idf explode + 3 hash aggs
 ]
 
 

@@ -50,14 +50,15 @@ def _filename_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def bronze_from_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Text-line ingest: each line is ``channel,v1,...,vN``.
-
-    Pipeline: split → head/tail → cast via transform HOF → posexplode →
-    channel whitelist → null drop. All expressions are JVM-side builtins
-    (F2-F7 in SURVEY.md §2.7); no Python UDF touches the hot path.
+def bronze_transform_from_lines(lines: DataFrame) -> DataFrame:
+    """The line→bronze transform body, shared verbatim by the batch
+    reader (bronze_from_lines) and the streaming ingest
+    (streaming.ingest.stream_bronze_from_lines): split → head/tail →
+    cast via transform HOF → posexplode → channel whitelist → null
+    drop. All expressions are JVM-side builtins (F2-F7 in SURVEY.md
+    §2.7); no Python UDF touches the hot path. Input needs columns
+    (value, source_file, _ingest_ts, _ingest_date).
     """
-    lines = read_channel_csv_lines(spark, path)
     tokens = lines.withColumn("tokens", F.split(F.col("value"), ","))
     parsed = (
         tokens.withColumn("channel", F.col("tokens").getItem(0))
@@ -86,6 +87,11 @@ def bronze_from_lines(spark: SparkSession, path: str) -> DataFrame:
         subset=["value"]
     )
     return clean.select([f.name for f in schemas.BRONZE_SCHEMA.fields])
+
+
+def bronze_from_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Text-line batch ingest: each line is ``channel,v1,...,vN``."""
+    return bronze_transform_from_lines(read_channel_csv_lines(spark, path))
 
 
 def bronze_from_wide_csv(spark: SparkSession, path: str) -> DataFrame:

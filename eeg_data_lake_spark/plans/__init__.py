@@ -1,0 +1,12 @@
+"""Physical-plan inspection utilities (the `.explain` feedback loop,
+made assertable so plan quality is a tested invariant, not a one-time
+observation)."""
+
+from eeg_data_lake_spark.plans.inspect import (  # noqa: F401
+    count_exchanges,
+    explain_string,
+    has_cartesian_or_bnlj,
+    join_strategies,
+    pushed_filters,
+    read_schema_columns,
+)

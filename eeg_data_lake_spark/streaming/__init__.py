@@ -1,0 +1,7 @@
+"""Structured-Streaming ingest (net-new capability; the reference's
+incremental pattern is a boto3 exists-check,
+/root/reference/bronze-to-silver.py:49-54,74-76)."""
+
+from eeg_data_lake_spark.streaming.ingest import (  # noqa: F401
+    stream_bronze_from_lines,
+)

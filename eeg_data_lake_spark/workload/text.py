@@ -9,7 +9,7 @@ inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.workload.registry import register, t
@@ -203,4 +203,72 @@ def q31_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("source_num").alias("max_source_num"),
             F.count("*").alias("n_docs"),
         )
+    )
+
+
+@register(
+    "q54_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((CAST(tf.tf AS DOUBLE) / dl.len)
+                   * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, fully relational (no ml.feature
+    hashing — exact, oracle-checkable): tf from a (doc, term) count,
+    idf = ln(N/df) from a vocabulary aggregate, top-k via ranking
+    window. Plan: one explode + three hash aggs; the vocabulary side
+    (df) shuffles on term, the scoring join broadcasts doc lengths.
+    At web scale the vocab agg is the heavy shuffle — it's a plain
+    hash agg, so AQE handles skewed hot terms; hot-term *candidate
+    capping* (as in the dedup family) applies if the vocab itself
+    must be bounded."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()  # scalar; one lightweight job
+    scored = (
+        tf.join(F.broadcast(dl), "doc_id")
+        .join(dfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
     )

@@ -75,6 +75,34 @@ class TestFiltfilt:
         with pytest.raises(ValueError):
             filtfilt(b, a, np.zeros(10))
 
+    def test_fft_kernel_same_spectral_contract(self):
+        from eeg_data_lake_spark.functions.signal import filtfilt_fft
+
+        b, a = butter_bandpass(1.0, 40.0, FS, order=4)
+        ts = np.arange(0, 4, 1 / FS)
+        core = slice(64, -64)
+        rms = lambda v: np.sqrt(np.mean(v**2))  # noqa: E731
+        y = filtfilt_fft(b, a, np.sin(2 * np.pi * 10 * ts))
+        assert rms(y[core]) == pytest.approx(2 ** -0.5, abs=5e-3)
+        hi = filtfilt_fft(b, a, np.sin(2 * np.pi * 60 * ts))
+        assert rms(hi[core]) < 0.05
+        dc = filtfilt_fft(b, a, np.ones_like(ts))
+        assert np.abs(dc[core]).max() < 1e-6
+
+    def test_fft_and_exact_agree_in_interior(self):
+        """The two kernels implement the same operator; their interior
+        difference is bounded by the exact path's 24-sample-pad edge
+        transient (IIR tail ~300 samples), hence the loose tolerance."""
+        from eeg_data_lake_spark.functions.signal import filtfilt_fft
+
+        b, a = butter_bandpass(1.0, 40.0, FS, order=4)
+        ts = np.arange(0, 8, 1 / FS)
+        rng = np.random.default_rng(3)
+        x = np.sin(2 * np.pi * 10 * ts) + 0.2 * rng.standard_normal(len(ts))
+        core = slice(128, -128)
+        d = filtfilt(b, a, x)[core] - filtfilt_fft(b, a, x)[core]
+        assert np.abs(d).max() < 0.05
+
     def test_lfilter_matches_impulse_response(self):
         # y of an impulse == b when a == [1]
         b = np.array([0.5, 0.25, 0.125])
