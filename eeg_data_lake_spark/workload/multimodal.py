@@ -73,3 +73,41 @@ def q49_frame_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction with the decode swapped for a hash."""
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
     return frame_sample(d, n_frames=4)
+
+
+@register(
+    "q55_text_embedding_topk",
+    oracle=None,  # stubbed encoder is Spark-side only → rows-only
+    tags=("multimodal", "embedding", "similarity"),
+)
+def q55_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 end-to-end: generate embeddings for the documents table with
+    predict_batch_udf (stub encoder, real batched-inference wiring),
+    then run the U5 retrieval shape on them — top-3 nearest documents
+    for the 5 lowest doc_ids by cosine. Inference is a narrow map;
+    scoring broadcasts the 5 query vectors (the q37 plan)."""
+    from pyspark.sql import Window
+
+    from eeg_data_lake_spark.functions.embed import with_text_embedding
+    from eeg_data_lake_spark.workload.similarity import as_double, dot, l2norm
+
+    d = with_text_embedding(t(spark, sf_dir, "documents")).select(
+        "doc_id", as_double(F.col("embedding")).alias("e")
+    )
+    q = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = d.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("e")) / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine")
+    )

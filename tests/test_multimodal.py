@@ -68,3 +68,21 @@ def test_md5_matches_hashlib(docs):
     d = attach_binary_payload(docs).select("doc_id", F.md5("payload").alias("h"))
     rows = {r.doc_id: r.h for r in d.collect()}
     assert rows[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_text_embedding_deterministic_unit_norm(spark, docs=None):
+    import numpy as np
+
+    from eeg_data_lake_spark.functions.embed import EMBED_DIM, with_text_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: np.array(r.embedding) for r in with_text_embedding(df).collect()}
+    assert all(len(v) == EMBED_DIM for v in rows.values())
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in rows.values())
+    assert np.allclose(rows[1], rows[3])          # same text, same vector
+    assert not np.allclose(rows[1], rows[2])      # different text differs
+    again = {r.doc_id: np.array(r.embedding) for r in with_text_embedding(df).collect()}
+    assert np.allclose(rows[1], again[1])         # deterministic across runs
