@@ -461,3 +461,39 @@ def q15_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+@register(
+    "q56_sql_view_consumption",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    LIMIT 20
+    """,
+    tags=("sql", "view"),
+)
+def q56_sql_view_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 as a first-class path: createOrReplaceTempView + a raw SQL
+    string through the full parse → analyze → optimize lifecycle —
+    the reference's gold-consumption pattern
+    (/root/reference/read_gold.py:36-54: temp view, CASE WHEN flag
+    counting, ORDER BY, LIMIT), on the orders table."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders_v
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 20
+        """
+    )

@@ -74,3 +74,25 @@ def F_desc_first(df):
     from pyspark.sql import functions as F
 
     return F.col(df.columns[0])
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """U6 model persistence (/root/reference/main/train_model.py:123-126):
+    the fitted PipelineModel round-trips through disk and scores
+    identically."""
+    import numpy as np
+    from pyspark.ml import PipelineModel
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (("alpha" if x + y > 0 else "beta"), float(x), float(y))
+        for x, y in rng.normal(size=(120, 2))
+    ]
+    df = spark.createDataFrame(rows, "cls string, f1 double, f2 double")
+    res = train_classifier(df, "cls", ["f1", "f2"])
+    path = str(tmp_path / "model")
+    res.model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = [r.prediction for r in res.model.transform(df).select("prediction").collect()]
+    b = [r.prediction for r in reloaded.transform(df).select("prediction").collect()]
+    assert a == b

@@ -89,3 +89,39 @@ def test_range_count_join_zero_matches(spark, frames):
     # r rows within [ts, ts+1d): e1 none, e2 two at 01-03, e3 the same
     # two (inclusive start), e4 no rows for key 99
     assert out == {1: 0, 2: 2, 3: 2, 4: 0}
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark):
+        import numpy as np
+
+        from eeg_data_lake_spark.operators.skew import salted_join
+
+        rng = np.random.default_rng(17)
+        # one hot key (0) carrying half the rows — the salting target
+        keys = np.where(rng.random(400) < 0.5, 0, rng.integers(1, 20, 400))
+        left = spark.createDataFrame(
+            [(int(k), i) for i, k in enumerate(keys)], "k long, lid long"
+        )
+        right = spark.createDataFrame(
+            [(int(k), f"d{k}") for k in range(20)], "k long, tag string"
+        )
+        plain = sorted(
+            (r.k, r.lid, r.tag) for r in left.join(right, ["k"]).collect()
+        )
+        salted = sorted(
+            (r.k, r.lid, r.tag)
+            for r in salted_join(left, right, ["k"], salt_buckets=4).collect()
+        )
+        assert salted == plain
+
+    def test_left_join_preserved(self, spark):
+        from eeg_data_lake_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, 10), (99, 11)], "k long, lid long")
+        right = spark.createDataFrame([(1, "a")], "k long, tag string")
+        rows = {
+            r.lid: r.tag
+            for r in salted_join(left, right, ["k"], how="left").collect()
+        }
+        assert rows == {10: "a", 11: None}
