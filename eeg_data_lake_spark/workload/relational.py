@@ -94,15 +94,19 @@ def q02_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # pre-aggregate revenue to one row per order BEFORE joining: the
+    # orderkey join then moves |orders| rows instead of |lineitem|,
+    # and n_orders becomes a plain count — no countDistinct expand.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)

@@ -244,14 +244,18 @@ def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     capping* (as in the dedup family) applies if the vocab itself
     must be bounded."""
     d = t(spark, sf_dir, "documents")
-    tok = d.select(
+    par = spark.sparkContext.defaultParallelism
+    tok = d.repartition(par).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
+    # every downstream statistic derives from the (doc, term) counts,
+    # so the explode+shuffle happens ONCE: doc length is sum(tf) per
+    # doc, document frequency is count(*) per term (tf rows are
+    # already distinct doc-term pairs — no countDistinct expand).
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
-    dfreq = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    tf = tf.persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; one lightweight job
     scored = (
         tf.join(F.broadcast(dl), "doc_id")
