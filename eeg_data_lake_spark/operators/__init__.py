@@ -5,3 +5,4 @@ shuffle profile at scale."""
 
 from eeg_data_lake_spark.operators.joins import asof_join, range_count_join  # noqa: F401
 from eeg_data_lake_spark.operators.skew import salted_join  # noqa: F401,E402
+from eeg_data_lake_spark.operators.graph import connected_components  # noqa: F401,E402

@@ -1,0 +1,76 @@
+"""Connected components by iterative min-label propagation — the
+clustering step that turns near-duplicate PAIRS into dedup GROUPS
+(every doc in a component keeps one representative).
+
+Algorithm: every node starts labeled with its own id; each round,
+every node takes the min label among itself and its neighbors; stop
+at fixpoint. Rounds needed ≈ graph diameter (near-dup graphs are
+shallow — dup clusters are cliques or short chains), and each round
+is one shuffle (groupBy node), so the 100 TB cost is
+O(diameter × shuffle(|E|)). The driver only sees a one-row changed
+count per round (the classic large-scale CC formulation; GraphFrames
+implements the same loop, which this repo avoids depending on).
+
+Convergence is guaranteed: labels are monotonically non-increasing
+per node and bounded below by the component min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return (node, component) for every node appearing in ``edges``;
+    component = min node id reachable. Undirected."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # Iterative loops MUST truncate lineage each round: without it the
+    # logical plan nests one level per iteration and Catalyst
+    # analysis/optimization time grows super-linearly (a 12-node chain
+    # took minutes). localCheckpoint materializes the round's result
+    # and restarts the plan from it — the standard fix (cluster jobs
+    # with unreliable executors should use checkpoint() on durable
+    # storage instead).
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -320,3 +320,79 @@ def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "q57_exact_dedup_apply",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(text)))
+    ) k ON d.doc_id = k.keep_doc_id
+    """,
+    tags=("dedup", "exact", "apply"),
+)
+def q57_exact_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *application*: q32 decides (min doc_id per content
+    fingerprint), this keeps exactly those rows via a semi-join —
+    the pipeline form a training-data corpus actually runs. Shuffle on
+    the fingerprint + a semi-join on doc_id; no row ever duplicates."""
+    d = t(spark, sf_dir, "documents")
+    keep = d.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    return d.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q58_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sl) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.other FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node, CAST(min(other) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "neardup", "graph", "iterative"),
+)
+def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: iterative min-label propagation
+    (operators.graph.connected_components) over the q33 pair graph.
+    One shuffle per round, rounds ≈ component diameter; the oracle
+    computes the same components with a recursive CTE (viable at
+    oracle scale only — transitive closure is quadratic per component,
+    which is exactly why the engine side iterates instead)."""
+    from eeg_data_lake_spark.operators.graph import connected_components
+
+    pairs = q33_neardup_shingle_jaccard(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        "node", "component"
+    )

@@ -125,3 +125,34 @@ class TestSaltedJoin:
             for r in salted_join(left, right, ["k"], how="left").collect()
         }
         assert rows == {10: "a", 11: None}
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from eeg_data_lake_spark.operators.graph import connected_components
+
+        # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "src long, dst long",
+        )
+        got = {
+            r.node: r.component
+            for r in connected_components(edges).collect()
+        }
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20,
+        }
+
+    def test_long_chain_converges(self, spark):
+        from eeg_data_lake_spark.operators.graph import connected_components
+
+        n = 12
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        got = {r.node: r.component for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
