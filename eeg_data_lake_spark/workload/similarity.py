@@ -132,10 +132,10 @@ def q38_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: deterministic random hyperplanes for the LSH path (seeded; 8 planes
-#: over 64 dims → 256 buckets).
+#: deterministic random hyperplanes for the LSH path (seeded; 6 planes
+#: over 64 dims → 64 buckets).
 _LSH_SEED = 42
-_LSH_PLANES = 8
+_LSH_PLANES = 6
 _LSH_DIM = 64
 
 
@@ -150,10 +150,15 @@ def _hyperplanes() -> list[list[float]]:
     tags=("similarity", "ann", "lsh"),
 )
 def q39_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket = sign-pattern of 8 seeded
-    hyperplane dot products; each query scores only its bucket. The
-    100 TB path — the bucket join replaces the full cross product.
-    Compared against q37's exact top-k for recall in tests."""
+    """ANN via random-hyperplane LSH with MULTI-PROBE: bucket =
+    sign-pattern of 6 seeded hyperplane dot products; each query
+    probes its own bucket plus every bucket at Hamming distance 1
+    (the standard multi-probe trick — a near neighbor most likely
+    differs in exactly the one hyperplane whose margin was smallest,
+    so flipping single bits recovers most of the recall that strict
+    bucketing loses). Candidate volume ≈ (1+planes)/2^planes of the
+    corpus — still a tiny fraction; the bucket equi-join replaces the
+    full cross product. Recall vs exact q37 asserted in tests."""
     planes = _hyperplanes()
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
@@ -172,16 +177,107 @@ def q39_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     vb = v.withColumn("bucket", bucket(F.col("e")))
-    q = vb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("bucket").alias("qbucket"),
+    probe_set = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(len(planes))
+        ],
+    )
+    q = (
+        vb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(probe_set).alias("qbucket"),
+        )
     )
     scored = (
         vb.join(
             F.broadcast(q),
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("e"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+#: IVF coarse quantizer: seeded spherical centroids, nprobe buckets
+#: scanned per query.
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+def _centroids() -> list[list[float]]:
+    rng = np.random.default_rng(_LSH_SEED + 1)
+    c = rng.standard_normal((_IVF_K, _LSH_DIM))
+    return (c / np.linalg.norm(c, axis=1, keepdims=True)).round(6).tolist()
+
+
+@register(
+    "q60_ivf_ann_topk",
+    oracle=None,  # approximate by construction → recall-tested vs q37
+    tags=("similarity", "ann", "ivf"),
+)
+def q60_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF-style coarse quantizer: every vector is assigned
+    to its nearest of K seeded spherical centroids (the inverted-file
+    cell); each query scans only its ``nprobe`` closest cells. The
+    second scale path next to LSH (q39): cells shrink the candidate
+    set ~K/nprobe-fold, and on a cluster the corpus is partitioned BY
+    cell so a probe reads only its partitions. Recall vs the exact
+    q37 is asserted in tests.
+    """
+    cents = _centroids()
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+
+    def cell_dots(col):
+        return F.array(
+            *[dot(col, F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+
+    vd = v.withColumn("dots", cell_dots(F.col("e")))
+    corpus = vd.withColumn(
+        "cell",
+        F.array_position(F.col("dots"), F.array_max(F.col("dots"))).cast("int"),
+    ).drop("dots")
+
+    ranked = F.transform(
+        F.col("dots"), lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(ranked)), 1, _IVF_NPROBE),
+        lambda s: s["i"] + 1,
+    )
+    q = (
+        vd.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.explode(probes).alias("probe"),
+        )
+        .select("query_id", "qe", F.col("probe").cast("int").alias("cell"))
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (corpus.cell == q.cell) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
             "query_id",

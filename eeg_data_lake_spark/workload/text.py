@@ -276,3 +276,40 @@ def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+_BPE_RX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q59_bpe_style_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
+               AS n_tokens,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RX}'),
+                                x -> regexp_matches(x, '^[A-Za-z]+$')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_RX}'),
+                                x -> regexp_matches(x, '^[0-9]+$')))
+                AS BIGINT) AS n_digit
+    FROM documents
+    """,
+    tags=("text", "tokens", "regex"),
+)
+def q59_bpe_style_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape,
+    simplified to letter-runs | digit-runs | single punctuation):
+    regexp_extract_all + HOF filters, narrow map — the token-count
+    accounting a training-data pipeline runs before a real BPE merge.
+    Complements q26's whitespace tokenizer."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_RX}', 0)")
+    alpha = F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))
+    digit = F.filter(toks, lambda x: x.rlike("^[0-9]+$"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha"),
+        F.size(digit).cast("long").alias("n_digit"),
+    )

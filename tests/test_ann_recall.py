@@ -1,0 +1,49 @@
+"""ANN quality gates: both approximate paths (LSH q39, IVF q60) must
+recover a meaningful fraction of the exact top-k (q37) — the check
+that keeps 'approximate' from silently meaning 'wrong'."""
+
+from __future__ import annotations
+
+import pytest
+
+from eeg_data_lake_spark.workload import REGISTRY
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(spark, sf_dir):
+    return _topk_sets(REGISTRY["q37_cosine_topk"].spark_fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize("name,min_recall", [
+    ("q39_lsh_ann_topk", 0.15),
+    ("q60_ivf_ann_topk", 0.25),
+])
+def test_ann_recall_vs_exact(spark, sf_dir, exact, name, min_recall):
+    approx = _topk_sets(REGISTRY[name].spark_fn(spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # embeddings are near-uniform random (max pairwise cosine ~0.5), the
+    # hardest possible case for bucketed ANN — the gate is deliberately
+    # modest; planted-duplicate data would score near 1.0
+    assert recall >= min_recall, f"{name} recall {recall:.2f}"
+
+
+def test_ann_results_are_subset_of_corpus(spark, sf_dir):
+    approx = REGISTRY["q60_ivf_ann_topk"].spark_fn(spark, sf_dir)
+    rows = approx.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    # per query: descending cosine, at most TOP_K rows
+    for cos in per_q.values():
+        assert len(cos) <= 5
+        assert cos == sorted(cos, reverse=True)
