@@ -1,0 +1,146 @@
+"""Watermark semantics with real late data across micro-batches:
+append-mode windows only emit once the watermark passes them, and
+rows arriving later than the watermark allows are dropped — the
+engine-level late-data contract the reference has no analogue for
+(its ingest is batch-only)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write(path: str, rows: list[tuple[int, dt.datetime]]) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_append_mode_drops_too_late_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    # batch 1: three rows in [10:00, 11:00) and one at 12:05 that pushes
+    # the watermark (30 min) to 11:35 — far past the 10:00 window's end.
+    _write(
+        str(src / "a.parquet"),
+        [
+            (1, base),
+            (2, base + dt.timedelta(minutes=10)),
+            (3, base + dt.timedelta(minutes=20)),
+            (4, base + dt.timedelta(hours=2, minutes=5)),
+        ],
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    name = "wm_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.window_start: r.n for r in spark.table(name).collect()
+        }
+        # the [10:00, 11:00) window is closed (watermark 11:35) and
+        # emitted with its 3 rows; the 12:00 window stays open
+        assert first.get(base) == 3
+        assert base + dt.timedelta(hours=2) not in first
+
+        # batch 2: a LATE row for the already-closed 10:00 window
+        # (< watermark ⇒ dropped) plus a 13:10 row that closes 12:00.
+        time.sleep(1.05)  # distinct mtime so the file source orders it second
+        _write(
+            str(src / "b.parquet"),
+            [
+                (5, base + dt.timedelta(minutes=30)),      # too late, dropped
+                # pushes the watermark to 13:10 ≥ the 12:00 window's end,
+                # so that window closes and emits
+                (6, base + dt.timedelta(hours=3, minutes=40)),
+            ],
+        )
+        q.processAllAvailable()
+        final = {r.window_start: r.n for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # late row did NOT reopen/duplicate the 10:00 window…
+    assert final[base] == 3
+    assert list(final.values()).count(3) == 1
+    # …and the 12:00 window emitted exactly its one on-time row
+    assert final.get(base + dt.timedelta(hours=2)) == 1
+
+
+def test_dropped_late_rows_are_observable(spark, tmp_path):
+    """numRowsDroppedByWatermark in the query progress confirms the
+    drop happened in the state store (not a lost file)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "obs_src"
+    os.makedirs(src)
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    _write(str(src / "a.parquet"), [(1, base), (2, base + dt.timedelta(hours=3))])
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    name = "wmobs_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1.05)
+        _write(str(src / "b.parquet"), [(3, base + dt.timedelta(minutes=5))])
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in [q.recentProgress[i] for i in range(len(q.recentProgress))]
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    assert dropped >= 1
