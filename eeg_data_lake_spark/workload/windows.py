@@ -187,3 +187,84 @@ def q20_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 4) / F.count("value"))
     )
     return piv
+
+
+@register(
+    "q61_rolling_frame_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 6) AS rolling_avg,
+           round(min(value) OVER w, 4) AS rolling_min,
+           round(max(value) OVER w, 4) AS rolling_max,
+           CAST(count(*)  OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "rolling"),
+)
+def q61_rolling_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame (the window surface beyond W1's default
+    full-partition frame): trailing 4-event rolling stats per user.
+    Physical plan is the same single exchange+sort as any window — the
+    frame only changes the in-partition aggregation buffer."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.round(F.min("value").over(w), 4).alias("rolling_min"),
+        F.round(F.max("value").over(w), 4).alias("rolling_max"),
+        F.count("*").over(w).alias("rolling_n"),
+    )
+
+
+@register(
+    "q62_native_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           CAST(max(cnt) AS BIGINT)                   AS max_session_events
+    FROM (SELECT user_id, session_no, count(*) AS cnt
+          FROM s GROUP BY user_id, session_no)
+    GROUP BY user_id
+    """,
+    tags=("window", "session"),
+)
+def q62_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-based dynamic windows) —
+    the engine primitive behind q19's hand-rolled lag sessionization,
+    also valid under Structured Streaming with watermarks. One row
+    per (user, session) after the session merge, re-aggregated per
+    user; the oracle derives identical sessions from the lag+cumsum
+    construction."""
+    e = t(spark, sf_dir, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "1 hour")
+    ).agg(F.count("*").alias("cnt"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
