@@ -31,8 +31,18 @@ def write_partitioned(
     out = df
     if partition_by:
         if files_per_partition > 1:
+            # pin the partition count: a by-number repartition is exempt
+            # from AQE coalescing, which would otherwise merge the salted
+            # shuffle back into few partitions and undo the fan-out
+            # (byte-based coalescing can't see the writer-parallelism
+            # intent, same failure mode as the pandas-UDF stages).
+            par = df.sparkSession.sparkContext.defaultParallelism
             salt = (F.rand(seed=7) * files_per_partition).cast("int")
-            out = df.repartition(*[F.col(c) for c in partition_by], salt)
+            out = df.repartition(
+                max(par, files_per_partition),
+                *[F.col(c) for c in partition_by],
+                salt,
+            )
         else:
             out = df.repartition(*partition_by)
     writer = out.write.mode(mode)
