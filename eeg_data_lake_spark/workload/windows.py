@@ -268,3 +268,75 @@ def q62_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.max("cnt").alias("max_session_events"),
     )
+
+
+@register(
+    "q63_ranking_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(rank()         OVER w AS BIGINT) AS bal_rank,
+           CAST(dense_rank()   OVER w AS BIGINT) AS bal_dense_rank,
+           CAST(ntile(4)       OVER w AS BIGINT) AS bal_quartile,
+           round(percent_rank() OVER w, 6)       AS bal_pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window", "ranking"),
+)
+def q63_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (rank, dense_rank, ntile,
+    percent_rank) over one window spec — beyond W2's row_number.
+    Deterministic via the custkey tie-break; one exchange+sort."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+    )
+
+
+@register(
+    "q64_date_arithmetic",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate)                    AS order_month,
+           CAST(count(*) AS BIGINT)                            AS n_orders,
+           CAST(min(datediff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE))) AS INTEGER)
+               AS min_days_since_epoch95,
+           CAST(max(CAST(dayofweek(o_orderdate) AS INTEGER)) AS INTEGER)
+               AS max_dow,
+           CAST(max(CAST(last_day(CAST(o_orderdate AS DATE))
+                         AS TIMESTAMP)) AS TIMESTAMP)          AS month_end
+    FROM orders
+    GROUP BY order_month
+    """,
+    tags=("date", "agg"),
+)
+def q64_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time arithmetic surface beyond the reference's to_date
+    (F17): date_trunc, datediff vs an anchor, dayofweek, last_day —
+    monthly order rollup. Pure builtins; partition-friendly (month
+    truncation is the natural partition key for a 100 TB fact table).
+
+    DuckDB's dayofweek is 0=Sunday while Spark's is 1=Sunday, so the
+    Spark side subtracts 1 to align. last_day returns DATE in both;
+    compared as timestamps for schema parity.
+    """
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min(
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).cast("int").alias("min_days_since_epoch95"),
+            (F.max(F.dayofweek("o_orderdate")) - F.lit(1)).cast("int").alias("max_dow"),
+            F.max(F.last_day(F.col("o_orderdate").cast("date"))).cast("timestamp").alias("month_end"),
+        )
+    )
