@@ -501,3 +501,41 @@ def q56_sql_view_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q65_unpivot_measures",
+    oracle="""
+    SELECT measure,
+           round(sum(value), 2)  AS total,
+           round(avg(value), 6)  AS avg_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    """,
+    tags=("unpivot", "agg"),
+)
+def q65_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via the native unpivot/melt operator (the workload
+    form of the bronze stack, SURVEY.md §2.7 F8): four lineitem
+    measures to (measure, value) rows, aggregated per measure. The
+    unpivot is a narrow Expand node — rows ×4 before the map-side
+    partial agg collapses them, so the shuffle stays |measures| rows
+    per task regardless of input size."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("*").alias("n"),
+    )

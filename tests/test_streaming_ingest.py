@@ -43,3 +43,34 @@ def test_incremental_pickup_of_new_files(spark, dirs):
     n2 = spark.read.parquet(dirs["sink"]).count()
     assert n2 > n1
     assert n2 == bronze_from_lines(spark, dirs["src"]).count()
+
+
+def test_streaming_silver_foreach_batch_matches_batch(spark, dirs, tmp_path):
+    """bronze stream → foreachBatch silver == batch silver, and a
+    re-run ingests nothing new (checkpointed)."""
+    from eeg_data_lake_spark.pipeline import silver_from_bronze
+    from eeg_data_lake_spark.streaming import stream_silver_from_bronze_dir
+
+    fixtures.write_mindbigdata_csvs(dirs["src"], n_files=2)
+    stream_bronze_from_lines(spark, dirs["src"], dirs["sink"], dirs["ckpt"])
+
+    silver_sink = str(tmp_path / "silver")
+    silver_ckpt = str(tmp_path / "silver_ckpt")
+    stream_silver_from_bronze_dir(spark, dirs["sink"], silver_sink, silver_ckpt)
+    # per-batch subdirectories → recursive read (see streaming.silver docs)
+    streamed = spark.read.option("recursiveFileLookup", "true").parquet(silver_sink)
+    batch = silver_from_bronze(spark.read.parquet(dirs["sink"]))
+    assert streamed.count() == batch.count()
+    assert set(streamed.columns) == set(batch.columns)
+    # z-scores identical row-for-row (keyed by trial/channel/sample)
+    key = ["trial_id", "channel", "sample_idx"]
+    s = {tuple(r[k] for k in key): round(r.z, 9) for r in streamed.collect()}
+    b = {tuple(r[k] for k in key): round(r.z, 9) for r in batch.collect()}
+    assert s == b
+
+    # idempotent re-run
+    stream_silver_from_bronze_dir(spark, dirs["sink"], silver_sink, silver_ckpt)
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(silver_sink).count()
+        == batch.count()
+    )
