@@ -38,10 +38,10 @@ HEADLINE = [
     "q34_minhash_signatures",     # minhash sketching
     "q37_cosine_topk",            # brute-force similarity
     "q40_tumbling_daily_windows", # time windows
-    "q43_bandpass_user_series",   # grouped-map pandas UDF (signal)
+    "q94_bandpass_user_series",   # grouped-map pandas UDF (signal)
     "q50_asof_join_last_order",   # as-of join (union+window)
-    "q52_embedding_neardup_pairs",# matmul near-dup scoring
-    "q54_tfidf_top_terms",        # tf-idf explode + 3 hash aggs
+    "q36_embedding_neardup_pairs",# matmul near-dup scoring
+    "q43_tfidf_top_terms",        # tf-idf explode + 3 hash aggs
 ]
 
 

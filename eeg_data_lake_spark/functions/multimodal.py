@@ -120,16 +120,40 @@ def frame_sample(
     n_frames: int = 4,
 ) -> DataFrame:
     """Video-style frame sampling over a binary payload: split the byte
-    stream into ``n_frames`` equal chunks and emit one xxhash-style
-    checksum per frame (array<long>). Pure JVM expression — the byte
-    slicing/sampling pattern for real video is identical, with the
-    checksum swapped for a frame decode."""
+    stream into ``n_frames`` equal chunks and emit one scalar row per
+    frame — (id, n_bytes, frame_idx, frame_sig). Pure JVM expression —
+    the byte slicing/sampling pattern for real video is identical, with
+    the checksum swapped for a frame decode.
+
+    The signature is ``md5(hex(frame_bytes))``: hex-ing first keeps the
+    checksum portable (an oracle engine whose md5 only accepts text can
+    slice the hex string at 2× byte offsets and get the identical
+    digest). Scalar output rows — never an array column — so downstream
+    consumers (and row canonicalizers) see only sortable primitives."""
     n_bytes = F.length(F.col(payload_col))
-    step = F.greatest((n_bytes / n_frames).cast("int"), F.lit(1))
-    frames = F.transform(
-        F.sequence(F.lit(0), F.lit(n_frames - 1)),
-        lambda i: F.xxhash64(
-            F.substring(F.col(payload_col), (i * step + 1).cast("int"), step)
-        ),
+    step = F.greatest(F.floor(n_bytes / n_frames).cast("int"), F.lit(1))
+    return (
+        df.select(
+            id_col,
+            n_bytes.alias("n_bytes"),
+            F.col(payload_col).alias("__payload"),
+            step.alias("__step"),
+            F.posexplode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias(
+                "frame_idx", "__i"
+            ),
+        )
+        .select(
+            id_col,
+            "n_bytes",
+            "frame_idx",
+            F.md5(
+                F.hex(
+                    F.substring(
+                        F.col("__payload"),
+                        (F.col("frame_idx") * F.col("__step") + 1).cast("int"),
+                        F.col("__step"),
+                    )
+                )
+            ).alias("frame_sig"),
+        )
     )
-    return df.select(id_col, n_bytes.alias("n_bytes"), frames.alias("frame_sigs"))

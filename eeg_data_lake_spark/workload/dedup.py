@@ -291,11 +291,11 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q36_simhash_fingerprints",
+    "q92_simhash_fingerprints",
     oracle=None,  # xxhash64 bit-mixing has no DuckDB twin → rows-only
     tags=("dedup", "simhash"),
 )
-def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash: per shingle xxhash64, per-bit majority vote over
     the document's shingles, recombined into one BIGINT fingerprint.
     Near-dups differ in few bits (checked in tests via planted dups).
@@ -323,7 +323,7 @@ def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q57_exact_dedup_apply",
+    "q46_exact_dedup_apply",
     oracle="""
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
@@ -335,7 +335,7 @@ def q36_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "exact", "apply"),
 )
-def q57_exact_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_exact_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup *application*: q32 decides (min doc_id per content
     fingerprint), this keeps exactly those rows via a semi-join —
     the pipeline form a training-data corpus actually runs. Shuffle on
@@ -350,7 +350,7 @@ def q57_exact_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q58_neardup_clusters",
+    "q48_neardup_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id, {_SHINGLE_SQL} AS sl
@@ -383,7 +383,7 @@ def q57_exact_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "neardup", "graph", "iterative"),
 )
-def q58_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup groups: iterative min-label propagation
     (operators.graph.connected_components) over the q33 pair graph.
     One shuffle per round, rounds ≈ component diameter; the oracle

@@ -56,7 +56,7 @@ def q50_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q51_range_join_order_activity",
+    "q13_range_join_order_activity",
     oracle="""
     SELECT o.o_orderkey,
            count(e.event_id) AS n_event_id
@@ -69,7 +69,7 @@ def q50_asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "range"),
 )
-def q51_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: events of the ordering user within 7 days of each
     order. Hash equi-join on the user key with the time range as a
     residual predicate — never a nested-loop; per-key fan-out bounded
@@ -88,7 +88,7 @@ def q51_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "q52_embedding_neardup_pairs",
+    "q36_embedding_neardup_pairs",
     oracle=f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -104,7 +104,7 @@ def q51_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("dedup", "similarity", "neardup"),
 )
-def q52_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45): the corpus is
     collected once (n × d doubles — MBs up to ~1M vectors), closure-
     broadcast to executors, and each partition scores its rows against

@@ -12,11 +12,11 @@ from eeg_data_lake_spark.workload.registry import register, t
 
 
 @register(
-    "q45_ml_priority_classifier",
+    "q95_ml_priority_classifier",
     oracle=None,  # iterative LBFGS fit → rows-only
     tags=("ml", "classification"),
 )
-def q45_ml_priority_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95_ml_priority_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 pipeline end-to-end on the orders table: predict order
     priority from (totalprice, order month, weekday). Returns the
     held-out split's predictions (indexer → assembler → scaler → LR,
@@ -40,11 +40,11 @@ def q45_ml_priority_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q46_ridge_embedding_regression",
+    "q96_ridge_embedding_regression",
     oracle=None,  # matrix solve → rows-only
     tags=("ml", "regression"),
 )
-def q46_ridge_embedding_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q96_ridge_embedding_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5's ridge (alpha=10) fitted distributed over the embeddings
     table (embedding → label), scored JVM-side. Sufficient statistics
     (XᵀX, Xᵀy) are the only thing that reaches the driver."""

@@ -46,11 +46,11 @@ def q47_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q48_multimodal_decode_features",
+    "q97_multimodal_decode_features",
     oracle=None,  # codec is a documented deterministic stub → rows-only
     tags=("multimodal", "pandas-udf"),
 )
-def q48_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q97_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract payloads with Arrow-batched mapInPandas
     (byte stats real, codec stubbed). Narrow plan: no shuffle."""
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
@@ -64,23 +64,40 @@ def q48_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "q49_frame_signatures",
-    oracle=None,  # xxhash64 frame checksums are Spark-only → rows-only
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             hex(encode(text))          AS h
+      FROM documents
+    ), f AS (
+      SELECT doc_id, n_bytes, h,
+             CAST(unnest(range(4)) AS INTEGER) AS frame_idx,
+             greatest(CAST(floor(n_bytes / 4) AS BIGINT), 1) AS step
+      FROM p
+    )
+    SELECT doc_id, n_bytes, frame_idx,
+           md5(substring(h, frame_idx * step * 2 + 1, step * 2)) AS frame_sig
+    FROM f
+    """,
     tags=("multimodal", "binary"),
 )
 def q49_frame_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: byte-range slicing into 4 frames,
-    one checksum per frame — the partition/batch shape of real frame
-    extraction with the decode swapped for a hash."""
+    one checksum row per frame — the partition/batch shape of real
+    frame extraction with the decode swapped for a hash. The md5(hex)
+    signature is bit-identical in the DuckDB oracle, which slices the
+    hex string at doubled offsets (1 byte = 2 hex chars)."""
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
     return frame_sample(d, n_frames=4)
 
 
 @register(
-    "q55_text_embedding_topk",
+    "q98_text_embedding_topk",
     oracle=None,  # stubbed encoder is Spark-side only → rows-only
     tags=("multimodal", "embedding", "similarity"),
 )
-def q55_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 end-to-end: generate embeddings for the documents table with
     predict_batch_udf (stub encoder, real batched-inference wiring),
     then run the U5 retrieval shape on them — top-3 nearest documents

@@ -390,11 +390,11 @@ def q12_event_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_approx_distinct_users",
+    "q91_approx_distinct_users",
     oracle=None,  # HLL sketch values are engine-specific → rows-only check
     tags=("agg", "approx"),
 )
-def q13_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): at 100 TB the exact distinct's
     expand+shuffle is the bottleneck; the sketch is one pass, fixed
     memory. rsd pinned so results are deterministic for a given input."""
@@ -468,7 +468,7 @@ def q15_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q56_sql_view_consumption",
+    "q45_sql_view_consumption",
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
@@ -482,7 +482,7 @@ def q15_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("sql", "view"),
 )
-def q56_sql_view_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_sql_view_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 as a first-class path: createOrReplaceTempView + a raw SQL
     string through the full parse → analyze → optimize lifecycle —
     the reference's gold-consumption pattern

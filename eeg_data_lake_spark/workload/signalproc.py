@@ -21,11 +21,11 @@ from eeg_data_lake_spark.workload.registry import register, t
 
 
 @register(
-    "q43_bandpass_user_series",
+    "q94_bandpass_user_series",
     oracle=None,  # IIR filtfilt is not SQL-expressible → rows-only
     tags=("signal", "pandas-udf"),
 )
-def q43_bandpass_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q94_bandpass_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-phase Butterworth band-pass of each user's event-value
     series (order by ts, event_id; unit sample rate, pass band
     0.05–0.4 cycles/sample). Grouped-map pandas UDF: one Arrow batch

@@ -145,11 +145,11 @@ def _hyperplanes() -> list[list[float]]:
 
 
 @register(
-    "q39_lsh_ann_topk",
+    "q93_lsh_ann_topk",
     oracle=None,  # verified rows-only + recall assertion in tests
     tags=("similarity", "ann", "lsh"),
 )
-def q39_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH with MULTI-PROBE: bucket =
     sign-pattern of 6 seeded hyperplane dot products; each query
     probes its own bucket plus every bucket at Hamming distance 1
@@ -229,11 +229,11 @@ def _centroids() -> list[list[float]]:
 
 
 @register(
-    "q60_ivf_ann_topk",
+    "q99_ivf_ann_topk",
     oracle=None,  # approximate by construction → recall-tested vs q37
     tags=("similarity", "ann", "ivf"),
 )
-def q60_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF-style coarse quantizer: every vector is assigned
     to its nearest of K seeded spherical centroids (the inverted-file
     cell); each query scans only its ``nprobe`` closest cells. The

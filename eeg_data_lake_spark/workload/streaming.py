@@ -134,7 +134,7 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "q53_stateful_streaming_sessions",
+    "q39_stateful_streaming_sessions",
     oracle="""
     WITH g AS (
       SELECT user_id, ts,
@@ -154,7 +154,7 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
-def q53_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization
     (gap > 1 h) via applyInPandasWithState. State = (last event time,
     session count, event count) per user, carried across micro-batches;

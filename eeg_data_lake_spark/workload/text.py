@@ -207,7 +207,7 @@ def q31_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q54_tfidf_top_terms",
+    "q43_tfidf_top_terms",
     oracle="""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -233,7 +233,7 @@ def q31_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "tfidf"),
 )
-def q54_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, fully relational (no ml.feature
     hashing — exact, oracle-checkable): tf from a (doc, term) count,
     idf = ln(N/df) from a vocabulary aggregate, top-k via ranking

@@ -22,8 +22,8 @@ def exact(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,min_recall", [
-    ("q39_lsh_ann_topk", 0.15),
-    ("q60_ivf_ann_topk", 0.25),
+    ("q93_lsh_ann_topk", 0.15),
+    ("q99_ivf_ann_topk", 0.25),
 ])
 def test_ann_recall_vs_exact(spark, sf_dir, exact, name, min_recall):
     approx = _topk_sets(REGISTRY[name].spark_fn(spark, sf_dir))
@@ -37,7 +37,7 @@ def test_ann_recall_vs_exact(spark, sf_dir, exact, name, min_recall):
 
 
 def test_ann_results_are_subset_of_corpus(spark, sf_dir):
-    approx = REGISTRY["q60_ivf_ann_topk"].spark_fn(spark, sf_dir)
+    approx = REGISTRY["q99_ivf_ann_topk"].spark_fn(spark, sf_dir)
     rows = approx.collect()
     assert all(r.query_id != r.neighbor_id for r in rows)
     per_q = {}

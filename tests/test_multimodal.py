@@ -51,15 +51,22 @@ def test_decode_deterministic_across_runs(docs):
 
 
 def test_frame_sample_shape_and_determinism(docs):
-    out = {r.doc_id: r for r in
-           frame_sample(attach_binary_payload(docs)).collect()}
-    assert all(len(r.frame_sigs) == 4 for r in out.values())
+    rows = frame_sample(attach_binary_payload(docs)).collect()
+    out: dict[int, dict[int, str]] = {}
+    for r in rows:
+        out.setdefault(r.doc_id, {})[r.frame_idx] = r.frame_sig
+    assert all(sorted(sigs) == [0, 1, 2, 3] for sigs in out.values())
     # distinct content ⇒ distinct signatures; same content ⇒ same
-    assert out[1].frame_sigs != out[2].frame_sigs
-    big = out[4]
-    assert big.n_bytes == 1000
+    assert list(out[1].values()) != list(out[2].values())
+    big = {r.frame_idx: r for r in rows if r.doc_id == 4}
+    assert big[0].n_bytes == 1000
     # frames of an all-'x' payload are identical chunks ⇒ equal sigs
-    assert len(set(big.frame_sigs)) == 1
+    assert len({r.frame_sig for r in big.values()}) == 1
+    # signature is md5 over the UPPERCASE hex of the byte slice —
+    # reproducible off-Spark (this is what makes the oracle portable)
+    raw = b"hello world"  # step = max(11 // 4, 1) = 2
+    want = hashlib.md5(raw[2:4].hex().upper().encode()).hexdigest()
+    assert out[1][1] == want
 
 
 def test_md5_matches_hashlib(docs):

@@ -57,8 +57,8 @@ def test_q50_asof_is_one_shuffle_no_pair_blowup(spark, sf_dir):
     assert not has_cartesian_or_bnlj(df)
 
 
-def test_q51_range_join_is_hash_not_nested_loop(spark, sf_dir):
-    df = q("q51_range_join_order_activity", spark, sf_dir)
+def test_q13_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    df = q("q13_range_join_order_activity", spark, sf_dir)
     assert not has_cartesian_or_bnlj(df)
     assert set(join_strategies(df)) <= {
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
