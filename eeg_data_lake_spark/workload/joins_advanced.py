@@ -4,11 +4,10 @@
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark.operators.allpairs import cosine_neardup_pairs
 from eeg_data_lake_spark.operators.joins import asof_join, range_count_join
 from eeg_data_lake_spark.workload.registry import register, t
 
@@ -105,39 +104,13 @@ def q13_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("dedup", "similarity", "neardup"),
 )
 def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.45): the corpus is
-    collected once (n × d doubles — MBs up to ~1M vectors), closure-
-    broadcast to executors, and each partition scores its rows against
-    it with one numpy matmul — O(n²/partitions) work, no shuffle at
-    all. Beyond broadcastable corpus size, the LSH-bucketed plan (q39)
-    replaces the matmul; this exact form is also the recall oracle for
-    that path.
+    """Embedding-cosine near-dup pairs (threshold 0.45), exact, via the
+    size-adaptive all-pairs operator: small corpora take a zero-shuffle
+    broadcast matmul; corpora past the cutover take the hash-blocked
+    pairwise matmul whose task memory is bounded by the block size, so
+    the registered plan never collects an unbounded corpus on the
+    driver. The ANN paths (q93 LSH / q99 IVF) are the sub-quadratic
+    approximate alternative; this exact form is their recall oracle.
     """
     v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = v.collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            x = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = x @ mat.T
-            out_a, out_b, out_c = [], [], []
-            for i, vec_a in enumerate(pdf["vec_id"]):
-                mask = (sims[i] >= COSINE_NEARDUP_TAU) & (ids > vec_a)
-                out_a += [vec_a] * int(mask.sum())
-                out_b += ids[mask].tolist()
-                out_c += sims[i][mask].tolist()
-            yield pd.DataFrame(
-                {"vec_a": out_a, "vec_b": out_b, "cosine": np.round(out_c, 6)}
-            )
-
-    return v.mapInPandas(
-        score, schema="vec_a long, vec_b long, cosine double"
-    )
+    return cosine_neardup_pairs(v, COSINE_NEARDUP_TAU)

@@ -156,3 +156,42 @@ class TestConnectedComponents:
         got = {r.node: r.component for r in connected_components(edges).collect()}
         assert set(got.values()) == {0}
         assert len(got) == n + 1
+
+
+class TestCosineNeardupPairs:
+    """Both physical strategies of the exact all-pairs operator must
+    produce identical rows (and match the q36 DuckDB oracle, which the
+    parity suite checks against whichever path the corpus size picks)."""
+
+    def _load(self, spark, sf_dir):
+        from eeg_data_lake_spark.workload.registry import t
+
+        return t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def test_block_path_equals_broadcast_path(self, spark, sf_dir):
+        from eeg_data_lake_spark.operators.allpairs import cosine_neardup_pairs
+
+        v = self._load(spark, sf_dir)
+        tau = 0.45
+        fast = cosine_neardup_pairs(v, tau)  # corpus << cutover → broadcast
+        # force the distributed block path: cutover 0, tiny blocks so
+        # several same-block AND cross-block groups actually occur
+        slow = cosine_neardup_pairs(
+            v, tau, broadcast_cutover=0, rows_per_block=7
+        )
+        a = sorted(map(tuple, fast.collect()))
+        b = sorted(map(tuple, slow.collect()))
+        assert a == b
+        assert len(a) > 0  # the fixture corpus has near-dup pairs
+
+    def test_block_path_has_no_collect_of_corpus(self, spark, sf_dir):
+        """The registered plan above the cutover is a real distributed
+        plan: its lineage contains the block-pair FlatMapGroupsInPandas,
+        not a LocalTableScan of collected rows."""
+        from eeg_data_lake_spark.operators.allpairs import cosine_neardup_pairs
+
+        v = self._load(spark, sf_dir)
+        plan = cosine_neardup_pairs(
+            v, 0.45, broadcast_cutover=0, rows_per_block=7
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan
