@@ -156,44 +156,60 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def q39_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization
-    (gap > 1 h) via applyInPandasWithState. State = (last event time,
-    session count, event count) per user, carried across micro-batches;
-    each batch's rows are sorted and folded into it. With the whole
-    file as one batch this reproduces the batch sessionization (q19)
-    exactly — the oracle is the same SQL — proving the stateful
-    operator's semantics, while the state plumbing is what a live
-    append-source deployment would use. Shuffle is keyed by user_id
-    (state locality); state size is O(1) per user.
+    (gap > 1 h) via applyInPandasWithState — see stateful_sessionize.
+    With the whole file as one micro-batch this reproduces the batch
+    sessionization (q19) exactly — the oracle is the same SQL — while
+    the state plumbing is what a live append-source deployment would
+    use; tests/test_streaming_stateful.py proves the identical result
+    over 3 file-ordered micro-batches with state carried between them.
+    """
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    return run_stateful_sessions(
+        spark, read_testdata_stream(spark, sf_dir, "events")
+    )
+
+
+def stateful_sessionize(stream: DataFrame, gap_s: float = 3600.0) -> DataFrame:
+    """Per-key sessionization as a custom stateful streaming operator:
+    ``applyInPandasWithState`` over (user_id), state = (last event
+    time, session count, event count), carried across micro-batches.
+
+    The per-batch fold is vectorized: all of the group's Arrow chunks
+    are concatenated, sorted once, and the session starts counted with
+    one numpy comparison against the lag array (no per-row Python
+    loop). Batches must arrive in event-time order for exact counts —
+    the file source delivers oldest-first; a live out-of-order source
+    would put a watermark + sort in front (q42 shows the watermark
+    wiring). Shuffle is keyed by user_id (state locality); state size
+    is O(1) per user.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from eeg_data_lake_spark.sources.readers import read_testdata_stream
-
-    gap_s = 3600.0
-
     def sessionize(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for ts in pdf["ts"]:
-                t_s = ts.timestamp()
-                if last_ts is None or t_s - last_ts > gap_s:
-                    n_sessions += 1
-                last_ts = t_s
-                n_events += 1
+            t_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+            prev = np.empty_like(t_s)
+            prev[0] = last_ts if last_ts is not None else -np.inf
+            prev[1:] = t_s[:-1]
+            n_sessions += int((t_s - prev > gap_s).sum())
+            n_events += len(t_s)
+            last_ts = float(t_s[-1])
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
         )
 
-    name = "stateful_out_" + uuid.uuid4().hex[:8]
-    stream = (
-        read_testdata_stream(spark, sf_dir, "events")
-        .select("user_id", "event_id", "ts")
+    return (
+        stream.select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
@@ -203,8 +219,15 @@ def q39_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_stateful_sessions(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Drive a stateful-sessionize stream to completion into a memory
+    sink (update mode: the last row per user is the final state)."""
+    name = "stateful_out_" + uuid.uuid4().hex[:8]
     q = (
-        stream.writeStream.outputMode("update")
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .start()
@@ -213,4 +236,14 @@ def q39_stateful_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    # update mode appends one row per (user, batch); both counters are
+    # monotonically non-decreasing folds, so each user's final state is
+    # simply the max — no reliance on sink row order
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
