@@ -28,7 +28,14 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``;
-    component = min node id reachable. Undirected."""
+    component = min node id reachable. Undirected.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (components with diameter > max_iter would
+    otherwise silently split into several labels). Rounds needed equal
+    the graph diameter; near-dup graphs are shallow, so hitting the
+    cap means the input is not the expected dup-cluster shape — raise
+    ``max_iter`` explicitly for genuinely deep graphs."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -72,5 +79,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); labels would be partial — "
+        "raise max_iter for deep graphs"
+    )

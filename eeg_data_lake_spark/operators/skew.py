@@ -22,6 +22,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: join types for which salting preserves semantics. Right/full outer
+#: would emit each unmatched row of the REPLICATED side once per salt
+#: copy (salt_buckets null-extended duplicates), so they are rejected.
+SALT_SAFE_JOINS = frozenset(
+    {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+     "semi", "left_anti", "leftanti", "anti"}
+)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -32,7 +41,17 @@ def salted_join(
     """Equi-join where ``skewed`` has hot keys: salt the skewed side
     with a uniform bucket, replicate ``other`` across all buckets, and
     join on (keys…, salt). Result equals ``skewed.join(other, on,
-    how)`` row-for-row (asserted in tests)."""
+    how)`` row-for-row (asserted in tests) for inner/left-family joins
+    ONLY — the unmatched-row side must be the salted one. For a
+    right/full outer, swap the inputs and use the mirrored left join."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in SALT_SAFE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join supports inner/left-family joins, got {how!r}: "
+            "unmatched rows of the replicated side would appear "
+            f"{salt_buckets}x (once per salt copy)"
+        )
     keys = list(on)
     salted = skewed.withColumn(
         "__salt", (F.rand(seed=13) * salt_buckets).cast("int")

@@ -114,9 +114,11 @@ def bronze_from_wide_csv(spark: SparkSession, path: str) -> DataFrame:
         n, ", ".join(f"'{c}', {c}" for c in schemas.CHANNELS)
     )
     # Row position within the file: pilot CSVs are one row per timepoint,
-    # so the CSV reader's per-file row order IS the sample order. We
-    # capture it with a monotonic id *scoped per file* then rank it —
-    # deterministic because ranking happens within source_file.
+    # so the CSV reader's per-file row order IS the sample order. The
+    # reader pins single-split-per-file (see read_wide_trial_csv), which
+    # makes the per-file monotonic id follow file offset even past
+    # maxPartitionBytes; ranking it within source_file is then
+    # deterministic.
     from pyspark.sql import Window as W
 
     wide = wide.withColumn("_pos", F.monotonically_increasing_id())

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark import schemas
+
 # /root/reference/pilots/pilot_gold.py:4-7
 WIN_SEC = 1.0
 STEP_SEC = 0.5
@@ -64,7 +66,9 @@ def gold_trial_channel(silver: DataFrame) -> DataFrame:
     )
     return (
         agg.withColumn("duration_sec", F.col("t_end_sec") - F.col("t_start_sec"))
-        .withColumn("duration_from_count_sec", F.col("n_samples") / F.lit(128.0))
+        .withColumn(
+            "duration_from_count_sec", F.col("n_samples") / F.lit(float(schemas.FS))
+        )
         .withColumn(
             "samples_per_sec",
             F.when(F.col("duration_sec") > 0, F.col("n_samples") / F.col("duration_sec")),

@@ -42,8 +42,36 @@ def merge_upsert(
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``target_path``:
     rows whose key matches are replaced, new keys are appended. Creates
-    the table if absent."""
+    the table if absent.
+
+    With ``partition_by``, partition columns MUST be functionally
+    dependent on the merge keys (or part of them): the rewrite prunes
+    to partitions present in the updates, so an update that *moves* a
+    key to a different partition value would leave the stale row alive
+    in the untouched partition. The update side of that contract is
+    asserted here (each key maps to one partition tuple within
+    ``updates``); the target side is the caller's schema contract —
+    same as Delta/Iceberg MERGE with partition-pruning hints."""
     keys = list(keys)
+    if partition_by:
+        overlap = [c for c in partition_by if c not in keys]
+        if overlap:
+            violations = (
+                updates.groupBy(*keys)
+                .agg(
+                    F.countDistinct(F.struct(*overlap)).alias("__n_parts")
+                )
+                .filter(F.col("__n_parts") > 1)
+                .limit(1)
+                .count()
+            )
+            if violations:
+                raise ValueError(
+                    "merge_upsert: partition columns "
+                    f"{overlap} are not functionally dependent on keys "
+                    f"{keys} within the updates; a partition-pruned "
+                    "merge would duplicate moved keys"
+                )
     staging = target_path.rstrip("/") + "__staging"
     if os.path.exists(target_path):
         target = spark.read.parquet(target_path)

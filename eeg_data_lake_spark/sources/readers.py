@@ -59,15 +59,27 @@ def read_raw_csv_positional(
     return with_lineage(reader.csv(path))
 
 
-def read_wide_trial_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_wide_trial_csv(
+    spark: SparkSession, path: str, single_split: bool = True
+) -> DataFrame:
     """S3: headered pilot CSV with an explicit 5-channel double schema
-    (reference: /root/reference/pilots/pilot_bronze.py:85-90)."""
-    df = (
-        spark.read.option("header", "true")
-        .schema(schemas.wide_channel_schema())
-        .csv(path)
+    (reference: /root/reference/pilots/pilot_bronze.py:85-90).
+
+    ``single_split`` (default) reads each file as ONE input split
+    (multiLine makes the CSV source non-splittable), so within-file row
+    order follows file offset even for files larger than
+    maxPartitionBytes — required by consumers that derive a sample
+    index from row order (bronze_from_wide_csv). Without it, Spark
+    bin-packs splits by size and the high bits of
+    monotonically_increasing_id stop tracking file position. Pilot
+    files are MB-scale, so losing split parallelism is free; for huge
+    order-dependent CSVs prefer an explicit timestamp column."""
+    reader = spark.read.option("header", "true").schema(
+        schemas.wide_channel_schema()
     )
-    return with_lineage(df)
+    if single_split:
+        reader = reader.option("multiLine", "true")
+    return with_lineage(reader.csv(path))
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

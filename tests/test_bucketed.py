@@ -72,3 +72,28 @@ def test_merge_upsert_partitioned_touches_only_hit_partitions(spark, tmp_path):
     merge_upsert(spark, path, updates, keys=["id"], partition_by=["part"])
     rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert rows == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_merge_upsert_rejects_partition_moving_updates(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "id long, part string, v long"
+    )
+    merge_upsert(spark, path, base, keys=["id"], partition_by=["part"])
+    # same key appearing under two partition values inside the updates:
+    # functionally-dependent contract violated → must raise
+    moving = spark.createDataFrame(
+        [(1, "a", 101), (1, "b", 102)], "id long, part string, v long"
+    )
+    with pytest.raises(ValueError, match="functionally dependent"):
+        merge_upsert(spark, path, moving, keys=["id"], partition_by=["part"])
+    # partition column inside the keys is always fine
+    ok = spark.createDataFrame(
+        [(1, "a", 103)], "id long, part string, v long"
+    )
+    merge_upsert(spark, path, ok, keys=["id", "part"], partition_by=["part"])
+    got = {r.id: r.v for r in spark.read.parquet(path).filter(F.col("part") == "a").collect()}
+    assert got[1] == 103

@@ -195,3 +195,25 @@ class TestCosineNeardupPairs:
             v, 0.45, broadcast_cutover=0, rows_per_block=7
         )._jdf.queryExecution().executedPlan().toString()
         assert "FlatMapGroupsInPandas" in plan
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from eeg_data_lake_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lid long")
+    right = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="inner/left-family"):
+            salted_join(left, right, ["k"], how=how)
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    from eeg_data_lake_spark.operators.graph import connected_components
+
+    # a 8-node chain has diameter 7 > max_iter=3 → must raise, not
+    # return partially-propagated labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
