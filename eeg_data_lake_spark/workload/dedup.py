@@ -140,14 +140,30 @@ def shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "neardup", "jaccard"),
 )
 def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via a posting-list
-    plan (the candidate-pair strategy that avoids O(n²)):
+    """Near-duplicate pairs by 3-shingle Jaccard ≥ 0.5 via the
+    posting-list plan — see shingle_jaccard_pairs. MAX_SHINGLE_DF never
+    binds on this corpus (no shingle is that hot); the cap's actual
+    drop behavior is exercised with a planted boilerplate shingle in
+    tests/test_dedup_cap.py against a cap-matched DuckDB oracle."""
+    return shingle_jaccard_pairs(shingled_cached(spark, sf_dir))
+
+
+def shingle_jaccard_pairs(
+    sh: DataFrame,
+    tau: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Jaccard ≥ tau pairs over a shingled corpus ``(doc_id, n, sl)``
+    via a posting-list plan (the candidate-pair strategy that avoids
+    O(n²)):
 
     1. inverted index: explode distinct shingles, keyed by xxhash64 of
        the shingle (8-byte shuffle key instead of the shingle string).
     2. posting lists: groupBy(shingle) → sorted array of (doc_id, n).
-       Lists longer than MAX_SHINGLE_DF are dropped (boilerplate guard —
-       caps the quadratic pair blow-up a hot shingle would cause).
+       Lists longer than ``max_shingle_df`` are dropped (boilerplate
+       guard — caps the quadratic pair blow-up a hot shingle would
+       cause; shared counts shrink accordingly, exactly as if the hot
+       shingle were a stopword).
     3. pair generation map-side from each posting list; count shared
        shingles per (doc_a, doc_b).
 
@@ -156,14 +172,13 @@ def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index *self-join*, this shuffles the index once instead of twice and
     replaces the join with a narrow array expansion.
     """
-    sh = shingled_cached(spark, sf_dir)
     inv = sh.select(
         "doc_id", "n", F.explode("sl").alias("shingle")
     ).select("doc_id", "n", F.xxhash64("shingle").alias("sh"))
     posting = (
         inv.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_SHINGLE_DF))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df))
     )
     ds = F.col("ds")
     pairs_arr = F.flatten(
@@ -189,7 +204,7 @@ def q33_neardup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("shared")
     )
     return (
-        pairs.filter(jac >= 0.5)
+        pairs.filter(jac >= tau)
         .select("doc_a", "doc_b", "shared", F.round(jac, 6).alias("jaccard"))
     )
 
