@@ -5,6 +5,7 @@ from eeg_data_lake_spark.sources.readers import (
     read_testdata,
     read_wide_trial_csv,
 )
+from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.sources.writers import write_partitioned
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "read_raw_csv_positional",
     "read_testdata",
     "read_wide_trial_csv",
+    "TxTable",
     "write_partitioned",
 ]
