@@ -2,11 +2,21 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "duckdb": {...}, "spark_vs_duckdb": {...}, "sf": ...}
 
 Execution is measured with the noop sink (full computation, zero
 collection overhead); one untimed warm-up query amortizes JVM/codegen
 startup so the numbers reflect steady-state engine throughput.
+
+The DuckDB leg anchors "fast": each headline query's oracle SQL runs
+on the same parquet at the same SF (fetchall-materialized, all cores),
+and spark_vs_duckdb records wall/wall per query (<1 means Spark is
+faster). DuckDB is an in-process single-node OLAP engine — a strong
+local baseline, though the comparison flips at cluster scale; oracles
+whose SQL is deliberately non-scalable (e.g. the quadratic near-dup
+self-join) are capped at BASELINE_TIMEOUT_S via interrupt and
+reported as null, as are rows-only queries with no oracle.
 """
 
 from __future__ import annotations
@@ -14,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -45,8 +56,45 @@ HEADLINE = [
 ]
 
 
+BASELINE_TIMEOUT_S = 120.0
+
+
 def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
+    """Wall seconds per headline oracle on the same parquet; None for
+    rows-only queries and oracles that exceed the timeout."""
+    import duckdb
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out: dict[str, float | None] = {}
+    for name in HEADLINE:
+        oracle = REGISTRY[name].oracle
+        if not oracle:
+            out[name] = None
+            continue
+        con = duckdb.connect()
+        for tbl in tables:
+            con.sql(
+                f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+            )
+        timer = threading.Timer(BASELINE_TIMEOUT_S, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.sql(oracle).fetchall()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            out[name] = None  # interrupted (timeout) or unsupported
+        finally:
+            timer.cancel()
+            con.close()
+    return out
 
 
 def main() -> None:
@@ -64,6 +112,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    duck = _duckdb_timings(sf_dir)
+    ratios = {
+        name: (round(timings[name] / duck[name], 2) if duck.get(name) else None)
+        for name in HEADLINE
+    }
+    both = [n for n in HEADLINE if duck.get(n)]
+    agg_ratio = (
+        round(sum(timings[n] for n in both) / sum(duck[n] for n in both), 2)
+        if both
+        else None
+    )
     print(
         json.dumps(
             {
@@ -71,6 +130,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck,
+                "spark_vs_duckdb": ratios,
+                "spark_vs_duckdb_total": agg_ratio,
                 "sf": sf,
             }
         )
