@@ -67,12 +67,22 @@ def l2norm(a):
 def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (U5's retrieval semantics): broadcast
     the query vectors, stream the corpus, rank per query. Ties broken
-    by neighbor_id so the result set is deterministic."""
+    by neighbor_id so the result set is deterministic.
+
+    Norms are computed ONCE per corpus row / per query row *before*
+    the broadcast join, so each of the |q| x |corpus| scored pairs
+    evaluates a single array fold (the dot product) instead of three —
+    measured ~2x on the sf0.1 corpus, and the effect grows with the
+    query count. The fold itself stays the sequential JVM HOF so
+    doubles agree bit-for-bit with the oracle's list_dot_product."""
     v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
-    )
+        "vec_id",
+        as_double(F.col("embedding")).alias("e"),
+    ).withColumn("nrm", l2norm(F.col("e")))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -80,8 +90,7 @@ def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot(F.col("qe"), F.col("e"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
+                dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cosine"),
         )

@@ -235,31 +235,34 @@ def q31_source_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q43_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document, fully relational (no ml.feature
-    hashing — exact, oracle-checkable): tf from a (doc, term) count,
-    idf = ln(N/df) from a vocabulary aggregate, top-k via ranking
-    window. Plan: one explode + three hash aggs; the vocabulary side
-    (df) shuffles on term, the scoring join broadcasts doc lengths.
-    At web scale the vocab agg is the heavy shuffle — it's a plain
-    hash agg, so AQE handles skewed hot terms; hot-term *candidate
-    capping* (as in the dedup family) applies if the vocab itself
-    must be bounded."""
+    hashing — exact, oracle-checkable).
+
+    Every statistic derives from the (doc, term) counts, so the
+    explode+count happens ONCE and the rest is two analytic windows —
+    no self-joins, no persist, no broadcast:
+
+    - df  = count(*)  OVER (PARTITION BY term)  — tf rows are already
+      distinct doc-term pairs, so this IS the document frequency;
+    - len = sum(tf)   OVER (PARTITION BY doc_id) — the doc length;
+    - ranking window on the same doc_id partitioning — Catalyst reuses
+      the exchange, so scoring + top-k cost one shuffle, and Spark 4's
+      WindowGroupLimit prunes to 3 rows per doc before the final sort.
+
+    Shuffle ledger: tf hash-agg, term window, doc window = 3 total
+    (the join formulation needed 5 plus a per-doc broadcast that could
+    not survive a web-scale doc count). Hot terms skew the term window
+    exactly like any vocab agg — AQE splits them; hot-term capping (as
+    in the dedup family) applies if the vocab must be bounded."""
     d = t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     tok = d.repartition(par).select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    # every downstream statistic derives from the (doc, term) counts,
-    # so the explode+shuffle happens ONCE: doc length is sum(tf) per
-    # doc, document frequency is count(*) per term (tf rows are
-    # already distinct doc-term pairs — no countDistinct expand).
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    tf = tf.persist()
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; one lightweight job
     scored = (
-        tf.join(F.broadcast(dl), "doc_id")
-        .join(dfreq, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .withColumn("len", F.sum("tf").over(Window.partitionBy("doc_id")))
         .select(
             "doc_id",
             "term",

@@ -76,3 +76,27 @@ def test_q13_range_join_is_hash_not_nested_loop(spark, sf_dir):
 )
 def test_no_query_degrades_to_nested_loop(spark, sf_dir, name):
     assert not has_cartesian_or_bnlj(q(name, spark, sf_dir))
+
+
+def test_q43_tfidf_is_three_shuffles_no_joins(spark, sf_dir):
+    """tf hash-agg + term window + doc window (ranking reuses the doc
+    exchange); the join formulation needed five shuffles plus a
+    per-doc broadcast that can't exist at web scale."""
+    df = q("q43_tfidf_top_terms", spark, sf_dir)
+    # 3 hash exchanges + the single-file-parallelism round-robin
+    assert count_exchanges(df) == 4
+    assert join_strategies(df) == []
+
+
+def test_q37_norms_hoisted_below_join_and_topk_pruned(spark, sf_dir):
+    """Norms must be computed once per side BELOW the broadcast join
+    (one fold per scored pair, not three), and the per-query top-k
+    must hit Spark's WindowGroupLimit partial pruning."""
+    df = q("q37_cosine_topk", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_at = plan.find("BroadcastNestedLoopJoin")
+    assert join_at != -1  # 10 broadcast queries × corpus, by design
+    above = plan[:join_at]
+    # exactly one fold (the dot product) above the join
+    assert above.count("aggregate(zip_with") == 1
+    assert "WindowGroupLimit" in plan
