@@ -17,7 +17,10 @@ from eeg_data_lake_spark.viz import plot_ready_trial, render_signal_svg
 @pytest.fixture(scope="module")
 def bronze(spark, tmp_path_factory):
     raw = tmp_path_factory.mktemp("viz_raw")
-    fixtures.write_mindbigdata_csvs(str(raw), n_files=2)
+    # clean lines: the dirty-row variants exercise ingest, but a trial
+    # with a duplicated channel line has no well-defined drawing order
+    # (the reference's transpose would garble it identically)
+    fixtures.write_mindbigdata_csvs(str(raw), n_files=2, include_bad_rows=False)
     return bronze_from_lines(spark, str(raw))
 
 
