@@ -1,0 +1,172 @@
+"""Training-corpus curation workload (north-star, beyond the
+reference): the selection/splitting/auditing operations a large-scale
+LLM data pipeline runs between "raw documents" and "training mix".
+
+Everything here is deterministic and oracle-checkable by construction:
+
+- splits use content hashes (md5 prefix thresholds), not RNG — the
+  industry practice for reproducible train/val/test assignment that
+  is stable under re-partitioning, retries and corpus growth;
+- quotas use ranking windows with total tie-breaks;
+- decontamination is the shingle-overlap semi-join every eval-leakage
+  audit runs before training.
+
+All JVM expressions; the only shuffles are the aggregations/windows
+the semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.dedup import _SHINGLE_SQL, shingled
+from eeg_data_lake_spark.workload.registry import register, t
+
+#: md5 first-hex-digit thresholds: 0-b → train (12/16), c-d → val
+#: (2/16), e-f → test (2/16). Hex digits of a cryptographic hash are
+#: uniform, so proportions hold at any scale with zero coordination.
+_SPLIT_EXPR_SQL = """
+CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+     ELSE 'test' END
+"""
+
+
+def _split_col():
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    )
+
+
+@register(
+    "q66_hash_split_assignment",
+    oracle=f"""
+    SELECT {_SPLIT_EXPR_SQL} AS split,
+           lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+    tags=("curation", "split", "hash"),
+)
+def q66_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 prefix (≈75/12.5/
+    12.5) with per-split language composition. Pure narrow map + one
+    agg shuffle; the assignment never changes when the corpus is
+    re-partitioned, re-ingested or extended — the property seeded
+    randomSplit (J2) cannot give you across jobs."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", _split_col())
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q67_language_quota_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM scored WHERE rnk <= 25
+    """,
+    tags=("curation", "quota", "window"),
+)
+def q67_language_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota selection: keep the top 25 documents per
+    language by length (the balancing step that stops a dominant
+    language from swamping the mix). One window shuffle on lang;
+    Spark 4's WindowGroupLimit prunes to 25 rows per language
+    map-side, so the shuffle moves quotas, not the corpus."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 25)
+        .select("doc_id", "lang", "n_chars", "rnk")
+    )
+
+
+@register(
+    "q68_token_length_histogram",
+    oracle="""
+    SELECT least(CAST(floor(len(string_split(text, ' ')) / 10.0) AS BIGINT), 9)
+               AS bucket,
+           count(*) AS n_docs,
+           CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+    FROM documents
+    GROUP BY bucket
+    """,
+    tags=("curation", "histogram"),
+)
+def q68_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets, top-coded at 90+) —
+    the length-filter audit run before choosing sequence-packing
+    thresholds. Narrow map + one agg shuffle of ≤10 groups."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(F.floor(n_tok / 10.0).cast("long"), F.lit(9).cast("long"))
+    return (
+        d.select(bucket.alias("bucket"), n_tok.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("nt").cast("long").alias("min_tokens"),
+            F.max("nt").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q69_benchmark_decontamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    bench AS (
+      SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0
+    )
+    SELECT i.doc_id,
+           count(DISTINCT i.shingle) AS n_contaminated_shingles
+    FROM inv i JOIN bench b ON i.shingle = b.shingle
+    WHERE i.doc_id % 50 <> 0
+    GROUP BY i.doc_id
+    """,
+    tags=("curation", "decontamination", "shingle"),
+)
+def q69_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: find training documents sharing any
+    3-gram shingle with the benchmark set (here: doc_id % 50 == 0
+    stands in for the held-out eval corpus). The benchmark's distinct
+    shingle set is small by construction, so the overlap join is a
+    BROADCAST hash join against the exploded corpus — the corpus side
+    never shuffles, which is what makes this runnable nightly at
+    100 TB. Shingles travel as xxhash64 keys (8 bytes, not strings);
+    the count compares equal because both sides hash the same distinct
+    shingle strings."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    bench = (
+        inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
+    )
+    return (
+        inv.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_contaminated_shingles"))
+    )
