@@ -328,9 +328,20 @@ def q10_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     medallion gold table uses percentile_approx — same API family, the
     approximate form can't hash-match a different engine's sketch, so
     the oracle-checked query uses `percentile`, which both engines
-    define as linear interpolation)."""
+    define as linear interpolation).
+
+    The repartition parallelizes the partial aggregation: the test
+    parquet is a single row group (one scan task), and percentile's
+    per-partition state is a value→count map that is as CPU-heavy as
+    the data (measured ~3x here). Exact percentile cannot shrink its
+    partial state below the distinct values, so with only |groups|
+    reducers the merge is the inherent floor — at extreme scale with
+    few groups you switch to percentile_approx (as gold does) or a
+    rank-based two-job plan; this query exists to pin the exact
+    semantics."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    par = spark.sparkContext.defaultParallelism
+    return li.repartition(par).groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
