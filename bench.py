@@ -103,7 +103,26 @@ def main() -> None:
     spark = get_spark(app_name="eeg-data-lake-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    _execute(REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir))  # warm-up
+    # Warm-up (untimed): one JVM query amortizes codegen/session startup,
+    # and one trivial grouped-map pandas UDF spawns the Python worker pool
+    # and imports numpy/pandas in each worker — otherwise that one-time
+    # cost lands on whichever headline query first touches a Python UDF
+    # (measured: 5.4 s vs 1.2 s steady-state for q94).
+    _execute(REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir))
+    import numpy as _np  # noqa: F401  (imported here so workers inherit nothing)
+
+    def _warm(pdf):
+        import numpy as np
+
+        return pdf.assign(v=np.zeros(len(pdf)))
+
+    par = spark.sparkContext.defaultParallelism
+    _execute(
+        spark.range(par * 4)
+        .repartition(par, "id")
+        .groupBy("id")
+        .applyInPandas(_warm, "id long, v double")
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
