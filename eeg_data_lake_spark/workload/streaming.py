@@ -134,6 +134,138 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "q51_streaming_dedup_union",
+    oracle="""
+    SELECT event_type,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def q51_streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state: two file-source
+    streams over the same events table are unioned (every event_id
+    arrives exactly twice — the at-least-once delivery a replayed
+    source or overlapping backfill produces), then
+    ``dropDuplicatesWithinWatermark`` collapses them back to one.
+
+    ``dropDuplicates`` on a stream keeps every key forever;
+    ``dropDuplicatesWithinWatermark`` evicts a key once the watermark
+    passes its event time + delay, so state is O(events within the
+    watermark horizon), not O(all history) — the only formulation that
+    survives an unbounded stream. The aggregate after dedup must equal
+    the plain batch aggregate over events (the oracle), proving no
+    duplicate survived and no original was lost."""
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    name = "dedup_out_" + uuid.uuid4().hex[:8]
+    once = (
+        read_testdata_stream(spark, sf_dir, "events")
+        .unionByName(read_testdata_stream(spark, sf_dir, "events"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    agg = once.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "q52_stream_stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click'
+      AND b.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def q52_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    clicks joined to purchases by the same user within the following
+    30 minutes (the funnel/attribution shape). Both sides carry a
+    watermark, and the join condition bounds purchase time relative to
+    click time, so Spark derives state-eviction watermarks for BOTH
+    join buffers — without the time bound, each side's state grows
+    unboundedly waiting for future matches. Shuffle is keyed on
+    user_id; state per key is the events inside the watermark horizon.
+    The result must equal the batch interval join (the oracle)."""
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    clicks = (
+        read_testdata_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_testdata_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("gap_s"),
+    )
+    name = "ssjoin_out_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "q39_stateful_streaming_sessions",
     oracle="""
     WITH g AS (

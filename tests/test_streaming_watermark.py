@@ -144,3 +144,69 @@ def test_dropped_late_rows_are_observable(spark, tmp_path):
     finally:
         q.stop()
     assert dropped >= 1
+
+
+def test_dedup_state_carries_across_micro_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a duplicate that arrives
+    in a LATER micro-batch (while its key is still inside the watermark
+    horizon) — the cross-batch state behavior a single-batch run cannot
+    distinguish from plain dropDuplicates, and the property q51 relies
+    on. A third batch then replays a key whose state HAS been evicted
+    (watermark moved past ts + delay): the duplicate passes through,
+    pinning the bounded-state semantics (eviction is real, not just an
+    optimization)."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "dedup_src"
+    os.makedirs(src)
+    base = dt.datetime(2024, 5, 1, 8, 0, 0)
+    # batch 1: ids 1, 2
+    _write(str(src / "a.parquet"), [(1, base), (2, base + dt.timedelta(minutes=5))])
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    name = "ddwm_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: id 2 again (same ts — in state ⇒ dropped) and id 3
+        time.sleep(1.05)
+        _write(
+            str(src / "b.parquet"),
+            [
+                (2, base + dt.timedelta(minutes=5)),
+                (3, base + dt.timedelta(minutes=10)),
+            ],
+        )
+        q.processAllAvailable()
+        mid = sorted(r.event_id for r in spark.table(name).collect())
+        # batch 3: push the watermark far ahead (id 4 at +6 h ⇒ watermark
+        # +5.5 h > all prior ts + 30 min ⇒ ids 1-3 evicted)…
+        time.sleep(1.05)
+        _write(str(src / "c.parquet"), [(4, base + dt.timedelta(hours=6))])
+        q.processAllAvailable()
+        # …batch 4: id 1 replayed NOW, long after eviction ⇒ NOT deduped
+        time.sleep(1.05)
+        _write(str(src / "d.parquet"), [(1, base + dt.timedelta(hours=6, minutes=1))])
+        q.processAllAvailable()
+        final = sorted(r.event_id for r in spark.table(name).collect())
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+
+    assert mid == [1, 2, 3]          # cross-batch duplicate of 2 dropped
+    assert final == [1, 1, 2, 3, 4]  # evicted key 1 re-admitted
+    assert n_batches >= 4
