@@ -170,3 +170,99 @@ def q69_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_contaminated_shingles"))
     )
+
+
+@register(
+    "q53_repetition_quality",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pw AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id, unnest(l) AS word FROM w)
+      GROUP BY doc_id, word
+    ),
+    ws AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             count(*)               AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_cnt
+      FROM pw GROUP BY doc_id
+    ),
+    gs AS (
+      SELECT doc_id,
+             len(g)                AS n_grams,
+             len(list_distinct(g)) AS n_distinct_g
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(l) >= 2
+                    THEN [l[i] || ' ' || l[i + 1] FOR i IN range(1, len(l))]
+                    ELSE [] END AS g
+        FROM w
+      )
+    )
+    SELECT ws.doc_id,
+           n_words,
+           round(1.0 - n_distinct / n_words, 6)  AS dup_word_frac,
+           round(top_cnt / n_words, 6)           AS top_word_frac,
+           CASE WHEN n_grams = 0 THEN 0.0
+                ELSE round(1.0 - n_distinct_g / n_grams, 6)
+           END AS dup_2gram_frac
+    FROM ws JOIN gs ON ws.doc_id = gs.doc_id
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of duplicated words, the most-frequent word's share, and
+    the fraction of duplicated word 2-grams — the signals that catch
+    boilerplate and degenerate/looping text before training.
+
+    Plan: one explode → per-(doc, word) count → per-doc agg gives the
+    word stats (two shuffles, both keyed on doc_id so the second is a
+    re-use candidate); the 2-gram duplication needs only DISTINCT
+    *within* each document, so it never shuffles — 2-grams are built
+    with a sequence/transform HOF and counted via array_distinct,
+    entirely inside the row. The final join is doc_id-to-doc_id on two
+    aggregates of the same table (co-partitioned after AQE). The
+    CASE guard on sequence() matters: Spark's sequence(1, 0) counts
+    DOWN, so single-word docs must short-circuit to an empty array."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN size(w) >= 2
+                 THEN transform(sequence(1, size(w) - 1),
+                                i -> concat(w[i - 1], ' ', w[i]))
+                 ELSE CAST(array() AS array<string>) END
+            """
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.size("g").alias("n_grams"),
+        F.size(F.array_distinct("g")).alias("n_distinct_g"),
+    )
+    words = (
+        d.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_cnt"),
+        )
+    )
+    return words.join(grams, "doc_id").select(
+        "doc_id",
+        "n_words",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_cnt") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(F.round(1.0 - F.col("n_distinct_g") / F.col("n_grams"), 6))
+        .alias("dup_2gram_frac"),
+    )

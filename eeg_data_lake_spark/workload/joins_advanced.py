@@ -114,3 +114,43 @@ def q36_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return cosine_neardup_pairs(v, COSINE_NEARDUP_TAU)
+
+
+@register(
+    "q55_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q55_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join surfaced as a verified query: lineitem
+    (the fact side, where one hot orderkey would pile onto a single
+    reducer) joined to orders through operators.skew.salted_join with
+    8 salt buckets, then aggregated. The oracle is the PLAIN join —
+    hash-matching it proves salting is invisible to semantics: every
+    (key, salt) bucket finds exactly its matches and nothing is
+    duplicated. On uniform TPC-H keys salting is pure overhead (8x
+    build replication); it pays off when one key holds >> 1/shuffle-
+    partitions of the rows — boilerplate doc synsets, celebrity users
+    — which is why it is an explicit operator, not a default."""
+    from eeg_data_lake_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, on=["o_orderkey"], how="inner", salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

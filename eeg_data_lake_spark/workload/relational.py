@@ -550,3 +550,46 @@ def q65_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q54_subquery_above_average",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_big_orders,
+           round(avg(o_totalprice), 4) AS avg_big_price
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+          )
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "subquery"),
+)
+def q54_subquery_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subqueries through Catalyst's subquery
+    rewrite: orders priced above 1.5x the global average (uncorrelated
+    scalar subquery → one-row broadcast) that also contain at least one
+    bulk line item (correlated EXISTS → left-semi join). Both rewrites
+    are Catalyst's, not hand-built: the scalar aggregate computes once
+    and broadcasts — no per-row recomputation — and the EXISTS becomes
+    a semi-join keyed on o_orderkey, so the whole plan is two shuffles
+    at any scale."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               count(*) AS n_big_orders,
+               round(avg(o_totalprice), 4) AS avg_big_price
+        FROM orders_sq o
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_sq)
+          AND EXISTS (
+                SELECT 1 FROM lineitem_sq l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+              )
+        GROUP BY o_orderstatus
+        """
+    )
