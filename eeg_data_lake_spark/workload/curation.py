@@ -266,3 +266,65 @@ def q53_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(1.0 - F.col("n_distinct_g") / F.col("n_grams"), 6))
         .alias("dup_2gram_frac"),
     )
+
+
+@register(
+    "q56_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ),
+    p AS (
+      SELECT lang,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+             n_tokens
+      FROM c
+    )
+    SELECT lang, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+    FROM p
+    GROUP BY lang, pack_id
+    """,
+    tags=("curation", "packing"),
+)
+def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign documents (ordered by
+    doc_id within each language shard) to ~512-token training
+    sequences by bucketing the running token count — the deterministic
+    contiguous-packing scheme used when shuffle-order stability
+    matters more than optimal fill (each pack is a contiguous doc_id
+    range, so the assignment is reproducible and append-stable).
+
+    Scale note: the running sum is a window ORDER BY inside each lang
+    partition — fine when shards are bounded (the production layout
+    packs within (lang, shard) where a shard is one input file's docs,
+    keeping every window partition worker-sized); a single global
+    ordered window would serialize onto one task and is deliberately
+    not what this computes. One shuffle for the window (keyed lang),
+    one for the pack aggregate (keyed lang, pack_id)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("long"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
+    )
