@@ -593,3 +593,37 @@ def q54_subquery_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "q58_explicit_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment,
+           c_nationkey,
+           GROUPING(c_mktsegment, c_nationkey) AS gid,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q58_explicit_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of q14's rollup and
+    q15's cube: two independent one-dimensional breakdowns plus the
+    grand total in ONE pass over customer (Catalyst expands the sets
+    into a single Expand + hash-agg, so the table is scanned once, not
+    three times). grouping_id disambiguates the null-as-aggregated
+    rows from genuine nulls."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               c_nationkey,
+               GROUPING_ID(c_mktsegment, c_nationkey) AS gid,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )

@@ -304,3 +304,37 @@ def q99_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "q57_label_centroids",
+    oracle="""
+    SELECT label,
+           pos - 1          AS dim,
+           round(avg(v), 6) AS centroid
+    FROM (
+      SELECT label,
+             unnest(embedding)                  AS v,
+             generate_subscripts(embedding, 1)  AS pos
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    tags=("similarity", "centroid"),
+)
+def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the building block of IVF coarse
+    quantizers (q99), semantic-dedup cluster pruning, and domain-mix
+    audits (distance of a new corpus to each domain centroid).
+
+    posexplode flattens (vector → 64 scalar rows) BEFORE the shuffle,
+    so the aggregate is a plain (label, dim) hash agg with map-side
+    partial averaging — at 100 TB this moves |labels|x|dims| partials
+    per task, not vectors. The alternative (collect vectors per label,
+    average driver-side) is the anti-pattern this operator replaces."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )

@@ -340,3 +340,58 @@ def q64_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.last_day(F.col("o_orderdate").cast("date"))).cast("timestamp").alias("month_end"),
         )
     )
+
+
+@register(
+    "q60_time_range_rolling",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+             count(*)     AS n,
+             sum(value)   AS total
+      FROM events
+      GROUP BY user_id, day, day_num
+    )
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           CAST(sum(n) OVER w AS BIGINT)  AS n_7d,
+           round(sum(total) OVER w, 4)    AS total_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "time"),
+)
+def q60_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing totals per user via a RANGE frame over event-time
+    — the frame q61's ROWS variant cannot express when days are
+    MISSING: RANGE 6 PRECEDING covers the last 7 calendar days whether
+    or not the user was active on each of them, while ROWS 6 PRECEDING
+    would reach back 7 *observations*. Two shuffles: the daily
+    pre-aggregation (which also shrinks the window input from events
+    to user-days — never run an ordered window over raw events when a
+    pre-agg gets the same answer), then the user-partitioned sort for
+    the frame."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_num"),
+            "value",
+        )
+        .groupBy("user_id", "day", "day_num")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.sum("n").over(w).alias("n_7d"),
+        F.round(F.sum("total").over(w), 4).alias("total_7d"),
+    )

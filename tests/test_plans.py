@@ -100,3 +100,49 @@ def test_q37_norms_hoisted_below_join_and_topk_pruned(spark, sf_dir):
     # exactly one fold (the dot product) above the join
     assert above.count("aggregate(zip_with") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_q53_2grams_never_shuffle(spark, sf_dir):
+    df = q("q53_repetition_quality", spark, sf_dir)
+    # word path: (doc,word) count + doc agg sharing one partitioning →
+    # 2 exchanges total; gram dedup is per-row (array_distinct), no
+    # exchange of its own; final join broadcasts an aggregate side
+    assert count_exchanges(df) <= 3
+    assert not has_cartesian_or_bnlj(df)
+    for cols in read_schema_columns(df):
+        assert set(cols) == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_q54_subqueries_rewrite_to_joins(spark, sf_dir):
+    df = q("q54_subquery_above_average", spark, sf_dir)
+    # correlated EXISTS pushed l_quantity>=45 into the lineitem scan
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    # scalar subquery reads ONLY o_totalprice (1-column scan)
+    assert ["o_totalprice"] in read_schema_columns(df)
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_q56_packing_is_single_exchange(spark, sf_dir):
+    # window keyed on lang; the (lang, pack_id) aggregate reuses that
+    # partitioning (pack_id is a function of the window output), so the
+    # whole packing plan moves the corpus once
+    assert count_exchanges(q("q56_sequence_packing", spark, sf_dir)) == 1
+
+
+def test_q57_centroids_single_agg_shuffle(spark, sf_dir):
+    df = q("q57_label_centroids", spark, sf_dir)
+    # explode happens map-side; only (label, dim) partials shuffle
+    assert count_exchanges(df) == 1
+    assert join_strategies(df) == []
+
+
+def test_q58_grouping_sets_scan_once(spark, sf_dir):
+    df = q("q58_explicit_grouping_sets", spark, sf_dir)
+    # one Expand + one agg exchange — NOT three scans unioned
+    assert count_exchanges(df) == 1
+    assert len(read_schema_columns(df)) == 1
+
+
+def test_q60_range_frame_two_exchanges(spark, sf_dir):
+    # daily pre-agg shuffle + user-ordered window shuffle, nothing else
+    assert count_exchanges(q("q60_time_range_rolling", spark, sf_dir)) == 2
