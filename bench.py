@@ -9,6 +9,13 @@ Execution is measured with the noop sink (full computation, zero
 collection overhead); one untimed warm-up query amortizes JVM/codegen
 startup so the numbers reflect steady-state engine throughput.
 
+Each query (Spark and DuckDB alike) is run PASSES times and the
+minimum wall is reported: this host shows heavy external CPU
+contention (measured 66 s vs 159 s totals on identical code,
+back-to-back), and min-of-N is the standard steady-state estimator
+under noisy co-tenancy — both engines get the same treatment, so the
+ratios stay fair.
+
 The DuckDB leg anchors "fast": each headline query's oracle SQL runs
 on the same parquet at the same SF (fetchall-materialized, all cores),
 and spark_vs_duckdb records wall/wall per query (<1 means Spark is
@@ -57,6 +64,7 @@ HEADLINE = [
 
 
 BASELINE_TIMEOUT_S = 120.0
+PASSES = 2
 
 
 def _execute(df) -> None:
@@ -78,22 +86,26 @@ def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
         if not oracle:
             out[name] = None
             continue
-        con = duckdb.connect()
-        for tbl in tables:
-            con.sql(
-                f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
-            )
-        timer = threading.Timer(BASELINE_TIMEOUT_S, con.interrupt)
-        timer.start()
-        t0 = time.perf_counter()
-        try:
-            con.sql(oracle).fetchall()
-            out[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            out[name] = None  # interrupted (timeout) or unsupported
-        finally:
-            timer.cancel()
-            con.close()
+        best: float | None = None
+        for _ in range(PASSES):
+            con = duckdb.connect()
+            for tbl in tables:
+                con.sql(
+                    f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+                )
+            timer = threading.Timer(BASELINE_TIMEOUT_S, con.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracle).fetchall()
+                wall = round(time.perf_counter() - t0, 3)
+                best = wall if best is None else min(best, wall)
+            except Exception:
+                pass  # interrupted (timeout) or unsupported
+            finally:
+                timer.cancel()
+                con.close()
+        out[name] = best
     return out
 
 
@@ -125,10 +137,12 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _execute(REGISTRY[name].spark_fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(PASSES):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _execute(REGISTRY[name].spark_fn(spark, sf_dir))
+            wall = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, wall), wall)
 
     total = round(sum(timings.values()), 3)
     duck = _duckdb_timings(sf_dir)
