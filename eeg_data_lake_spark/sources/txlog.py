@@ -28,6 +28,24 @@ Reads pin a version: ``read(version=N)`` reconstructs the file list
 at N (time travel); default is the latest. Old files are retained
 until ``vacuum(keep_versions=...)``.
 
+Two further Delta behaviors are implemented on top of the same log:
+
+- **Data skipping.** Each commit records per-file column min/max/
+  null-count stats (read from the parquet footers the writer already
+  produced — no extra data scan). ``read(predicates=[...])`` prunes
+  the file list to those whose stats interval can satisfy the
+  predicates, then re-applies the predicates as DataFrame filters, so
+  correctness never depends on the stats (files without stats are
+  always kept). This is Delta's ``stats``/data-skipping design: at
+  100 TB the win is not reading the files at all, on top of parquet's
+  own row-group pruning within files that are read.
+- **OPTIMIZE (compaction).** ``compact()`` bin-packs small live files
+  into target-size files and commits add+remove atomically; the table
+  content is unchanged (asserted in tests), old versions stay
+  time-travel readable, and a lost commit race re-validates that the
+  files it wants to remove are still live (Delta's conflict
+  detection) instead of blindly retrying.
+
 Scale notes: the log is O(commits) tiny JSON files and each commit is
 O(files touched) — never proportional to table size. Readers list one
 directory and read one JSON per version replay; at real scale you'd
@@ -37,13 +55,77 @@ test scale, noted for parity).
 
 from __future__ import annotations
 
+import datetime
 import json
+import operator
 import os
 import shutil
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_OPS = {
+    "=": operator.eq,
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+}
+
+
+def _jsonable(v):
+    """Parquet-footer stat value → JSON-storable, order-preserving.
+
+    Timestamps/dates serialize to ISO strings (lexicographic order ==
+    chronological order, so interval checks still work); bytes decode
+    as UTF-8 where possible, else the stat is dropped for that file."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, float) and v != v:  # NaN poisons comparisons
+        return None
+    return v
+
+
+def _norm(v):
+    """Predicate literal → the comparison domain stats live in."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
+    """Conservative interval check: False only when the file's stats
+    PROVE no row can satisfy every predicate."""
+    if not stats:
+        return True
+    cols = stats.get("cols", {})
+    for col, op, value in predicates:
+        c = cols.get(col)
+        if not c or c.get("min") is None or c.get("max") is None:
+            continue  # no usable stats for this column — keep the file
+        lo, hi, v = c["min"], c["max"], _norm(value)
+        try:
+            if op == "=" and (v < lo or v > hi):
+                return False
+            if op in ("<", "<=") and not _OPS[op](lo, v):
+                return False
+            if op in (">", ">=") and not _OPS[op](hi, v):
+                return False
+        except TypeError:
+            continue  # incomparable types — keep the file
+    return True
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A losing commit race invalidated this commit's remove-set
+    (the files it rewrites were already removed by the winner)."""
 
 
 @dataclass
@@ -51,6 +133,7 @@ class _LogState:
     version: int  # latest committed version, -1 if none
     files: list[str]  # live data files (relative paths) at `version`
     txn_ids: set[str]  # every txn_id ever committed
+    stats: dict[str, dict]  # per live file: {"rows": n, "bytes": b, "cols": {...}}
 
 
 class TxTable:
@@ -70,6 +153,7 @@ class TxTable:
         """Fold the manifest actions into (live files, seen txns)."""
         files: list[str] = []
         txns: set[str] = set()
+        stats: dict[str, dict] = {}
         version = -1
         for v, manifest_path in self._manifests():
             if upto is not None and v > upto:
@@ -80,6 +164,8 @@ class TxTable:
             live -= set(m.get("remove", []))
             live |= set(m.get("add", []))
             files = sorted(live)
+            stats.update(m.get("stats", {}))
+            stats = {f: s for f, s in stats.items() if f in live}
             if m.get("txn_id"):
                 txns.add(m["txn_id"])
             version = v
@@ -87,7 +173,7 @@ class TxTable:
             raise ValueError(
                 f"version {upto} does not exist (latest is {version})"
             )
-        return _LogState(version, files, txns)
+        return _LogState(version, files, txns, stats)
 
     def _manifests(self):
         names = sorted(
@@ -113,6 +199,57 @@ class TxTable:
                     )
         return sorted(out)
 
+    def _file_stats(self, relpaths: list[str]) -> dict[str, dict]:
+        """Per-file row/byte counts and column min/max/null_count, read
+        from the parquet footers the writer already produced (metadata
+        only — no data pages touched). Nested/list columns and columns
+        whose row groups lack statistics are simply omitted: skipping
+        treats a missing entry as "might match"."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for rel in relpaths:
+            full = os.path.join(self.path, rel)
+            md = pq.ParquetFile(full).metadata
+            cols: dict[str, dict] = {}
+            per_col: dict[str, dict] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    name = c.path_in_schema
+                    if "." in name:  # nested leaf — not a top-level scalar
+                        continue
+                    st = c.statistics
+                    entry = per_col.setdefault(
+                        name, {"min": None, "max": None, "null_count": 0, "ok": True}
+                    )
+                    if st is None or not st.has_min_max:
+                        entry["ok"] = False
+                        continue
+                    entry["null_count"] += st.null_count or 0
+                    for key, pick in (("min", min), ("max", max)):
+                        v = getattr(st, key)
+                        cur = entry[key]
+                        entry[key] = v if cur is None else pick(cur, v)
+            for name, entry in per_col.items():
+                if not entry["ok"] or entry["min"] is None:
+                    continue
+                mn, mx = _jsonable(entry["min"]), _jsonable(entry["max"])
+                if mn is None or mx is None:
+                    continue
+                cols[name] = {
+                    "min": mn,
+                    "max": mx,
+                    "null_count": entry["null_count"],
+                }
+            out[rel] = {
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(full),
+                "cols": cols,
+            }
+        return out
+
     def _commit(
         self,
         add: list[str],
@@ -120,13 +257,26 @@ class TxTable:
         txn_id: str | None,
         op: str,
     ) -> int:
-        """Create-exclusive the next manifest; retry on collision."""
+        """Create-exclusive the next manifest; retry on collision.
+
+        On retry the remove-set is re-validated against the winner's
+        log: if any file this commit rewrites is no longer live (a
+        concurrent overwrite/upsert/compact removed it), raises
+        ``ConcurrentModificationError`` rather than committing a
+        remove of ghost files — Delta's conflict-detection behavior.
+        Pure appends (empty remove) never conflict."""
+        stats = self._file_stats(add)
         while True:
             state = self._replay()
             if txn_id and txn_id in state.txn_ids:
                 # idempotent replay: the work is already committed;
                 # newly-written data files are orphans no reader sees
                 return state.version
+            if remove and not set(remove) <= set(state.files):
+                raise ConcurrentModificationError(
+                    f"{op} at {self.path}: files to remove are no longer "
+                    "live (lost a commit race to an overwrite/compact)"
+                )
             target = os.path.join(
                 self.log_dir, f"{state.version + 1:08d}.json"
             )
@@ -135,7 +285,13 @@ class TxTable:
             )
             with open(tmp, "w") as fh:
                 json.dump(
-                    {"op": op, "add": add, "remove": remove, "txn_id": txn_id},
+                    {
+                        "op": op,
+                        "add": add,
+                        "remove": remove,
+                        "txn_id": txn_id,
+                        "stats": stats,
+                    },
                     fh,
                 )
                 fh.flush()
@@ -179,14 +335,86 @@ class TxTable:
             self._write_data(merged), state.files, txn_id, "upsert"
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> DataFrame:
         """The table at ``version`` (default: latest). Empty table →
-        raises (no schema to serve), matching Delta."""
+        raises (no schema to serve), matching Delta.
+
+        ``predicates`` — ``[(col, op, value), ...]`` with op in
+        ``= < <= > >=`` — prunes the file list via the manifest's
+        per-file min/max stats (data skipping), then re-applies every
+        predicate as a DataFrame filter so the result is correct even
+        for files kept conservatively (no stats for the column)."""
         state = self._replay(upto=version)
         if not state.files:
             raise ValueError(f"table at {self.path} has no data")
-        paths = [os.path.join(self.path, f) for f in state.files]
-        return self.spark.read.parquet(*paths)
+        files = state.files
+        if predicates:
+            files = [
+                f
+                for f in files
+                if _file_may_match(state.stats.get(f), predicates)
+            ]
+            if not files:
+                # all files pruned: serve an empty frame with the
+                # table's schema (read one file's schema, filter-false)
+                schema_df = self.spark.read.parquet(
+                    os.path.join(self.path, state.files[0])
+                )
+                return schema_df.where("1 = 0")
+        paths = [os.path.join(self.path, f) for f in files]
+        df = self.spark.read.parquet(*paths)
+        for col, op, value in predicates or []:
+            df = df.where(_OPS[op](F.col(col), F.lit(value)))
+        return df
+
+    def matching_files(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> list[str]:
+        """The post-skipping file list for ``predicates`` (for tests
+        and EXPLAIN-style introspection of pruning effectiveness)."""
+        state = self._replay(upto=version)
+        return [
+            f
+            for f in state.files
+            if _file_may_match(state.stats.get(f), predicates)
+        ]
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        min_file_bytes: int | None = None,
+        txn_id: str | None = None,
+    ) -> int:
+        """OPTIMIZE: bin-pack live files smaller than ``min_file_bytes``
+        (default: the target size) into ~``target_file_bytes`` files.
+        Content-preserving and atomic — readers see either the old or
+        the new file set, never a mix; old versions stay time-travel
+        readable until vacuum. Returns the new version (unchanged if
+        fewer than two files qualify)."""
+        state = self._replay()
+        cutoff = min_file_bytes if min_file_bytes is not None else target_file_bytes
+        sizes = {
+            f: state.stats.get(f, {}).get(
+                "bytes", os.path.getsize(os.path.join(self.path, f))
+            )
+            for f in state.files
+        }
+        small = [f for f in state.files if sizes[f] < cutoff]
+        if len(small) < 2:
+            return state.version
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in small]
+        )
+        added = self._write_data(df.repartition(n_out))
+        return self._commit(added, small, txn_id, "compact")
 
     def vacuum(self, keep_versions: int = 0) -> list[str]:
         """Delete data files unreachable from the newest

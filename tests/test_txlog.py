@@ -94,3 +94,74 @@ def test_read_is_spark_native_and_prunable(spark, table):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,7)]" in plan
+
+
+def test_manifest_records_file_stats(spark, table):
+    table.append(
+        _df(spark, [(1, "a"), (50, "m"), (9, "c")]).coalesce(1)
+    )
+    state = table._replay()
+    assert len(state.files) == 1
+    st = state.stats[state.files[0]]
+    assert st["rows"] == 3 and st["bytes"] > 0
+    assert st["cols"]["id"]["min"] == 1 and st["cols"]["id"]["max"] == 50
+    assert st["cols"]["v"]["min"] == "a" and st["cols"]["v"]["max"] == "m"
+
+
+def test_data_skipping_prunes_files_and_stays_correct(spark, table):
+    # three appends with disjoint id ranges -> three one-file commits
+    for lo in (0, 100, 200):
+        table.append(
+            spark.range(lo, lo + 100).select(
+                F.col("id"), F.col("id").cast("string").alias("v")
+            ).coalesce(1)
+        )
+    all_files = table._replay().files
+    assert len(all_files) == 3
+    # equality inside the middle range -> exactly one file survives
+    hit = table.matching_files([("id", "=", 150)])
+    assert len(hit) == 1
+    # range predicate spanning two commits -> two files
+    assert len(table.matching_files([("id", ">=", 150)])) == 2
+    assert len(table.matching_files([("id", "<", 100)])) == 1
+    # conjunction proving empty -> zero files, read serves empty frame
+    assert table.matching_files([("id", ">", 100), ("id", "<", 90)]) == []
+    assert table.read(predicates=[("id", ">", 100), ("id", "<", 90)]).count() == 0
+    # pruned read == unpruned filter (correctness never depends on stats)
+    got = {r.id for r in table.read(predicates=[("id", ">=", 150)]).collect()}
+    want = {r.id for r in table.read().filter("id >= 150").collect()}
+    assert got == want
+
+
+def test_compact_binpacks_preserving_content_and_history(spark, table):
+    for i in range(6):
+        table.append(_df(spark, [(i * 10 + j, f"v{i}-{j}") for j in range(5)]))
+    before = sorted((r.id, r.v) for r in table.read().collect())
+    v_pre = table.version()
+    v_post = table.compact(target_file_bytes=1 << 30)  # everything packs into 1
+    assert v_post == v_pre + 1
+    state = table._replay()
+    assert len(state.files) == 1  # 6 small files -> 1
+    assert sorted((r.id, r.v) for r in table.read().collect()) == before
+    # pre-compaction version still time-travel readable
+    assert sorted((r.id, r.v) for r in table.read(version=v_pre).collect()) == before
+    # nothing to do when only one file is live
+    assert table.compact(target_file_bytes=1 << 30) == v_post
+    # stats re-derived for the packed file
+    st = state.stats[state.files[0]]
+    assert st["rows"] == 30
+
+
+def test_compact_conflict_detection(spark, table):
+    from eeg_data_lake_spark.sources.txlog import ConcurrentModificationError
+
+    table.append(_df(spark, [(1, "a")]))
+    table.append(_df(spark, [(2, "b")]))
+    state = table._replay()
+    # a concurrent overwrite lands while our compact is writing: its
+    # remove-set goes stale and the commit must refuse, not double-remove
+    added = table._write_data(_df(spark, [(1, "a"), (2, "b")]))
+    table.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ConcurrentModificationError):
+        table._commit(added, state.files, None, "compact")
+    assert {r.id for r in table.read().collect()} == {9}
