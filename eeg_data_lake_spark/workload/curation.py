@@ -328,3 +328,103 @@ def q56_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.sum("n_tokens") / 512.0, 6).alias("fill_ratio"),
     )
+
+
+#: scrub pattern: blocklisted terms plus an email shape — word-boundary
+#: alternation chosen to be identical under Java regex (Spark) and RE2
+#: (DuckDB). The email arm matches nothing in the synthetic corpus but
+#: keeps the registered operator the real PII-scrub shape.
+_SCRUB_RX = r"\b(key|hash|merge)\b|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "q70_blocklist_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_RX.replace("'", "''")}')) AS INTEGER)
+               AS n_masked,
+           md5(regexp_replace(text, '{_SCRUB_RX.replace("'", "''")}', '<MASK>', 'g'))
+               AS clean_md5
+    FROM documents
+    """,
+    tags=("curation", "scrub", "pii"),
+)
+def q70_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / blocklist scrubbing: mask every blocklisted term or
+    email-shaped span, count the masked spans per document, and emit a
+    content hash of the scrubbed text (hashing keeps the oracle compare
+    cheap; the full scrubbed column is the same expression un-hashed).
+
+    Purely narrow — regexp_replace / regexp_extract_all are JVM
+    expressions inside whole-stage codegen, no shuffle at all; at
+    100 TB this runs at scan speed. Spark's regexp_extract_all needs
+    idx=0 spelled explicitly (its default is capture group 1, and the
+    pattern has a group; DuckDB's default is already the full match)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_SCRUB_RX), 0)).alias(
+            "n_masked"
+        ),
+        F.md5(F.regexp_replace("text", _SCRUB_RX, "<MASK>")).alias("clean_md5"),
+    )
+
+
+@register(
+    "q71_language_mixture_sample",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    rates AS (
+      SELECT lang, n,
+             least(1.0, (SELECT min(n) FROM counts) * 1.0 / n) AS rate
+      FROM counts
+    )
+    SELECT d.lang,
+           CAST(max(r.n) AS BIGINT) AS n_total,
+           count(*) AS n_sampled,
+           round(max(r.rate), 6) AS rate
+    FROM documents d JOIN rates r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+          < printf('%02x', CAST(floor(r.rate * 256) AS INT))
+    GROUP BY d.lang
+    """,
+    tags=("curation", "mixture", "sampling"),
+)
+def q71_language_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture (down)sampling: equalize language shares
+    by keeping each document with probability min(1, min_count/n_lang),
+    decided by a content-hash threshold — the rate quantizes to k/256
+    and a doc survives iff its 2-hex-digit md5 prefix sorts below the
+    printf'd threshold. Same industry rationale as q66: hash gates are
+    reproducible under re-partitioning, retries and corpus growth,
+    where rand()-based sampling is not; this is the per-domain
+    temperature-sampling step of a training-mix build.
+
+    Plan: the per-language counts are a tiny aggregate joined back by
+    BROADCAST — the corpus itself never shuffles; the survivor filter
+    is a narrow map, and the final per-language rollup moves 5 groups.
+    (q67 is the complementary quota operator: exact top-K by ranking;
+    this one is rate-based and preserves within-language distribution.)"""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    mm = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(mm)).select(
+        "lang",
+        "n",
+        F.least(F.lit(1.0), F.col("m") * 1.0 / F.col("n")).alias("rate"),
+    )
+    kept = d.join(F.broadcast(rates), "lang").where(
+        (F.col("rate") >= 1.0)
+        | (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < F.format_string(
+                "%02x", F.floor(F.col("rate") * 256).cast("int")
+            )
+        )
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count("*").alias("n_sampled"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )
