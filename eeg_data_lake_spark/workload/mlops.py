@@ -5,6 +5,7 @@ asserted in tests/test_ml.py on analytically-known data.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,3 +57,38 @@ def q96_ridge_embedding_regression(spark: SparkSession, sf_dir: str) -> DataFram
     return ridge_predict(v, "embedding", w).select(
         "vec_id", "label", F.round("prediction", 4).alias("prediction")
     )
+
+
+@register(
+    "q90_kmeans_clusters",
+    oracle=None,  # iterative fixpoint → rows-only (numpy-parity tested)
+    tags=("ml", "clustering", "kmeans"),
+)
+def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 rounds, deterministic
+    lowest-id init) over the embeddings table; emits per-cluster size,
+    inertia and the centroid's L2 norm. Per round: one Arrow-batched
+    assignment pass (BLAS matmul per batch, centroids in the closure)
+    plus one (cluster, dim) partial-average shuffle whose size is
+    k·d·n_partitions — independent of corpus size; only the k×d
+    centroid matrix ever reaches the driver. Assignments and inertia
+    match a single-node numpy Lloyd's reference exactly
+    (tests/test_kmeans.py)."""
+    from eeg_data_lake_spark.ml.kmeans import assign_clusters, kmeans_fit
+
+    v = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(v, k=8, max_iter=5)
+    cn = [float(np.linalg.norm(c)) for c in model.centroids]
+    norms = spark.createDataFrame(
+        [(i, round(n, 6)) for i, n in enumerate(cn)],
+        "cluster int, centroid_norm double",
+    )
+    sizes = (
+        assign_clusters(v, model.centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("sqdist"), 4).alias("inertia"),
+        )
+    )
+    return sizes.join(F.broadcast(norms), "cluster")
