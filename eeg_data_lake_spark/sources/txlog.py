@@ -339,6 +339,7 @@ class TxTable:
         self,
         version: int | None = None,
         predicates: list[tuple] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """The table at ``version`` (default: latest). Empty table →
         raises (no schema to serve), matching Delta.
@@ -347,7 +348,12 @@ class TxTable:
         ``= < <= > >=`` — prunes the file list via the manifest's
         per-file min/max stats (data skipping), then re-applies every
         predicate as a DataFrame filter so the result is correct even
-        for files kept conservatively (no stats for the column)."""
+        for files kept conservatively (no stats for the column).
+
+        ``merge_schema=True`` reconciles files written with different
+        (compatible) schemas — columns absent from older files read as
+        null, Delta's additive schema evolution. Off by default: the
+        union costs a footer read per file at planning time."""
         state = self._replay(upto=version)
         if not state.files:
             raise ValueError(f"table at {self.path} has no data")
@@ -366,7 +372,10 @@ class TxTable:
                 )
                 return schema_df.where("1 = 0")
         paths = [os.path.join(self.path, f) for f in files]
-        df = self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         for col, op, value in predicates or []:
             df = df.where(_OPS[op](F.col(col), F.lit(value)))
         return df

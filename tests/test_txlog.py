@@ -165,3 +165,14 @@ def test_compact_conflict_detection(spark, table):
     with pytest.raises(ConcurrentModificationError):
         table._commit(added, state.files, None, "compact")
     assert {r.id for r in table.read().collect()} == {9}
+
+
+def test_schema_evolution_merge_on_read(spark, table):
+    table.append(_df(spark, [(1, "a")]))
+    table.append(
+        spark.createDataFrame([(2, "b", 0.5)], "id long, v string, score double")
+    )
+    merged = table.read(merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r.id: r.score for r in merged.collect()}
+    assert got[1] is None and got[2] == 0.5
