@@ -251,14 +251,27 @@ def q99_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell so a probe reads only its partitions. Recall vs the exact
     q37 is asserted in tests.
     """
-    cents = _centroids()
+    return _ivf_topk(spark, sf_dir, _centroids(), [0.0] * _IVF_K)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, cents: list, bias: list
+) -> DataFrame:
+    """Shared IVF plan: cell affinity of vector x to centroid c_i is
+    ``dot(x, c_i) + bias_i``. With unit-norm centroids and zero bias
+    that is spherical assignment (q99); with ``bias_i = -||c_i||²/2``
+    it is exact euclidean nearest-centroid, matching Lloyd's k-means
+    assignment up to the constant ||x||² (q89)."""
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
 
     def cell_dots(col):
         return F.array(
-            *[dot(col, F.array(*[F.lit(x) for x in c])) for c in cents]
+            *[
+                dot(col, F.array(*[F.lit(x) for x in c])) + F.lit(b)
+                for c, b in zip(cents, bias)
+            ]
         )
 
     vd = v.withColumn("dots", cell_dots(F.col("e")))
@@ -304,6 +317,30 @@ def q99_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "q89_ivf_learned_topk",
+    oracle=None,  # approximate by construction → recall-tested vs q37
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q89_ivf_learned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q99's IVF ANN with a TRAINED coarse quantizer: distributed
+    Lloyd's k-means (ml/kmeans.py, K=16, 4 rounds, deterministic init)
+    replaces the seeded random hyperplane centroids, and cell
+    assignment becomes exact euclidean nearest-centroid via the
+    ``dot(x,c) - ||c||²/2`` bias trick — all still JVM expressions, the
+    training cost is one small iterative job amortized over every
+    subsequent query. This is the production IVF build order (train
+    quantizer → partition corpus by cell → probe); recall vs exact
+    q37 is gated in tests alongside the seeded variant."""
+    from eeg_data_lake_spark.ml.kmeans import kmeans_fit
+
+    v = t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(v, k=_IVF_K, max_iter=4)
+    cents = model.centroids.tolist()
+    bias = [-0.5 * float((c * c).sum()) for c in model.centroids]
+    return _ivf_topk(spark, sf_dir, cents, bias)
 
 
 @register(

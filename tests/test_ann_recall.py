@@ -24,6 +24,7 @@ def exact(spark, sf_dir):
 @pytest.mark.parametrize("name,min_recall", [
     ("q93_lsh_ann_topk", 0.15),
     ("q99_ivf_ann_topk", 0.25),
+    ("q89_ivf_learned_topk", 0.25),
 ])
 def test_ann_recall_vs_exact(spark, sf_dir, exact, name, min_recall):
     approx = _topk_sets(REGISTRY[name].spark_fn(spark, sf_dir))
