@@ -146,3 +146,21 @@ def test_q58_grouping_sets_scan_once(spark, sf_dir):
 def test_q60_range_frame_two_exchanges(spark, sf_dir):
     # daily pre-agg shuffle + user-ordered window shuffle, nothing else
     assert count_exchanges(q("q60_time_range_rolling", spark, sf_dir)) == 2
+
+
+def test_q70_scrub_is_pure_narrow_map(spark, sf_dir):
+    df = q("q70_blocklist_scrub", spark, sf_dir)
+    assert count_exchanges(df) == 0  # regex scrub runs at scan speed
+    assert join_strategies(df) == []
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}  # projection pruned to 2 cols
+
+
+def test_q71_mixture_corpus_never_shuffles(spark, sf_dir):
+    df = q("q71_language_mixture_sample", spark, sf_dir)
+    # rates reach the corpus by broadcast hash join only; the one
+    # BroadcastNestedLoopJoin is the 1-row scalar min() cross (5×1
+    # rows — the correct plan for a scalar subquery, not a blowup)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    assert set(strategies) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}
