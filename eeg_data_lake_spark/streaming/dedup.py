@@ -1,0 +1,125 @@
+"""Incremental streaming near-dup ingestion: the online form of the
+batch MinHash-LSH dedup (workload/dedup.py q34/q35), run per
+micro-batch against a transaction-logged accepted-corpus table.
+
+This is the shape a production training-data pipeline actually runs —
+documents arrive continuously and each batch must be deduplicated
+against *everything already accepted*, not just itself, with
+exactly-once effects across driver restarts:
+
+1. **Sketch** the batch: 3-gram shingles → k=4 MinHash → 2 LSH bands
+   (identical expressions to q34/q35, so the online and batch paths
+   share semantics by construction).
+2. **Within-batch clustering**: band-collision pairs via per-band
+   equi-joins (never an OR-join), connected components
+   (operators/graph.py), keep the min-doc_id representative per
+   cluster — the canonical-representative rule production dedups use.
+3. **Cross-batch novelty**: drop any representative whose band
+   matches the accepted-corpus index (one left-anti equi-join per
+   band). The index is the txlog table itself — bands are stored
+   alongside the documents, so there is no second index to keep
+   consistent.
+4. **Exactly-once append**: txn_id = (sink_id, batch_id); a replayed
+   micro-batch (foreachBatch is at-least-once) commits nothing
+   (streaming/txsink.py contract).
+
+Scale: per batch the cost is the batch sketch (narrow), a
+batch-vs-batch band join (batch-sized), CC over collision edges
+(shallow clusters), and two batch-vs-corpus equi-joins on band keys —
+the corpus side is an indexed equi-join probe, never rescanned
+all-pairs. At 100 TB the bands table is partitioned/bucketed by band
+key so the probe touches only matching partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.graph import connected_components
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.workload.dedup import _minhash_cols, shingled
+
+BAND_COLS = ("band0", "band1")
+
+
+def with_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` + LSH band columns (the q35 banding: 2 bands × 2 rows of
+    the k=4 md5 MinHash). Narrow map — no shuffle."""
+    sh = shingled(df, text_col=text_col)
+    s = _minhash_cols(F.col("sl"))
+    return sh.select(
+        *df.columns,
+        F.md5(F.concat(s[0], s[1])).alias("band0"),
+        F.md5(F.concat(s[2], s[3])).alias("band1"),
+    )
+
+
+def _batch_representatives(banded: DataFrame) -> DataFrame:
+    """Within-batch dedup: min-doc_id representative of every
+    band-collision connected component (singletons survive as-is)."""
+    sig = banded.select("doc_id", *BAND_COLS)
+    pairs = None
+    for col in BAND_COLS:
+        a, b = sig.alias("a"), sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    comp = connected_components(pairs, "src", "dst")
+    reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
+    losers = comp.join(
+        reps.withColumnRenamed("doc_id", "keep"),
+        "component",
+    ).filter(F.col("node") != F.col("keep")).select(
+        F.col("node").alias("doc_id")
+    )
+    return banded.join(losers, "doc_id", "left_anti")
+
+
+def dedup_batch_writer(table: TxTable, sink_id: str):
+    """foreachBatch function: near-dup-filter the micro-batch against
+    itself and the accepted corpus, then append exactly-once."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        banded = with_bands(batch_df)
+        novel = _batch_representatives(banded)
+        if table.version() >= 0:
+            index = table.read().select(*BAND_COLS)
+            for col in BAND_COLS:
+                novel = novel.join(
+                    index.select(col).distinct(), col, "left_anti"
+                )
+        table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
+
+    return process
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a file-source document stream into the deduplicated
+    accepted-corpus table (AvailableNow: terminates when caught up;
+    re-invocations resume from the checkpoint and replay-committed
+    batches are no-ops)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(dedup_batch_writer(table, sink_id))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
