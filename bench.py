@@ -60,6 +60,8 @@ HEADLINE = [
     "q50_asof_join_last_order",   # as-of join (union+window)
     "q36_embedding_neardup_pairs",# matmul near-dup scoring
     "q43_tfidf_top_terms",        # tf-idf explode + 3 hash aggs
+    "q70_blocklist_scrub",        # zero-shuffle regex scrub (scan speed)
+    "q71_language_mixture_sample",# broadcast-gated mixture sampling
 ]
 
 
