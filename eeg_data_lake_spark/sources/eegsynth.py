@@ -1,0 +1,128 @@
+"""A Spark 4 Python DataSource serving synthetic EEG trials.
+
+The reference generates synthetic test signals with a single-node
+helper (SURVEY §2.1 S17 — /root/reference/tests fixtures); this is the
+engine-native form: ``spark.read.format("eegsynth")`` produces the
+same deterministic long-format signal rows as a first-class scan —
+partition-parallel (one input partition per trial, so a 1M-trial load
+fans out across the cluster with zero files and zero driver memory),
+with **planning-time filter pushdown**: trial_id range predicates
+prune entire partitions before any row is generated, the Python
+DataSource analog of parquet partition pruning
+(``spark.sql.python.filterPushdown.enabled`` must be on; without it
+Spark simply runs the filter post-scan — correctness never depends on
+the pushdown).
+
+Rows are produced as Arrow RecordBatches built from vectorized numpy
+(one batch per trial·channel block), not per-row Python tuples — the
+same Arrow-batch discipline the repo applies to UDFs.
+
+Signal model (deterministic per (seed, trial, channel)): a per-channel
+sine at a channel-indexed frequency plus seeded Gaussian noise —
+matching eeg_data_lake_spark.fixtures semantics so medallion tests can
+source from either.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from eeg_data_lake_spark import schemas
+
+_SCHEMA = (
+    "trial_id long, channel string, sample_idx int, "
+    "time_sec double, value double"
+)
+
+
+class _TrialPartition(InputPartition):
+    def __init__(self, trial_id: int):
+        self.trial_id = trial_id
+
+
+class EEGSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_trials = int(options.get("n_trials", 8))
+        self.samples = int(options.get("samples", 256))
+        self.seed = int(options.get("seed", 7))
+        chans = options.get("channels")
+        self.channels: Sequence[str] = (
+            chans.split(",") if chans else list(schemas.CHANNELS)
+        )
+        self.lo = 0  # inclusive trial range after pushdown
+        self.hi = self.n_trials - 1
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume trial_id range predicates by narrowing [lo, hi];
+        everything else is returned for Spark to apply post-scan."""
+        for f in filters:
+            attr = getattr(f, "attribute", ())
+            col = attr[0] if len(attr) == 1 else None
+            if col == "trial_id" and isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value))
+            elif col == "trial_id" and isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif col == "trial_id" and isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif col == "trial_id" and isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value) - 1)
+            elif col == "trial_id" and isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value))
+            else:
+                yield f  # unsupported → Spark filters after the scan
+
+    def partitions(self):
+        return [_TrialPartition(t) for t in range(self.lo, self.hi + 1)]
+
+    def read(self, partition: _TrialPartition):
+        import numpy as np
+        import pyarrow as pa
+
+        t = partition.trial_id
+        n = self.samples
+        idx = np.arange(n, dtype=np.int32)
+        time_sec = idx / float(schemas.FS)
+        for ci, ch in enumerate(self.channels):
+            rng = np.random.default_rng((self.seed, t, ci))
+            freq = 4.0 + 2.0 * ci
+            value = np.sin(2.0 * np.pi * freq * time_sec) + 0.1 * (
+                rng.standard_normal(n)
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "trial_id": pa.array(np.full(n, t, dtype=np.int64)),
+                    "channel": pa.array([ch] * n, type=pa.string()),
+                    "sample_idx": pa.array(idx),
+                    "time_sec": pa.array(time_sec),
+                    "value": pa.array(value),
+                }
+            )
+
+
+class EEGSynthDataSource(DataSource):
+    """``spark.dataSource.register(EEGSynthDataSource)`` then
+    ``spark.read.format("eegsynth").option("n_trials", 100).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "eegsynth"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> EEGSynthReader:
+        return EEGSynthReader(self.options)
