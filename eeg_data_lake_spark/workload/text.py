@@ -316,3 +316,48 @@ def q59_bpe_style_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(alpha).cast("long").alias("n_alpha"),
         F.size(digit).cast("long").alias("n_digit"),
     )
+
+
+@register(
+    "q72_udtf_ngrams",
+    oracle="""
+    WITH tl AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents
+                WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           tl[i] || ' ' || tl[i + 1] AS ngram
+    FROM tl, LATERAL (SELECT unnest(generate_series(1, len(tl) - 1)) AS i)
+    """,
+    tags=("text", "udtf", "ngrams"),
+)
+def q72_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function, SURVEY §2.9
+    surface) exploding each document into positional word 2-grams via
+    a SQL LATERAL join — the API a user reaches for when one input row
+    must become a variable number of computed rows and the logic
+    doesn't fit an expression.
+
+    Deliberately the slow path: UDTFs run row-at-a-time Python, so the
+    registered query caps the input (doc_id < 50) and the docstring of
+    record is q33's JVM HOF shingle expression for the 100 TB hot
+    path; this entry exists to verify the UDTF wiring (registration,
+    lateral correlation, schema) against a SQL oracle — not to win the
+    bench."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class TokenNgrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("token_ngrams", TokenNgrams)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM __docs_udtf d, LATERAL token_ngrams(d.text) g
+        WHERE d.doc_id < 50
+        """
+    )
