@@ -157,3 +157,85 @@ def frame_sample(
             ).alias("frame_sig"),
         )
     )
+
+
+#: schema of the resize rows appended by resize_image_features
+RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, out_width int, "
+    "out_height int, mean_px double, resized_md5 string"
+)
+
+
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic (h, w) float array standing in for decoded pixels:
+    the payload bytes tiled to the fake-decoded dimensions (STUB — a
+    real codec returns the actual pixel grid; everything downstream of
+    this function is real math)."""
+    if not len(payload):
+        return np.zeros((1, 1), dtype=np.float64)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return np.resize(arr, (height, width))
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Real vectorized bilinear resampling (align_corners=False, the
+    OpenCV/PIL convention): output pixel centers map to source
+    coordinates, the four neighbors blend by fractional distance.
+    This is the production resize kernel — nothing stubbed."""
+    h, w = img.shape
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = img[y0[:, None], x0[None, :]] * (1 - wx) + img[y0[:, None], x1[None, :]] * wx
+    bot = img[y1[:, None], x0[None, :]] * (1 - wx) + img[y1[:, None], x1[None, :]] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    out_w: int = 8,
+    out_h: int = 8,
+) -> DataFrame:
+    """Decode (stubbed) → resize (real bilinear) → emit resized stats
+    and a checksum of the uint8-quantized resized grid. Narrow
+    mapInPandas like the other multimodal ops — 100 TB of payloads
+    stream through one Arrow batch at a time, no shuffle; the checksum
+    keeps results comparable without shipping pixel arrays around."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                _fmt, width, height = _decode_one(raw)
+                img = _fake_pixels(raw, max(width, 1), max(height, 1))
+                resized = resize_bilinear(img, out_h, out_w)
+                q = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
+                out.append(
+                    (
+                        doc_id,
+                        img.shape[1],
+                        img.shape[0],
+                        out_w,
+                        out_h,
+                        float(resized.mean()),
+                        hashlib.md5(q.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "out_width", "out_height", "mean_px", "resized_md5",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)

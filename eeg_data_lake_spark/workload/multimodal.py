@@ -128,3 +128,23 @@ def q98_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "q88_multimodal_resize",
+    oracle=None,  # codec stubbed → rows-only (kernel numpy-parity tested)
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def q88_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stubbed) → REAL bilinear resize → resized stats +
+    checksum, Arrow-batched mapInPandas, narrow plan (no shuffle). The
+    resize kernel is validated against exact hand-computed bilinear
+    values and an identity-resize invariant in tests/test_multimodal.py."""
+    from eeg_data_lake_spark.functions.multimodal import resize_image_features
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    out = resize_image_features(d)
+    return out.select(
+        "doc_id", "src_width", "src_height", "out_width", "out_height",
+        F.round("mean_px", 4).alias("mean_px"), "resized_md5",
+    )

@@ -93,3 +93,45 @@ def test_text_embedding_deterministic_unit_norm(spark, docs=None):
     assert not np.allclose(rows[1], rows[2])      # different text differs
     again = {r.doc_id: np.array(r.embedding) for r in with_text_embedding(df).collect()}
     assert np.allclose(rows[1], again[1])         # deterministic across runs
+
+
+class TestResize:
+    def test_bilinear_kernel_exact_values(self):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.multimodal import resize_bilinear
+
+        img = np.array([[0.0, 10.0], [20.0, 30.0]])
+        # identity resize returns the original grid
+        np.testing.assert_allclose(resize_bilinear(img, 2, 2), img)
+        # 2x2 -> 4x4, align_corners=False: hand-computed neighbors
+        want = np.array(
+            [
+                [0.0, 2.5, 7.5, 10.0],
+                [5.0, 7.5, 12.5, 15.0],
+                [15.0, 17.5, 22.5, 25.0],
+                [20.0, 22.5, 27.5, 30.0],
+            ]
+        )
+        np.testing.assert_allclose(resize_bilinear(img, 4, 4), want)
+        # downsample averages the blended neighborhood, mean preserved
+        big = np.arange(16, dtype=float).reshape(4, 4)
+        small = resize_bilinear(big, 2, 2)
+        assert small.shape == (2, 2)
+        np.testing.assert_allclose(small.mean(), big.mean())
+
+    def test_resize_operator_rows_and_determinism(self, spark, sf_dir):
+        from eeg_data_lake_spark.functions.multimodal import (
+            attach_binary_payload,
+            resize_image_features,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        d = attach_binary_payload(docs)
+        a = resize_image_features(d).collect()
+        b = resize_image_features(d).collect()
+        assert len(a) == 50
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        r = a[0]
+        assert r.out_width == 8 and r.out_height == 8
+        assert len(r.resized_md5) == 32 and r.mean_px > 0
