@@ -76,3 +76,33 @@ def q44_pandas_vs_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.round("value_std", 6).alias("z")
     )
+
+
+@register(
+    "q87_band_power_user",
+    oracle=None,  # FFT spectral density is not SQL-expressible → rows-only
+    tags=("signal", "spectral", "pandas-udf"),
+)
+def q87_band_power_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain band power of each user's event-value series
+    (order by ts, event_id; unit sample rate, so the bands are in
+    cycles/sample below the 0.5 Nyquist). One grouped-map pandas-UDF
+    pass computing the rfft periodogram per user — same plan shape and
+    partition pinning as the Butterworth q94; kernel validated by
+    Parseval identity and sine-peak tests (tests/test_spectral.py)."""
+    from eeg_data_lake_spark.functions.spectral import band_power_by_group
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = band_power_by_group(
+        e,
+        group_cols=("user_id",),
+        order_col=("ts", "event_id"),
+        value_col="value",
+        fs=1.0,
+        bands={"low": (0.0, 0.1), "mid": (0.1, 0.25), "high": (0.25, 0.5)},
+    )
+    cols = [F.col("user_id"), F.col("n_samples")]
+    for b in ("low", "mid", "high"):
+        cols.append(F.round(f"{b}_power", 6).alias(f"{b}_power"))
+        cols.append(F.round(f"{b}_rel", 6).alias(f"{b}_rel"))
+    return out.select(*cols)
