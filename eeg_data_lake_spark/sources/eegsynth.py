@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -113,9 +114,60 @@ class EEGSynthReader(DataSourceReader):
             )
 
 
+def _trial_rows(reader_opts, trial_id: int):
+    """Row tuples for one trial — shared by the batch partition reader
+    (which wraps the same values in Arrow) and the stream reader
+    (which yields plain tuples, the simple-stream contract)."""
+    import numpy as np
+
+    n = reader_opts.samples
+    idx = np.arange(n, dtype=np.int64)
+    time_sec = idx / float(schemas.FS)
+    for ci, ch in enumerate(reader_opts.channels):
+        rng = np.random.default_rng((reader_opts.seed, trial_id, ci))
+        freq = 4.0 + 2.0 * ci
+        value = np.sin(2.0 * np.pi * freq * time_sec) + 0.1 * (
+            rng.standard_normal(n)
+        )
+        for i in range(n):
+            yield (trial_id, ch, int(idx[i]), float(time_sec[i]), float(value[i]))
+
+
+class EEGSynthStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same synthetic trials: each batch
+    emits one trial; the offset is {"trial": next}. Deterministic
+    generation makes ``readBetweenOffsets`` (crash-recovery replay of
+    a committed-but-unread batch) trivially exact — the replayed rows
+    are bit-identical, which is what gives the stream its end-to-end
+    exactly-once story when paired with an idempotent sink."""
+
+    def __init__(self, options):
+        self._r = EEGSynthReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"trial": 0}
+
+    def read(self, start: dict):
+        # Rows returned here are pickled by the driver-side prefetcher
+        # before shipping to executors — they must be a materialized
+        # list, not a generator (generators don't pickle).
+        t = int(start["trial"])
+        if t >= self._r.n_trials:  # caught up — empty batch, same offset
+            return [], start
+        return list(_trial_rows(self._r, t)), {"trial": t + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for t in range(int(start["trial"]), int(end["trial"])):
+            rows.extend(_trial_rows(self._r, t))
+        return rows
+
+
 class EEGSynthDataSource(DataSource):
     """``spark.dataSource.register(EEGSynthDataSource)`` then
-    ``spark.read.format("eegsynth").option("n_trials", 100).load()``."""
+    ``spark.read.format("eegsynth").option("n_trials", 100).load()``
+    for batch, or ``spark.readStream.format("eegsynth")...`` for a
+    one-trial-per-micro-batch stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -126,3 +178,6 @@ class EEGSynthDataSource(DataSource):
 
     def reader(self, schema: StructType) -> EEGSynthReader:
         return EEGSynthReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> EEGSynthStreamReader:
+        return EEGSynthStreamReader(self.options)

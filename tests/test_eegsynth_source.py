@@ -67,3 +67,35 @@ def test_signal_shape_matches_fixture_model(spark):
     rng = np.random.default_rng((7, 0, 0))
     want = np.sin(2.0 * np.pi * 4.0 * t) + 0.1 * rng.standard_normal(64)
     np.testing.assert_allclose([r.value for r in one], want, rtol=1e-12)
+
+
+def test_stream_reader_drains_all_trials_and_matches_batch(spark):
+    import time
+
+    df = (
+        spark.readStream.format("eegsynth")
+        .option("n_trials", 3)
+        .option("samples", 16)
+        .option("seed", 5)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("eegsynth_stream")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    want_rows = 3 * len(schemas.CHANNELS) * 16
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM eegsynth_stream").head().c >= want_rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    streamed = spark.sql("SELECT * FROM eegsynth_stream")
+    assert streamed.count() == want_rows  # one trial per micro-batch, all drained
+    batch = _load(spark, n_trials=3, samples=16, seed=5)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
