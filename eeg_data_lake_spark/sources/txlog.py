@@ -75,6 +75,57 @@ _OPS = {
 }
 
 
+_Z_BITS = 8  # 256 quantile buckets per z column
+
+
+def _with_zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append ``__z``: the Morton (interleaved-bit) code of each row's
+    rank-bucket along every column in ``cols``.
+
+    Each column is quantile-bucketed into 2^8 ranks via
+    ``approxQuantile`` cutpoints (a driver-side sketch — the data is
+    never collected), then the 8-bit bucket ids are bit-interleaved
+    JVM-side, so rows close in EVERY dimension get close z-values and
+    a range partition on ``__z`` yields files whose min/max stats are
+    tight in all dimensions at once. Quantile (not linear) bucketing
+    makes the clustering skew-robust: each bucket holds ~1/256 of the
+    rows regardless of the value distribution. Numeric/date columns
+    only (``approxQuantile`` contract)."""
+    if not cols:
+        raise ValueError("zorder_by needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder_by columns not in table: {missing}")
+    n_buckets = 1 << _Z_BITS
+    buckets = []
+    for c in cols:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.approxQuantile(c, qs, 0.001)
+        # strictly increasing cutpoints; duplicates collapse (heavy
+        # hitters occupy one bucket, which is exactly what we want)
+        uniq = sorted(set(cuts))
+        if not uniq:  # constant / all-null column → single bucket
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        cut_arr = F.array(*[F.lit(v) for v in uniq])
+        bucket = F.aggregate(
+            cut_arr,
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(c) > cut, F.lit(1)).otherwise(F.lit(0)),
+        )
+        buckets.append(F.coalesce(bucket, F.lit(0)).cast("long"))
+    ncols = len(buckets)
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * ncols + j,
+            )
+    return df.withColumn("__z", z)
+
+
 def _jsonable(v):
     """Parquet-footer stat value → JSON-storable, order-preserving.
 
@@ -399,14 +450,47 @@ class TxTable:
         target_file_bytes: int = 128 << 20,
         min_file_bytes: int | None = None,
         txn_id: str | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE: bin-pack live files smaller than ``min_file_bytes``
         (default: the target size) into ~``target_file_bytes`` files.
         Content-preserving and atomic — readers see either the old or
         the new file set, never a mix; old versions stay time-travel
         readable until vacuum. Returns the new version (unchanged if
-        fewer than two files qualify)."""
+        fewer than two files qualify).
+
+        With ``zorder_by=[c1, c2, ...]`` this is OPTIMIZE ZORDER:
+        ALL live files are rewritten clustered on the interleaved-bit
+        z-value of the named (numeric) columns, so each output file
+        covers a tight hyper-rectangle in (c1, c2, ...) space and the
+        per-file min/max stats prune multi-column range predicates —
+        Delta's ``OPTIMIZE ... ZORDER BY`` (data-skipping effectiveness
+        asserted in tests/test_txlog_zorder.py). Linear scan + one
+        range-shuffle; the only driver-side work is ``approxQuantile``
+        over the z columns (a sketch, O(1) result size)."""
         state = self._replay()
+        if zorder_by:
+            files = list(state.files)
+            if not files:
+                return state.version
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            )
+            total = sum(
+                state.stats.get(f, {}).get(
+                    "bytes", os.path.getsize(os.path.join(self.path, f))
+                )
+                for f in files
+            )
+            n_out = max(1, -(-total // target_file_bytes))  # ceil
+            z = _with_zvalue(df, zorder_by)
+            clustered = (
+                z.repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            added = self._write_data(clustered)
+            return self._commit(added, files, txn_id, "zorder")
         cutoff = min_file_bytes if min_file_bytes is not None else target_file_bytes
         sizes = {
             f: state.stats.get(f, {}).get(

@@ -428,3 +428,97 @@ def q71_language_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.round(F.max("rate"), 6).alias("rate"),
     )
+
+
+@register(
+    "q73_curation_pipeline",
+    oracle=f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(text)))
+    ),
+    kept AS (
+      SELECT d.doc_id, d.text, d.lang
+      FROM documents d JOIN keep USING (doc_id)
+      WHERE d.n_chars >= 64 AND len(string_split(d.text, ' ')) >= 12
+    ),
+    sh AS (
+      SELECT doc_id, {{shingle}} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT i.doc_id
+      FROM inv i JOIN bench b ON i.shingle = b.shingle
+      WHERE i.doc_id % 50 <> 0
+    ),
+    clean AS (
+      SELECT * FROM kept
+      WHERE doc_id % 50 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT {{split}} AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM clean
+    GROUP BY split, lang
+    """.format(shingle=_SHINGLE_SQL, split=_SPLIT_EXPR_SQL),
+    tags=("curation", "pipeline", "dedup", "decontamination", "split"),
+)
+def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE query — what a user actually
+    runs between raw documents and a training mix: exact dedup (keep
+    lowest doc_id per normalized-text fingerprint) → quality gate
+    (length + token-count floors) → benchmark decontamination (drop
+    docs sharing any 3-gram shingle with the eval set) → deterministic
+    hash split → per-(split, lang) document/token counts.
+
+    Plan shape, stage by stage: dedup is ONE window shuffle on the
+    md5 fingerprint (row_number, keep first — no self-join); the
+    quality gate is a narrow filter fused into the same stage; the
+    contamination probe re-uses q69's broadcast plan (bench shingle
+    hashes broadcast, corpus side never shuffles); the contaminated-id
+    anti-join and the final agg are the only other exchanges. At
+    100 TB: corpus shuffles once (dedup window), bench set is tiny by
+    construction, and AQE turns the anti-join into a broadcast when
+    the contaminated set is small — nothing is ever O(corpus²)."""
+    d = t(spark, sf_dir, "documents")
+
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        d.withColumn("fingerprint", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+    kept = deduped.filter(
+        (F.col("n_chars") >= 64) & (F.size(F.split(F.col("text"), " ")) >= 12)
+    )
+
+    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
+    contaminated = (
+        inv.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+    clean = kept.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return (
+        clean.withColumn("split", _split_col())
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
