@@ -42,17 +42,17 @@ def split_events_dir(spark, sf_dir, tmp_path_factory):
     e = read_testdata(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    bounds = e.selectExpr(
-        "percentile(cast(ts as double), 1.0/3) AS t1",
-        "percentile(cast(ts as double), 2.0/3) AS t2",
+    # ts is TIMESTAMP_NTZ in the testdata parquet; NTZ cannot cast
+    # straight to double, but NTZ -> TIMESTAMP -> double is allowed.
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    bounds = e.select(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 1.0/3)").alias("t1"),
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 2.0/3)").alias("t2"),
     ).first()
     splits = [
-        e.filter(F.col("ts").cast("double") <= bounds.t1),
-        e.filter(
-            (F.col("ts").cast("double") > bounds.t1)
-            & (F.col("ts").cast("double") <= bounds.t2)
-        ),
-        e.filter(F.col("ts").cast("double") > bounds.t2),
+        e.filter(tsec <= bounds.t1),
+        e.filter((tsec > bounds.t1) & (tsec <= bounds.t2)),
+        e.filter(tsec > bounds.t2),
     ]
     now = time.time()
     for i, part in enumerate(splits):
