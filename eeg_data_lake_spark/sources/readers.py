@@ -106,13 +106,35 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer `div`: epoch-nanos ≈ 1.7e18 overflows double precision
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_timestamp(spark, df)
+
+
+def _ntz_to_timestamp(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (instant) semantics.
+
+    Newer driver testdata stores µs TIMESTAMP_NTZ; NTZ breaks streaming
+    watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and has no double
+    cast for epoch math. Casting NTZ → TIMESTAMP under a UTC session tz
+    reproduces the exact instants the ns→µs path always produced, so
+    every downstream query keeps one timestamp semantics regardless of
+    which encoding the parquet uses. The session tz is pinned here (not
+    only in our session factory) because the driver harness calls these
+    readers with its own SparkSession.
+    """
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -125,19 +147,15 @@ def read_testdata_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     nanosAsLong read) and rebuilt as µs timestamps, same as the batch
     reader.
     """
-    from pyspark.sql import types as T
-
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = set(_nanos_timestamp_cols(path))
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = read_testdata(spark, sf_dir, name).schema
-    stream_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name in ns_cols else f.dataType, f.nullable)
-            for f in batch_schema
-        ]
-    )
+    # Declare the file's RAW schema (Long for ns cols, NTZ stays NTZ) so
+    # the stream scan decodes exactly what's on disk, then rebuild the
+    # canonical TIMESTAMP columns with the same expressions as the batch
+    # reader — watermarks reject NTZ event-time columns.
+    stream_schema = spark.read.parquet(path).schema
     df = (
         spark.readStream.schema(stream_schema)
         .option("pathGlobFilter", f"{name}.parquet")
@@ -145,7 +163,7 @@ def read_testdata_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     )
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _ntz_to_timestamp(spark, df)
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:

@@ -39,8 +39,13 @@ def q21_daily_epoch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     x = F.col("value")
     return (
+        # ts is TIMESTAMP_NTZ on disk; NTZ has no direct double cast, but
+        # NTZ -> TIMESTAMP -> double is exact (session tz pinned to UTC).
         e.withColumn(
-            "epoch_id", F.floor(F.col("ts").cast("double") / F.lit(DAY)).cast("long")
+            "epoch_id",
+            F.floor(F.col("ts").cast("timestamp").cast("double") / F.lit(DAY)).cast(
+                "long"
+            ),
         )
         .groupBy("user_id", "epoch_id")
         .agg(

@@ -142,9 +142,12 @@ def q19_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # NTZ timestamps have no direct double cast; route through TIMESTAMP
+    # (session tz pinned UTC) to get epoch seconds for the gap test.
+    tsec = F.col("ts").cast("timestamp").cast("double")
+    prev_sec = prev.cast("timestamp").cast("double")
     new_session = F.when(
-        prev.isNull()
-        | (F.col("ts").cast("double") - prev.cast("double") > 3600.0),
+        prev.isNull() | (tsec - prev_sec > 3600.0),
         1,
     ).otherwise(0)
     return (

@@ -25,17 +25,16 @@ def split_events_dir(spark, sf_dir, tmp_path_factory):
 
     out = tmp_path_factory.mktemp("events_batches")
     e = read_testdata(spark, sf_dir, "events")
+    # NTZ ts: no direct double cast; go through TIMESTAMP (UTC session tz).
+    tsec = F.col("ts").cast("timestamp").cast("double")
     bounds = e.selectExpr(
-        "percentile(cast(ts as double), 1.0/3) AS t1",
-        "percentile(cast(ts as double), 2.0/3) AS t2",
+        "percentile(cast(cast(ts as timestamp) as double), 1.0/3) AS t1",
+        "percentile(cast(cast(ts as timestamp) as double), 2.0/3) AS t2",
     ).first()
     splits = [
-        e.filter(F.col("ts").cast("double") <= bounds.t1),
-        e.filter(
-            (F.col("ts").cast("double") > bounds.t1)
-            & (F.col("ts").cast("double") <= bounds.t2)
-        ),
-        e.filter(F.col("ts").cast("double") > bounds.t2),
+        e.filter(tsec <= bounds.t1),
+        e.filter((tsec > bounds.t1) & (tsec <= bounds.t2)),
+        e.filter(tsec > bounds.t2),
     ]
     now = time.time()
     for i, part in enumerate(splits):
@@ -73,7 +72,8 @@ def test_state_carries_across_micro_batches(spark, sf_dir, split_events_dir):
             (
                 F.col("prev_ts").isNull()
                 | (
-                    F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("prev_ts").cast("timestamp").cast("double")
                     > 3600.0
                 )
             ).cast("long"),
