@@ -1,0 +1,277 @@
+"""Statistical-association, edit-distance, and gap-filling workload.
+
+Engine-surface additions beyond SURVEY.md §2.4/2.7: bivariate
+aggregates (corr / covar / the SQL regr_* family), blocked Levenshtein
+near-dup detection (the classic fuzzy-dedup primitive the shingle and
+MinHash paths in ``workload/dedup.py`` don't cover), calendar-spine
+gap filling for time series, and the value-positional window family
+(first_value / last_value / nth_value). All pure JVM expressions —
+no Python UDFs — with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+#: blocked-levenshtein knobs: candidate pairs must share the first
+#: BLOCK_PREFIX chars; the distance itself is computed over the first
+#: HEAD_LEN chars (bounds the O(len^2) DP regardless of document size)
+BLOCK_PREFIX = 16
+HEAD_LEN = 64
+MAX_EDIT_DIST = 8
+
+
+@register(
+    "q74_stat_association",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)           AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4)     AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope_price_on_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept_price,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2_price_on_qty,
+           COUNT(*)                                              AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "stats", "regression"),
+)
+def q74_stat_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per return flag: Pearson
+    correlation, sample covariance, and the SQL-standard regr_* linear
+    fit of extended price on quantity. One hash-aggregate shuffle on a
+    low-cardinality key; all six statistics ride the same single-pass
+    partial aggregation (no second scan, no join)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "slope_price_on_qty"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "intercept_price"
+            ),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+                "r2_price_on_qty"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q75_levenshtein_neardup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             substring(text, 1, {HEAD_LEN})     AS head,
+             substring(text, 1, {BLOCK_PREFIX}) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+    FROM d a JOIN d b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= {MAX_EDIT_DIST}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "levenshtein", "fuzzy"),
+)
+def q75_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with prefix blocking: only
+    documents sharing their first 16 chars become candidates (equi-join,
+    ordinary hash shuffle — never an all-pairs cross join), and the
+    Levenshtein DP runs on a 64-char head so per-pair cost is bounded
+    O(64^2) no matter how large documents get. Complements the
+    shingle/MinHash near-dup family (workload/dedup.py) with the
+    character-level primitive. A pathologically hot block (boilerplate
+    prefix) is the same skew class as hot shingles — the q33 df-cap /
+    salting treatment applies unchanged."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, HEAD_LEN).alias("head"),
+        F.substring("text", 1, BLOCK_PREFIX).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= MAX_EDIT_DIST)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q76_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events, round(SUM(value), 4) AS day_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+           COALESCE(d.n_events, 0)    AS n_events,
+           COALESCE(d.day_value, 0.0) AS day_value
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ORDER BY 1, 2
+    """,
+    tags=("timeseries", "gapfill", "sequence"),
+)
+def q76_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: every user gets one row per day
+    between their first and last event, zero-filled where no events
+    happened — the standard densification step before rolling-window
+    features (a gap-blind ROWS frame over sparse days is wrong; q60
+    handles that with a RANGE frame, this materializes the dense grid).
+    Plan: daily pre-aggregate (one shuffle), tiny per-user span agg,
+    sequence+explode generates the spine executor-side (never a
+    driver-side date loop), then a co-partitioned left join back —
+    both sides already hash-partitioned by user_id, so AQE keeps the
+    exchange count at the pre-agg's."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("day_value"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string day: date pandas dtypes differ between engines
+            # (datetime.date objects vs datetime64), strings compare clean
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "q77_value_position_windows",
+    oracle="""
+    SELECT DISTINCT user_id,
+           round(first_value(value) OVER w, 4)   AS first_val,
+           round(last_value(value)  OVER w, 4)   AS last_val,
+           round(nth_value(value, 3) OVER w, 4)  AS third_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    tags=("window", "positional"),
+)
+def q77_value_position_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-positional window family: each user's first, last, and
+    third event value in time order (nth_value is NULL for users with
+    fewer than 3 events). The unbounded-both frame makes all three
+    constant within the partition, so the trailing distinct collapses
+    to one row per user without a second aggregation pass; ties are
+    impossible because (ts, event_id) is a total order."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return (
+        e.select(
+            "user_id",
+            F.round(F.first_value("value").over(w), 4).alias("first_val"),
+            F.round(F.last_value("value").over(w), 4).alias("last_val"),
+            F.round(F.nth_value("value", 3).over(w), 4).alias("third_val"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q78_lang_vocab_overlap",
+    oracle="""
+    WITH lt AS (
+      SELECT DISTINCT lang, tok FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+    ), sizes AS (
+      SELECT lang, COUNT(*) AS n FROM lt GROUP BY 1
+    ), inter AS (
+      SELECT a.lang AS la, b.lang AS lb, COUNT(*) AS ni
+      FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+           COALESCE(i.ni, 0)                    AS n_shared,
+           sa.n + sb.n - COALESCE(i.ni, 0)      AS n_union,
+           round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (sa.n + sb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.lang < sb.lang
+    LEFT JOIN inter i ON i.la = sa.lang AND i.lb = sb.lang
+    ORDER BY lang_a, lang_b
+    """,
+    tags=("text", "array", "setops"),
+)
+def q78_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary Jaccard via array set algebra:
+    per-language distinct-token vocabularies are collected into array
+    columns, then every language pair is scored with array_intersect /
+    array_union — the array-HOF counterpart of the relational
+    anti/semi-join formulation the oracle spells. Scale argument: a
+    language's vocabulary grows sublinearly with corpus size (Heaps'
+    law) and is bounded in practice (~1e5 tokens ≈ 1-2 MB per row), so
+    the collected arrays stay executor-safe at 100 TB even though the
+    corpus doesn't; the pair join is a broadcast over #languages rows.
+    The distinct-token shuffle on (lang, tok) is the only heavy stage."""
+    lt = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    vocab = lt.groupBy("lang").agg(F.collect_set("tok").alias("v"))
+    a = vocab.select(F.col("lang").alias("lang_a"), F.col("v").alias("va"))
+    b = vocab.select(F.col("lang").alias("lang_b"), F.col("v").alias("vb"))
+    inter = F.size(F.array_intersect("va", "vb"))
+    union = F.size(F.array_union("va", "vb"))
+    return (
+        a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            inter.cast("long").alias("n_shared"),
+            union.cast("long").alias("n_union"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

@@ -164,3 +164,39 @@ def test_q71_mixture_corpus_never_shuffles(spark, sf_dir):
     strategies = join_strategies(df)
     assert "BroadcastHashJoin" in strategies
     assert set(strategies) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}
+
+
+def test_q74_stat_aggs_single_shuffle(spark, sf_dir):
+    df = q("q74_stat_association", spark, sf_dir)
+    # all six bivariate statistics share one partial+final hash agg;
+    # the second exchange is the trivial ~3-row result sort
+    assert count_exchanges(df) <= 2
+    assert join_strategies(df) == []
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"l_returnflag", "l_quantity", "l_extendedprice"}
+
+
+def test_q75_levenshtein_is_blocked_equi_join(spark, sf_dir):
+    df = q("q75_levenshtein_neardup", spark, sf_dir)
+    # prefix blocking makes it an ordinary hash/merge equi-join —
+    # never an all-pairs nested loop over the corpus
+    assert not has_cartesian_or_bnlj(df)
+    assert set(join_strategies(df)) <= {
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    }
+
+
+def test_q76_gapfill_no_nested_loop(spark, sf_dir):
+    df = q("q76_gapfill_daily", spark, sf_dir)
+    assert not has_cartesian_or_bnlj(df)
+    # daily pre-agg + span agg + spine⋈daily join exchanges, bounded
+    assert count_exchanges(df) <= 4
+
+
+def test_q78_vocab_pairs_broadcast_only(spark, sf_dir):
+    df = q("q78_lang_vocab_overlap", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the lang-pair cross is a DELIBERATE broadcast nested loop over
+    # #languages rows (tiny); the heavy (lang, tok) distinct must be
+    # hash exchanges, with no shuffle join anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
