@@ -330,22 +330,29 @@ def q10_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked query uses `percentile`, which both engines
     define as linear interpolation).
 
-    The repartition parallelizes the partial aggregation: the test
-    parquet is a single row group (one scan task), and percentile's
-    per-partition state is a value→count map that is as CPU-heavy as
-    the data (measured ~3x here). Exact percentile cannot shrink its
-    partial state below the distinct values, so with only |groups|
-    reducers the merge is the inherent floor — at extreme scale with
-    few groups you switch to percentile_approx (as gold does) or a
-    rank-based two-job plan; this query exists to pin the exact
-    semantics."""
+    Both quantiles ride ONE `percentile(col, array(...))` aggregate, so
+    the value→count map state is built and merged once, not per
+    quantile (two separate calls measured 1.4x slower). Exact
+    percentile cannot shrink its partial state below the distinct
+    values; q79 pins the rank-based plan whose heavy stage stays fully
+    parallel at scale, and gold uses percentile_approx when a sketch is
+    acceptable."""
     li = t(spark, sf_dir, "lineitem")
-    par = spark.sparkContext.defaultParallelism
-    return li.repartition(par).groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    ps = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            ps.alias("_ps"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_ps")[0], 6).alias("median_price"),
+            F.round(F.col("_ps")[1], 6).alias("p95_price"),
+            "min_price",
+            "max_price",
+        )
     )
 
 

@@ -1,0 +1,66 @@
+"""exact_percentiles must reproduce the builtin `percentile`
+aggregate's linear interpolation (within float association noise) on
+adversarial shapes: single-row groups, all-equal values, heavy
+duplication, and boundary quantiles p=0 / p=1."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.percentiles import exact_percentiles
+
+PS = [0.0, 0.25, 0.5, 0.95, 1.0]
+
+
+def _ref(df, ps):
+    aggs = [
+        F.expr(f"percentile(v, {p})").alias(f"p{int(round(p * 100))}") for p in ps
+    ]
+    return {
+        r["k"]: r.asDict() for r in df.groupBy("k").agg(*aggs).collect()
+    }
+
+
+def _new(df, ps):
+    return {
+        r["k"]: r.asDict()
+        for r in exact_percentiles(df, "k", "v", ps).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        # single-row group + two-row group
+        [("a", 7.0), ("b", 1.0), ("b", 3.0)],
+        # all-equal values
+        [("a", 5.0)] * 10,
+        # heavy duplication across 3 groups
+        [(k, float(v)) for k in "abc" for v in [1, 1, 1, 2, 2, 9, 9, 9, 9, 100]],
+    ],
+)
+def test_matches_builtin_percentile(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v double")
+    ref, new = _ref(df, PS), _new(df, PS)
+    assert set(ref) == set(new)
+    for k in ref:
+        for p in PS:
+            col = f"p{int(round(p * 100))}"
+            assert new[k][col] == pytest.approx(ref[k][col], abs=1e-9), (k, col)
+
+
+def test_matches_builtin_on_random_data(spark):
+    rng = random.Random(7)
+    rows = [
+        (rng.choice("abcd"), round(rng.uniform(-100, 100), 2))
+        for _ in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ref, new = _ref(df, PS), _new(df, PS)
+    for k in ref:
+        for p in PS:
+            col = f"p{int(round(p * 100))}"
+            assert new[k][col] == pytest.approx(ref[k][col], abs=1e-9), (k, col)
