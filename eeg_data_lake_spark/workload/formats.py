@@ -1,0 +1,189 @@
+"""Format/type-surface workload: VARIANT semi-structured columns,
+full-outer reconciliation, and ORC / JSON-lines round-trips.
+
+These widen the S-family (sources/sinks) and type coverage beyond the
+reference's text/CSV/parquet/Delta set: Spark 4's VARIANT type for
+schemaless JSON (the open-table-format successor to string-typed
+props), the one join shape the engine didn't yet register
+(full outer), and lossless round-trips through the two other
+first-class columnar/row formats Spark ships built-in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import register, t
+
+
+@register(
+    "q80_variant_props",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+               AS k_bucket,
+           COUNT(*)                                   AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           round(avg(value), 4)                       AS avg_value
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+    tags=("variant", "json", "semi-structured"),
+)
+def q80_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json once into a VARIANT column, then typed variant_get
+    extraction — the engine-native path for schemaless JSON at scale
+    (VARIANT stores a parsed binary encoding, so repeated field access
+    skips re-tokenizing the JSON text, and shredded storage can prune).
+    Contrast with q24, which string-parses via get_json_object on every
+    access. One hash-agg shuffle on the derived bucket."""
+    e = t(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "event_type", "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "q81_full_outer_reconciliation",
+    oracle="""
+    WITH od AS (
+      SELECT CAST(o_orderdate AS VARCHAR) AS day, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), ed AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(od.day, ed.day)   AS day,
+           COALESCE(od.n_orders, 0)   AS n_orders,
+           COALESCE(ed.n_events, 0)   AS n_events,
+           CASE WHEN od.day IS NULL THEN 'events_only'
+                WHEN ed.day IS NULL THEN 'orders_only'
+                ELSE 'both' END       AS presence
+    FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    ORDER BY day
+    """,
+    tags=("join", "full-outer", "reconciliation"),
+)
+def q81_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (the one join family not yet registered): daily
+    order counts reconciled against daily event counts, null-extended
+    on both sides with a presence label — the standard two-system
+    audit/reconciliation shape. Both inputs are pre-aggregated to one
+    row per day BEFORE the join, so the full-outer shuffle moves
+    |days|, not |rows|, and the join key is the pre-agg key (AQE reuses
+    the partitioning)."""
+    od = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    o, e = od.alias("o"), ed.alias("e")
+    return (
+        o.join(e, F.col("o.day") == F.col("e.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.day"), F.col("e.day")).alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.when(F.col("o.day").isNull(), "events_only")
+            .when(F.col("e.day").isNull(), "orders_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("day")
+    )
+
+
+def _rt_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-sf_dir scratch dir for round-trip sinks."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/eeg_format_rt/{tag}_{h}"
+
+
+@register(
+    "q82_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)                         AS n,
+           round(sum(l_quantity), 2)        AS sum_qty,
+           round(sum(l_extendedprice), 2)   AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("source", "sink", "orc"),
+)
+def q82_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (S-family add: the second columnar format Spark
+    ships natively): project lineitem to the needed columns, write ORC,
+    re-read, aggregate. The aggregate must equal the oracle computed on
+    the original parquet — proving the round-trip is lossless for
+    string/double columns and that predicate/projection pushdown has an
+    equivalent columnar path outside parquet. The write is partitioned
+    prune-ably by the group key."""
+    path = _rt_dir(sf_dir, "lineitem_orc")
+    t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).write.mode("overwrite").partitionBy("l_returnflag").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q83_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*)                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(doc_id) AS BIGINT)  AS max_doc_id
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "sink", "json"),
+)
+def q83_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd scan (the interchange format every
+    crawl/annotation pipeline speaks): write documents as JSONL,
+    re-read with the original schema pinned (never inferSchema in
+    production — one pass, no sampling job), aggregate, and match the
+    oracle computed on the original parquet. Long/string columns
+    round-trip exactly through JSON text; the scan stays splittable
+    because JSONL is line-delimited."""
+    path = _rt_dir(sf_dir, "documents_jsonl")
+    d = t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(d.schema).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

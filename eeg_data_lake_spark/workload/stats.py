@@ -218,6 +218,38 @@ def q77_value_position_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q79_rank_based_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "scale"),
+)
+def q79_rank_based_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles via the rank-based plan (operators/
+    percentiles.py): groupBy(key, value) count → cumulative-rank window
+    over distinct values → interpolate the two bracketing values. Same
+    linear-interpolation semantics as q10's `percentile` aggregate, but
+    the heavy shuffle is the fully parallel distinct-count — the
+    per-group serial stage sees only distinct values, never all rows —
+    which is the formulation that survives few-groups × 100 TB where
+    the aggregate's value→count map state becomes the bottleneck."""
+    from eeg_data_lake_spark.operators.percentiles import exact_percentiles
+
+    li = t(spark, sf_dir, "lineitem")
+    out = exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.95])
+    return out.select(
+        "l_returnflag",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+    ).orderBy("l_returnflag")
+
+
+@register(
     "q78_lang_vocab_overlap",
     oracle="""
     WITH lt AS (

