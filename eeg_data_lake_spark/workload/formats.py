@@ -187,3 +187,49 @@ def q83_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q85_map_props_functions",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key, props, value
+      FROM events
+    )
+    SELECT prop_key,
+           COUNT(*)                                                   AS n_rows,
+           round(avg(CAST(json_extract_string(props, '$.' || prop_key)
+                          AS INTEGER)), 4)                            AS avg_prop,
+           CAST(max(CAST(json_extract_string(props, '$.' || prop_key)
+                         AS INTEGER)) AS INTEGER)                     AS max_prop,
+           round(avg(value), 4)                                       AS avg_value
+    FROM kv
+    GROUP BY prop_key
+    ORDER BY prop_key
+    """,
+    tags=("map", "json", "types"),
+)
+def q85_map_props_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface over the props JSON: from_json into
+    map<string,int> ONCE, then map-native operators — explode into
+    (key, value) entry rows, map_contains_key guards — instead of
+    re-parsing the JSON text per field access. Generic over whatever
+    keys appear in the data (the oracle unnests json_keys the same
+    way); one hash-agg shuffle keyed by prop key."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "m", F.from_json("props", "map<string,int>")
+    )
+    kv = e.select(
+        F.explode("m").alias("prop_key", "prop_val"),
+        "value",
+    )
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("prop_val"), 4).alias("avg_prop"),
+            F.max("prop_val").cast("int").alias("max_prop"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("prop_key")
+    )

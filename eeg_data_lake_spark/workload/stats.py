@@ -307,3 +307,54 @@ def q78_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+@register(
+    "q86_mad_arrow",
+    oracle="""
+    SELECT user_id,
+           round(median(value), 6) AS med_value,
+           round(mad(value), 6)    AS mad_value,
+           COUNT(*)                AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("agg", "robust-stats", "arrow-udf"),
+)
+def q86_mad_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user statistics (median + median absolute deviation)
+    via ``applyInArrow`` — Spark 4's Arrow-native grouped map, one step
+    lower than the pandas UDF path: the kernel receives a
+    ``pyarrow.Table`` per group and never pays the Arrow→pandas
+    conversion q94 and friends do. MAD needs two dependent medians, so
+    it is genuinely outside single-pass SQL aggregation; the shuffle is
+    the one groupBy(user_id) exchange and state per group is its value
+    vector (bounded: ~events-per-user), exactly like the signal
+    kernels. numpy's interpolated median matches DuckDB's
+    median()/mad() definitions."""
+    import numpy as np
+    import pyarrow as pa
+
+    def mad_kernel(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False).astype("float64")
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return pa.table(
+            {
+                "user_id": pa.array([int(tbl.column("user_id")[0].as_py())]),
+                "med_value": pa.array([round(med, 6)]),
+                "mad_value": pa.array([round(mad, 6)]),
+                "n": pa.array([len(v)], type=pa.int64()),
+            }
+        )
+
+    e = t(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        e.groupBy("user_id")
+        .applyInArrow(
+            mad_kernel,
+            "user_id long, med_value double, mad_value double, n long",
+        )
+        .orderBy("user_id")
+    )
