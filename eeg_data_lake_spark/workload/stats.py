@@ -358,3 +358,40 @@ def q86_mad_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "z01_hll_sketch_rollup",
+    oracle=None,  # Datasketches HLL binary sketches are Spark-only →
+    # rows-only; estimate accuracy is pinned vs exact countDistinct in
+    # tests/test_sketches.py
+    tags=("agg", "sketch", "hll", "scale"),
+)
+def z01_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — THE pattern for distinct
+    users at 100 TB: build one Datasketches HLL sketch per (event_type,
+    day) partial, then roll partials up to event_type totals with
+    hll_union_agg, never re-touching raw data. Unlike
+    approx_count_distinct (whose HLL++ state is also mergeable but
+    opaque), hll_sketch_agg emits the sketch as a binary COLUMN you can
+    persist in a gold table: tomorrow's partials union with a year of
+    history in O(sketches), the re-aggregation cost of exact distinct
+    counting disappears, and any slice of days remains queryable. The
+    name sorts after q87-q99 to stay outside the driver's 50-entry
+    oracle window (no DuckDB twin for sketch bytes)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

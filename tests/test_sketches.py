@@ -1,0 +1,49 @@
+"""HLL sketch rollup: the two-level (daily partial → union) estimate
+must stay within HLL's documented error of the exact distinct count,
+and the partial-union path must equal a direct one-level sketch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import REGISTRY
+
+
+def test_rollup_estimate_close_to_exact(spark, sf_dir):
+    got = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["z01_hll_sketch_rollup"].spark_fn(spark, sf_dir).collect()
+    }
+    from eeg_data_lake_spark.sources.readers import read_testdata
+
+    exact = {
+        r.event_type: r.n
+        for r in read_testdata(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        # default lgConfigK=12 → relative error ~1.6%; allow 5% + slack 2
+        assert abs(got[k] - n) <= max(0.05 * n, 2), (k, got[k], n)
+
+
+def test_union_of_partials_equals_direct_sketch(spark, sf_dir):
+    from eeg_data_lake_spark.sources.readers import read_testdata
+
+    e = read_testdata(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    via_partials = (
+        e.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = e.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    a = {r.event_type: r.est for r in via_partials.collect()}
+    b = {r.event_type: r.est for r in direct.collect()}
+    assert a == b  # merge must be lossless, not approximately equal
