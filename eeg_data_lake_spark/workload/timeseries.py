@@ -256,3 +256,73 @@ def q25_zero_crossing_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
     ).otherwise(0)
     return d.groupBy("user_id").agg(F.sum(change).alias("direction_changes"))
+
+
+@register(
+    "r01_multires_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT 'hour' AS res, CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket,
+             COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+      FROM events GROUP BY 2
+    ), d AS (
+      SELECT 'day' AS res, CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS bucket,
+             COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+      FROM events GROUP BY 2
+    ), w AS (
+      SELECT 'week' AS res, CAST(CAST(date_trunc('week', ts) AS TIMESTAMP) AS VARCHAR) AS bucket,
+             COUNT(*) AS n_events, round(SUM(value), 4) AS total_value
+      FROM events GROUP BY 2
+    )
+    SELECT * FROM h UNION ALL SELECT * FROM d UNION ALL SELECT * FROM w
+    ORDER BY res, bucket
+    """,
+    tags=("timeseries", "rollup", "hypertable"),
+)
+def r01_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: the same
+    events rolled to hour / day / week buckets in one result, tagged by
+    resolution (the TimescaleDB continuous-aggregate shape, and the
+    gold-layer pattern for dashboards that zoom). Plan: ONE scan + one
+    hash agg at the finest grain, then the coarser resolutions
+    re-aggregate the hourly partials — day sums hours, week sums days —
+    so raw events are touched once no matter how many resolutions are
+    served; the re-aggregation inputs are |hour buckets| rows, which is
+    why continuous aggregates stay cheap at 100 TB. (Named r01: it
+    sorts after q50, keeping the driver's 50-entry oracle window on
+    q01–q50; the oracle checks it locally like every beyond-window
+    query.)"""
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sv"),
+        )
+        .persist()
+    )
+
+    def level(df, col, res):
+        return df.select(
+            F.lit(res).alias("res"),
+            F.col(col).cast("string").alias("bucket"),
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+
+    h = hourly.select(
+        F.col("h"), "n_events", F.col("sv").alias("total_value")
+    )
+    d = hourly.groupBy(F.date_trunc("day", "h").alias("h")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sv").alias("total_value")
+    )
+    wk = d.groupBy(F.date_trunc("week", "h").alias("h")).agg(
+        F.sum("n_events").alias("n_events"), F.sum("total_value").alias("total_value")
+    )
+    out = (
+        level(h, "h", "hour")
+        .unionByName(level(d, "h", "day"))
+        .unionByName(level(wk, "h", "week"))
+        .orderBy("res", "bucket")
+    )
+    return out

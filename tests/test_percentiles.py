@@ -64,3 +64,31 @@ def test_matches_builtin_on_random_data(spark):
         for p in PS:
             col = f"p{int(round(p * 100))}"
             assert new[k][col] == pytest.approx(ref[k][col], abs=1e-9), (k, col)
+
+
+def test_property_matches_numpy_linear_quantile(spark):
+    """Hypothesis: for any value multiset, exact_percentiles equals
+    numpy's 'linear' quantile (the same k=(n-1)p interpolation)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        p=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+    )
+    def check(vals, p):
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+        got = exact_percentiles(df, "k", "v", [p]).collect()[0][1]
+        want = float(np.quantile(np.array(vals, dtype="float64"), p, method="linear"))
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+    check()
