@@ -200,3 +200,27 @@ def test_q78_vocab_pairs_broadcast_only(spark, sf_dir):
     # #languages rows (tiny); the heavy (lang, tok) distinct must be
     # hash exchanges, with no shuffle join anywhere
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_r01_rollup_scans_raw_events_once(spark, sf_dir):
+    df = q("r01_multires_rollup", spark, sf_dir)
+    # one parquet scan feeds all three resolutions: day and week
+    # re-aggregate the persisted hourly partials, never the raw rows
+    assert len(read_schema_columns(df)) == 1
+    assert join_strategies(df) == []
+
+
+def test_q85_map_explode_single_agg_shuffle(spark, sf_dir):
+    df = q("q85_map_props_functions", spark, sf_dir)
+    # from_json + explode are narrow; the prop-key agg (+ tiny result
+    # sort) are the only exchanges
+    assert count_exchanges(df) <= 2
+    assert join_strategies(df) == []
+
+
+def test_q86_arrow_map_single_group_shuffle(spark, sf_dir):
+    df = q("q86_mad_arrow", spark, sf_dir)
+    # one groupBy(user_id) exchange feeds the Arrow kernel (+ result sort)
+    assert count_exchanges(df) <= 2
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"user_id", "value"}  # projection pruned
