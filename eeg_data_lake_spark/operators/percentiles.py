@@ -36,10 +36,22 @@ def exact_percentiles(
     ps: Sequence[float],
     prefix: str = "p",
 ) -> DataFrame:
-    """One row per ``key`` with a ``{prefix}{int(p*100)}`` column per
-    requested percentile, matching ``percentile(value, p)`` bit-for-bit
-    (same k = (n-1)·p linear interpolation on the same doubles)."""
-    pc = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
+    """One row per ``key`` with one column per requested percentile
+    (``p50`` for 0.5, ``p12_5`` for 0.125), matching
+    ``percentile(value, p)``'s semantics: NULL values are ignored (not
+    ranked) and quantiles use the same k = (n-1)·p linear
+    interpolation on the same doubles."""
+    if not ps:
+        raise ValueError("exact_percentiles: ps must name at least one percentile")
+    if any(p < 0.0 or p > 1.0 for p in ps):
+        raise ValueError(f"exact_percentiles: percentiles must be in [0, 1], got {ps}")
+    # builtin percentile ignores NULLs; drop them BEFORE counting so
+    # they neither occupy ranks nor inflate _n
+    pc = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(key, value)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     wk = Window.partitionBy(key)
     w = wk.orderBy(value)
     cum = (
@@ -60,7 +72,8 @@ def exact_percentiles(
             F.when((F.col("_lo") <= kf + 1) & (kf + 1 < F.col("_hi")), F.col(value))
         )
         frac = F.max(k - kf)
-        name = f"{prefix}{int(round(p * 100))}"
+        # "%g" keeps distinct ps distinct: 0.5 → p50, 0.125 → p12_5
+        name = prefix + f"{p * 100:g}".replace(".", "_").replace("-", "m")
         aggs.append(
             (v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo)).alias(name)
         )

@@ -89,8 +89,11 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     try:  # pragma: no cover - exercised only where delta-spark exists
         import delta  # noqa: F401
 
+        # the pip package importing does NOT prove the jar is on the
+        # session classpath; load() resolves the source, so fall back on
+        # any failure rather than keying off the wrong signal
         return spark.read.format("delta").load(path)
-    except ImportError:
+    except Exception:  # noqa: BLE001 - ImportError or DATA_SOURCE_NOT_FOUND
         return spark.read.parquet(path)
 
 
@@ -127,8 +130,6 @@ def _ntz_to_timestamp(spark: SparkSession, df: DataFrame) -> DataFrame:
     only in our session factory) because the driver harness calls these
     readers with its own SparkSession.
     """
-    from pyspark.sql import types as T
-
     ntz = [f.name for f in df.schema if isinstance(f.dataType, T.TimestampNTZType)]
     if not ntz:
         return df
@@ -167,11 +168,30 @@ def read_testdata_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
+    import glob
+    import os
+    import warnings
+
     import pyarrow.parquet as pq
 
+    # standard Spark output is a directory of part files — sniff the
+    # first part's footer (one file is representative: Spark writes a
+    # uniform schema per table)
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     try:
         schema = pq.read_schema(path)
-    except Exception:
+    except Exception as ex:  # noqa: BLE001 - footer sniff is best-effort,
+        # but a silent [] here would surface later as the cryptic
+        # SPARK-40819 unsupported-type error, so at least say why
+        warnings.warn(
+            f"parquet footer sniff failed for {path!r} ({ex}); "
+            "ns-timestamp workaround disabled for this read",
+            stacklevel=2,
+        )
         return []
     import pyarrow as pa
 

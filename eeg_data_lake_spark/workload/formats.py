@@ -111,9 +111,15 @@ def q81_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _rt_dir(sf_dir: str, tag: str) -> str:
-    """Deterministic per-sf_dir scratch dir for round-trip sinks."""
+    """Per-(sf_dir, process) scratch dir for round-trip sinks. The pid
+    component keeps concurrent runs (correctness harness + bench, or
+    parallel pytest workers) from racing overwrite-vs-scan on one
+    shared directory; within a process, reruns reuse and overwrite the
+    same path."""
+    import os
+
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"/tmp/eeg_format_rt/{tag}_{h}"
+    return f"/tmp/eeg_format_rt/{tag}_{h}_{os.getpid()}"
 
 
 @register(
@@ -211,11 +217,10 @@ def q83_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q85_map_props_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface over the props JSON: from_json into
-    map<string,int> ONCE, then map-native operators — explode into
-    (key, value) entry rows, map_contains_key guards — instead of
-    re-parsing the JSON text per field access. Generic over whatever
-    keys appear in the data (the oracle unnests json_keys the same
-    way); one hash-agg shuffle keyed by prop key."""
+    map<string,int> ONCE, then the map-native explode into (key, value)
+    entry rows — instead of re-parsing the JSON text per field access.
+    Generic over whatever keys appear in the data (the oracle unnests
+    json_keys the same way); one hash-agg shuffle keyed by prop key."""
     e = t(spark, sf_dir, "events").withColumn(
         "m", F.from_json("props", "map<string,int>")
     )

@@ -92,3 +92,38 @@ def test_property_matches_numpy_linear_quantile(spark):
         assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
 
     check()
+
+
+def test_nulls_are_ignored_like_builtin(spark):
+    """percentile() skips NULLs; the rank plan must too — NULLs neither
+    occupy ranks nor inflate the group count."""
+    rows = [("a", None), ("a", 1.0), ("a", 2.0), ("b", None), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in exact_percentiles(df, "k", "v", [0.0, 0.5]).collect()}
+    ref = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.0)").alias("p0"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for k in ref:
+        assert got[k]["p0"] == pytest.approx(ref[k]["p0"], abs=1e-9)
+        assert got[k]["p50"] == pytest.approx(ref[k]["p50"], abs=1e-9)
+
+
+def test_validates_arguments():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError, match="at least one"):
+        exact_percentiles(None, "k", "v", [])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_percentiles(None, "k", "v", [1.5])
+
+
+def test_fractional_percentiles_get_distinct_names(spark):
+    df = spark.createDataFrame([("a", float(i)) for i in range(9)], "k string, v double")
+    out = exact_percentiles(df, "k", "v", [0.12, 0.125])
+    assert out.columns == ["k", "p12", "p12_5"]
