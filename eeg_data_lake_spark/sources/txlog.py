@@ -509,6 +509,77 @@ class TxTable:
         added = self._write_data(df.repartition(n_out))
         return self._commit(added, small, txn_id, "compact")
 
+    def changes(
+        self,
+        since: int,
+        to: int | None = None,
+        ignore_rewrites: bool = False,
+    ) -> DataFrame:
+        """Change feed: rows INSERTED by commits in ``(since, to]`` —
+        the incremental-consumer primitive (downstream gold jobs read
+        only what arrived since their last checkpoint instead of
+        re-scanning the table; pair with ``version()`` to persist the
+        high-water mark).
+
+        Semantics per commit op:
+
+        - ``append``  → its added files ARE the inserted rows; emitted
+          tagged with ``_commit_version``.
+        - ``compact`` → physical rewrite, no logical change; always
+          transparent (its added files are never emitted).
+        - ``overwrite``/``upsert`` → logically rewrite rows, and this
+          minimal log records file-level actions only, so the row-level
+          delta is not reconstructible. Raises by default (the honest
+          answer, mirroring Delta CDF on tables without change capture
+          enabled); ``ignore_rewrites=True`` skips them, documented
+          lossy, for consumers that reconcile via periodic full syncs.
+        """
+        state = self._replay()  # validates table exists, finds latest
+        hi = state.version if to is None else to
+        if to is not None and to > state.version:
+            raise ValueError(
+                f"version {to} does not exist (latest is {state.version})"
+            )
+        adds: list[tuple[int, list[str]]] = []
+        for v, manifest_path in self._manifests():
+            if v <= since or v > hi:
+                continue
+            with open(manifest_path) as fh:
+                m = json.load(fh)
+            op = m.get("op")
+            if op == "compact":
+                continue
+            if op in ("overwrite", "upsert") and not ignore_rewrites:
+                raise ValueError(
+                    f"changes({since}, {hi}): version {v} is a {op} — "
+                    "row-level deltas for rewrites are not recorded in "
+                    "this log; pass ignore_rewrites=True to skip them "
+                    "(lossy) or re-sync from a full read()"
+                )
+            if op in ("overwrite", "upsert"):
+                continue
+            if m.get("add"):
+                adds.append((v, m["add"]))
+        if not adds:
+            if not state.files:
+                raise ValueError(f"table at {self.path} has no data")
+            schema_df = self.spark.read.parquet(
+                os.path.join(self.path, state.files[0])
+            )
+            return schema_df.withColumn(
+                "_commit_version", F.lit(0).cast("long")
+            ).where("1 = 0")
+        parts = [
+            self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
+            for v, files in adds
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def vacuum(self, keep_versions: int = 0) -> list[str]:
         """Delete data files unreachable from the newest
         ``keep_versions + 1`` versions (and orphans from crashed

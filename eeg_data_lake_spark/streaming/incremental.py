@@ -115,3 +115,39 @@ def maintain_incremental_gold(
         .start()
     )
     q.awaitTermination()
+
+
+def maintain_gold_from_changes(
+    source: TxTable,
+    gold: TxTable,
+    keys: Sequence[str],
+    partial_fn,
+    since: int,
+) -> int:
+    """Batch-side incremental view maintenance driven by the source
+    table's CHANGE FEED (TxTable.changes): fold only the rows appended
+    since the consumer's last high-water mark into the gold aggregate,
+    and return the new high-water mark to persist alongside it.
+
+    This is the CDC-consumer pattern: downstream jobs never rescan the
+    source — per run they read O(new rows), reduce them to per-key
+    partials with ``partial_fn``, and merge via the same
+    O(batch + touched-keys) upsert as the streaming path. The txn_id
+    ties the gold commit to the consumed source version, so re-running
+    after a crash (gold committed, high-water mark not yet persisted)
+    replays as a no-op instead of double-counting.
+    """
+    new_version = source.version()
+    if new_version <= since:
+        return since  # nothing new
+    delta = source.changes(since=since, to=new_version).drop("_commit_version")
+    partial = partial_fn(delta)
+    sum_cols = [c for c in partial.columns if c not in keys]
+    merge_partial_aggregates(
+        gold,
+        partial,
+        keys,
+        sum_cols,
+        txn_id=f"cdc-{source.path}-{since}-{new_version}",
+    )
+    return new_version
