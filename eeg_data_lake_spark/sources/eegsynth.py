@@ -152,9 +152,11 @@ class EEGSynthStreamReader(SimpleDataSourceStreamReader):
         # before shipping to executors — they must be a materialized
         # list, not a generator (generators don't pickle).
         t = int(start["trial"])
-        if t >= self._r.n_trials:  # caught up — empty batch, same offset
-            return [], start
-        return list(_trial_rows(self._r, t)), {"trial": t + 1}
+        if t >= self._r.n_trials:
+            # caught up: empty batch, same offset — must be an ITERATOR
+            # (the prefetcher validates no-advance batches with next(it))
+            return iter(()), start
+        return iter(list(_trial_rows(self._r, t))), {"trial": t + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rows = []

@@ -154,3 +154,50 @@ def q55_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "r02_embedding_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) >= {COSINE_NEARDUP_TAU}
+    ),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION SELECT vb, va FROM pairs
+    ),
+    reach(node, other) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.other FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node, CAST(min(other) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "similarity", "graph", "iterative"),
+)
+def r02_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the q36 cosine pair graph collapsed
+    into dedup groups by iterative min-label propagation — the last
+    step of semantic dedup, where each cluster keeps one
+    representative. Same composition as q48 (shingle pairs → CC) but
+    over the embedding modality; at scale the exact pair step swaps
+    for the LSH/IVF candidate generation (q93/q99) with the SAME
+    cluster step, because connected_components only sees (src, dst)
+    edges and is agnostic to how candidates were found. The oracle
+    recomputes components with a recursive CTE (transitive closure —
+    viable at oracle scale only, which is exactly why the engine
+    iterates)."""
+    from eeg_data_lake_spark.operators.graph import connected_components
+
+    pairs = q36_embedding_neardup_pairs(spark, sf_dir)
+    return connected_components(pairs, src="vec_a", dst="vec_b").select(
+        "node", "component"
+    )

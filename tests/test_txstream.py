@@ -1,0 +1,105 @@
+"""Streaming source over the txlog change feed: appends stream exactly
+once with version tags, the stream picks up commits made while it
+runs, replay between offsets is bit-exact, and compaction never
+re-emits rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.sources.txstream import (
+    TxLogStreamDataSource,
+    TxLogStreamReader,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.append(_df(spark, 0, 5))
+    return t
+
+
+def test_stream_tails_appends_exactly_once(spark, table, tmp_path):
+    spark.dataSource.register(TxLogStreamDataSource)
+    import uuid
+
+    name = "txcdc_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("txlogcdc")
+        .option("path", table.path)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 5
+        # commits made WHILE the stream runs are picked up next poll
+        table.append(_df(spark, 5, 8))
+        table.append(_df(spark, 8, 10))
+        q.processAllAvailable()
+        out = spark.table(name)
+        assert out.count() == 10
+        vers = {
+            r["_commit_version"]: r["n"]
+            for r in out.groupBy("_commit_version")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert vers == {0: 5, 1: 3, 2: 2}
+        assert {r.k for r in out.collect()} == set(range(10))
+    finally:
+        q.stop()
+
+
+def test_replay_between_offsets_is_exact(spark, table):
+    table.append(_df(spark, 5, 8))
+    r = TxLogStreamReader({"path": table.path})
+    it1, off1 = r.read(r.initialOffset())
+    batch1 = list(it1)
+    replay = list(r.readBetweenOffsets(r.initialOffset(), off1))
+    assert sorted(batch1) == sorted(replay)
+    assert off1 == {"version": 1}
+    # caught up → empty batch, unchanged offset
+    it2, off2 = r.read(off1)
+    assert list(it2) == [] and off2 == off1
+
+
+def test_compaction_not_reemitted(spark, table):
+    r = TxLogStreamReader({"path": table.path})
+    _b, off = r.read(r.initialOffset())
+    table.compact()
+    it, off2 = r.read(off)
+    assert list(it) == []
+    assert int(off2["version"]) >= int(off["version"])
+
+
+def test_rewrite_raises_unless_ignored(spark, table):
+    r = TxLogStreamReader({"path": table.path})
+    _b, off = r.read(r.initialOffset())
+    table.upsert(_df(spark, 3, 6), keys=["k"])
+    with pytest.raises(ValueError, match="upsert"):
+        r.read(off)
+    r2 = TxLogStreamReader({"path": table.path, "ignore_rewrites": "true"})
+    it, _ = r2.read(off)
+    assert list(it) == []
+
+
+def test_starting_version_skips_history(spark, table):
+    table.append(_df(spark, 5, 8))
+    r = TxLogStreamReader({"path": table.path, "startingVersion": "0"})
+    it, off = r.read(r.initialOffset())
+    assert len(list(it)) == 3  # only version 1's rows
+    assert off == {"version": 1}
