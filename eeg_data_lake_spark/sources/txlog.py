@@ -174,6 +174,55 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
     return True
 
 
+#: commit ops that are pure physical rewrites (row content unchanged)
+#: — invisible to every change-feed surface
+REWRITE_TRANSPARENT_OPS = {"compact", "zorder"}
+#: commit ops that logically rewrite rows in ways a file-action log
+#: cannot express as a row-level delta
+LOGICAL_REWRITE_OPS = {"overwrite", "upsert"}
+
+
+def iter_manifests(path: str):
+    """(version, manifest_path) in version order for a txlog table."""
+    log_dir = os.path.join(path, "_txlog")
+    for n in sorted(os.listdir(log_dir)):
+        if n.endswith(".json"):
+            yield int(n[:-5]), os.path.join(log_dir, n)
+
+
+def feed_adds_between(
+    path: str,
+    since: int,
+    to: int,
+    ignore_rewrites: bool,
+    ctx: str,
+) -> list[tuple[int, list[str]]]:
+    """The change feed's file actions in ``(since, to]`` — shared by
+    TxTable.changes and the txlogcdc streaming source so commit-op
+    semantics cannot diverge between the two CDC surfaces."""
+    out: list[tuple[int, list[str]]] = []
+    for v, mp in iter_manifests(path):
+        if v <= since or v > to:
+            continue
+        with open(mp) as fh:
+            m = json.load(fh)
+        op = m.get("op")
+        if op in REWRITE_TRANSPARENT_OPS:
+            continue
+        if op in LOGICAL_REWRITE_OPS:
+            if not ignore_rewrites:
+                raise ValueError(
+                    f"{ctx}: version {v} is a {op} — row-level deltas "
+                    "for logical rewrites are not recorded in this log; "
+                    "pass ignore_rewrites to skip them (lossy) or "
+                    "re-sync from a full read()"
+                )
+            continue
+        if m.get("add"):
+            out.append((v, m["add"]))
+    return out
+
+
 class ConcurrentModificationError(RuntimeError):
     """A losing commit race invalidated this commit's remove-set
     (the files it rewrites were already removed by the winner)."""
@@ -227,11 +276,7 @@ class TxTable:
         return _LogState(version, files, txns, stats)
 
     def _manifests(self):
-        names = sorted(
-            n for n in os.listdir(self.log_dir) if n.endswith(".json")
-        )
-        for n in names:
-            yield int(n[:-5]), os.path.join(self.log_dir, n)
+        yield from iter_manifests(self.path)
 
     def version(self) -> int:
         return self._replay().version
@@ -525,8 +570,9 @@ class TxTable:
 
         - ``append``  → its added files ARE the inserted rows; emitted
           tagged with ``_commit_version``.
-        - ``compact`` → physical rewrite, no logical change; always
-          transparent (its added files are never emitted).
+        - ``compact``/``zorder`` → physical rewrites, no logical
+          change; always transparent (their added files are never
+          emitted).
         - ``overwrite``/``upsert`` → logically rewrite rows, and this
           minimal log records file-level actions only, so the row-level
           delta is not reconstructible. Raises by default (the honest
@@ -540,26 +586,9 @@ class TxTable:
             raise ValueError(
                 f"version {to} does not exist (latest is {state.version})"
             )
-        adds: list[tuple[int, list[str]]] = []
-        for v, manifest_path in self._manifests():
-            if v <= since or v > hi:
-                continue
-            with open(manifest_path) as fh:
-                m = json.load(fh)
-            op = m.get("op")
-            if op == "compact":
-                continue
-            if op in ("overwrite", "upsert") and not ignore_rewrites:
-                raise ValueError(
-                    f"changes({since}, {hi}): version {v} is a {op} — "
-                    "row-level deltas for rewrites are not recorded in "
-                    "this log; pass ignore_rewrites=True to skip them "
-                    "(lossy) or re-sync from a full read()"
-                )
-            if op in ("overwrite", "upsert"):
-                continue
-            if m.get("add"):
-                adds.append((v, m["add"]))
+        adds = feed_adds_between(
+            self.path, since, hi, ignore_rewrites, f"changes({since}, {hi})"
+        )
         if not adds:
             if not state.files:
                 raise ValueError(f"table at {self.path} has no data")
@@ -577,7 +606,9 @@ class TxTable:
         ]
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: additively-evolved commits (the
+            # merge_schema=True read path) must stay feed-readable
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def vacuum(self, keep_versions: int = 0) -> list[str]:

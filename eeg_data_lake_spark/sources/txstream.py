@@ -17,7 +17,7 @@ Built on the Spark 4 Python DataSource API
   txn_id).
 
 Semantics per commit op mirror ``TxTable.changes``: appends stream
-their rows, compaction is invisible (physical rewrite), and an
+their rows, compaction/zorder are invisible (physical rewrites), and an
 overwrite/upsert in the tailed range raises unless
 ``ignore_rewrites`` is set (the log records file actions, not
 row-level deltas).
@@ -37,6 +37,11 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
+
+from eeg_data_lake_spark.sources.txlog import (
+    feed_adds_between,
+    iter_manifests,
+)
 
 _ARROW_TO_DDL = {
     "int8": "tinyint",
@@ -58,6 +63,10 @@ def _ddl_for(path: str) -> str:
     """Schema of the table's first live file + _commit_version, as DDL."""
     import pyarrow.parquet as pq
 
+    if not path:
+        # schema() runs before the reader's __init__, so validate here
+        # too or a missing option surfaces as FileNotFoundError
+        raise ValueError("txlog stream requires .option('path', <table dir>)")
     files = _live_files(path)
     if not files:
         raise ValueError(f"txlog table at {path} has no data to infer from")
@@ -78,16 +87,9 @@ def _ddl_for(path: str) -> str:
     return ", ".join(parts)
 
 
-def _manifests(path: str):
-    log_dir = os.path.join(path, "_txlog")
-    for n in sorted(os.listdir(log_dir)):
-        if n.endswith(".json"):
-            yield int(n[:-5]), os.path.join(log_dir, n)
-
-
 def _live_files(path: str) -> list[str]:
     files: list[str] = []
-    for _v, mp in _manifests(path):
+    for _v, mp in iter_manifests(path):
         with open(mp) as fh:
             m = json.load(fh)
         live = set(files)
@@ -98,7 +100,7 @@ def _live_files(path: str) -> list[str]:
 
 
 class TxLogStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, fields: list[str]):
         self.path = (options.get("path") or "").rstrip("/")
         if not self.path:
             raise ValueError("txlog stream requires .option('path', <table dir>)")
@@ -107,35 +109,21 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         )
         start = options.get("startingVersion")
         self._start = int(start) if start is not None else -1
-        self._fields: list[str] | None = None
+        #: declared output columns (minus the version tag) — rows are
+        #: emitted in THIS order regardless of per-file column order
+        self._fields = fields
 
     # ------------------------------------------------------------ log
 
     def _adds_between(self, a: int, b: int) -> list[tuple[int, list[str]]]:
-        out = []
-        for v, mp in _manifests(self.path):
-            if v <= a or v > b:
-                continue
-            with open(mp) as fh:
-                m = json.load(fh)
-            op = m.get("op")
-            if op == "compact":
-                continue
-            if op in ("overwrite", "upsert"):
-                if not self.ignore_rewrites:
-                    raise ValueError(
-                        f"txlog stream at {self.path}: version {v} is a "
-                        f"{op}; row-level deltas are not recorded — set "
-                        ".option('ignore_rewrites', 'true') to skip (lossy)"
-                    )
-                continue
-            if m.get("add"):
-                out.append((v, m["add"]))
-        return out
+        return feed_adds_between(
+            self.path, a, b, self.ignore_rewrites,
+            f"txlog stream at {self.path}",
+        )
 
     def _latest(self) -> int:
         v = -1
-        for v, _mp in _manifests(self.path):
+        for v, _mp in iter_manifests(self.path):
             pass
         return v
 
@@ -146,9 +134,16 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         for v, files in adds:
             for rel in files:
                 tbl = pq.read_table(os.path.join(self.path, rel))
-                if self._fields is None:
-                    self._fields = tbl.schema.names
-                cols = [tbl.column(n).to_pylist() for n in self._fields]
+                # values keyed by DECLARED field name, never file
+                # position — a commit written with reordered columns
+                # must not swap values, and a column absent from an
+                # older file (additive evolution) reads as None
+                cols = [
+                    tbl.column(n).to_pylist()
+                    if n in tbl.schema.names
+                    else [None] * tbl.num_rows
+                    for n in self._fields
+                ]
                 rows.extend(
                     (*vals, v) for vals in zip(*cols)
                 )
@@ -189,4 +184,5 @@ class TxLogStreamDataSource(DataSource):
         return _ddl_for((self.options.get("path") or "").rstrip("/"))
 
     def simpleStreamReader(self, schema: StructType) -> TxLogStreamReader:
-        return TxLogStreamReader(self.options)
+        fields = [f.name for f in schema.fields if f.name != "_commit_version"]
+        return TxLogStreamReader(self.options, fields)

@@ -132,22 +132,38 @@ def maintain_gold_from_changes(
     This is the CDC-consumer pattern: downstream jobs never rescan the
     source — per run they read O(new rows), reduce them to per-key
     partials with ``partial_fn``, and merge via the same
-    O(batch + touched-keys) upsert as the streaming path. The txn_id
-    ties the gold commit to the consumed source version, so re-running
-    after a crash (gold committed, high-water mark not yet persisted)
-    replays as a no-op instead of double-counting.
+    O(batch + touched-keys) upsert as the streaming path.
+
+    Idempotence is PER SOURCE VERSION: each append commit folds into
+    gold as its own upsert with txn_id ``cdc-<table>-v<version>``.
+    A crash between the gold commit and persisting the high-water
+    mark replays with a stale ``since``; every already-applied
+    version no-ops on its txn id, and versions committed to the
+    source meanwhile still apply — a single range-keyed txn id would
+    either double-count the overlap (range grew) or drop the new
+    versions (range reused).
     """
+    from eeg_data_lake_spark.sources.txlog import feed_adds_between
+
     new_version = source.version()
     if new_version <= since:
         return since  # nothing new
-    delta = source.changes(since=since, to=new_version).drop("_commit_version")
-    partial = partial_fn(delta)
-    sum_cols = [c for c in partial.columns if c not in keys]
-    merge_partial_aggregates(
-        gold,
-        partial,
-        keys,
-        sum_cols,
-        txn_id=f"cdc-{source.path}-{since}-{new_version}",
-    )
+    versions = [
+        v
+        for v, _files in feed_adds_between(
+            source.path, since, new_version, False,
+            f"maintain_gold_from_changes({since}, {new_version})",
+        )
+    ]
+    for v in versions:
+        delta = source.changes(since=v - 1, to=v).drop("_commit_version")
+        partial = partial_fn(delta)
+        sum_cols = [c for c in partial.columns if c not in keys]
+        merge_partial_aggregates(
+            gold,
+            partial,
+            keys,
+            sum_cols,
+            txn_id=f"cdc-{source.path}-v{v}",
+        )
     return new_version

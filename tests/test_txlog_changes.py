@@ -116,3 +116,69 @@ def test_cdc_gold_maintenance_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_zorder_rewrite_is_transparent(spark, table):
+    """OPTIMIZE ZORDER rewrites every live file (op 'zorder'); like
+    plain compaction it must never re-emit rows into the feed."""
+    v0 = table.append(_df(spark, 0, 5))
+    table.append(_df(spark, 5, 8))
+    before = table.changes(since=v0).orderBy("k").collect()
+    table.compact(zorder_by=["k"])
+    after = table.changes(since=v0).orderBy("k").collect()
+    assert before == after
+
+
+def test_schema_evolved_commits_stay_feed_readable(spark, table):
+    """An additively-evolved append (extra column) must not break the
+    feed: older commits read the new column as NULL."""
+    v0 = table.version()
+    table.append(_df(spark, 0, 3))
+    table.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("extra"),
+        )
+    )
+    feed = table.changes(since=v0)
+    assert feed.count() == 5
+    assert "extra" in feed.columns
+    assert feed.filter(F.col("extra").isNull()).count() == 3
+
+
+def test_cdc_replay_with_source_advanced_between(spark, tmp_path):
+    """THE crash window: gold committed for (since, v], high-water mark
+    not persisted, source receives another append, consumer re-runs
+    with the stale mark. Per-version txn ids must no-op the replayed
+    versions and still apply the new one — never double-count."""
+    from eeg_data_lake_spark.streaming.incremental import (
+        maintain_gold_from_changes,
+    )
+
+    source = TxTable(spark, str(tmp_path / "src"))
+    gold = TxTable(spark, str(tmp_path / "gold"))
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+
+    hwm0 = source.version()
+    source.append(_df(spark, 0, 5))
+    # consumer applies version 0 but CRASHES before persisting hwm
+    maintain_gold_from_changes(source, gold, ["k"], partial, hwm0)
+    # source advances meanwhile
+    source.append(_df(spark, 5, 8))
+    # rerun with the STALE mark: v0 must no-op, v1 must apply
+    hwm = maintain_gold_from_changes(source, gold, ["k"], partial, hwm0)
+    assert hwm == source.version()
+    got = {r["k"]: (r["n"], r["sv"]) for r in gold.read().collect()}
+    want = {
+        r["k"]: (r["n"], r["sv"])
+        for r in source.read()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert got == want

@@ -66,7 +66,7 @@ def test_stream_tails_appends_exactly_once(spark, table, tmp_path):
 
 def test_replay_between_offsets_is_exact(spark, table):
     table.append(_df(spark, 5, 8))
-    r = TxLogStreamReader({"path": table.path})
+    r = TxLogStreamReader({"path": table.path}, ["k", "v"])
     it1, off1 = r.read(r.initialOffset())
     batch1 = list(it1)
     replay = list(r.readBetweenOffsets(r.initialOffset(), off1))
@@ -78,7 +78,7 @@ def test_replay_between_offsets_is_exact(spark, table):
 
 
 def test_compaction_not_reemitted(spark, table):
-    r = TxLogStreamReader({"path": table.path})
+    r = TxLogStreamReader({"path": table.path}, ["k", "v"])
     _b, off = r.read(r.initialOffset())
     table.compact()
     it, off2 = r.read(off)
@@ -87,19 +87,48 @@ def test_compaction_not_reemitted(spark, table):
 
 
 def test_rewrite_raises_unless_ignored(spark, table):
-    r = TxLogStreamReader({"path": table.path})
+    r = TxLogStreamReader({"path": table.path}, ["k", "v"])
     _b, off = r.read(r.initialOffset())
     table.upsert(_df(spark, 3, 6), keys=["k"])
     with pytest.raises(ValueError, match="upsert"):
         r.read(off)
-    r2 = TxLogStreamReader({"path": table.path, "ignore_rewrites": "true"})
+    r2 = TxLogStreamReader({"path": table.path, "ignore_rewrites": "true"}, ["k", "v"])
     it, _ = r2.read(off)
     assert list(it) == []
 
 
 def test_starting_version_skips_history(spark, table):
     table.append(_df(spark, 5, 8))
-    r = TxLogStreamReader({"path": table.path, "startingVersion": "0"})
+    r = TxLogStreamReader({"path": table.path, "startingVersion": "0"}, ["k", "v"])
     it, off = r.read(r.initialOffset())
     assert len(list(it)) == 3  # only version 1's rows
     assert off == {"version": 1}
+
+
+def test_zorder_not_reemitted(spark, table):
+    r = TxLogStreamReader({"path": table.path}, ["k", "v"])
+    _b, off = r.read(r.initialOffset())
+    table.compact(zorder_by=["k"])
+    it, off2 = r.read(off)
+    assert list(it) == []
+    assert int(off2["version"]) >= int(off["version"])
+
+
+def test_reordered_columns_do_not_swap_values(spark, table):
+    """A commit whose parquet was written with a different column
+    order must stream values by field NAME, not file position."""
+    table.append(
+        spark.range(100, 103).select(
+            (F.col("id") * 10).alias("v"), F.col("id").alias("k")
+        )
+    )
+    r = TxLogStreamReader({"path": table.path, "startingVersion": "0"}, ["k", "v"])
+    rows = list(r.read(r.initialOffset())[0])
+    assert sorted(rows) == [(100, 1000, 1), (101, 1010, 1), (102, 1020, 1)]
+
+
+def test_missing_path_option_is_a_clear_error(spark):
+    from eeg_data_lake_spark.sources.txstream import _ddl_for
+
+    with pytest.raises(ValueError, match="option"):
+        _ddl_for("")
