@@ -517,3 +517,64 @@ def run_transform_with_state_totals(
             F.max_by("total_value", "n_events").alias("total_value"),
         )
     )
+
+
+@register(
+    "r03_txlog_stream_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)             AS n_events,
+           round(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "txlog", "cdc"),
+)
+def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse CDC loop as one verified query: events land in a
+    transaction-logged table (two append commits), a txlogcdc stream
+    tails the table's change feed, and the streamed rows aggregate to
+    the same result as the batch query over the source — proving the
+    engine-native streaming source delivers each committed row exactly
+    once. Offsets are table versions, so replay after a crash re-reads
+    identical manifests (tests/test_txstream.py pins the replay and
+    rewrite semantics)."""
+    import os
+    import tempfile
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.sources.txstream import TxLogStreamDataSource
+
+    e = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="txcdc_q_")
+    tbl = TxTable(spark, os.path.join(d, "events_tbl"))
+    # two commits → the stream must drain multiple feed versions
+    tbl.append(e.filter(F.col("event_id") % 2 == 0))
+    tbl.append(e.filter(F.col("event_id") % 2 == 1))
+    spark.dataSource.register(TxLogStreamDataSource)
+    name = "txcdc_out_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("txlogcdc")
+        .option("path", tbl.path)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
