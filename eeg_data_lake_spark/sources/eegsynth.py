@@ -18,9 +18,12 @@ Rows are produced as Arrow RecordBatches built from vectorized numpy
 same Arrow-batch discipline the repo applies to UDFs.
 
 Signal model (deterministic per (seed, trial, channel)): a per-channel
-sine at a channel-indexed frequency plus seeded Gaussian noise —
-matching eeg_data_lake_spark.fixtures semantics so medallion tests can
-source from either.
+sine at a channel-indexed frequency (4 + 2·channel_index Hz) plus 0.1σ
+seeded Gaussian noise. NOTE: this is the same *style* of synthetic EEG
+as eeg_data_lake_spark.fixtures but a different model (fixtures uses
+the reference's per-channel 8/10/6/12/4 Hz sin/cos waves and one
+sequential RNG per trial) — analytic expectations derived for one do
+NOT transfer to the other.
 """
 
 from __future__ import annotations
@@ -61,7 +64,7 @@ class EEGSynthReader(DataSourceReader):
         self.seed = int(options.get("seed", 7))
         chans = options.get("channels")
         self.channels: Sequence[str] = (
-            chans.split(",") if chans else list(schemas.CHANNELS)
+            [c.strip() for c in chans.split(",")] if chans else list(schemas.CHANNELS)
         )
         self.lo = 0  # inclusive trial range after pushdown
         self.hi = self.n_trials - 1
@@ -87,49 +90,66 @@ class EEGSynthReader(DataSourceReader):
                 yield f  # unsupported → Spark filters after the scan
 
     def partitions(self):
+        if self.hi < self.lo:
+            # pushdown narrowed the range to empty. Returning [] makes
+            # PySpark substitute [None] and call read(None) → crash;
+            # a sentinel empty partition yields zero rows instead.
+            return [_TrialPartition(-1)]
         return [_TrialPartition(t) for t in range(self.lo, self.hi + 1)]
 
     def read(self, partition: _TrialPartition):
         import numpy as np
         import pyarrow as pa
 
+        if partition is None or partition.trial_id < 0:
+            return  # empty-range sentinel (or defensive None): no rows
         t = partition.trial_id
         n = self.samples
-        idx = np.arange(n, dtype=np.int32)
-        time_sec = idx / float(schemas.FS)
-        for ci, ch in enumerate(self.channels):
-            rng = np.random.default_rng((self.seed, t, ci))
-            freq = 4.0 + 2.0 * ci
-            value = np.sin(2.0 * np.pi * freq * time_sec) + 0.1 * (
-                rng.standard_normal(n)
-            )
+        # Arrow arrays built from the SAME generator as the stream
+        # reader — one definition of the signal model, so batch==stream
+        # parity cannot silently desynchronize.
+        idx, time_sec, channel_values = _trial_arrays(self, t)
+        for ch, value in channel_values:
             yield pa.RecordBatch.from_pydict(
                 {
                     "trial_id": pa.array(np.full(n, t, dtype=np.int64)),
                     "channel": pa.array([ch] * n, type=pa.string()),
-                    "sample_idx": pa.array(idx),
+                    "sample_idx": pa.array(idx.astype(np.int32)),
                     "time_sec": pa.array(time_sec),
                     "value": pa.array(value),
                 }
             )
 
 
-def _trial_rows(reader_opts, trial_id: int):
-    """Row tuples for one trial — shared by the batch partition reader
-    (which wraps the same values in Arrow) and the stream reader
-    (which yields plain tuples, the simple-stream contract)."""
+def _trial_arrays(reader_opts, trial_id: int):
+    """The signal model, defined ONCE: (idx, time_sec, [(channel,
+    values)]) for one trial. Both the batch partition reader (Arrow
+    wrapping) and the stream reader (tuple rows) consume this, so an
+    edit to the model can never desynchronize batch vs stream output
+    (bit-identical replay is what the stream's exactly-once story
+    rests on)."""
     import numpy as np
 
     n = reader_opts.samples
     idx = np.arange(n, dtype=np.int64)
     time_sec = idx / float(schemas.FS)
+    out = []
     for ci, ch in enumerate(reader_opts.channels):
         rng = np.random.default_rng((reader_opts.seed, trial_id, ci))
         freq = 4.0 + 2.0 * ci
         value = np.sin(2.0 * np.pi * freq * time_sec) + 0.1 * (
             rng.standard_normal(n)
         )
-        for i in range(n):
+        out.append((ch, value))
+    return idx, time_sec, out
+
+
+def _trial_rows(reader_opts, trial_id: int):
+    """Row tuples for one trial (the simple-stream contract), from the
+    shared signal model in _trial_arrays."""
+    idx, time_sec, channel_values = _trial_arrays(reader_opts, trial_id)
+    for ch, value in channel_values:
+        for i in range(len(idx)):
             yield (trial_id, ch, int(idx[i]), float(time_sec[i]), float(value[i]))
 
 

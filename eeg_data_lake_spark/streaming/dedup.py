@@ -27,8 +27,11 @@ Scale: per batch the cost is the batch sketch (narrow), a
 batch-vs-batch band join (batch-sized), CC over collision edges
 (shallow clusters), and two batch-vs-corpus equi-joins on band keys —
 the corpus side is an indexed equi-join probe, never rescanned
-all-pairs. At 100 TB the bands table is partitioned/bucketed by band
-key so the probe touches only matching partitions.
+all-pairs. The corpus probe reads only the two band COLUMNS of the
+accepted table (columnar pruning) and reduces them to distinct band
+sets from one cached scan per batch; at larger corpora the next step
+is a compact distinct-band index table maintained incrementally on
+ingest, so the probe cost is O(|bands|), not O(|corpus|).
 """
 
 from __future__ import annotations
@@ -38,7 +41,11 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
 from eeg_data_lake_spark.sources.txlog import TxTable
-from eeg_data_lake_spark.workload.dedup import _minhash_cols, shingled
+from eeg_data_lake_spark.workload.dedup import (
+    _minhash_cols,
+    band_collision_pairs,
+    shingled,
+)
 
 BAND_COLS = ("band0", "band1")
 
@@ -48,10 +55,16 @@ def with_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     the k=4 md5 MinHash). Narrow map — no shuffle."""
     sh = shingled(df, text_col=text_col)
     s = _minhash_cols(F.col("sl"))
+    # <3-token docs have an empty shingle list → NULL minhashes → NULL
+    # bands, which equi-joins silently drop: such docs would bypass
+    # dedup entirely (even byte-identical ones). Fall back to a
+    # content-hash band so short duplicates still collide (exact-dup
+    # granularity — the right degradation when shingles don't exist).
+    fallback = F.md5(F.col(text_col))
     return sh.select(
         *df.columns,
-        F.md5(F.concat(s[0], s[1])).alias("band0"),
-        F.md5(F.concat(s[2], s[3])).alias("band1"),
+        F.coalesce(F.md5(F.concat(s[0], s[1])), fallback).alias("band0"),
+        F.coalesce(F.md5(F.concat(s[2], s[3])), fallback).alias("band1"),
     )
 
 
@@ -59,18 +72,7 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     band-collision connected component (singletons survive as-is)."""
     sig = banded.select("doc_id", *BAND_COLS)
-    pairs = None
-    for col in BAND_COLS:
-        a, b = sig.alias("a"), sig.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    pairs = band_collision_pairs(sig, BAND_COLS, src="src", dst="dst")
     comp = connected_components(pairs, "src", "dst")
     reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
     losers = comp.join(
@@ -90,12 +92,19 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
         banded = with_bands(batch_df)
         novel = _batch_representatives(banded)
         if table.version() >= 0:
-            index = table.read().select(*BAND_COLS)
-            for col in BAND_COLS:
-                novel = novel.join(
-                    index.select(col).distinct(), col, "left_anti"
-                )
-        table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
+            # ONE columnar scan of the accepted bands, cached, feeds
+            # both per-band distinct sets (was: two full scans/batch)
+            index = table.read().select(*BAND_COLS).persist()
+            try:
+                for col in BAND_COLS:
+                    novel = novel.join(
+                        index.select(col).distinct(), col, "left_anti"
+                    )
+                table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
+            finally:
+                index.unpersist()
+        else:
+            table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
 
     return process
 

@@ -294,15 +294,7 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(s[2], s[3])).alias("band1"),
     )
 
-    def band_pairs(col: str) -> DataFrame:
-        a, b = sig.alias("a"), sig.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    return band_pairs("band0").union(band_pairs("band1")).distinct()
+    return band_collision_pairs(sig, ("band0", "band1"))
 
 
 @register(
@@ -411,3 +403,29 @@ def q48_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b").select(
         "node", "component"
     )
+
+
+def band_collision_pairs(
+    sig: DataFrame,
+    band_cols,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Candidate pairs as the UNION of per-band equi-self-joins —
+    never the OR-join (a cross product in any engine). Shared by the
+    batch q35 path and the streaming near-dup ingest so the collision
+    semantics (equi-join NULL-dropping, id ordering, distinct) cannot
+    drift between the two."""
+    pairs = None
+    for col in band_cols:
+        a, b = sig.alias("a"), sig.alias("b")
+        p = a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias(src), F.col(f"b.{id_col}").alias(dst)
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()

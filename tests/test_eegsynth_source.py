@@ -99,3 +99,45 @@ def test_stream_reader_drains_all_trials_and_matches_batch(spark):
     batch = _load(spark, n_trials=3, samples=16, seed=5)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_empty_pushdown_range_yields_zero_rows(spark):
+    """A predicate outside the trial range must produce an empty
+    result, not crash: partitions() returning [] makes PySpark call
+    read(None), so the reader emits an explicit empty sentinel."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.sources.eegsynth import EEGSynthDataSource
+
+    spark.dataSource.register(EEGSynthDataSource)
+    df = (
+        spark.read.format("eegsynth")
+        .option("n_trials", "4")
+        .load()
+        .filter(F.col("trial_id") >= 100)
+    )
+    assert df.count() == 0
+    # contradictory equality conjunction → also empty, not a crash
+    df2 = (
+        spark.read.format("eegsynth")
+        .option("n_trials", "4")
+        .load()
+        .filter((F.col("trial_id") == 1) & (F.col("trial_id") == 2))
+    )
+    assert df2.count() == 0
+
+
+def test_channels_option_strips_whitespace(spark):
+    from eeg_data_lake_spark.sources.eegsynth import EEGSynthDataSource
+
+    spark.dataSource.register(EEGSynthDataSource)
+    df = (
+        spark.read.format("eegsynth")
+        .option("n_trials", "1")
+        .option("channels", "AF3, AF4")
+        .load()
+    )
+    assert {r.channel for r in df.select("channel").distinct().collect()} == {
+        "AF3",
+        "AF4",
+    }

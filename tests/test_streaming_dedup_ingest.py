@@ -110,3 +110,28 @@ def test_stream_dedup_matches_reference_and_is_exactly_once(
     )
     assert table.version() == 1
     assert {r.doc_id for r in table.read().collect()} == want
+
+
+def test_short_documents_still_dedup(spark, tmp_path):
+    """<3-token docs have no shingles → NULL minhash bands; without the
+    content-hash fallback they bypass dedup entirely and byte-identical
+    short docs are all accepted. The fallback bands must collide them."""
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.dedup import (
+        _batch_representatives,
+        with_bands,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there"),          # 2 tokens — no shingles
+            (2, "hi there"),          # byte-identical short dup
+            (3, "bye now"),           # distinct short doc
+            (4, "a much longer document with plenty of tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    banded = with_bands(docs)
+    assert banded.filter(F.col("band0").isNull()).count() == 0
+    survivors = {r.doc_id for r in _batch_representatives(banded).collect()}
+    assert survivors == {1, 3, 4}  # doc 2 deduped against doc 1
