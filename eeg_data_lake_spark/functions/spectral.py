@@ -107,7 +107,15 @@ def band_power_by_group(
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        powers = band_power(x, fs, bands)
+        # nulls/NaNs would propagate through the FFT into NaN powers
+        # while `total > 0` still zeroes the relatives — an
+        # inconsistent half-NaN row. Treat non-finite samples as
+        # absent (the same contract as SQL aggregates skipping NULLs).
+        x = x[np.isfinite(x)]
+        if len(x):
+            powers = band_power(x, fs, bands)
+        else:  # all-null group: zero power everywhere, consistently
+            powers = {n: 0.0 for n in names}
         total = sum(powers.values())
         row = [pdf[c].iloc[0] for c in group_cols] + [len(x)]
         for n in names:

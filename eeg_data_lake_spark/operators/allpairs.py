@@ -65,6 +65,9 @@ def cosine_neardup_pairs(
     vec_a < vec_b, cosine rounded to 6. Exact — no candidate
     pruning — with the physical plan picked by corpus size."""
     v = v.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # persist across the sizing count + the chosen path's scans: the
+    # upstream plan would otherwise be evaluated up to 3 times
+    v = v.persist()
     n = v.count()
     if n <= broadcast_cutover:
         return _broadcast_matmul_pairs(v, tau)
@@ -75,6 +78,12 @@ def cosine_neardup_pairs(
 def _broadcast_matmul_pairs(v: DataFrame, tau: float) -> DataFrame:
     """Small-corpus fast path: one collect, zero shuffles."""
     rows = v.collect()
+    if not rows:
+        # empty corpus: zero pairs (norm over a 0-row matrix would
+        # raise AxisError before any guard downstream)
+        return v.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -130,18 +139,23 @@ def _block_pair_matmul_pairs(v: DataFrame, tau: float, n_blocks: int) -> DataFra
         ba, bb = key
         a = pdf[pdf["side"] == 0]
         ids_a = a["vec_id"].to_numpy(dtype=np.int64)
-        xa = np.array(a["embedding"].tolist(), dtype=np.float64)
-        xa = xa / np.linalg.norm(xa, axis=1, keepdims=True)
         if ba == bb:
-            ids_b, xb, same = ids_a, xa, True
+            ids_b = ids_a
         else:
             b = pdf[pdf["side"] == 1]
             ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        # emptiness guard BEFORE normalization: a one-sided group's
+        # empty (0,)-shaped matrix makes norm(axis=1) raise AxisError
+        if not len(ids_a) or not len(ids_b):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        xa = np.array(a["embedding"].tolist(), dtype=np.float64)
+        xa = xa / np.linalg.norm(xa, axis=1, keepdims=True)
+        if ba == bb:
+            xb, same = xa, True
+        else:
             xb = np.array(b["embedding"].tolist(), dtype=np.float64)
             xb = xb / np.linalg.norm(xb, axis=1, keepdims=True)
             same = False
-        if not len(ids_a) or not len(ids_b):
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         return _pairs_from_sims(ids_a, ids_b, xa @ xb.T, tau, same)
 
     return replicated.groupBy("ba", "bb").applyInPandas(

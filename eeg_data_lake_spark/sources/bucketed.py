@@ -31,9 +31,18 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a parquet table bucketed (and optionally
     sorted) on ``bucket_cols`` — sorted buckets let a sort-merge join
-    skip its sort as well as its shuffle."""
-    writer = df.write.format("parquet").mode(mode).bucketBy(
-        n_buckets, *bucket_cols
+    skip its sort as well as its shuffle.
+
+    The repartition below is load-bearing: without it every input
+    partition writes its own file per bucket it touches (P×B small
+    files), and Spark only trusts a bucket's sortBy metadata when the
+    bucket is a single file — multi-file buckets silently re-insert
+    the sort this writer exists to elide."""
+    writer = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
     )
     if sort:
         writer = writer.sortBy(*bucket_cols)

@@ -52,7 +52,10 @@ def q96_ridge_embedding_regression(spark: SparkSession, sf_dir: str) -> DataFram
     from eeg_data_lake_spark.ml.ridge import ridge_fit, ridge_predict
 
     v = t(spark, sf_dir, "embeddings")
-    dim = len(v.select("embedding").head()["embedding"])
+    first = v.select("embedding").head()
+    if first is None:
+        raise ValueError("q96: embeddings table is empty — nothing to fit")
+    dim = len(first["embedding"])
     w = ridge_fit(v, "embedding", "label", dim=dim, alpha=10.0)
     return ridge_predict(v, "embedding", w).select(
         "vec_id", "label", F.round("prediction", 4).alias("prediction")
@@ -91,4 +94,12 @@ def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("sqdist"), 4).alias("inertia"),
         )
     )
-    return sizes.join(F.broadcast(norms), "cluster")
+    # LEFT join from norms: a cluster left empty by Lloyd's (it keeps
+    # its previous centroid) has no assignment row, and an inner join
+    # would silently drop it from the promised per-cluster output
+    return norms.join(sizes, "cluster", "left").select(
+        "cluster",
+        F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
+        F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+        "centroid_norm",
+    )

@@ -1,0 +1,69 @@
+"""Edge cases for the exact all-pairs operator: empty corpora and
+one-sided block groups must yield empty results, not numpy AxisErrors;
+the block path must agree with the broadcast path even when blocks are
+tiny/empty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.allpairs import cosine_neardup_pairs
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_empty_corpus_yields_no_pairs(spark):
+    v = _vecs(spark, [])
+    assert cosine_neardup_pairs(v, tau=0.5).count() == 0
+
+
+def test_tiny_blocks_match_broadcast_path(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    v = _vecs(spark, rows)
+    want = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_neardup_pairs(v, tau=0.8).collect()
+    }
+    # force the block path with 1-row blocks: several (ba, bb) groups
+    # are one-sided or empty — the guards must hold and results match
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_neardup_pairs(
+            v, tau=0.8, broadcast_cutover=0, rows_per_block=1
+        ).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_band_power_ignores_non_finite_samples(spark):
+    import math
+
+    from eeg_data_lake_spark.functions.spectral import band_power_by_group
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([1.0, -1.0, 1.0, -1.0])]
+        + [(1, 4, float("nan")), (2, 0, float("nan"))],
+        "g long, i long, value double",
+    )
+    out = {
+        r.g: r.asDict()
+        for r in band_power_by_group(
+            df, ["g"], "i", "value", fs=4.0
+        ).collect()
+    }
+    # group 1: NaN skipped, powers finite, relatives sum to ~1
+    r1 = out[1]
+    rels = [v for k, v in r1.items() if k.endswith("_rel")]
+    assert all(not math.isnan(v) for k, v in r1.items() if k.endswith("_power"))
+    assert abs(sum(rels) - 1.0) < 1e-9
+    # group 2: all-NaN → consistent zeros, never half-NaN
+    r2 = out[2]
+    assert all(v == 0.0 for k, v in r2.items() if k.endswith(("_power", "_rel")))
