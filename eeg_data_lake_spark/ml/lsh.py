@@ -1,7 +1,7 @@
 """MLlib LSH wrappers — the library path for similarity joins that
 SURVEY.md §4 names as the no-custom-rule option
 (pyspark.ml.feature.BucketedRandomProjectionLSH / MinHashLSH),
-complementing the hand-built LSH (workload.similarity q39) and
+complementing the hand-built LSH (workload.similarity q93) and
 MinHash banding (workload.dedup q35).
 
 Why both exist: the custom forms are column-expression-only (oracle-

@@ -48,18 +48,36 @@ def asof_join(
 
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
-        right.select(*keys, F.col(right_ts).alias("__t"), *payload)
+        # NULL-timestamp right rows match nothing under SQL semantics
+        # (right_ts <= left_ts is never true); without this filter they
+        # sort FIRST in the window and leak into every left row
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*keys, F.col(right_ts).alias("__t"), *payload)
         .withColumn("__side", F.lit(0))
     )
+    # Carry the payload as ONE struct: per-column last(ignorenulls)
+    # would resurrect non-null values from OLDER right rows whenever
+    # the matched row holds a NULL in some column, emitting a mixed
+    # row that never existed on the right.
+    rt = rt.withColumn("__p", F.struct(*payload)).drop(*payload)
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # tie-breakers naming payload columns resolve inside the struct
+    # (they only ever disambiguate right-vs-right rows, whose __p is
+    # non-null); others (key/ts columns) resolve normally
+    ties = [
+        F.col("__p").getField(tb) if tb in payload else F.col(tb)
+        for tb in tie_breakers
+    ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side", *tie_breakers)
+        .orderBy("__t", "__side", *ties)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    unioned = unioned.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
+    out = unioned.filter(F.col("__side") == 1)
     for c in payload:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__side") == 1).drop("__t", "__side")
+        out = out.withColumn(c, F.col("__p").getField(c))
+    return out.drop("__t", "__side", "__p")
 
 
 def range_count_join(
@@ -77,13 +95,15 @@ def range_count_join(
     per-``group_cols`` count of matches (0 for unmatched left rows).
     """
     lk, rk = on
+    # qualify via the DataFrame handles: bare F.col crashes with an
+    # ambiguous reference whenever both sides share the key name
     cond = (
-        (F.col(lk) == F.col(rk))
-        & (F.col(right_ts) >= range_start)
-        & (F.col(right_ts) < range_end)
+        (left[lk] == right[rk])
+        & (right[right_ts] >= range_start)
+        & (right[right_ts] < range_end)
     )
     return (
         left.join(right, cond, "left")
-        .groupBy(*group_cols)
-        .agg(F.count(count_col).alias(f"n_{count_col}"))
+        .groupBy(*[left[c] for c in group_cols])
+        .agg(F.count(right[count_col]).alias(f"n_{count_col}"))
     )

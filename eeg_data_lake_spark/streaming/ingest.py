@@ -32,11 +32,10 @@ def _stream_lines(spark: SparkSession, path: str, max_files: int | None) -> Data
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files))
     df = reader.text(path)
-    return (
-        df.withColumn("source_file", F.col("_metadata.file_path"))
-        .withColumn("_ingest_ts", F.current_timestamp())
-        .withColumn("_ingest_date", F.to_date(F.col("_ingest_ts")))
-    )
+    # one definition of lineage semantics — the batch readers' helper
+    from eeg_data_lake_spark.sources.readers import with_lineage
+
+    return with_lineage(df)
 
 
 def stream_bronze_from_lines(

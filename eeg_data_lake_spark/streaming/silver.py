@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from eeg_data_lake_spark import schemas
 from eeg_data_lake_spark.pipeline.silver import silver_from_bronze
 
 
@@ -35,7 +36,11 @@ def stream_silver_from_bronze_dir(
     semantics. Read the result with
     ``spark.read.option("recursiveFileLookup", "true").parquet(sink)``
     (per-batch subdirectories keep replays idempotent)."""
-    bronze_schema = spark.read.parquet(bronze_path).schema
+    # the file source matches columns by name, so the canonical bronze
+    # schema serves directly — an eager spark.read here would throw
+    # PATH_NOT_FOUND when the drain is deployed before the first bronze
+    # batch lands, and costs a full listing per invocation
+    bronze_schema = schemas.BRONZE_SCHEMA
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = silver_from_bronze(batch_df, z_threshold=z_threshold)

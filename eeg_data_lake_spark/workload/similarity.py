@@ -145,7 +145,10 @@ def q38_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: over 64 dims → 64 buckets).
 _LSH_SEED = 42
 _LSH_PLANES = 6
-_LSH_DIM = 64
+# single source of truth for the embedding dimension: a hard-coded
+# copy would null-pad zip_with dot products on a dim change, silently
+# hashing every vector to bucket 0 (LSH degenerates to a full scan)
+from eeg_data_lake_spark.functions.embed import EMBED_DIM as _LSH_DIM  # noqa: E402
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -185,7 +188,9 @@ def q93_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + b
         return out
 
-    vb = v.withColumn("bucket", bucket(F.col("e")))
+    vb = v.withColumn("bucket", bucket(F.col("e"))).withColumn(
+        "nrm", l2norm(F.col("e"))
+    )
     probe_set = F.array(
         F.col("bucket"),
         *[
@@ -198,9 +203,15 @@ def q93_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.explode(probe_set).alias("qbucket"),
         )
     )
+    # norms precomputed per side BEFORE the join (the q37 pattern:
+    # one fold per scored pair, not three); zero-norm vectors score
+    # NULL, and desc ordering puts NULLs last — a NaN would instead
+    # sort FIRST and hijack every top-k slot
+    den = F.col("qnrm") * F.col("nrm")
     scored = (
         vb.join(
             F.broadcast(q),
@@ -211,9 +222,7 @@ def q93_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot(F.col("qe"), F.col("e"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
-                6,
+                F.when(den > 0, dot(F.col("qe"), F.col("e")) / den), 6
             ).alias("cosine"),
         )
     )
@@ -246,7 +255,7 @@ def q99_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via an IVF-style coarse quantizer: every vector is assigned
     to its nearest of K seeded spherical centroids (the inverted-file
     cell); each query scans only its ``nprobe`` closest cells. The
-    second scale path next to LSH (q39): cells shrink the candidate
+    second scale path next to LSH (q93): cells shrink the candidate
     set ~K/nprobe-fold, and on a cluster the corpus is partitioned BY
     cell so a probe reads only its partitions. Recall vs the exact
     q37 is asserted in tests.
@@ -274,7 +283,9 @@ def _ivf_topk(
             ]
         )
 
-    vd = v.withColumn("dots", cell_dots(F.col("e")))
+    vd = v.withColumn("dots", cell_dots(F.col("e"))).withColumn(
+        "nrm", l2norm(F.col("e"))
+    )
     corpus = vd.withColumn(
         "cell",
         F.array_position(F.col("dots"), F.array_max(F.col("dots"))).cast("int"),
@@ -292,10 +303,16 @@ def _ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.explode(probes).alias("probe"),
         )
-        .select("query_id", "qe", F.col("probe").cast("int").alias("cell"))
+        .select(
+            "query_id", "qe", "qnrm", F.col("probe").cast("int").alias("cell")
+        )
     )
+    # one fold per scored pair (norms hoisted, q37 pattern); zero-norm
+    # vectors score NULL → sorted last, never NaN-first
+    den = F.col("qnrm") * F.col("nrm")
     scored = (
         corpus.join(
             F.broadcast(q),
@@ -305,9 +322,7 @@ def _ivf_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                dot(F.col("qe"), F.col("e"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
-                6,
+                F.when(den > 0, dot(F.col("qe"), F.col("e")) / den), 6
             ).alias("cosine"),
         )
     )

@@ -217,3 +217,55 @@ def test_connected_components_raises_past_max_iter(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=3)
+
+
+def test_asof_null_payload_not_resurrected(spark):
+    """The matched right row's NULLs must survive: carrying columns
+    independently would resurrect older non-null values and emit a
+    right row that never existed."""
+    from eeg_data_lake_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, "x"), (1, 2, None, "y")],
+        "k long, rt long, a int, b string",
+    )
+    row = asof_join(left, right, on="k", left_ts="t", right_ts="rt").first()
+    assert row.a is None and row.b == "y"  # the t=2 row, intact
+
+
+def test_asof_null_right_ts_matches_nothing(spark):
+    """right_ts IS NULL never satisfies right_ts <= left_ts; without
+    filtering, the NULL sorts first and leaks into every left row."""
+    from eeg_data_lake_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, t long")
+    right = spark.createDataFrame([(1, None, 7)], "k long, rt long, val int")
+    row = asof_join(left, right, on="k", left_ts="t", right_ts="rt").first()
+    assert row.val is None
+
+
+def test_range_count_join_same_key_name(spark):
+    """Both sides sharing the key (and count) column names must not
+    trigger an ambiguous-reference error."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.operators.joins import range_count_join
+
+    left = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, t0 long")
+    right = spark.createDataFrame(
+        [(1, 11), (1, 15), (1, 99), (2, 5)], "user_id long, ts long"
+    )
+    out = {
+        r.t0: r.n_ts
+        for r in range_count_join(
+            left, right,
+            on=("user_id", "user_id"),
+            right_ts="ts",
+            range_start=F.col("t0"),
+            range_end=F.col("t0") + 10,
+            count_col="ts",
+            group_cols=("t0",),
+        ).collect()
+    }
+    assert out == {10: 2, 20: 0}
