@@ -27,11 +27,10 @@ Scale: per batch the cost is the batch sketch (narrow), a
 batch-vs-batch band join (batch-sized), CC over collision edges
 (shallow clusters), and two batch-vs-corpus equi-joins on band keys —
 the corpus side is an indexed equi-join probe, never rescanned
-all-pairs. The corpus probe reads only the two band COLUMNS of the
-accepted table (columnar pruning) and reduces them to distinct band
-sets from one cached scan per batch; at larger corpora the next step
-is a compact distinct-band index table maintained incrementally on
-ingest, so the probe cost is O(|bands|), not O(|corpus|).
+all-pairs. The novelty probe joins against a compact distinct-band
+INDEX table maintained incrementally alongside the corpus (one row
+per accepted band value), so per-batch probe cost is O(|bands|) and
+never rescans corpus rows or document text.
 """
 
 from __future__ import annotations
@@ -84,27 +83,59 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     return banded.join(losers, "doc_id", "left_anti")
 
 
+def band_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus table's companion band index: one row per accepted
+    (band_col, band) value, maintained incrementally on ingest. The
+    novelty probe joins against THIS table — O(distinct bands) — so
+    the probe cost never scales with corpus rows or document size."""
+    return TxTable(spark, table.path + "_bands")
+
+
 def dedup_batch_writer(table: TxTable, sink_id: str):
     """foreachBatch function: near-dup-filter the micro-batch against
-    itself and the accepted corpus, then append exactly-once."""
+    itself and the accepted corpus, then append exactly-once.
+
+    Crash safety of the two-table commit: corpus first, bands second,
+    both txn-id keyed to the batch. A crash between them replays the
+    batch — the corpus append no-ops on its txn id (so no duplicate
+    rows can land) and the bands append then completes; until that
+    replay the missing bands merely make the probe conservative in
+    the accepting direction for exactly the rows whose corpus commit
+    already no-ops."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands = band_index_table(spark, table)
         banded = with_bands(batch_df)
         novel = _batch_representatives(banded)
-        if table.version() >= 0:
-            # ONE columnar scan of the accepted bands, cached, feeds
-            # both per-band distinct sets (was: two full scans/batch)
-            index = table.read().select(*BAND_COLS).persist()
+        if bands.version() >= 0:
+            index = bands.read().persist()
             try:
                 for col in BAND_COLS:
                     novel = novel.join(
-                        index.select(col).distinct(), col, "left_anti"
+                        index.filter(F.col("band_col") == col)
+                        .select(F.col("band").alias(col))
+                        .distinct(),
+                        col,
+                        "left_anti",
                     )
+                novel = novel.persist()
                 table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
             finally:
                 index.unpersist()
         else:
+            novel = novel.persist()
             table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
+        new_bands = None
+        for col in BAND_COLS:
+            b = novel.select(
+                F.lit(col).alias("band_col"), F.col(col).alias("band")
+            )
+            new_bands = b if new_bands is None else new_bands.unionByName(b)
+        bands.append(
+            new_bands.distinct(), txn_id=f"{sink_id}:bands-{batch_id}"
+        )
+        novel.unpersist()
 
     return process
 

@@ -135,3 +135,50 @@ def test_short_documents_still_dedup(spark, tmp_path):
     assert banded.filter(F.col("band0").isNull()).count() == 0
     survivors = {r.doc_id for r in _batch_representatives(banded).collect()}
     assert survivors == {1, 3, 4}  # doc 2 deduped against doc 1
+
+
+def test_band_index_tracks_corpus_and_replays_safely(spark, tmp_path):
+    """The companion band index must equal the distinct bands of the
+    accepted corpus after multi-batch ingest, and the two-table commit
+    must converge under batch replay (crash between the two appends)."""
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.dedup import (
+        band_index_table,
+        dedup_batch_writer,
+        with_bands,
+    )
+
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    process = dedup_batch_writer(table, "t")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (4, "iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    process(b0, 0)
+    process(b1, 1)
+    process(b1, 1)  # full replay of a committed batch: must be a no-op
+
+    accepted = {r.doc_id for r in table.read().collect()}
+    assert accepted == {1, 2, 4}  # doc 3 deduped against doc 1
+
+    bands = band_index_table(spark, table)
+    got = {
+        (r.band_col, r.band) for r in bands.read().distinct().collect()
+    }
+    want = set()
+    for r in with_bands(table.read().select("doc_id", "text")).collect():
+        want.add(("band0", r.band0))
+        want.add(("band1", r.band1))
+    assert got == want
+
+    # crash window: corpus committed, bands append lost → replay fills
+    # the index without duplicating corpus rows
+    v_corpus, v_bands = table.version(), bands.version()
+    process(b1, 1)
+    assert table.version() == v_corpus
+    assert bands.version() == v_bands  # txn-keyed: replay is a no-op too
