@@ -114,7 +114,12 @@ def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="eeg-data-lake-bench")
+    spark = get_spark(
+        app_name="eeg-data-lake-bench",
+        # keep stdout clean: the driver tails the last ~2000 chars and \r
+        # progress frames would crowd out the JSON result lines
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up (untimed): one JVM query amortizes codegen/session startup,
@@ -158,20 +163,38 @@ def main() -> None:
         if both
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_workload_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "duckdb": duck,
-                "spark_vs_duckdb": ratios,
-                "spark_vs_duckdb_total": agg_ratio,
-                "sf": sf,
-            }
-        )
-    )
+    # Per-query DuckDB walls and ratios go to BENCH_DETAIL.json (and an
+    # earlier stdout line): the driver keeps only the LAST ~2000 chars of
+    # stdout, so the FINAL line must stay compact or it gets truncated
+    # mid-JSON and recorded as unparseable (this happened in round 2).
+    detail = {
+        "metric": "headline_workload_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "duckdb": duck,
+        "spark_vs_duckdb": ratios,
+        "spark_vs_duckdb_total": agg_ratio,
+        "sf": sf,
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(detail, indent=2) + "\n")
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    compact = {
+        "metric": "headline_workload_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spark_vs_duckdb_total": agg_ratio,
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: never exceed the tail window
+        line = json.dumps({k: compact[k] for k in ("metric", "value", "unit", "sf")})
+    print(line)
     spark.stop()
 
 

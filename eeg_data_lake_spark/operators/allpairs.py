@@ -65,14 +65,22 @@ def cosine_neardup_pairs(
     vec_a < vec_b, cosine rounded to 6. Exact — no candidate
     pruning — with the physical plan picked by corpus size."""
     v = v.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    # persist across the sizing count + the chosen path's scans: the
-    # upstream plan would otherwise be evaluated up to 3 times
+    # persist only across the EAGER work (sizing count; broadcast-path
+    # collect), then release before returning: the returned lazy plan
+    # rescans upstream once at action time, which costs one extra scan
+    # but can't accumulate cached partitions across repeated calls
+    # (bench loops / correctness harness run this many times per
+    # session, and an unreleased cache per call is a session-lifetime
+    # memory leak)
     v = v.persist()
-    n = v.count()
-    if n <= broadcast_cutover:
-        return _broadcast_matmul_pairs(v, tau)
-    n_blocks = max(2, -(-n // rows_per_block))
-    return _block_pair_matmul_pairs(v, tau, n_blocks)
+    try:
+        n = v.count()
+        if n <= broadcast_cutover:
+            return _broadcast_matmul_pairs(v, tau)
+        n_blocks = max(2, -(-n // rows_per_block))
+        return _block_pair_matmul_pairs(v, tau, n_blocks)
+    finally:
+        v.unpersist()
 
 
 def _broadcast_matmul_pairs(v: DataFrame, tau: float) -> DataFrame:

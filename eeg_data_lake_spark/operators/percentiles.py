@@ -45,13 +45,15 @@ def exact_percentiles(
         raise ValueError("exact_percentiles: ps must name at least one percentile")
     if any(p < 0.0 or p > 1.0 for p in ps):
         raise ValueError(f"exact_percentiles: percentiles must be in [0, 1], got {ps}")
-    # builtin percentile ignores NULLs; drop them BEFORE counting so
-    # they neither occupy ranks nor inflate _n
-    pc = (
-        df.filter(F.col(value).isNotNull())
-        .groupBy(key, value)
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    # builtin percentile ignores NULLs, but a group whose values are
+    # ALL NULL still appears in its output (with a NULL percentile) —
+    # so count NULL values into the group-by (one scan keeps every
+    # key), then rank only the non-NULL rows and left-join the full
+    # key set back at the end. The key set is derived from the
+    # already-tiny distinct-value relation, not from a second scan.
+    counted = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
+    keys = counted.select(key).distinct()
+    pc = counted.filter(F.col(value).isNotNull())
     wk = Window.partitionBy(key)
     w = wk.orderBy(value)
     cum = (
@@ -77,4 +79,4 @@ def exact_percentiles(
         aggs.append(
             (v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo)).alias(name)
         )
-    return cum.groupBy(key).agg(*aggs)
+    return keys.join(cum.groupBy(key).agg(*aggs), key, "left")

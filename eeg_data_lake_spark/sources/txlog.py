@@ -219,6 +219,22 @@ def feed_adds_between(
                 )
             continue
         if m.get("add"):
+            # an append's original add-files can be deleted by a later
+            # compact()+vacuum(); the scan would otherwise fail deep in
+            # the parquet reader with a raw missing-path error, so
+            # surface the feed-level condition (mirrors the
+            # logical-rewrite message: the delta is gone, not the data)
+            missing = [
+                f for f in m["add"]
+                if not os.path.exists(os.path.join(path, f))
+            ]
+            if missing:
+                raise ValueError(
+                    f"{ctx}: change-feed range covers version {v} whose "
+                    f"files were vacuumed (e.g. {missing[0]!r}) — the "
+                    "row-level delta for that range no longer exists; "
+                    "re-sync from a full read()"
+                )
             out.append((v, m["add"]))
     return out
 

@@ -60,7 +60,16 @@ _ARROW_TO_DDL = {
 
 
 def _ddl_for(path: str) -> str:
-    """Schema of the table's first live file + _commit_version, as DDL."""
+    """Union of the live files' schemas + _commit_version, as DDL.
+
+    The union (first-appearance order, like unionByName with
+    allowMissingColumns — the rule ``TxTable.changes`` uses) rather
+    than any single file: after additive schema evolution, files
+    written before the evolution lack the new columns, and which file
+    sorts first is an artifact of commit history. Reading every live
+    footer is a driver-side O(live files) metadata pass at stream
+    start only — bounded by compaction, and the same cost Delta pays
+    reading its log checkpoint."""
     import pyarrow.parquet as pq
 
     if not path:
@@ -70,19 +79,28 @@ def _ddl_for(path: str) -> str:
     files = _live_files(path)
     if not files:
         raise ValueError(f"txlog table at {path} has no data to infer from")
-    schema = pq.read_schema(os.path.join(path, files[0]))
-    parts = []
-    for f in schema:
-        t = str(f.type)
-        if t.startswith("timestamp"):
-            ddl = "timestamp"
-        elif t in _ARROW_TO_DDL:
-            ddl = _ARROW_TO_DDL[t]
-        else:
-            raise ValueError(
-                f"txlog stream: unsupported column type {t!r} for {f.name!r}"
-            )
-        parts.append(f"`{f.name}` {ddl}")
+    parts: list[str] = []
+    seen: dict[str, str] = {}
+    for rel in files:
+        for f in pq.read_schema(os.path.join(path, rel)):
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                ddl = "timestamp"
+            elif t in _ARROW_TO_DDL:
+                ddl = _ARROW_TO_DDL[t]
+            else:
+                raise ValueError(
+                    f"txlog stream: unsupported column type {t!r} for {f.name!r}"
+                )
+            if f.name in seen:
+                if seen[f.name] != ddl:
+                    raise ValueError(
+                        f"txlog stream: column {f.name!r} has conflicting "
+                        f"types {seen[f.name]!r} vs {ddl!r} across live files"
+                    )
+                continue
+            seen[f.name] = ddl
+            parts.append(f"`{f.name}` {ddl}")
     parts.append("`_commit_version` long")
     return ", ".join(parts)
 

@@ -16,9 +16,13 @@ exactly-once effects across driver restarts:
    cluster — the canonical-representative rule production dedups use.
 3. **Cross-batch novelty**: drop any representative whose band
    matches the accepted-corpus index (one left-anti equi-join per
-   band). The index is the txlog table itself — bands are stored
-   alongside the documents, so there is no second index to keep
-   consistent.
+   band). The index is a companion distinct-band txlog table (one row
+   per accepted band value) maintained in the same foreachBatch as the
+   corpus; the corpus commit lands FIRST, then the index, both under
+   the same txn_id — a crash between the two replays the batch and
+   back-fills the index commit while the corpus append dedupes to a
+   no-op, so the index can lag but never lead (a lagging index only
+   re-admits a candidate that the corpus append itself then rejects).
 4. **Exactly-once append**: txn_id = (sink_id, batch_id); a replayed
    micro-batch (foreachBatch is at-least-once) commits nothing
    (streaming/txsink.py contract).

@@ -127,3 +127,14 @@ def test_fractional_percentiles_get_distinct_names(spark):
     df = spark.createDataFrame([("a", float(i)) for i in range(9)], "k string, v double")
     out = exact_percentiles(df, "k", "v", [0.12, 0.125])
     assert out.columns == ["k", "p12", "p12_5"]
+
+
+def test_all_null_group_survives_with_null_percentile(spark):
+    """A group whose values are ALL NULL still appears in percentile()'s
+    output (with NULL quantiles) — the rank plan must not drop it."""
+    rows = [("a", 1.0), ("a", 3.0), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in exact_percentiles(df, "k", "v", [0.5]).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"]["p50"] == pytest.approx(2.0)
+    assert got["b"]["p50"] is None

@@ -182,3 +182,18 @@ def test_cdc_replay_with_source_advanced_between(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_vacuumed_feed_range_raises_feed_error(spark, table):
+    """After compact()+vacuum() the original add-files of old appends
+    are gone; a feed read over that range must fail with the
+    change-feed message, not a raw parquet missing-path error."""
+    v0 = table.append(_df(spark, 0, 5))
+    table.append(_df(spark, 5, 8))
+    table.compact()
+    table.vacuum()
+    with pytest.raises(ValueError, match="vacuumed.*re-sync from a full read"):
+        table.changes(since=v0 - 1).count()
+    # post-vacuum appends remain feed-readable
+    v_new = table.append(_df(spark, 8, 10))
+    assert table.changes(since=v_new - 1).count() == 2

@@ -132,3 +132,22 @@ def test_missing_path_option_is_a_clear_error(spark):
 
     with pytest.raises(ValueError, match="option"):
         _ddl_for("")
+
+
+def test_evolved_schema_unions_all_live_files(spark, table):
+    """Stream DDL is the union of live-file schemas: a column added by a
+    later additively-evolved commit must appear (with NULLs for
+    pre-evolution rows), matching TxTable.changes' unionByName rule —
+    not just whichever file happens to sort first."""
+    evolved = _df(spark, 5, 8).withColumn("extra", F.col("k") + 100)
+    table.append(evolved)
+    from eeg_data_lake_spark.sources.txstream import _ddl_for
+
+    ddl = _ddl_for(table.path)
+    assert "extra" in ddl
+    r = TxLogStreamReader({"path": table.path}, ["k", "v", "extra"])
+    it, _off = r.read(r.initialOffset())
+    rows = list(it)
+    by_k = {t[0]: t for t in rows}
+    assert by_k[0][2] is None  # pre-evolution row: extra is NULL
+    assert by_k[5][2] == 105
