@@ -522,3 +522,178 @@ def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+#: RAG chunking geometry: 200-char windows advancing 150 chars (50-char
+#: overlap so no sentence is orphaned at a boundary).
+_CHUNK, _STRIDE = 200, 150
+
+
+@register(
+    "r04_rag_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           i AS chunk_idx,
+           md5(substr(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}))
+               AS chunk_md5,
+           CAST(len(substr(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}))
+                AS INTEGER) AS n_chunk_chars
+    FROM documents,
+         unnest(generate_series(0,
+             CASE WHEN len(text) <= {_CHUNK} THEN 0
+                  ELSE CAST(ceil((len(text) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT)
+             END)) AS u(i)
+    """,
+    tags=("curation", "rag", "chunking"),
+)
+def r04_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding
+    pre-step of every RAG corpus build: overlapping fixed-size chunks
+    (200 chars, stride 150) per document, emitted as (doc_id,
+    chunk_idx, md5(chunk), len) rows; the content hash keeps the
+    oracle compare cheap, the un-hashed chunk is the same substring
+    expression.
+
+    Entirely JVM: sequence() builds the chunk-index array sized by
+    document length, transform() slices each window with substring,
+    inline() flattens — a narrow generate with NO shuffle at all, so
+    at 100 TB this runs at scan speed and parallelism equals input
+    splits. The CASE guard pins single-chunk docs (len <= chunk) to
+    exactly one window, and Spark and DuckDB share 1-based substring
+    clamping semantics so the ragged last chunk agrees."""
+    d = t(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"""
+        transform(
+          sequence(0L, CASE WHEN length(text) <= {_CHUNK} THEN 0L
+                            ELSE CAST(ceil((length(text) - {_CHUNK})
+                                           / {_STRIDE}.0) AS LONG) END),
+          i -> struct(
+            i AS chunk_idx,
+            md5(substring(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}))
+                AS chunk_md5,
+            length(substring(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK}))
+                AS n_chunk_chars))
+        """
+    )
+    return d.select("doc_id", F.inline(chunks))
+
+
+#: feature-hashed linear scorer: 256 buckets from the first two md5 hex
+#: chars, fixed pseudo-weights w(b) = ((b*37) mod 17 - 8)/8 — the
+#: *operator shape* of a fastText-style quality filter (hash tokens,
+#: sum a weight table, squash); swap the closed-form table for trained
+#: coefficients and nothing about the plan changes.
+_HEX = "0123456789abcdef"
+_W_SPARK = (
+    "aggregate(transform(split(text, ' '), tok -> "
+    f"(pmod((instr('{_HEX}', substring(md5(tok), 1, 1)) - 1) * 16 "
+    f"    + instr('{_HEX}', substring(md5(tok), 2, 1)) - 1, 256) * 37) % 17 - 8"
+    "), 0L, (acc, x) -> acc + x)"
+)
+_W_DUCK = (
+    "list_aggregate([CAST(((instr('{hx}', substr(md5(tok), 1, 1)) - 1) * 16 "
+    "    + instr('{hx}', substr(md5(tok), 2, 1)) - 1) % 256 * 37 % 17 - 8 AS BIGINT) "
+    "FOR tok IN string_split(text, ' ')], 'sum')"
+).format(hx=_HEX)
+
+
+@register(
+    "r05_hashed_quality_classifier",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_W_DUCK} AS wsum
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(wsum * 0.5 / n_tokens + 0.1))), 6)
+               AS quality_score,
+           CAST(1.0 / (1.0 + exp(-(wsum * 0.5 / n_tokens + 0.1))) >= 0.5
+                AS INTEGER) AS keep
+    FROM s
+    """,
+    tags=("curation", "quality", "classifier", "feature-hashing"),
+)
+def r05_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality classifier (fastText-style): hash
+    every token into one of 256 buckets (first two md5 hex digits),
+    sum a fixed weight table over the buckets, squash the token-mean
+    through a sigmoid, threshold at 0.5 — the exact plan shape of
+    model-based quality filtering at corpus scale.
+
+    Scale design: the entire scorer is ONE narrow JVM projection
+    (split → transform → aggregate fold → sigmoid) — no shuffle, no
+    UDF, no model server; a real weight table (2^18 buckets × float)
+    would ride along as a broadcast array lookup with the same plan.
+    Integer weight accumulation keeps Spark and DuckDB bit-identical;
+    the single divide happens once per document."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    wsum = F.expr(_W_SPARK)
+    score = 1.0 / (1.0 + F.exp(-(wsum * 0.5 / n_tok + 0.1)))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "r06_span_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {{shingle}} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    inv AS (
+      SELECT DISTINCT doc_id, unnest(sl) AS span FROM sh
+    ),
+    seen AS (
+      SELECT doc_id, span,
+             min(doc_id) OVER (PARTITION BY span) AS first_doc
+      FROM inv
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           round(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS dup_frac
+    FROM seen
+    GROUP BY doc_id
+    """.format(shingle=_SHINGLE_SQL),
+    tags=("curation", "dedup", "novelty", "c4"),
+)
+def r06_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-novelty scoring: for every document, the fraction
+    of its distinct 3-token spans that already occur in an EARLIER
+    document (doc_id order standing in for ingest order) — the signal
+    used to drop boilerplate-heavy pages and to down-weight crawl
+    snapshots that mostly repeat earlier ones. Unlike q33 (who pairs
+    with whom) this is the per-document degree of non-novelty, the
+    quantity mixing pipelines threshold on.
+
+    Plan: one explode + distinct collapses each doc's spans, one
+    window shuffle keyed on the span computes the corpus-wide first
+    occurrence (min doc_id) WITHOUT a self-join, and the per-doc
+    rollup re-shuffles on doc_id. The window sees |distinct (doc,
+    span)| rows and the span key is near-uniform (xxhash-able text),
+    so there is no skew; nothing is ever O(corpus²)."""
+    d = t(spark, sf_dir, "documents")
+    sh = shingled(d)
+    # no distinct needed: shingled() already array_distinct's each
+    # document's span list, so the explode emits each (doc, span) once
+    # — a .distinct() here would be a full extra shuffle for nothing
+    inv = sh.select("doc_id", F.explode("sl").alias("span"))
+    w = Window.partitionBy("span")
+    seen = inv.withColumn("first_doc", F.min("doc_id").over(w))
+    dup = F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
+    return seen.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        dup.cast("long").alias("n_dup_spans"),
+        F.round(dup * 1.0 / F.count("*"), 6).alias("dup_frac"),
+    )

@@ -634,3 +634,43 @@ def q58_explicit_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
     )
+
+
+@register(
+    "r08_lateral_topk_per_region",
+    oracle="""
+    SELECT r.r_name, c.c_name, c.c_acctbal
+    FROM region r,
+    LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r.r_regionkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 3
+    ) c
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def r08_lateral_topk_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: the top-3 customers by balance for
+    each region, written as a lateral per-row subquery — the SQL-standard
+    form users reach for before discovering window functions. Catalyst
+    decorrelates it into the window/rank plan rather than executing a
+    per-row subquery (compare q67, the explicit window form): the
+    rewrite is the point — declarative lateral SQL, distributed
+    ranking execution, no nested-loop subquery per driving row."""
+    for name in ("region", "nation", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"__lat_{name}")
+    return spark.sql(
+        """
+        SELECT r.r_name, c.c_name, c.c_acctbal
+        FROM __lat_region r,
+        LATERAL (
+          SELECT c_name, c_acctbal
+          FROM __lat_customer JOIN __lat_nation ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 3
+        ) c
+        """
+    )

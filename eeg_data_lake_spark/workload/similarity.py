@@ -390,3 +390,227 @@ def q57_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+@register(
+    "r07_int8_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    q AS (
+      SELECT label, e,
+             list_max([abs(x) FOR x IN e]) / 127.0 AS s
+      FROM v
+    ),
+    d AS (
+      SELECT label, e, s,
+             [CASE WHEN x >= 0 THEN floor(x / s + 0.5)
+                   ELSE ceil(x / s - 0.5) END * s FOR x IN e] AS dq
+      FROM q WHERE s > 0
+    ),
+    m AS (
+      SELECT label, s,
+             list_sum([(e[i] - dq[i]) ** 2
+                       FOR i IN generate_series(1, len(e))]) / len(e) AS mse,
+             list_dot_product(e, dq)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(dq, dq))) AS cos
+      FROM d
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(s), 6)   AS avg_scale,
+           round(avg(mse), 6) AS avg_mse,
+           round(min(cos), 6) AS min_cosine
+    FROM m
+    GROUP BY label
+    """,
+    tags=("similarity", "quantization", "int8"),
+)
+def r07_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit: scale each vector
+    by max|x|/127, round-half-away-from-zero to int8, dequantize, and
+    report the per-label reconstruction error (MSE and worst cosine
+    vs the original) — the go/no-go measurement before shipping an
+    embedding corpus at 4× smaller storage (float32 → int8), which at
+    100 TB of vectors is the difference between fitting in cluster
+    memory or not.
+
+    Entirely JVM HOFs (transform / zip_with / aggregate folds) — the
+    quantize-dequantize round trip is a narrow projection, and the
+    only shuffle is the tiny per-label rollup. Rounding is spelled as
+    floor(x/s + .5) / ceil(x/s − .5) so Spark and DuckDB agree on
+    ties by construction rather than by each engine's round() mode."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("e")
+    )
+    s = F.array_max(F.transform(F.col("e"), F.abs)) / 127.0
+    q = v.withColumn("s", s).filter(F.col("s") > 0)
+    dq = F.transform(
+        F.col("e"),
+        lambda x: F.when(x >= 0, F.floor(x / F.col("s") + 0.5))
+        .otherwise(F.ceil(x / F.col("s") - 0.5))
+        * F.col("s"),
+    )
+    d = q.withColumn("dq", dq)
+    mse = (
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("dq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("e")
+    )
+    cos = dot(F.col("e"), F.col("dq")) / (
+        l2norm(F.col("e")) * l2norm(F.col("dq"))
+    )
+    m = d.select("label", "s", mse.alias("mse"), cos.alias("cos"))
+    return m.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("s"), 6).alias("avg_scale"),
+        F.round(F.avg("mse"), 6).alias("avg_mse"),
+        F.round(F.min("cos"), 6).alias("min_cosine"),
+    )
+
+
+#: product quantization geometry: 64-dim vectors → 8 subspaces × 8 dims,
+#: 16 centroids per subspace (4-bit codes → 32× smaller than float32).
+_PQ_M = 8
+_PQ_K = 16
+_PQ_TRAIN_IDS = 512  # codebooks train on the first N vec_ids (sample)
+_PQ_ITERS = 10
+
+
+def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
+    """(m, k, sub_dim) codebooks via per-subspace Lloyd's k-means on
+    the (unit-normalized) training sample. Deterministic: init = first
+    k sample rows, fixed iteration count, empty cells keep their
+    previous centroid. Training is sample-based on purpose — that is
+    how PQ codebooks are built in production (a bounded sample fits
+    one machine; the CORPUS encode step is the distributed part)."""
+    n, dim = sample.shape
+    sub = dim // _PQ_M
+    books = np.empty((_PQ_M, _PQ_K, sub))
+    for m in range(_PQ_M):
+        x = sample[:, m * sub:(m + 1) * sub]
+        c = x[:_PQ_K].copy()
+        if len(c) < _PQ_K:
+            # degenerate sample (tiny corpus): tile rows up to k —
+            # duplicate centroids are harmless, argmin picks the first
+            c = np.resize(c, (_PQ_K, sub))
+        for _ in range(_PQ_ITERS):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(_PQ_K):
+                mask = assign == j
+                if mask.any():
+                    c[j] = x[mask].mean(axis=0)
+        books[m] = c
+    return books
+
+
+@register(
+    "z02_pq_ann_topk",
+    oracle=None,  # approximate by construction → recall-tested vs q37
+    tags=("similarity", "ann", "pq"),
+)
+def z02_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric-distance scoring
+    (Jégou et al., PAMI 2011): unit-normalize, split each vector into
+    8 subspaces, encode each subspace as its nearest of 16 codebook
+    centroids (4-bit code ⇒ 32× smaller than float32 — the memory
+    story that makes billion-vector search fit a cluster), then score
+    queries against CODES only: one (m × k) lookup table per query,
+    approx cosine = Σ_m table[m, code_m]. Third scale path next to
+    LSH (q93) and IVF (q99): those prune candidates, PQ compresses
+    them — production systems compose both (IVF-PQ).
+
+    Plan: codebooks train on a driver-sized sample and ship in the
+    task closure; the corpus is encoded AND scored in one Arrow-batched
+    mapInPandas pass that emits only each partition's per-query top-k
+    (k × partitions rows, never |queries| × |corpus|), and one tiny
+    window takes the global top-k. No shuffle touches the corpus.
+    Recall vs the exact q37 is gated in tests/test_ann_recall.py."""
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    train = np.array(
+        [
+            r.embedding
+            for r in v.filter(F.col("vec_id") < _PQ_TRAIN_IDS).collect()
+        ],
+        dtype=np.float64,
+    )
+    tn = np.linalg.norm(train, axis=1, keepdims=True)
+    train = train[tn[:, 0] > 0] / tn[tn[:, 0] > 0]
+    books = _pq_codebooks(train)
+
+    queries = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in v.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    sub = books.shape[2]
+    # per-query ADC tables: table[q][m, j] = dot(q_sub_m, codebook[m][j])
+    tables = {
+        qid: np.stack(
+            [
+                books[m] @ (q / np.linalg.norm(q))[m * sub:(m + 1) * sub]
+                for m in range(_PQ_M)
+            ]
+        )
+        for qid, q in queries.items()
+    }
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            ok = nrm[:, 0] > 0
+            x, ids = x[ok] / nrm[ok], pdf["vec_id"].to_numpy(np.int64)[ok]
+            if not len(ids):
+                continue
+            # encode: per subspace, nearest codebook row (argmin ||·||²
+            # via the dot-product trick; rows are what a stored PQ
+            # index would persist instead of the float vectors)
+            codes = np.empty((len(ids), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                xs = x[:, m * sub:(m + 1) * sub]
+                d2 = (
+                    (xs ** 2).sum(1)[:, None]
+                    - 2 * xs @ books[m].T
+                    + (books[m] ** 2).sum(1)[None, :]
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            out = []
+            for qid, tbl in tables.items():
+                approx = tbl[np.arange(_PQ_M)[:, None], codes.T].sum(axis=0)
+                keep = ids != qid
+                cand_ids, cand = ids[keep], approx[keep]
+                top = np.argsort(-cand)[:TOP_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[top],
+                            "approx_cosine": np.round(cand[top], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = v.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )

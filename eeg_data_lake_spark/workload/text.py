@@ -361,3 +361,56 @@ def q72_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "r09_bpe_pair_counts",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS tl FROM documents),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(tl,
+          t -> list_transform(generate_series(1, len(t) - 1),
+                              i -> substr(t, i, 2))))) AS pair
+      FROM tok
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def r09_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    frequencies of adjacent symbol pairs within words, top-20 — the
+    merge-candidate table a byte-pair-encoding trainer recomputes each
+    round (q59 applies a trained tokenizer; this is the step that
+    TRAINS one). At 100 TB this exact job is why tokenizer training is
+    a distributed-count problem, not a single-node one.
+
+    Plan: pair extraction is nested JVM HOFs inside the row (no
+    intermediate explode of tokens — one generate per document, not
+    per token), then one count shuffle whose map-side combine
+    collapses to |distinct pairs| ≈ |alphabet|² partials per task, and
+    a TakeOrderedAndProject top-k (never a full sort). The size guard
+    matters: Spark's sequence(1, 0) counts DOWN, so 1-char tokens
+    must short-circuit to an empty array (DuckDB's generate_series
+    returns [] there — a real cross-engine semantics trap)."""
+    d = t(spark, sf_dir, "documents")
+    pairs = F.expr(
+        """
+        flatten(transform(split(text, ' '),
+          t -> CASE WHEN char_length(t) >= 2
+                    THEN transform(sequence(1, char_length(t) - 1),
+                                   i -> substring(t, i, 2))
+                    ELSE CAST(array() AS array<string>) END))
+        """
+    )
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
