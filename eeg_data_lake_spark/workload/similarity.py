@@ -614,3 +614,108 @@ def z02_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_cosine")
     )
+
+
+@register(
+    "z03_ivfpq_ann_topk",
+    oracle=None,  # doubly approximate (prune + quantize) → recall-tested
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN composition (FAISS's
+    default index family) — IVF cells prune WHICH vectors each query
+    scores (q99's coarse quantizer, nprobe cells per query), PQ codes
+    compress HOW each candidate is scored (z02's codebooks + ADC
+    lookup). Orthogonal savings: cells cut candidates ~K/nprobe-fold,
+    codes cut bytes-per-candidate 32-fold, so the scan cost per query
+    drops by both factors at once.
+
+    Same single-pass plan as z02 (encode + score + partition-local
+    top-k in one mapInPandas, tiny global window), with the cell
+    filter applied per query inside the pass: a candidate is scored
+    only if its cell is in the query's probe set. On a cluster the
+    corpus is partitioned BY cell so a probe touches nprobe
+    partitions; here the mask stands in for that partition pruning.
+    Recall vs exact q37 is gated in tests/test_ann_recall.py."""
+    import pandas as pd
+
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    train = np.array(
+        [
+            r.embedding
+            for r in v.filter(F.col("vec_id") < _PQ_TRAIN_IDS).collect()
+        ],
+        dtype=np.float64,
+    )
+    tn = np.linalg.norm(train, axis=1, keepdims=True)
+    train = train[tn[:, 0] > 0] / tn[tn[:, 0] > 0]
+    books = _pq_codebooks(train)
+    cents = np.array(_centroids())  # q99's seeded spherical centroids
+
+    queries = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in v.filter(F.col("vec_id") < N_QUERIES).collect()
+    }
+    sub = books.shape[2]
+    tables, probes = {}, {}
+    for qid, q in queries.items():
+        qn = q / np.linalg.norm(q)
+        tables[qid] = np.stack(
+            [books[m] @ qn[m * sub:(m + 1) * sub] for m in range(_PQ_M)]
+        )
+        probes[qid] = set(np.argsort(-(cents @ qn))[:_IVF_NPROBE].tolist())
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            ok = nrm[:, 0] > 0
+            x, ids = x[ok] / nrm[ok], pdf["vec_id"].to_numpy(np.int64)[ok]
+            if not len(ids):
+                continue
+            cells = (x @ cents.T).argmax(axis=1)
+            codes = np.empty((len(ids), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                xs = x[:, m * sub:(m + 1) * sub]
+                d2 = (
+                    (xs ** 2).sum(1)[:, None]
+                    - 2 * xs @ books[m].T
+                    + (books[m] ** 2).sum(1)[None, :]
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            out = []
+            for qid, tbl in tables.items():
+                mask = np.isin(cells, list(probes[qid])) & (ids != qid)
+                if not mask.any():
+                    continue
+                approx = tbl[
+                    np.arange(_PQ_M)[:, None], codes[mask].T
+                ].sum(axis=0)
+                cand_ids = ids[mask]
+                top = np.argsort(-approx)[:TOP_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": cand_ids[top],
+                            "approx_cosine": np.round(approx[top], 6),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = v.mapInPandas(
+        score, schema="query_id long, neighbor_id long, approx_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "approx_cosine")
+    )

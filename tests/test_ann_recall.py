@@ -26,6 +26,7 @@ def exact(spark, sf_dir):
     ("q99_ivf_ann_topk", 0.25),
     ("q89_ivf_learned_topk", 0.25),
     ("z02_pq_ann_topk", 0.2),
+    ("z03_ivfpq_ann_topk", 0.1),
 ])
 def test_ann_recall_vs_exact(spark, sf_dir, exact, name, min_recall):
     approx = _topk_sets(REGISTRY[name].spark_fn(spark, sf_dir))

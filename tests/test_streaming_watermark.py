@@ -210,3 +210,137 @@ def test_dedup_state_carries_across_micro_batches(spark, tmp_path):
     assert mid == [1, 2, 3]          # cross-batch duplicate of 2 dropped
     assert final == [1, 1, 2, 3, 4]  # evicted key 1 re-admitted
     assert n_batches >= 4
+
+
+def test_stream_stream_left_outer_join_emits_null_rows(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join (q52 is the inner form):
+    unmatched left rows must emit with NULL right columns — but only
+    AFTER the watermark passes their join horizon, because until then
+    a match could still arrive. Both behaviors are pinned: the matched
+    row emits, and the unmatched click's NULL row appears once a later
+    batch advances the watermark past click_ts + 10 min."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "ss_left_src"
+    os.makedirs(src)
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _write_events(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "kind": pa.array([r[2] for r in rows], pa.string()),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # batch 1: user 7's click gets a purchase 5 min later; user 8's
+    # click never does
+    _write_events(
+        str(src / "a.parquet"),
+        [
+            (1, 7, "click", base),
+            (10, 7, "purchase", base + dt.timedelta(minutes=5)),
+            (2, 8, "click", base + dt.timedelta(minutes=1)),
+        ],
+    )
+    # batch 2: far-future events on BOTH streams — the global watermark
+    # is min(click wm, purchase wm), so advancing only one side pins it
+    # at the other's max; with both at 12:00 (5 min delay) it reaches
+    # 11:55, past click 2's horizon (10:11), forcing its NULL emit.
+    # Different users so the pair cannot match each other.
+    _write_events(
+        str(src / "b.parquet"),
+        [
+            (98, 9, "click", base + dt.timedelta(hours=2)),
+            (99, 11, "purchase", base + dt.timedelta(hours=2)),
+        ],
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    clicks = (
+        stream.filter(F.col("kind") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "5 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("kind") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "5 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+        "leftOuter",
+    )
+    name = "ssleft_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # outer-join NULL rows emit one micro-batch AFTER the watermark
+        # passes the row's horizon (state eviction uses the PREVIOUS
+        # batch's watermark) — drive one more batch to flush, exactly
+        # what a live stream's next trigger would do
+        _write_events(
+            str(src / "c.parquet"),
+            [
+                (100, 9, "click", base + dt.timedelta(hours=3)),
+                (101, 11, "purchase", base + dt.timedelta(hours=3)),
+            ],
+        )
+        q.processAllAvailable()
+        out = spark.table(name).toPandas()
+    finally:
+        q.stop()
+    by_click = {
+        int(r.click_id): r for _, r in out.iterrows() if pd.notna(r.click_id)
+    }
+    # matched: click 1 ↔ purchase 10
+    assert by_click[1].purchase_id == 10
+    # unmatched click 2 emitted with NULL right side after the
+    # watermark passed its horizon
+    assert 2 in by_click, f"unmatched click row missing: {out}"
+    assert pd.isna(by_click[2].purchase_id)
+    # click 98 (12:00, horizon 12:10) MAY evict — the engine is free to
+    # run a no-data cleanup batch once batch c lifts the watermark to
+    # 12:55 — but if it emitted it must be a NULL-match row; click 100
+    # (13:00, horizon 13:10 > 12:55) is inside every watermark this
+    # stream reached and must never leak as a premature NULL row
+    if 98 in by_click:
+        assert pd.isna(by_click[98].purchase_id)
+    assert 100 not in by_click
