@@ -206,3 +206,32 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
     """createOrReplaceTempView for every test table (S12)."""
     for name in TESTDATA_TABLES:
         read_testdata(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal raw-asset ingest via the built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content binary) — how an image/audio/video directory actually
+    enters the lakehouse before decode UDFs run (the decode itself is
+    functions/multimodal.py; this is the scan).
+
+    Scale notes: the source is splittable BY FILE (each file one row,
+    files distributed across tasks), pushes down a
+    ``pathGlobFilter`` so non-matching assets are pruned at listing
+    time, and ``max_bytes`` guards the executor from a rogue 4 GB
+    asset row (LENGTH is a catalog column — the filter prunes before
+    content bytes are read)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

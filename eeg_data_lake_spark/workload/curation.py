@@ -697,3 +697,61 @@ def r06_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.cast("long").alias("n_dup_spans"),
         F.round(dup * 1.0 / F.count("*"), 6).alias("dup_frac"),
     )
+
+
+@register(
+    "r10_constraint_audit",
+    oracle="""
+    WITH flags AS (
+      SELECT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)       AS ok_qty,
+             coalesce(l_discount <= 0.05, FALSE)                AS ok_disc,
+             coalesce(l_extendedprice > 0, FALSE)               AS ok_price,
+             coalesce(l_shipdate IS NOT NULL, FALSE)            AS ok_ship,
+             coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)   AS ok_flag
+      FROM lineitem
+    )
+    SELECT rule, n_rows, n_violations,
+           round(n_violations * 1.0 / n_rows, 6) AS violation_frac
+    FROM (
+      SELECT 'qty_in_range' AS rule, count(*) AS n_rows,
+             CAST(sum(CASE WHEN ok_qty THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM flags
+      UNION ALL
+      SELECT 'discount_low', count(*),
+             CAST(sum(CASE WHEN ok_disc THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'price_positive', count(*),
+             CAST(sum(CASE WHEN ok_price THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'shipdate_present', count(*),
+             CAST(sum(CASE WHEN ok_ship THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT 'flag_whitelist', count(*),
+             CAST(sum(CASE WHEN ok_flag THEN 0 ELSE 1 END) AS BIGINT) FROM flags
+    )
+    """,
+    tags=("curation", "quality", "expectations"),
+)
+def r10_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the DLT expect/
+    expect_or_drop shape): five constraints over lineitem — range,
+    threshold, positivity, presence, whitelist — audited in ONE
+    aggregation over ONE scan (each rule is a conditional partial
+    sum; adding a rule adds a counter, never a pass), then stacked to
+    a per-rule report in-row. ``operators/expectations.enforce``
+    applies the same rules as a narrow filter with a quarantine
+    side-output; NULL predicate results count as violations
+    (CHECK-constraint semantics)."""
+    from eeg_data_lake_spark.operators.expectations import audit
+
+    li = t(spark, sf_dir, "lineitem")
+    return audit(
+        li,
+        {
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "discount_low": F.col("l_discount") <= 0.05,
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_present": F.col("l_shipdate").isNotNull(),
+            "flag_whitelist": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

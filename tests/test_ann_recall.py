@@ -50,3 +50,12 @@ def test_ann_results_are_subset_of_corpus(spark, sf_dir):
     for cos in per_q.values():
         assert len(cos) <= 5
         assert cos == sorted(cos, reverse=True)
+
+
+def test_pq_results_are_deterministic(spark, sf_dir):
+    """Codebook training (sample + fixed init + fixed iterations) and
+    encoding are fully deterministic — two invocations must agree
+    row-for-row, or the 'stored index' framing is a lie."""
+    a = REGISTRY["z02_pq_ann_topk"].spark_fn(spark, sf_dir).collect()
+    b = REGISTRY["z02_pq_ann_topk"].spark_fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
