@@ -238,3 +238,40 @@ def q85_map_props_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prop_key")
     )
+
+
+@register(
+    "r11_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("source", "sink", "xml"),
+)
+def r11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + scan — native in Spark 4 (the spark-xml package
+    folded into core): write the nation dimension as row-tagged XML,
+    re-read with the schema pinned, and return the rows themselves
+    (small dimension → the oracle checks full content, not just an
+    aggregate). XML is the interchange format of enterprise feeds
+    (financial, healthcare, legal corpora); schema-pinned reads keep
+    the scan single-pass — inferSchema on XML costs an extra full
+    parse of every file, which at 100 TB is the difference between
+    one scan and two."""
+    path = _rt_dir(sf_dir, "nation_xml")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.format("xml").mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
+    )
