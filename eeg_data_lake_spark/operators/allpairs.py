@@ -65,22 +65,23 @@ def cosine_neardup_pairs(
     vec_a < vec_b, cosine rounded to 6. Exact — no candidate
     pruning — with the physical plan picked by corpus size."""
     v = v.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    # persist only across the EAGER work (sizing count; broadcast-path
-    # collect), then release before returning: the returned lazy plan
-    # rescans upstream once at action time, which costs one extra scan
-    # but can't accumulate cached partitions across repeated calls
-    # (bench loops / correctness harness run this many times per
-    # session, and an unreleased cache per call is a session-lifetime
-    # memory leak)
-    v = v.persist()
-    try:
-        n = v.count()
-        if n <= broadcast_cutover:
-            return _broadcast_matmul_pairs(v, tau)
-        n_blocks = max(2, -(-n // rows_per_block))
-        return _block_pair_matmul_pairs(v, tau, n_blocks)
-    finally:
-        v.unpersist()
+    # one EAGER localCheckpoint pins a consistent snapshot for every
+    # downstream evaluation: the sizing count, the broadcast-path
+    # collect, and the returned lazy plan's scans all read the same
+    # materialized rows — required for correctness when the upstream
+    # is nondeterministic (unseeded sample, rand()-derived columns) or
+    # a live table, and it cuts lineage so nothing recomputes. Unlike
+    # an explicit persist() with no unpersist (the round-2 leak), the
+    # checkpoint blocks are reclaimed by the ContextCleaner as soon as
+    # the returned DataFrame is garbage-collected. On a cluster, lost
+    # executors lose non-reliable checkpoint blocks (job restart);
+    # swap for reliable checkpoint(dir) if that matters at your scale.
+    v = v.localCheckpoint(eager=True)
+    n = v.count()
+    if n <= broadcast_cutover:
+        return _broadcast_matmul_pairs(v, tau)
+    n_blocks = max(2, -(-n // rows_per_block))
+    return _block_pair_matmul_pairs(v, tau, n_blocks)
 
 
 def _broadcast_matmul_pairs(v: DataFrame, tau: float) -> DataFrame:

@@ -39,22 +39,32 @@ def audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     output is one row)."""
     if not rules:
         raise ValueError("audit: at least one rule required")
+    # violation counters are named by INDEX (identifier-safe no matter
+    # what the caller's rule names contain — spaces, quotes, dots);
+    # the human-readable name travels as a literal in the struct, so
+    # arbitrary names can never reach a SQL parser
+    names = list(rules)
     aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum((~_holds(rule)).cast("long")).alias(f"__v_{name}")
-        for name, rule in rules.items()
+        F.sum((~_holds(rule)).cast("long")).alias(f"__v_{i}")
+        for i, rule in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', __v_{name}" for name in rules
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(names)
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)",
-        "__n AS n_rows",
+    return wide.select(
+        F.explode(pairs).alias("__p"), F.col("__n").alias("n_rows")
     ).select(
-        "rule",
+        F.col("__p.rule").alias("rule"),
         "n_rows",
-        "n_violations",
-        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+        F.col("__p.n_violations").alias("n_violations"),
+        F.round(F.col("__p.n_violations") / F.col("n_rows"), 6).alias(
             "violation_frac"
         ),
     )

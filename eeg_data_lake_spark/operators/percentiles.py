@@ -79,4 +79,11 @@ def exact_percentiles(
         aggs.append(
             (v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo)).alias(name)
         )
-    return keys.join(cum.groupBy(key).agg(*aggs), key, "left")
+    # null-SAFE left join: NULL is a legal group key (the builtin
+    # aggregates it like any other group), and a plain equality join
+    # would drop the NULL-key group's computed percentiles
+    agged = cum.groupBy(key).agg(*aggs).withColumnRenamed(key, "__k")
+    return (
+        keys.join(agged, F.col(key).eqNullSafe(F.col("__k")), "left")
+        .drop("__k")
+    )

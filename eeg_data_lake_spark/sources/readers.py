@@ -231,7 +231,5 @@ def read_binary_dir(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     if max_bytes is not None:
-        from pyspark.sql import functions as F
-
         df = df.filter(F.col("length") <= max_bytes)
     return df

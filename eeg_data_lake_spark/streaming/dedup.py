@@ -18,8 +18,11 @@ exactly-once effects across driver restarts:
    matches the accepted-corpus index (one left-anti equi-join per
    band). The index is a companion distinct-band txlog table (one row
    per accepted band value) maintained in the same foreachBatch as the
-   corpus; the corpus commit lands FIRST, then the index, both under
-   the same txn_id — a crash between the two replays the batch and
+   corpus; the corpus commit lands FIRST, then the index, each under
+   its own batch-keyed txn_id (DISTINCT ids on purpose: a shared id
+   would make the index append no-op on replay after a crash between
+   the two commits, losing the index rows forever) — a crash between
+   the two replays the batch and
    back-fills the index commit while the corpus append dedupes to a
    no-op, so the index can lag but never lead (a lagging index only
    re-admits a candidate that the corpus append itself then rejects).

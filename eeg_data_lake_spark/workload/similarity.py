@@ -510,161 +510,78 @@ def _pq_codebooks(sample: np.ndarray) -> np.ndarray:
     return books
 
 
-@register(
-    "z02_pq_ann_topk",
-    oracle=None,  # approximate by construction → recall-tested vs q37
-    tags=("similarity", "ann", "pq"),
-)
-def z02_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via product quantization with asymmetric-distance scoring
-    (Jégou et al., PAMI 2011): unit-normalize, split each vector into
-    8 subspaces, encode each subspace as its nearest of 16 codebook
-    centroids (4-bit code ⇒ 32× smaller than float32 — the memory
-    story that makes billion-vector search fit a cluster), then score
-    queries against CODES only: one (m × k) lookup table per query,
-    approx cosine = Σ_m table[m, code_m]. Third scale path next to
-    LSH (q93) and IVF (q99): those prune candidates, PQ compresses
-    them — production systems compose both (IVF-PQ).
-
-    Plan: codebooks train on a driver-sized sample and ship in the
-    task closure; the corpus is encoded AND scored in one Arrow-batched
-    mapInPandas pass that emits only each partition's per-query top-k
-    (k × partitions rows, never |queries| × |corpus|), and one tiny
-    window takes the global top-k. No shuffle touches the corpus.
-    Recall vs the exact q37 is gated in tests/test_ann_recall.py."""
-    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    train = np.array(
-        [
-            r.embedding
-            for r in v.filter(F.col("vec_id") < _PQ_TRAIN_IDS).collect()
-        ],
-        dtype=np.float64,
-    )
-    tn = np.linalg.norm(train, axis=1, keepdims=True)
-    train = train[tn[:, 0] > 0] / tn[tn[:, 0] > 0]
-    books = _pq_codebooks(train)
-
+def _pq_setup(v):
+    """ONE driver collect builds everything driver-sided: the
+    unit-normalized training sample (vec_id < _PQ_TRAIN_IDS), the
+    codebooks, and the query vectors — N_QUERIES < _PQ_TRAIN_IDS, so
+    the query rows are a SLICE of the same collected rows and no
+    second Spark job runs. Returns None when the corpus has no usable
+    training rows (empty table, or all rows zero-norm) — callers
+    degrade to an empty result instead of a numpy AxisError."""
+    rows = v.filter(F.col("vec_id") < _PQ_TRAIN_IDS).collect()
+    if not rows:
+        return None
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    ok = nrm[:, 0] > 0
+    if not ok.any():
+        return None
+    books = _pq_codebooks(mat[ok] / nrm[ok])
     queries = {
-        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-        for r in v.filter(F.col("vec_id") < N_QUERIES).collect()
+        int(i): mat[j]
+        for j, i in enumerate(ids)
+        if i < N_QUERIES and nrm[j, 0] > 0
     }
+    return books, queries
+
+
+def _pq_encode(x, books):
+    """(n, m) int codes: per subspace, the nearest codebook row
+    (argmin squared distance via the dot-product expansion). These
+    codes are what a stored PQ index persists instead of floats."""
     sub = books.shape[2]
-    # per-query ADC tables: table[q][m, j] = dot(q_sub_m, codebook[m][j])
-    tables = {
-        qid: np.stack(
-            [
-                books[m] @ (q / np.linalg.norm(q))[m * sub:(m + 1) * sub]
-                for m in range(_PQ_M)
-            ]
+    codes = np.empty((len(x), _PQ_M), dtype=np.int64)
+    for m in range(_PQ_M):
+        xs = x[:, m * sub:(m + 1) * sub]
+        d2 = (
+            (xs ** 2).sum(1)[:, None]
+            - 2 * xs @ books[m].T
+            + (books[m] ** 2).sum(1)[None, :]
         )
-        for qid, q in queries.items()
-    }
+        codes[:, m] = d2.argmin(axis=1)
+    return codes
 
+
+def _pq_topk(spark, v, setup, cents=None):
+    """Shared z02/z03 execution: encode + (optional cell mask) + ADC
+    score + partition-local top-k in ONE mapInPandas pass, then a tiny
+    global top-k window. ``cents`` (IVF centroids) switches on the
+    per-query probe-set mask — the only difference between plain PQ
+    and IVF-PQ."""
     import pandas as pd
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            nrm = np.linalg.norm(x, axis=1, keepdims=True)
-            ok = nrm[:, 0] > 0
-            x, ids = x[ok] / nrm[ok], pdf["vec_id"].to_numpy(np.int64)[ok]
-            if not len(ids):
-                continue
-            # encode: per subspace, nearest codebook row (argmin ||·||²
-            # via the dot-product trick; rows are what a stored PQ
-            # index would persist instead of the float vectors)
-            codes = np.empty((len(ids), _PQ_M), dtype=np.int64)
-            for m in range(_PQ_M):
-                xs = x[:, m * sub:(m + 1) * sub]
-                d2 = (
-                    (xs ** 2).sum(1)[:, None]
-                    - 2 * xs @ books[m].T
-                    + (books[m] ** 2).sum(1)[None, :]
-                )
-                codes[:, m] = d2.argmin(axis=1)
-            out = []
-            for qid, tbl in tables.items():
-                approx = tbl[np.arange(_PQ_M)[:, None], codes.T].sum(axis=0)
-                keep = ids != qid
-                cand_ids, cand = ids[keep], approx[keep]
-                top = np.argsort(-cand)[:TOP_K]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "neighbor_id": cand_ids[top],
-                            "approx_cosine": np.round(cand[top], 6),
-                        }
-                    )
-                )
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
-    partial = v.mapInPandas(
-        score, schema="query_id long, neighbor_id long, approx_cosine double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_cosine"), F.asc("neighbor_id")
-    )
-    return (
-        partial.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "approx_cosine")
-    )
-
-
-@register(
-    "z03_ivfpq_ann_topk",
-    oracle=None,  # doubly approximate (prune + quantize) → recall-tested
-    tags=("similarity", "ann", "ivf", "pq"),
-)
-def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ: the production billion-vector ANN composition (FAISS's
-    default index family) — IVF cells prune WHICH vectors each query
-    scores (q99's coarse quantizer, nprobe cells per query), PQ codes
-    compress HOW each candidate is scored (z02's codebooks + ADC
-    lookup). Orthogonal savings: cells cut candidates ~K/nprobe-fold,
-    codes cut bytes-per-candidate 32-fold, so the scan cost per query
-    drops by both factors at once.
-
-    Same single-pass plan as z02 (encode + score + partition-local
-    top-k in one mapInPandas, tiny global window), with the cell
-    filter applied per query inside the pass: a candidate is scored
-    only if its cell is in the query's probe set. On a cluster the
-    corpus is partitioned BY cell so a probe touches nprobe
-    partitions; here the mask stands in for that partition pruning.
-    Recall vs exact q37 is gated in tests/test_ann_recall.py."""
-    import pandas as pd
-
-    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    train = np.array(
-        [
-            r.embedding
-            for r in v.filter(F.col("vec_id") < _PQ_TRAIN_IDS).collect()
-        ],
-        dtype=np.float64,
-    )
-    tn = np.linalg.norm(train, axis=1, keepdims=True)
-    train = train[tn[:, 0] > 0] / tn[tn[:, 0] > 0]
-    books = _pq_codebooks(train)
-    cents = np.array(_centroids())  # q99's seeded spherical centroids
-
-    queries = {
-        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-        for r in v.filter(F.col("vec_id") < N_QUERIES).collect()
-    }
+    if setup is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_cosine double"
+        )
+    books, queries = setup
     sub = books.shape[2]
-    tables, probes = {}, {}
+    tables, probes = {}, None
     for qid, q in queries.items():
         qn = q / np.linalg.norm(q)
         tables[qid] = np.stack(
             [books[m] @ qn[m * sub:(m + 1) * sub] for m in range(_PQ_M)]
         )
-        probes[qid] = set(np.argsort(-(cents @ qn))[:_IVF_NPROBE].tolist())
+    if cents is not None:
+        probes = {
+            qid: set(
+                np.argsort(
+                    -(cents @ (q / np.linalg.norm(q)))
+                )[:_IVF_NPROBE].tolist()
+            )
+            for qid, q in queries.items()
+        }
 
     def score(batches):
         for pdf in batches:
@@ -676,25 +593,19 @@ def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             x, ids = x[ok] / nrm[ok], pdf["vec_id"].to_numpy(np.int64)[ok]
             if not len(ids):
                 continue
-            cells = (x @ cents.T).argmax(axis=1)
-            codes = np.empty((len(ids), _PQ_M), dtype=np.int64)
-            for m in range(_PQ_M):
-                xs = x[:, m * sub:(m + 1) * sub]
-                d2 = (
-                    (xs ** 2).sum(1)[:, None]
-                    - 2 * xs @ books[m].T
-                    + (books[m] ** 2).sum(1)[None, :]
-                )
-                codes[:, m] = d2.argmin(axis=1)
+            cells = (x @ cents.T).argmax(axis=1) if cents is not None else None
+            codes = _pq_encode(x, books)
             out = []
             for qid, tbl in tables.items():
-                mask = np.isin(cells, list(probes[qid])) & (ids != qid)
-                if not mask.any():
+                keep = ids != qid
+                if probes is not None:
+                    keep &= np.isin(cells, list(probes[qid]))
+                if not keep.any():
                     continue
                 approx = tbl[
-                    np.arange(_PQ_M)[:, None], codes[mask].T
+                    np.arange(_PQ_M)[:, None], codes[keep].T
                 ].sum(axis=0)
-                cand_ids = ids[mask]
+                cand_ids = ids[keep]
                 top = np.argsort(-approx)[:TOP_K]
                 out.append(
                     pd.DataFrame(
@@ -719,3 +630,59 @@ def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "approx_cosine")
     )
+
+
+@register(
+    "z02_pq_ann_topk",
+    oracle=None,  # approximate by construction -> recall-tested vs q37
+    tags=("similarity", "ann", "pq"),
+)
+def z02_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization with asymmetric-distance scoring
+    (Jegou et al., PAMI 2011): unit-normalize, split each vector into
+    8 subspaces, encode each subspace as its nearest of 16 codebook
+    centroids (4-bit code => 32x smaller than float32 — the memory
+    story that makes billion-vector search fit a cluster), then score
+    queries against CODES only: one (m x k) lookup table per query,
+    approx cosine = sum_m table[m, code_m]. Third scale path next to
+    LSH (q93) and IVF (q99): those prune candidates, PQ compresses
+    them — and z03 composes both.
+
+    Plan: codebooks train on a driver-sized sample and ship in the
+    task closure; the corpus is encoded AND scored in one Arrow-batched
+    mapInPandas pass that emits only each partition's per-query top-k
+    (k x partitions rows, never |queries| x |corpus|), and one tiny
+    window takes the global top-k. No shuffle touches the corpus.
+    Recall vs the exact q37 is gated in tests/test_ann_recall.py."""
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    return _pq_topk(spark, v, _pq_setup(v))
+
+
+@register(
+    "z03_ivfpq_ann_topk",
+    oracle=None,  # doubly approximate (prune + quantize) -> recall-tested
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN composition (FAISS's
+    default index family) — IVF cells prune WHICH vectors each query
+    scores (q99's coarse quantizer, nprobe cells per query), PQ codes
+    compress HOW each candidate is scored (z02's codebooks + ADC
+    lookup). Orthogonal savings: cells cut candidates ~K/nprobe-fold,
+    codes cut bytes-per-candidate 32-fold, so the scan cost per query
+    drops by both factors at once.
+
+    Implementation IS z02's single-pass plan (_pq_topk) with the IVF
+    centroids passed in — the per-query probe-set mask inside the
+    pass is the only delta, so fixes to either path apply to both by
+    construction. On a cluster the corpus is partitioned BY cell and
+    a probe touches nprobe partitions; the mask stands in for that
+    partition pruning. Recall vs exact q37 is gated in
+    tests/test_ann_recall.py."""
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
+    cents = np.array(_centroids())  # q99's seeded spherical centroids
+    return _pq_topk(spark, v, _pq_setup(v), cents=cents)

@@ -395,3 +395,58 @@ def z01_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "r12_zipf_vocabulary_fit",
+    oracle="""
+    WITH vocab AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk
+      FROM vocab
+    ),
+    head AS (SELECT * FROM ranked WHERE rnk <= 1000)
+    SELECT CAST(count(*) AS BIGINT)               AS n_terms,
+           round(regr_slope(ln(n), ln(rnk)), 4)   AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rnk)), 4) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rnk)), 4)      AS zipf_r2
+    FROM head
+    """,
+    tags=("stats", "text", "zipf"),
+)
+def r12_zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus vocabulary: regress log-frequency
+    on log-rank over the top-1000 terms and report the slope (natural
+    text ≈ −1; synthetic or deduplicated corpora drift toward 0) — the
+    one-number corpus-health check mixing pipelines run per snapshot,
+    and a composition test: explode → vocab agg → ranking window →
+    regr_* aggregates in one query.
+
+    Scale: the vocab aggregate is the only corpus-sized shuffle
+    (Heaps'-law bounded output); the ranking window runs over the
+    VOCAB, pre-pruned by Spark's WindowGroupLimit to the top-1000
+    frame, and the regression is a single-pass partial aggregate over
+    1000 rows. The rank tie-break (count desc, term) is total, so both
+    engines rank identically and the fit is bit-stable."""
+    d = t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    head = (
+        vocab.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 1000)
+        .select(F.log("n").alias("ln_n"), F.log("rnk").alias("ln_r"))
+    )
+    return head.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope("ln_n", "ln_r"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("ln_n", "ln_r"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("ln_n", "ln_r"), 4).alias("zipf_r2"),
+    )

@@ -59,3 +59,26 @@ def test_pq_results_are_deterministic(spark, sf_dir):
     a = REGISTRY["z02_pq_ann_topk"].spark_fn(spark, sf_dir).collect()
     b = REGISTRY["z02_pq_ann_topk"].spark_fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_paths_degrade_gracefully_on_empty_corpus(spark, tmp_path):
+    """An empty (or all-NULL-embedding) corpus yields an empty top-k,
+    not a numpy AxisError from norm() over a 0-row matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    for name in ("z02_pq_ann_topk", "z03_ivfpq_ann_topk"):
+        out = REGISTRY[name].spark_fn(spark, sf)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "approx_cosine"]

@@ -155,3 +155,18 @@ def test_expectations_gated_streaming_ingest(spark, tmp_path):
     process(spark.createDataFrame([(1, "good doc here")], "doc_id long, text string"), 0)
     assert corpus.version() == pv and quarantine.version() == qv
     assert corpus.read().count() == 3
+
+
+def test_rule_names_are_data_not_sql(spark, df):
+    """Rule names are arbitrary labels — quotes, spaces, hyphens and
+    dots must neither crash the audit nor reach a SQL parser."""
+    weird = {
+        "bad'name": F.col("v") > 0,
+        "has space": F.col("v") < 100,
+        "dot.and-dash": F.col("name").isNotNull(),
+    }
+    got = {r["rule"]: r["n_violations"] for r in audit(df, weird).collect()}
+    assert got == {"bad'name": 2, "has space": 2, "dot.and-dash": 1}
+    _passed, quarantined = enforce(df, weird, mode="quarantine")
+    tags = {r.id: set(r._failed_rules) for r in quarantined.collect()}
+    assert tags[3] == {"bad'name", "has space"}

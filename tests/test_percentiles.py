@@ -138,3 +138,13 @@ def test_all_null_group_survives_with_null_percentile(spark):
     assert set(got) == {"a", "b"}
     assert got["a"]["p50"] == pytest.approx(2.0)
     assert got["b"]["p50"] is None
+
+
+def test_null_group_key_is_a_legal_group(spark):
+    """NULL is a valid GROUP BY key: the builtin aggregates it like
+    any other group, so the rank plan's key re-attachment must be
+    null-SAFE or the NULL group's percentiles silently vanish."""
+    rows = [(None, 1.0), (None, 3.0), ("a", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r["p50"] for r in exact_percentiles(df, "k", "v", [0.5]).collect()}
+    assert got == {None: pytest.approx(2.0), "a": pytest.approx(5.0)}
