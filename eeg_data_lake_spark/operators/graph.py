@@ -85,3 +85,58 @@ def connected_components(
         "(graph diameter exceeds max_iter); labels would be partial — "
         "raise max_iter for deep graphs"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of power iteration over the
+    undirected graph — the influence/centrality companion to
+    connected_components (CC answers "which cluster"; PageRank answers
+    "which node matters most within it", e.g. the most-connected
+    near-duplicate to keep as the canonical representative, or hub
+    documents in a citation/link corpus).
+
+    Same distributed loop discipline as CC: each round is one shuffle
+    (contributions grouped by destination), lineage is truncated per
+    round with localCheckpoint, and the driver never sees node data.
+    Fixed iteration count (PageRank converges geometrically at rate
+    ``damping``; 10 rounds ≈ 0.85^10 < 0.2 residual, the usual
+    analytics setting) keeps the result deterministic. Dangling nodes
+    cannot exist in the symmetrized edge list (every node has the
+    edges it came with), so no dangling-mass correction is needed."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    ranks = (
+        deg.select("a", F.lit(1.0).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks.join(deg, "a"), "a")
+            .select(F.col("b").alias("a"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("a")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            deg.select("a")
+            .join(contribs, "a", "left")
+            .select(
+                "a",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("a").alias("node"), "rank")

@@ -429,3 +429,27 @@ def band_collision_pairs(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
+
+
+@register(
+    "z04_neardup_pagerank",
+    oracle=None,  # iterative power method → numpy-parity tested
+    tags=("dedup", "graph", "pagerank"),
+)
+def z04_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the q33 near-dup pair graph: 10 power-iteration
+    rounds of damped PageRank (operators.graph.pagerank), top-20 nodes.
+    Where q48 turns pairs into GROUPS, this ranks nodes WITHIN the
+    graph — the 'which copy is canonical' signal (keep the most-linked
+    duplicate; or in a link corpus, find hub documents). Iterative =
+    not SQL-expressible; exact parity with a numpy power iteration is
+    pinned in tests/test_operators.py."""
+    from eeg_data_lake_spark.operators.graph import pagerank
+
+    pairs = q33_neardup_shingle_jaccard(spark, sf_dir)
+    pr = pagerank(pairs, src="doc_a", dst="doc_b")
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

@@ -686,3 +686,63 @@ def z03_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = np.array(_centroids())  # q99's seeded spherical centroids
     return _pq_topk(spark, v, _pq_setup(v), cents=cents)
+
+
+@register(
+    "r13_semantic_decontamination",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    bench AS (SELECT vec_id AS bench_id, e AS be FROM v WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT v.vec_id,
+             list_dot_product(v.e, bench.be)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(bench.be, bench.be))) AS cosine
+      FROM v JOIN bench ON v.vec_id % 50 <> 0
+    )
+    SELECT vec_id,
+           round(max(cosine), 6) AS max_bench_cosine,
+           CAST(sum(CASE WHEN cosine >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bench_hits
+    FROM scored
+    GROUP BY vec_id
+    HAVING round(max(cosine), 6) >= 0.25
+    """,
+    tags=("similarity", "decontamination", "curation"),
+)
+def r13_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set decontamination: flag training vectors whose
+    embedding is suspiciously close to any benchmark vector (vec_id %
+    50 == 0 stands in for the eval set) — the cosine-space complement
+    to q69's n-gram overlap, which paraphrased or translated
+    contamination slips past. Emits per-vector worst-case benchmark
+    similarity and a hit count at the drop threshold.
+
+    The q37 plan shape: per-side norms hoisted, the benchmark matrix
+    BROADCAST (eval sets are small by construction), corpus streams
+    through one fold per scored pair and aggregates per vector — the
+    corpus never shuffles, so this runs at scan speed at 100 TB. The
+    HAVING keeps the report to the suspicious tail (the full scored
+    set is the same query without it)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", l2norm(F.col("e")))
+    bench = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("e").alias("be"), F.col("nrm").alias("bnrm")
+    )
+    scored = v.filter(F.col("vec_id") % 50 != 0).join(F.broadcast(bench)).select(
+        "vec_id",
+        (dot(F.col("e"), F.col("be")) / (F.col("nrm") * F.col("bnrm"))).alias(
+            "cosine"
+        ),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.round(F.max("cosine"), 6).alias("max_bench_cosine"),
+            F.sum((F.col("cosine") >= 0.5).cast("long")).alias("n_bench_hits"),
+        )
+        .filter(F.col("max_bench_cosine") >= 0.25)
+    )

@@ -269,3 +269,40 @@ def test_range_count_join_same_key_name(spark):
         ).collect()
     }
     assert out == {10: 2, 20: 0}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank() == the dense numpy power iteration on the same
+    (symmetrized, deduplicated) graph, node for node."""
+    import numpy as np
+
+    from eeg_data_lake_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1
+    deg = adj.sum(axis=1)
+    r = np.ones(len(nodes))
+    for _ in range(10):
+        r = 0.15 + 0.85 * adj.T @ (r / deg)
+    for n in nodes:
+        assert got[n] == pytest.approx(r[idx[n]], rel=1e-9)
+    # sanity: the degree-3 hub outranks leaves
+    assert got[2] == max(got.values())
+
+
+def test_pagerank_is_deterministic_across_runs(spark):
+    from eeg_data_lake_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20) for i in range(40)], "src long, dst long"
+    ).filter("src <> dst")
+    a = sorted(map(tuple, pagerank(df, iters=5).collect()))
+    b = sorted(map(tuple, pagerank(df, iters=5).collect()))
+    assert a == b
