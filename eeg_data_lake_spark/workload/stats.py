@@ -450,3 +450,54 @@ def r12_zipf_vocabulary_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("ln_n", "ln_r"), 4).alias("zipf_intercept"),
         F.round(F.regr_r2("ln_n", "ln_r"), 4).alias("zipf_r2"),
     )
+
+
+@register(
+    "r14_rolling_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day::VARCHAR AS day,
+           (SELECT count(DISTINCT u.user_id)
+            FROM du u
+            WHERE u.day BETWEEN d.day - 6 AND d.day) AS wau
+    FROM days d
+    """,
+    tags=("stats", "window", "distinct", "timeseries"),
+)
+def r14_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (the WAU curve) — EXACT
+    windowed COUNT(DISTINCT), which no SQL engine's window frame
+    supports directly (both Spark and DuckDB reject
+    count(DISTINCT) OVER). The engine plan: collapse events to
+    distinct (day, user) once, pack each day's users into a set, then
+    a RANGE frame over days collects the 7 per-day SETS and
+    flatten → array_distinct → size counts the union in-row.
+
+    Scale ledger: the only corpus-sized shuffle is the (day, user)
+    distinct; after that everything operates on |days| rows whose
+    payload is bounded by per-day cardinality. When per-day sets stop
+    fitting in a row (true web scale), z01's mergeable HLL sketches
+    are the drop-in replacement — same shape, union of sketches
+    instead of arrays, ~1% error. The oracle spells the same semantics
+    as a correlated range subquery (fine at oracle scale, quadratic in
+    days — exactly what the set-union plan avoids)."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    daily = du.groupBy("day").agg(F.collect_set("user_id").alias("users"))
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.size(
+            F.array_distinct(
+                F.flatten(F.collect_list("users").over(w))
+            )
+        ).cast("long").alias("wau"),
+    )
