@@ -755,3 +755,55 @@ def r10_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_whitelist": F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+@register(
+    "r16_group_aware_folds",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang, source,
+             CAST(
+               (instr('0123456789abcdef', substring(md5(source), 1, 1)) - 1)
+               % 5 AS BIGINT) AS fold
+      FROM documents
+    )
+    SELECT fold, lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM assigned
+    GROUP BY fold, lang
+    """,
+    tags=("curation", "split", "cv", "leakage"),
+)
+def r16_group_aware_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware cross-validation folds: the fold is a hash of the
+    SOURCE, not the document — every document sharing a source lands
+    in the same fold by construction, which is the split discipline
+    that stops near-duplicates and same-site boilerplate from leaking
+    between train and eval folds (per-document splits measure
+    memorization, not generalization). Same md5-gate rationale as
+    q66: reproducible under re-partitioning, retries and growth.
+
+    One narrow hash projection + one rollup shuffle; the
+    no-source-spans-two-folds invariant is structural (a pure function
+    of source) and pinned in tests. Reuses q66/q71's hex-digit
+    uniformity: fold = first md5 hex digit mod 5."""
+    d = t(spark, sf_dir, "documents")
+    fold = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("source")), 1, 1),
+            )
+            - 1
+        )
+        % 5
+    ).cast("long")
+    return (
+        d.withColumn("fold", fold)
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

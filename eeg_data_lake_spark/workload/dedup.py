@@ -453,3 +453,95 @@ def z04_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
     )
+
+
+@register(
+    "r15_minhash_accuracy_audit",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sig AS (
+      SELECT doc_id, sl,
+             {_minhash_sql(0)} AS s0, {_minhash_sql(1)} AS s1,
+             {_minhash_sql(2)} AS s2, {_minhash_sql(3)} AS s3,
+             md5({_minhash_sql(0)} || {_minhash_sql(1)}) AS band0,
+             md5({_minhash_sql(2)} || {_minhash_sql(3)}) AS band1
+      FROM sh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1) AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(((a.s0 = b.s0)::INT + (a.s1 = b.s1)::INT
+                  + (a.s2 = b.s2)::INT + (a.s3 = b.s3)::INT) / 4.0, 6)
+               AS est_jaccard,
+           round(len(list_intersect(a.sl, b.sl)) * 1.0
+                 / (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))),
+                 6) AS true_jaccard,
+           round(abs(((a.s0 = b.s0)::INT + (a.s1 = b.s1)::INT
+                      + (a.s2 = b.s2)::INT + (a.s3 = b.s3)::INT) / 4.0
+                     - len(list_intersect(a.sl, b.sl)) * 1.0
+                       / (len(a.sl) + len(b.sl)
+                          - len(list_intersect(a.sl, b.sl)))), 6) AS abs_err
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """,
+    tags=("dedup", "minhash", "audit"),
+)
+def r15_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair (the q35
+    set), the MinHash-ESTIMATED Jaccard (fraction of equal signature
+    components, k=4) next to the TRUE shingle Jaccard and the absolute
+    error — the measurement that tells you whether your k and banding
+    are adequate BEFORE you dedup 100 TB with them (E[est] = true
+    Jaccard; with k=4 the per-pair std is ~0.25, which is exactly why
+    this audit exists and why production uses k=128).
+
+    Plan: signatures and shingle sets are computed once per doc (the
+    shared shingled_cached corpus); candidate pairs come from the
+    per-band equi-joins (never the OR-join); the audit attaches each
+    side's (signature, set) by two joins against the doc-keyed sig
+    relation — candidate-pair-sized, not corpus², and the set
+    intersection runs in-row."""
+    sh = shingled_cached(spark, sf_dir)
+    s = _minhash_cols(F.col("sl"))
+    sig = sh.select(
+        "doc_id",
+        "sl",
+        s[0].alias("s0"), s[1].alias("s1"),
+        s[2].alias("s2"), s[3].alias("s3"),
+        F.md5(F.concat(s[0], s[1])).alias("band0"),
+        F.md5(F.concat(s[2], s[3])).alias("band1"),
+    )
+    pairs = band_collision_pairs(
+        sig.select("doc_id", "band0", "band1"), ("band0", "band1")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sl").alias("sl_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sl").alias("sl_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(4)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(4)
+    ) / 4.0
+    inter = F.size(F.array_intersect("sl_a", "sl_b"))
+    true_j = inter * 1.0 / (F.size("sl_a") + F.size("sl_b") - inter)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(true_j, 6).alias("true_jaccard"),
+            F.round(F.abs(est - true_j), 6).alias("abs_err"),
+        )
+    )

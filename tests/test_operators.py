@@ -306,3 +306,31 @@ def test_pagerank_is_deterministic_across_runs(spark):
     a = sorted(map(tuple, pagerank(df, iters=5).collect()))
     b = sorted(map(tuple, pagerank(df, iters=5).collect()))
     assert a == b
+
+
+def test_group_aware_folds_never_split_a_source(spark, sf_dir):
+    """The structural invariant behind r16: a source's documents all
+    share one fold (fold is a pure function of source)."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.workload.registry import t as load
+
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("source")), 1, 1),
+            )
+            - 1
+        )
+        % 5
+    ).cast("long")
+    spans = (
+        d.withColumn("fold", fold)
+        .groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert spans == 0

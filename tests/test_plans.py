@@ -224,3 +224,56 @@ def test_q86_arrow_map_single_group_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 2
     (cols,) = read_schema_columns(df)
     assert set(cols) == {"user_id", "value"}  # projection pruned
+
+
+def test_r04_chunking_is_zero_shuffle(spark, sf_dir):
+    df = q("r04_rag_chunking", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_r05_classifier_is_zero_shuffle_narrow_projection(spark, sf_dir):
+    df = q("r05_hashed_quality_classifier", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_r06_span_novelty_is_two_shuffles_no_self_join(spark, sf_dir):
+    df = q("r06_span_novelty", spark, sf_dir)
+    # span window + doc rollup; the explode is narrow
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
+
+
+def test_r09_bpe_pairs_single_count_shuffle_topk(spark, sf_dir):
+    from eeg_data_lake_spark.plans import explain_string
+
+    df = q("r09_bpe_pair_counts", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    # top-k must be TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in explain_string(df)
+
+
+def test_r10_audit_is_single_aggregation(spark, sf_dir):
+    df = q("r10_constraint_audit", spark, sf_dir)
+    # one reduce to a single row; the stack/explode is in-row
+    assert count_exchanges(df) <= 1
+    assert join_strategies(df) == []
+
+
+def test_r13_bench_matrix_is_broadcast_corpus_never_shuffles(spark, sf_dir):
+    from eeg_data_lake_spark.plans import explain_string
+
+    df = q("r13_semantic_decontamination", spark, sf_dir)
+    # scoring every (corpus, bench) pair has no equi-key by design, so
+    # the correct physical join is a nested loop whose INNER side is
+    # the broadcast bench matrix — a map-side loop over a tiny
+    # relation, not the unbounded-pair hazard BNLJ usually signals.
+    # What must hold: the bench side broadcasts, and the corpus side
+    # reaches the scorer without any shuffle.
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s == "BroadcastNestedLoopJoin" for s in strategies
+    )
+    assert "BroadcastExchange" in explain_string(df)
+    assert count_exchanges(df) == 1  # the per-vector rollup only
