@@ -3,7 +3,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "duckdb": {...}, "spark_vs_duckdb": {...}, "sf": ...}
+     "spark_vs_duckdb_total": R, "sf": ...}
+
+(per-query DuckDB walls and ratios go to BENCH_DETAIL.json — stdout
+must stay inside the driver's ~2000-char tail window)
 
 Execution is measured with the noop sink (full computation, zero
 collection overhead); one untimed warm-up query amortizes JVM/codegen
@@ -182,7 +185,10 @@ def main() -> None:
         detail_path.write_text(json.dumps(detail, indent=2) + "\n")
     except OSError:
         pass
-    print(json.dumps(detail))
+    # Per-query DuckDB walls/ratios live ONLY in BENCH_DETAIL.json: round 2
+    # proved that any long stdout line shoves the final JSON out of the
+    # driver's ~2000-char tail window, so stdout carries just the compact
+    # line below (plus the aggregate ratio, which fits).
     compact = {
         "metric": "headline_workload_wall_seconds",
         "value": total,

@@ -1,0 +1,427 @@
+"""Product-analytics workload: funnel, cohort retention, transition
+matrix, token entropy, count-min heavy hitters, near-dup triangles.
+
+These are the event-log / corpus-diagnostics queries a training-data
+pipeline team runs next to the curation ops (which documents loop, how
+users traverse the product, which tokens dominate the vocabulary) —
+each expressed as a declarative DataFrame plan with a DuckDB oracle.
+
+Scale notes (the part that matters at 100 TB):
+- The funnel is ONE exchange: three chained window aggregates all
+  partitioned by user_id, so Catalyst plans a single hash exchange and
+  reuses the sort. No self-joins, no per-stage passes over events.
+- Cohort retention shuffles events by user_id once to find the first
+  touch, then re-aggregates on (cohort, week) — both keys are low
+  cardinality on the second shuffle, so partial (map-side) aggregation
+  collapses it.
+- The count-min sketch is the textbook mergeable sketch: the (depth,
+  bucket) count table IS the sketch, built with one partial-aggregated
+  shuffle of 4×|tokens| rows into depth×16³ cells; estimates are a
+  broadcast join of the candidate set against those cells. Identical
+  md5 bucketing on the DuckDB side makes the whole thing hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.workload.registry import REGISTRY, register, t
+
+# --------------------------------------------------------------------
+# r17: strict-order event funnel
+# --------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS ts1
+  FROM events GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'view' AND e.ts >= t1.ts1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT '1_signup' AS stage,
+         CAST(count(ts1) AS BIGINT) AS users FROM t1
+  UNION ALL
+  SELECT '2_view', CAST(count(*) AS BIGINT) FROM t2
+  UNION ALL
+  SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM t3
+) ORDER BY stage
+"""
+
+
+@register(
+    "r17_event_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("analytics", "funnel", "window"),
+)
+def r17_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel signup → view → purchase: a user reaches
+    stage k only via an event at-or-after their stage k-1 timestamp.
+
+    The oracle spells it as three joins back to events; the Spark plan
+    is three CHAINED window aggregates over the same partitioning
+    (user_id), which Catalyst executes with ONE exchange + sort — each
+    stage's threshold is a windowed min over rows filtered by the
+    previous stage's windowed min. At 100 TB that is one shuffle of the
+    events table instead of three join passes, and the final stage
+    counts collapse map-side (3-row output)."""
+    w = Window.partitionBy("user_id")
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = (
+        e.withColumn(
+            "ts1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") >= F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "ts3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("ts2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("ts1").alias("ts1"), F.min("ts2").alias("ts2"), F.min("ts3").alias("ts3")
+    )
+    counts = per_user.agg(
+        F.count("ts1").alias("c1"),
+        F.count("ts2").alias("c2"),
+        F.count("ts3").alias("c3"),
+    )
+    return (
+        counts.select(
+            F.expr(
+                "stack(3, '1_signup', c1, '2_view', c2, '3_purchase', c3)"
+                " AS (stage, users)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------
+# r18: weekly cohort retention
+# --------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+            AS BIGINT) AS week_no,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN first_touch f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "r18_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("analytics", "cohort", "retention"),
+)
+def r18_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort × weeks-since-first-touch retention matrix.
+
+    Plan: window min(ts) over user_id attaches the cohort without a
+    join (one exchange on user_id, same trick as the funnel), then a
+    (cohort_week, week_no) countDistinct — whose shuffle key is tiny,
+    so AQE coalesces it to a handful of partitions. The classic
+    formulation (groupBy + self-join on user_id) would shuffle events
+    twice; this shuffles once."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    cohorted = e.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    )
+    return (
+        cohorted.select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week").cast("date")) / 7
+            ).alias("week_no"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_no")
+    )
+
+
+# --------------------------------------------------------------------
+# r19: event transition matrix
+# --------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH nxt AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM nxt WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+"""
+
+
+@register(
+    "r19_event_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    tags=("analytics", "markov", "window"),
+)
+def r19_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user (tie-broken by event_id so the order — and therefore the
+    hash — is deterministic). One exchange for the lead() window; the
+    5×5 transition agg collapses map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .orderBy("src", "dst")
+    )
+
+
+# --------------------------------------------------------------------
+# r21: token-entropy quality metric
+# --------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH pw AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS token_entropy
+FROM pw GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "r21_token_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "quality", "entropy"),
+)
+def r21_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    diversity signal that complements q53's repetition fractions
+    (degenerate/looping text scores near 0, varied prose near ln(n)).
+
+    Uses the identity H = ln(n) − (Σ c·ln c)/n so the whole thing is
+    two hash aggregations on doc_id-prefixed keys (partial-agg
+    friendly) with no per-probability division pass. Entirely JVM
+    expressions; rounded to 6 so Spark/DuckDB libm ulp differences
+    can't flip the hash."""
+    pw = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    c = F.col("count")
+    return (
+        pw.groupBy("doc_id")
+        .agg(
+            F.sum(c).alias("n_tokens"),
+            F.round(
+                F.log(F.sum(c)) - F.sum(c * F.log(c)) / F.sum(c), 6
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# z05: count-min sketch heavy hitters
+# --------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_BUCKET_HEX = 3  # 16^3 = 4096 buckets per row
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM tok GROUP BY tok
+),
+cand AS (
+  SELECT tok, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, tok LIMIT 25
+),
+depths AS (SELECT unnest(range(0, {CMS_DEPTH})) AS d),
+sketch AS (
+  SELECT d,
+         substr(md5('cms' || CAST(d AS VARCHAR) || tok), 1, {CMS_BUCKET_HEX})
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS bc
+  FROM tok CROSS JOIN depths
+  GROUP BY d, bucket
+),
+probes AS (
+  SELECT c.tok, c.exact_cnt, d.d,
+         substr(md5('cms' || CAST(d.d AS VARCHAR) || c.tok), 1,
+                {CMS_BUCKET_HEX}) AS bucket
+  FROM cand c CROSS JOIN depths d
+)
+SELECT p.tok, p.exact_cnt, min(s.bc) AS cms_est
+FROM probes p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+GROUP BY p.tok, p.exact_cnt
+ORDER BY p.exact_cnt DESC, p.tok
+"""
+
+
+@register(
+    "z05_cms_heavy_hitters",
+    oracle=_CMS_ORACLE,
+    tags=("sketch", "count-min", "heavy-hitters"),
+)
+def z05_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 × 4096 md5 buckets) vs exact counts
+    for the 25 heaviest vocabulary tokens.
+
+    The (d, bucket) → count table IS the CMS: built with one
+    partial-aggregated shuffle whose output is at most depth × 16³
+    cells regardless of corpus size, and mergeable across corpus
+    shards by cell-wise addition (the property that matters at
+    100 TB — union the cell tables, sum, done; same contract as the
+    HLL rollup in z01). Estimates are min-over-depth of the probed
+    cells; CMS guarantees est ≥ exact, checked in tests/test_sketches.
+    Buckets are hex substrings of md5 so DuckDB reproduces the sketch
+    bit-for-bit — the whole pipeline hash-matches, not just the shape.
+    The candidate probe is a broadcast join (25×4 rows) against the
+    cells."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), "tok").limit(25)
+
+    def bucket(d: int, col):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"cms{d}"), col)), 1, CMS_BUCKET_HEX
+        )
+
+    # long-form (d, bucket) cells: explode each token into its DEPTH
+    # probes via an inline array — one pass, no cross join materialized
+    probes = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    ).select("p.d", "p.bucket")
+    sketch = probes.groupBy("d", "bucket").agg(F.count("*").alias("bc"))
+
+    cand_probes = cand.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_cnt", "p.d", "p.bucket")
+
+    return (
+        sketch.join(F.broadcast(cand_probes), ["d", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("bc").alias("cms_est"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )
+
+
+# --------------------------------------------------------------------
+# z06: triangles in the near-dup candidate graph
+# --------------------------------------------------------------------
+
+
+def _z06_oracle() -> str:
+    pairs = REGISTRY["q35_minhash_lsh_pairs"].oracle
+    assert pairs is not None
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT ab.doc_a, ab.doc_b, bc.doc_b AS doc_c
+    FROM pairs ab
+    JOIN pairs bc ON bc.doc_a = ab.doc_b
+    JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    ORDER BY ab.doc_a, ab.doc_b, doc_c
+    """
+
+
+@register(
+    "z06_neardup_triangles",
+    oracle=_z06_oracle(),
+    tags=("graph", "triangles", "dedup"),
+)
+def z06_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the MinHash-LSH candidate graph —
+    the structure signal dedup audits use (a triangle-dense candidate
+    graph means transitive near-dup clusters; sparse triangles mean
+    LSH noise).
+
+    Edges are oriented doc_a < doc_b, so each triangle a<b<c is
+    emitted exactly once by the standard two-join enumeration (join on
+    the shared middle vertex, then close the wedge). Both joins are
+    equi-joins on vertex ids — partitionable at any scale; degree
+    skew is bounded upstream by the LSH band structure (a hot band is
+    capped by the same posting-list guards as q35). Reuses q35's
+    spark plan verbatim so candidate semantics stay identical."""
+    pairs = REGISTRY["q35_minhash_lsh_pairs"].spark_fn(spark, sf_dir)
+    ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    ac = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    return (
+        ab.join(bc, ab.b == bc.b2)
+        .join(ac, (ab.a == ac.a3) & (bc.c == ac.c3))
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+        )
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )

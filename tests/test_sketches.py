@@ -47,3 +47,53 @@ def test_union_of_partials_equals_direct_sketch(spark, sf_dir):
     a = {r.event_type: r.est for r in via_partials.collect()}
     b = {r.event_type: r.est for r in direct.collect()}
     assert a == b  # merge must be lossless, not approximately equal
+
+
+def test_cms_never_underestimates_and_is_mergeable(spark, sf_dir):
+    """CMS guarantee: est >= exact for every probed token; and the
+    (d, bucket) cell table built from two half-corpora summed cell-wise
+    equals the one-shot sketch (the merge property the 100 TB rollup
+    relies on)."""
+    rows = REGISTRY["z05_cms_heavy_hitters"].spark_fn(spark, sf_dir).collect()
+    assert rows, "expected candidate tokens"
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, (r.tok, r.cms_est, r.exact_cnt)
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.workload.analytics import CMS_BUCKET_HEX, CMS_DEPTH
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+
+    def cells(df):
+        probes = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"cms{d}"), F.col("tok"))),
+                                1,
+                                CMS_BUCKET_HEX,
+                            ).alias("bucket"),
+                        )
+                        for d in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("p")
+        ).select("p.d", "p.bucket")
+        return probes.groupBy("d", "bucket").agg(F.count("*").alias("bc"))
+
+    direct = cells(tok)
+    half_a = cells(tok.filter(F.col("doc_id") % 2 == 0))
+    half_b = cells(tok.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("bc").alias("bc"))
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
