@@ -269,6 +269,127 @@ def r21_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# r22: event-type co-occurrence (market-basket pairs)
+# --------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+WITH s AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_user_days
+FROM s a JOIN s b
+  ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "r22_event_cooccurrence",
+    oracle=_COOCCUR_ORACLE,
+    tags=("analytics", "market-basket", "pairs"),
+)
+def r22_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many (user, day) baskets contain both.
+
+    The oracle spells the classic self-join; the Spark plan NEVER
+    self-joins — it collects each basket's distinct types (≤5 here,
+    bounded by the type vocabulary in general) and emits the pairs
+    map-side with nested array HOFs, exactly the posting-list trick
+    q33 uses for shingles. Shuffles: one distinct on (user, day, type),
+    one basket groupBy on the same key prefix (co-partitioned), and
+    the final tiny pair agg — each safe at any corpus size because no
+    stage is quadratic in anything but the per-basket type count."""
+    s = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .distinct()
+    )
+    baskets = s.groupBy("user_id", "d").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(types, (x, i) ->
+                  transform(slice(types, i + 2, size(types)),
+                            y -> struct(x AS type_a, y AS type_b))))
+                """
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------
+# r23: EWMA as a deterministic ordered fold
+# --------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+
+_EWMA_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_events,
+       round(list_reduce(xs,
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+         AS ewma
+FROM s ORDER BY user_id
+"""
+
+
+@register(
+    "r23_ewma_fold",
+    oracle=_EWMA_ORACLE,
+    tags=("timeseries", "ewma", "hof"),
+)
+def r23_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user as an ordered
+    aggregate fold — the recursive y_t = αx_t + (1−α)y_{t−1} that no
+    window frame can express, done with the `aggregate` HOF over the
+    user's time-sorted values (seeded from the first element, matching
+    DuckDB's list_reduce).
+
+    One exchange on user_id; per-user state is the event list —
+    bounded by events-per-entity, the same bound any per-entity
+    sequence op has (for unbounded streams the stateful streaming path
+    q39 is the analog). The fold order is pinned by (ts, event_id)
+    sort inside sort_array, so the float result is deterministic and
+    both engines execute the identical IEEE chain — rounded to 6 for
+    the hash."""
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("xs")
+        )
+    )
+    fold = F.aggregate(
+        F.expr("slice(xs, 2, size(xs) - 1)"),
+        F.element_at("xs", 1).getField("value").cast("double"),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x.getField("value")
+        + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------
 # z05: count-min sketch heavy hitters
 # --------------------------------------------------------------------
 
@@ -411,7 +532,14 @@ def z06_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew is bounded upstream by the LSH band structure (a hot band is
     capped by the same posting-list guards as q35). Reuses q35's
     spark plan verbatim so candidate semantics stay identical."""
-    pairs = REGISTRY["q35_minhash_lsh_pairs"].spark_fn(spark, sf_dir)
+    # materialize the edge list once: the triangle enumeration reads it
+    # three times, and without the checkpoint each read would re-run the
+    # whole LSH band join (observed: 16 join nodes in the plan vs 2
+    # after). Edge lists are tiny relative to the corpus; on a cluster
+    # a reliable checkpoint dir (or a temp table) plays the same role.
+    pairs = REGISTRY["q35_minhash_lsh_pairs"].spark_fn(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     ac = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))

@@ -277,3 +277,58 @@ def test_r13_bench_matrix_is_broadcast_corpus_never_shuffles(spark, sf_dir):
     )
     assert "BroadcastExchange" in explain_string(df)
     assert count_exchanges(df) == 1  # the per-vector rollup only
+
+
+def test_r17_funnel_is_one_events_exchange(spark, sf_dir):
+    df = q("r17_event_funnel", spark, sf_dir)
+    # ONE shuffle of events for the three chained user_id windows (the
+    # per-user groupBy reuses that partitioning); the only other
+    # exchange is the 3-row stage sort. No joins — the oracle's three
+    # join-backs collapse into window aggregates.
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"user_id", "event_type", "ts"}
+
+
+def test_r18_cohort_single_events_shuffle(spark, sf_dir):
+    df = q("r18_cohort_retention", spark, sf_dir)
+    # window exchange + countDistinct two-phase + result sort; never a
+    # first-touch self-join
+    assert count_exchanges(df) <= 3
+    assert join_strategies(df) == []
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"user_id", "ts"}  # event cols pruned
+
+
+def test_r22_cooccurrence_never_self_joins(spark, sf_dir):
+    df = q("r22_event_cooccurrence", spark, sf_dir)
+    # pair generation is map-side from per-basket arrays — the oracle's
+    # quadratic self-join must not appear in the physical plan
+    assert join_strategies(df) == []
+    assert not has_cartesian_or_bnlj(df)
+    assert count_exchanges(df) <= 3
+
+
+def test_r23_ewma_fold_one_exchange(spark, sf_dir):
+    df = q("r23_ewma_fold", spark, sf_dir)
+    assert count_exchanges(df) == 2  # user_id agg + result sort
+    assert join_strategies(df) == []
+
+
+def test_z05_cms_probe_is_broadcast(spark, sf_dir):
+    df = q("z05_cms_heavy_hitters", spark, sf_dir)
+    # the candidate probe (≤ depth×25 rows) must broadcast against the
+    # sketch cells; the cell build itself must stay a plain hash agg
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies)
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_z06_triangles_read_checkpointed_edges(spark, sf_dir):
+    df = q("z06_neardup_triangles", spark, sf_dir)
+    # the edge list is materialized once; without it the LSH band join
+    # re-runs three times (16 join nodes in the explain vs 4 here —
+    # AQE's formatted output lists each of the 2 triangle joins twice)
+    assert len(join_strategies(df)) <= 4
+    assert not has_cartesian_or_bnlj(df)

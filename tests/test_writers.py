@@ -44,3 +44,30 @@ def test_unpartitioned_write(spark, tmp_path):
     path = str(tmp_path / "t2")
     write_partitioned(_data(spark), path)
     assert spark.read.parquet(path).count() == 500
+
+
+def test_partition_pruning_on_readback(spark, tmp_path):
+    """A filter on the partition column must land in the scan's
+    PartitionFilters (directory-level pruning — the mechanism that
+    turns a 100 TB table scan into a single-partition read), and the
+    data filter must NOT degrade into a post-scan Filter on the
+    partition column."""
+    path = str(tmp_path / "pp")
+    write_partitioned(_data(spark), path, partition_by=["part"])
+    df = spark.read.parquet(path).filter("part = 'y'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the partition predicate appears inside PartitionFilters ...
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part" in m.group(1)
+    # ... and the scan actually reads only the matching directory:
+    # executing through the scan's metrics, exactly one of the two
+    # partition directories survives pruning (inputFiles() can't show
+    # this — it lists the relation's files BEFORE pruning)
+    assert len(df.collect()) == 100  # collect() runs THIS plan, so its
+    # scan metrics populate (count() would execute a separate agg plan)
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+    n_parts = scan.metrics().apply("numPartitions").value()
+    assert n_parts == 1, f"expected 1 pruned partition, scanned {n_parts}"
