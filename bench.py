@@ -65,6 +65,8 @@ HEADLINE = [
     "q43_tfidf_top_terms",        # tf-idf explode + 3 hash aggs
     "q70_blocklist_scrub",        # zero-shuffle regex scrub (scan speed)
     "q71_language_mixture_sample",# broadcast-gated mixture sampling
+    "r17_event_funnel",           # chained-window funnel (1 events exchange)
+    "z05_cms_heavy_hitters",      # count-min sketch build + probe
 ]
 
 

@@ -390,6 +390,78 @@ def r23_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# r24: weighted sampling without replacement (Efraimidis–Spirakis)
+# --------------------------------------------------------------------
+
+SAMPLE_K = 5
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(sample_key, 6) AS sample_key, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {SAMPLE_K}
+ORDER BY lang, rn
+"""
+
+
+@register(
+    "r24_weighted_sample",
+    oracle=_WSAMPLE_ORACLE,
+    tags=("curation", "sampling", "weighted"),
+)
+def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per language — the
+    Efraimidis–Spirakis one-pass scheme (key = u^(1/w), take the top-k
+    keys) with w = n_chars, i.e. quality/length-weighted subsampling,
+    the selection step training-data mixes actually use.
+
+    The uniform u is derived from md5(doc_id) (first 8 hex chars →
+    32-bit int → (v+0.5)/2³²), so the 'random' draw is a pure column
+    expression both engines evaluate bit-identically — a seeded,
+    repartition-stable sample with a hash-checkable oracle, unlike
+    rand()-based sampling which no oracle can reproduce. One ranking
+    window per language (the same pruned-window shape as q67); at any
+    scale the cost is a scan + one shuffle on lang, and WindowGroupLimit
+    prunes to k rows per partition before the final filter."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = t(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.pow(u, 1.0 / F.col("n_chars")).alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("sample_key"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.round("sample_key", 6).alias("sample_key"),
+            "rn",
+        )
+        .orderBy("lang", "rn")
+    )
+
+
+# --------------------------------------------------------------------
 # z05: count-min sketch heavy hitters
 # --------------------------------------------------------------------
 
