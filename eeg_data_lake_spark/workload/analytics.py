@@ -398,9 +398,9 @@ SAMPLE_K = 5
 _WSAMPLE_ORACLE = f"""
 WITH keyed AS (
   SELECT lang, doc_id, n_chars,
-         pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-              + 0.5) / 4294967296.0,
-             1.0 / n_chars) AS sample_key
+         round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    + 0.5) / 4294967296.0,
+                   1.0 / n_chars), 6) AS sample_key
   FROM documents
 ),
 ranked AS (
@@ -409,7 +409,7 @@ ranked AS (
   FROM keyed
 )
 SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       round(sample_key, 6) AS sample_key, CAST(rn AS INTEGER) AS rn
+       sample_key, CAST(rn AS INTEGER) AS rn
 FROM ranked WHERE rn <= {SAMPLE_K}
 ORDER BY lang, rn
 """
@@ -428,12 +428,17 @@ def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The uniform u is derived from md5(doc_id) (first 8 hex chars →
     32-bit int → (v+0.5)/2³²), so the 'random' draw is a pure column
-    expression both engines evaluate bit-identically — a seeded,
-    repartition-stable sample with a hash-checkable oracle, unlike
-    rand()-based sampling which no oracle can reproduce. One ranking
-    window per language (the same pruned-window shape as q67); at any
-    scale the cost is a scan + one shuffle on lang, and WindowGroupLimit
-    prunes to k rows per partition before the final filter."""
+    expression — a seeded, repartition-stable sample with a
+    hash-checkable oracle, unlike rand()-based sampling which no oracle
+    can reproduce. The RANKING orders by the key rounded to 6 (with a
+    doc_id tie-break), not the raw double: JVM Math.pow and libm pow
+    are each allowed ~1 ulp of slack, so ordering by the full-precision
+    value would let a boundary-straddling pair rank differently across
+    engines; after rounding, the engines agree whenever their pows
+    agree to 5e-7 — a vastly weaker requirement. One ranking window per
+    language (the same pruned-window shape as q67); at any scale the
+    cost is a scan + one shuffle on lang, and WindowGroupLimit prunes
+    to k rows per partition before the final filter."""
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -444,19 +449,13 @@ def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         "n_chars",
-        F.pow(u, 1.0 / F.col("n_chars")).alias("sample_key"),
+        F.round(F.pow(u, 1.0 / F.col("n_chars")), 6).alias("sample_key"),
     )
     w = Window.partitionBy("lang").orderBy(F.desc("sample_key"), "doc_id")
     return (
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= SAMPLE_K)
-        .select(
-            "lang",
-            "doc_id",
-            "n_chars",
-            F.round("sample_key", 6).alias("sample_key"),
-            "rn",
-        )
+        .select("lang", "doc_id", "n_chars", "sample_key", "rn")
         .orderBy("lang", "rn")
     )
 
@@ -467,6 +466,23 @@ def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CMS_DEPTH = 4
 CMS_BUCKET_HEX = 3  # 16^3 = 4096 buckets per row
+
+
+def cms_probe_col(tok_col):
+    """The (d, bucket) probe array for one token column — THE bucket
+    derivation, used by the sketch build, the candidate probe, and the
+    merge test alike so the three can never desynchronize."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{d}"), tok_col)), 1, CMS_BUCKET_HEX
+                ).alias("bucket"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
 
 _CMS_ORACLE = f"""
 WITH tok AS (
@@ -528,36 +544,15 @@ def z05_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = tok.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
     cand = exact.orderBy(F.desc("exact_cnt"), "tok").limit(25)
 
-    def bucket(d: int, col):
-        return F.substring(
-            F.md5(F.concat(F.lit(f"cms{d}"), col)), 1, CMS_BUCKET_HEX
-        )
-
     # long-form (d, bucket) cells: explode each token into its DEPTH
     # probes via an inline array — one pass, no cross join materialized
-    probes = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("p")
-    ).select("p.d", "p.bucket")
+    probes = tok.select(F.explode(cms_probe_col(F.col("tok"))).alias("p")).select(
+        "p.d", "p.bucket"
+    )
     sketch = probes.groupBy("d", "bucket").agg(F.count("*").alias("bc"))
 
     cand_probes = cand.select(
-        "tok",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d, F.col("tok")).alias("bucket"))
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("p"),
+        "tok", "exact_cnt", F.explode(cms_probe_col(F.col("tok"))).alias("p")
     ).select("tok", "exact_cnt", "p.d", "p.bucket")
 
     return (

@@ -98,7 +98,8 @@ def test_weighted_sample_matches_python_replica(spark, sf_dir):
 
     def key(doc_id, w):
         v = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
-        return ((v + 0.5) / 2**32) ** (1.0 / w)
+        # ranking uses the 6-rounded key (cross-engine pow-ulp safety)
+        return round(((v + 0.5) / 2**32) ** (1.0 / w), 6)
 
     docs["k"] = [key(i, w) for i, w in zip(docs["doc_id"], docs["n_chars"])]
     want = set()

@@ -60,7 +60,7 @@ def test_cms_never_underestimates_and_is_mergeable(spark, sf_dir):
         assert r.cms_est >= r.exact_cnt, (r.tok, r.cms_est, r.exact_cnt)
 
     from eeg_data_lake_spark.sources.readers import read_testdata
-    from eeg_data_lake_spark.workload.analytics import CMS_BUCKET_HEX, CMS_DEPTH
+    from eeg_data_lake_spark.workload.analytics import cms_probe_col
 
     docs = read_testdata(spark, sf_dir, "documents")
     tok = docs.select(
@@ -68,22 +68,9 @@ def test_cms_never_underestimates_and_is_mergeable(spark, sf_dir):
     )
 
     def cells(df):
+        # same probe expression as z05's sketch build, by construction
         probes = df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).alias("d"),
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"cms{d}"), F.col("tok"))),
-                                1,
-                                CMS_BUCKET_HEX,
-                            ).alias("bucket"),
-                        )
-                        for d in range(CMS_DEPTH)
-                    ]
-                )
-            ).alias("p")
+            F.explode(cms_probe_col(F.col("tok"))).alias("p")
         ).select("p.d", "p.bucket")
         return probes.groupBy("d", "bucket").agg(F.count("*").alias("bc"))
 
