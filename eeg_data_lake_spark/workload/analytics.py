@@ -461,6 +461,173 @@ def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# r25: bigram-LM perplexity-proxy quality scoring
+# --------------------------------------------------------------------
+
+_BIGRAM_SQL = (
+    "CASE WHEN len(l) >= 2 THEN [l[i] || ' ' || l[i + 1] FOR i IN range(1, len(l))] "
+    "ELSE [] END"
+)
+
+_LM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id, unnest({_BIGRAM_SQL}) AS pair FROM w
+),
+pc AS (SELECT pair, count(*) AS c_pair FROM bg GROUP BY pair),
+ctx AS (
+  SELECT split_part(pair, ' ', 1) AS w1, sum(c_pair) AS c_ctx
+  FROM pc GROUP BY w1
+),
+probs AS (
+  SELECT pair, CAST(c_pair AS DOUBLE) / c_ctx AS p
+  FROM pc JOIN ctx ON split_part(pc.pair, ' ', 1) = ctx.w1
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(p)), 6) AS avg_neg_logp
+FROM bg JOIN probs USING (pair)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+
+@register(
+    "r25_bigram_lm_quality",
+    oracle=_LM_ORACLE,
+    tags=("text", "quality", "perplexity"),
+)
+def r25_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity-proxy scoring (the CCNet/KenLM-style
+    quality filter): train a word-bigram MLE model on the corpus, then
+    score every document by its average negative log-probability under
+    it — boilerplate and fluent text score low, noise scores high.
+
+    Plan: bigrams are built in-row with a sequence/transform HOF (the
+    q53 trick — 2-grams never shuffle on their own), counted once for
+    the model (c_pair) and once re-aggregated per context word (c_ctx,
+    a re-agg of the COUNTS, never a second corpus pass). Scoring joins
+    the exploded bigrams to the probability table on the pair string —
+    a plain equi-join that stays shuffle-partitionable when the model
+    outgrows a broadcast (AQE broadcasts it at this scale). The bigram
+    explode runs twice (model build + scoring); at 100 TB you'd persist
+    the bigram table — that's a storage choice, not a plan change.
+    Docs with <2 tokens have no bigrams and drop out (same inner-join
+    semantics both engines). Scoring the training corpus keeps every
+    probability > 0, so no smoothing term is needed for the demo."""
+    w = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                CASE WHEN size(l) >= 2
+                     THEN transform(sequence(1, size(l) - 1),
+                                    i -> concat(l[i - 1], ' ', l[i]))
+                     ELSE CAST(array() AS array<string>) END
+                """
+            )
+        ).alias("pair"),
+    )
+    pc = bg.groupBy("pair").agg(F.count("*").alias("c_pair"))
+    ctx = pc.groupBy(
+        F.substring_index("pair", " ", 1).alias("w1")
+    ).agg(F.sum("c_pair").alias("c_ctx"))
+    probs = pc.join(
+        ctx, F.substring_index(pc.pair, " ", 1) == ctx.w1
+    ).select("pair", (F.col("c_pair").cast("double") / F.col("c_ctx")).alias("p"))
+    return (
+        bg.join(probs, "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# r26: temperature-rebalanced language mixture
+# --------------------------------------------------------------------
+
+MIX_ALPHA = 0.3
+MIX_BUDGET = 200
+
+_TEMPER_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT sum(pow(n_docs, {MIX_ALPHA})) AS z FROM counts),
+rates AS (
+  SELECT lang, n_docs,
+         round(least(1.0, pow(n_docs, {MIX_ALPHA}) / z * {MIX_BUDGET} / n_docs), 6)
+           AS rate
+  FROM counts, tot
+)
+SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate,
+       CAST(count(*) FILTER (WHERE
+         (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 0.5)
+           / 4294967296.0 < r.rate) AS BIGINT) AS kept
+FROM documents d JOIN rates r USING (lang)
+GROUP BY r.lang, r.n_docs, r.rate
+ORDER BY r.lang
+"""
+
+
+@register(
+    "r26_temperature_mixture",
+    oracle=_TEMPER_ORACLE,
+    tags=("curation", "sampling", "mixture"),
+)
+def r26_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the XLM-R / mT5 α-scheme):
+    target share ∝ n^α with α = 0.3 flattens the language distribution —
+    head languages are downsampled hard, tail languages kept nearly
+    whole — under a fixed document budget. Acceptance is the same
+    md5-uniform gate as r24, so the subsample is seeded and
+    repartition-stable, and the per-language rate is ROUNDED to 6
+    before the u < rate comparison (both engines), keeping the
+    keep/drop decision insensitive to pow() ulp differences.
+
+    Plan shape mirrors q71: one tiny per-language count, a 1-row scalar
+    normalizer (broadcast cross), rates broadcast back onto the corpus
+    — the corpus itself never shuffles; the decision is a narrow map.
+    Output is the per-language audit (n_docs, rate, kept); the kept
+    rows themselves are the same filter without the final agg."""
+    counts = (
+        t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n_docs"))
+    )
+    z = counts.agg(
+        F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z")
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow("n_docs", MIX_ALPHA) / F.col("z") * MIX_BUDGET / F.col("n_docs"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    d = t(spark, sf_dir, "documents").select("lang", "doc_id", u.alias("u"))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(F.count(F.when(F.col("u") < F.col("rate"), 1)).alias("kept"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------
 # z05: count-min sketch heavy hitters
 # --------------------------------------------------------------------
 

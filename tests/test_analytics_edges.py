@@ -113,3 +113,68 @@ def test_weighted_sample_matches_python_replica(spark, sf_dir):
     # WEIGHTED sample rather than uniform)
     sel = docs[docs["doc_id"].isin({r.doc_id for r in got})]
     assert sel["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_temperature_mixture_flattens_distribution(spark, sf_dir):
+    """α < 1 must FLATTEN the language distribution: the kept-count
+    spread (max/min) is strictly tighter than the input spread, and the
+    total kept lands near the budget (binomial noise aside)."""
+    from eeg_data_lake_spark.workload.analytics import MIX_BUDGET
+
+    rows = REGISTRY["r26_temperature_mixture"].spark_fn(spark, sf_dir).collect()
+    n = {r.lang: r.n_docs for r in rows}
+    kept = {r.lang: r.kept for r in rows}
+    assert all(kept[lang] <= n[lang] for lang in n)
+    in_spread = max(n.values()) / max(1, min(n.values()))
+    out_spread = max(kept.values()) / max(1, min(kept.values()))
+    if in_spread > 1.5:  # only meaningful when the input is skewed
+        assert out_spread < in_spread
+    total = sum(kept.values())
+    assert abs(total - MIX_BUDGET) < MIX_BUDGET * 0.5 + 20
+
+
+def test_bigram_lm_scores_repetition_low(spark, tmp_path):
+    """A degenerate looping doc must score (strictly) lower average
+    negative log-prob than a doc of unique words — the property that
+    makes LM scoring a REPETITION-loving metric, which is exactly why
+    production filters pair it with q53-style repetition caps."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["spam spam spam spam spam spam spam", "one two three four five six"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [35, 27],
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.avg_neg_logp
+        for r in REGISTRY["r25_bigram_lm_quality"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    # 'spam spam' is the only bigram of doc 1 and is certain under the
+    # model (p=1 ⇒ nll=0); the unique-word doc's bigrams are all
+    # unique contexts (p=1 each too)... unless they share words — they
+    # don't — so both are 0 here EXCEPT the cross-doc context sharing.
+    # With this tiny corpus both end at 0.0; assert the metric is
+    # non-negative and present for both, and that a mixed doc scores
+    # higher than the pure loop.
+    assert got[1] == 0.0 and got[2] == 0.0
+    docs2 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a a a a a a a a", "a b a c a d a e"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [15, 15],
+        }
+    )
+    docs2.to_parquet(str(tmp_path / "documents.parquet"))
+    got2 = {
+        r.doc_id: r.avg_neg_logp
+        for r in REGISTRY["r25_bigram_lm_quality"].spark_fn(spark, str(tmp_path)).collect()
+    }
+    # now contexts ARE shared: after 'a' the loop doc always sees 'a'
+    # (majority continuation → low nll) while the varied doc keeps
+    # hitting 1/n continuations → strictly higher nll
+    assert got2[2] > got2[1]
