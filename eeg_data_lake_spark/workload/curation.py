@@ -807,3 +807,278 @@ def r16_group_aware_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+#: r27 sizing: 4-word non-overlapping segments; a segment appearing in
+#: >= 3 distinct documents is corpus boilerplate. At sf0.01 this drops
+#: 183 of ~6.5k segments (measured) — big enough to exercise every
+#: branch, small enough that most text survives.
+_SEG_W = 4
+_SEG_MAX_DF = 3
+
+
+@register(
+    "r27_crossdoc_segment_dedup",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[(i*{_SEG_W}+1):(i*{_SEG_W}+{_SEG_W})], ' ') AS seg
+      FROM words, UNNEST(range(CAST(ceil(len(w)/{_SEG_W}.0) AS BIGINT))) AS tt(i)
+    ),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+    tagged AS (SELECT s.doc_id, s.pos, s.seg, f.df
+               FROM segs s JOIN freq f USING (seg))
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE df >= {_SEG_MAX_DF}) AS n_dropped,
+           md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE df < {_SEG_MAX_DF}), '')) AS clean_md5
+    FROM tagged GROUP BY doc_id
+    """,
+    tags=("curation", "dedup", "boilerplate"),
+)
+def r27_crossdoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment (boilerplate) removal — the MassiveText /
+    RefinedWeb "repeated lines across documents" rule: chop every
+    document into non-overlapping 4-word segments, count each
+    segment's document frequency corpus-wide, DELETE segments that
+    appear in >= 3 distinct documents, and reassemble the surviving
+    text in original order (emitted as an md5 so the oracle compare
+    stays cheap; the unhashed rebuild is the same expression).
+
+    This differs from r06 span novelty (which *scores* overlap) by
+    actually rewriting the corpus, and from q32/q46 exact dedup by
+    operating below document granularity.
+
+    Plan at scale: segment construction is narrow (split + transform +
+    slice, all codegen); the document-frequency agg and the seg-keyed
+    join back are the two unavoidable shuffles — identical shape to
+    q33's posting-list plan, so the same hot-key story applies (a
+    boilerplate segment's posting list is exactly what the DF cap
+    bounds there; here high-DF segments are the *target* and the agg
+    is count-distinct, never a pair blowup). Reassembly is a per-doc
+    sort of its own ~dozens of segments inside one agg shuffle —
+    collect_list over (pos, seg) structs, array_sort, join. Swapping
+    the seg string join key for xxhash64(seg) halves shuffle bytes at
+    100 TB; kept as the string here so the oracle shares the key."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(_SEG_W))).cast("int")
+    seg_arr = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(words, i * _SEG_W + 1, _SEG_W), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = d.select(
+        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    tagged = segs.join(freq, "seg")
+    kept_struct = F.when(
+        F.col("df") < _SEG_MAX_DF, F.struct("pos", "seg")
+    )  # NULL for dropped segments; collect_list skips NULLs
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.count(F.when(F.col("df") >= _SEG_MAX_DF, 1)).alias("n_dropped"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+@register(
+    "r28_winsorized_stats",
+    oracle="""
+    WITH pct AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS p05,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, count(*) AS n_docs,
+           round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS mean_raw,
+           round(stddev_samp(CAST(d.n_chars AS DOUBLE)), 6) AS std_raw,
+           round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)), 6)
+               AS mean_winsor,
+           round(stddev_samp(least(greatest(CAST(d.n_chars AS DOUBLE), p.p05), p.p95)), 6)
+               AS std_winsor
+    FROM documents d JOIN pct p USING (lang)
+    GROUP BY d.lang
+    """,
+    tags=("curation", "robust-stats"),
+)
+def r28_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clip n_chars into its
+    language's [p05, p95] band, then report raw vs winsorized
+    mean/stddev — the outlier-robust summary a corpus-quality
+    dashboard shows next to the raw one (and the robust scaler a
+    feature pipeline fits).
+
+    Plan: exact per-language percentiles via one tiny agg (5 groups —
+    the value→count state of builtin `percentile` is per-language
+    distinct lengths, bounded), broadcast back onto the corpus (the
+    corpus itself never shuffles for the clip), one final 5-group agg.
+    Spark `percentile` and DuckDB `quantile_cont` share the same
+    k = (n-1)p linear interpolation, so the clip thresholds agree
+    bit-for-bit (q10's parity argument)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "nc", F.col("n_chars").cast("double")
+    )
+    pct = d.groupBy("lang").agg(
+        F.expr("percentile(nc, 0.05)").alias("p05"),
+        F.expr("percentile(nc, 0.95)").alias("p95"),
+    )
+    wz = F.least(F.greatest(F.col("nc"), F.col("p05")), F.col("p95"))
+    return (
+        d.join(F.broadcast(pct), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nc"), 6).alias("mean_raw"),
+            F.round(F.stddev_samp("nc"), 6).alias("std_raw"),
+            F.round(F.avg(wz), 6).alias("mean_winsor"),
+            F.round(F.stddev_samp(wz), 6).alias("std_winsor"),
+        )
+    )
+
+
+@register(
+    "r29_domain_quality_filter",
+    oracle="""
+    WITH stats AS (
+      SELECT source, count(*) AS n_docs,
+             avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+             count(DISTINCT lang) AS n_langs
+      FROM documents GROUP BY source
+    ),
+    med AS (SELECT quantile_cont(avg_chars, 0.5) AS m FROM stats)
+    SELECT s.source, s.n_docs, round(s.avg_chars, 6) AS avg_chars, s.n_langs
+    FROM stats s, med WHERE s.avg_chars >= med.m
+    """,
+    tags=("curation", "domain-filter"),
+)
+def r29_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain(source)-level quality gating — RefinedWeb/C4 filter
+    domains, not documents, for farm-content: roll the corpus up to
+    per-source stats, compute the median source quality (avg chars as
+    the proxy the synthetic data supports), and keep only sources at
+    or above it.
+
+    Plan: one corpus agg down to |sources| rows; the median + gate run
+    on that tiny relation (percentile over |sources| values, then a
+    broadcast scalar compare) — the corpus is scanned once and never
+    re-joined, because the *decision* output is per-source. Applying
+    the gate to documents is a broadcast semi-join of the survivors
+    (q46's apply pattern)."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    med = stats.agg(F.expr("percentile(avg_chars, 0.5)").alias("m"))
+    return (
+        stats.crossJoin(F.broadcast(med))
+        .where(F.col("avg_chars") >= F.col("m"))
+        .select(
+            "source",
+            "n_docs",
+            F.round("avg_chars", 6).alias("avg_chars"),
+            "n_langs",
+        )
+    )
+
+
+#: r30 shard budget (tokens): ~12 shards at sf0.01, ~120 at sf0.1.
+_SHARD_TOKENS = 2000
+
+
+@register(
+    "r30_token_shard_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT key, n_tok,
+             sum(n_tok) OVER (ORDER BY key
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks
+    )
+    SELECT CAST(floor((c - n_tok) / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM cum GROUP BY shard_id
+    """,
+    tags=("curation", "sharding", "prefix-sum"),
+)
+def r30_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the last step of a training-data
+    build: stream documents in a deterministic (hash-keyed) order and
+    cut a new output shard every ~2000 tokens, so every shard holds a
+    contiguous, reproducible, ≈equal-token slice of the corpus. Emits
+    per-shard doc and token totals.
+
+    The core is a GLOBAL prefix sum, which Spark's window API would
+    naively compute with an unpartitioned window — one task, the
+    classic scale trap. This implements the textbook two-phase
+    distributed scan instead:
+
+    1. range-partition + sort by the hash key (one shuffle — the sort
+       a sharded write needs anyway);
+    2. per-partition token subtotals to the driver (one row per
+       partition — bounded by partition count, like ml/ridge's
+       sufficient-statistics gather), cumulated into per-partition
+       offsets and broadcast back;
+    3. within-partition cumulative window (each partition independent,
+       full parallelism) + its partition's offset = the exact global
+       running total, at no point materializing a single-task sort.
+
+    The eager localCheckpoint pins rows to partitions so phases 2 and
+    3 see identical pid assignment (and truncates lineage)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    parts = (
+        d.repartitionByRange(16, "key")
+        .sortWithinPartitions("key")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += tot
+    off = parts.sparkSession.createDataFrame(offsets, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        parts.join(F.broadcast(off), "pid")
+        .withColumn("c", F.sum("n_tok").over(w) + F.col("off"))
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor((F.col("c") - F.col("n_tok")) / F.lit(float(_SHARD_TOKENS))),
+        )
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
