@@ -67,6 +67,8 @@ HEADLINE = [
     "q71_language_mixture_sample",# broadcast-gated mixture sampling
     "r17_event_funnel",           # chained-window funnel (1 events exchange)
     "z05_cms_heavy_hitters",      # count-min sketch build + probe
+    "r27_crossdoc_segment_dedup", # sub-document boilerplate rewrite
+    "r30_token_shard_packing",    # two-phase distributed prefix sum
 ]
 
 

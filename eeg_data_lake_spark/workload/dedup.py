@@ -545,3 +545,124 @@ def r15_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - true_j), 6).alias("abs_err"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# r31: prefix-filtered Jaccard pair join (AllPairs/PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(sh: DataFrame, tau: float = 0.5) -> DataFrame:
+    """Jaccard >= tau pairs via PREFIX FILTERING (Bayardo et al.'s
+    AllPairs / Xiao et al.'s PPJoin candidate rule) — the lossless
+    candidate pruning that replaces full posting lists at 100 TB:
+
+    order every document's shingles rarest-global-DF-first; if
+    J(a, b) >= tau then a and b MUST share a token inside their first
+    n - ceil(tau*n) + 1 tokens under that shared order (pigeonhole on
+    the overlap bound), so the candidate join only indexes PREFIXES.
+    The hottest (boilerplate) shingles sort last and land outside
+    every prefix, which kills exactly the posting lists that blow up
+    the q33 plan's pair expansion — the df cap there is a guardrail,
+    the prefix filter here is exact.
+
+    Stages: (1) global shingle-DF agg; (2) join DF back and re-group
+    to per-doc rarest-first arrays (the two extra shuffles prefix
+    filtering buys its pruning with); (3) explode only the prefix,
+    self equi-join on the prefix token with the tau length filter
+    (tau*max(na,nb) <= min(na,nb)) and doc_a < doc_b, distinct; (4)
+    verify candidates exactly with array_intersect over the full
+    shingle sets. Emits q33's exact schema and rows — the two plans
+    share one oracle, and tests/test_dedup_cap.py-style equivalence is
+    pinned in tests/test_prefix_filter.py."""
+    inv = sh.select("doc_id", F.explode("sl").alias("shingle"))
+    df_tbl = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        inv.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os")
+        )
+        .select(
+            "doc_id",
+            F.transform("os", lambda s: s["shingle"]).alias("sl_sorted"),
+        )
+        .withColumn("n", F.size("sl_sorted"))
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.col("n") * F.lit(tau)).cast("int") + F.lit(1)
+    )
+    pref = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("sl_sorted", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= F.col("b.n") * F.lit(tau))
+            & (F.col("b.n") >= F.col("a.n") * F.lit(tau)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = sh.select("doc_id", "n", "sl")
+    ratio = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sl").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sl").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "shared", F.size(F.array_intersect("sa", "sb")).cast("long")
+        )
+        .filter(ratio >= tau)
+        .select("doc_a", "doc_b", "shared", F.round(ratio, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "r31_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sl) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, shared,
+           round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+    """,
+    tags=("dedup", "neardup", "jaccard", "prefix-filter"),
+)
+def r31_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q33's near-dup pairs recomputed through the prefix-filter plan —
+    same rows, same oracle, strictly smaller candidate set (see
+    prefix_filter_jaccard_pairs)."""
+    return prefix_filter_jaccard_pairs(shingled_cached(spark, sf_dir))
