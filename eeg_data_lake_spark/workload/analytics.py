@@ -787,3 +787,120 @@ def z06_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b", "doc_c")
     )
+
+
+# --------------------------------------------------------------------
+# r32: per-user lag-1 autocorrelation
+# --------------------------------------------------------------------
+
+
+@register(
+    "r32_lag_autocorrelation",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_pairs, round(corr(value, prev), 6) AS acf1
+    FROM lagged WHERE prev IS NOT NULL GROUP BY user_id
+    HAVING count(*) >= 10
+    """,
+    tags=("timeseries", "stats", "autocorrelation"),
+)
+def r32_lag_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values in time order —
+    the serial-dependence diagnostic behind EEG band-power stationarity
+    checks and metric drift alarms (white noise → acf1 ≈ 0).
+
+    One window shuffle on user_id (lag), then corr() as a single-pass
+    bivariate partial aggregate on the SAME partitioning — Catalyst
+    reuses the exchange, so the whole query moves events once. The
+    (ts, event_id) tie-break keeps lag() deterministic under duplicate
+    timestamps (W-family discipline). Users with <10 lag pairs are
+    dropped: sample correlation on a handful of points is noise, and
+    the floor keeps round(…,6) clear of ulp-boundary flakes."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("acf1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+    )
+
+
+# --------------------------------------------------------------------
+# r33: rolling 7-day p95 via RANGE frame + in-row interpolation
+# --------------------------------------------------------------------
+
+
+@register(
+    "r33_rolling_p95",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             list(value) AS vals
+      FROM events GROUP BY event_type, day
+    ),
+    rolled AS (
+      SELECT event_type, day,
+             flatten(list(vals) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)) AS wv
+      FROM daily
+    )
+    SELECT event_type, day::VARCHAR AS day, round(quantile_cont(x, 0.95), 6) AS p95_7d
+    FROM rolled, UNNEST(wv) AS u(x)
+    GROUP BY event_type, day
+    """,
+    tags=("timeseries", "window", "percentile"),
+)
+def r33_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day p95 latency per event type by day — the rolling
+    tail-percentile no engine exposes as a native window aggregate
+    (percentile isn't frame-mergeable), composed from pieces that ARE:
+
+    1. pre-aggregate values into per-(type, day) arrays — the only
+       shuffle that touches raw events, and it shrinks the window input
+       to |types|×|days| rows (r14's WAU trick);
+    2. RANGE frame over datediff-encoded days gathers the trailing
+       week's arrays (gap-correct: missing days contribute nothing,
+       unlike a 7-ROW frame);
+    3. flatten + sort_array + the k = (n-1)·p interpolation as pure
+       in-row expressions — the percentile itself costs no shuffle and
+       matches quantile_cont's math exactly (q10's parity argument).
+
+    Window state is bounded by a week of one type's values; at 100 TB
+    the same shape holds with the day arrays swapped for per-day
+    digest partials."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date(F.date_trunc("day", "ts")))
+        .groupBy("event_type", "day")
+        .agg(F.collect_list("value").alias("vals"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff("day", F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    s = F.sort_array(F.flatten(F.collect_list("vals").over(w)))
+    n = F.size(s)
+    k = (n - F.lit(1)) * F.lit(0.95)
+    kf = F.floor(k)
+    lo = F.element_at(s, kf.cast("int") + 1)
+    hi = F.element_at(s, F.least(kf.cast("int") + 2, n))
+    p95 = lo + (k - kf) * (hi - lo)
+    return daily.select(
+        "event_type",
+        # VARCHAR day both sides: date-typed columns normalize
+        # differently between the two pandas bridges (r14 precedent)
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(p95, 6).alias("p95_7d"),
+    )
