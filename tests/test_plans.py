@@ -332,3 +332,46 @@ def test_z06_triangles_read_checkpointed_edges(spark, sf_dir):
     # AQE's formatted output lists each of the 2 triangle joins twice)
     assert len(join_strategies(df)) <= 4
     assert not has_cartesian_or_bnlj(df)
+
+
+def test_r27_segment_dedup_shape(spark, sf_dir):
+    """Narrow segment construction; DF agg + seg join + doc re-agg are
+    the only wide stages (the freq side broadcasts at test scale; at
+    100 TB it becomes a shuffle hash join on seg — still no BNLJ)."""
+    df = q("r27_crossdoc_segment_dedup", spark, sf_dir)
+    assert count_exchanges(df) <= 4
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_r30_prefix_sum_has_no_single_task_window(spark, sf_dir):
+    """The global running total must come from the two-phase scan, not
+    an unpartitioned window: every Window node in the plan partitions
+    by pid."""
+    df = q("r30_token_shard_packing", spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.split("\n"):
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "pid" in line  # partitioned — never a global sort
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_r31_prefix_filter_joins_are_hash(spark, sf_dir):
+    df = q("r31_prefix_filter_jaccard", spark, sf_dir)
+    assert not has_cartesian_or_bnlj(df)
+    assert set(join_strategies(df)) <= {
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    }
+
+
+def test_r32_acf_single_exchange(spark, sf_dir):
+    """lag window + corr agg share the user_id partitioning."""
+    df = q("r32_lag_autocorrelation", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert join_strategies(df) == []
+
+
+def test_r33_rolling_p95_two_exchanges_no_joins(spark, sf_dir):
+    """Daily pre-agg + RANGE window; the in-row percentile adds none."""
+    df = q("r33_rolling_p95", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
