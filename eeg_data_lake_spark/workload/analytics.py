@@ -904,3 +904,139 @@ def r33_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round(p95, 6).alias("p95_7d"),
     )
+
+
+# --------------------------------------------------------------------
+# r34/r35: distribution-drift and independence audits
+# --------------------------------------------------------------------
+
+
+@register(
+    "r34_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang,
+             count(*) FILTER (WHERE grp='A') AS na,
+             count(*) FILTER (WHERE grp='B') AS nb
+      FROM tagged GROUP BY lang
+    ),
+    cum AS (
+      SELECT t.lang, t.v,
+             count(*) FILTER (WHERE grp='A') OVER (
+                PARTITION BY lang ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             count(*) FILTER (WHERE grp='B') OVER (
+                PARTITION BY lang ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM tagged t
+    )
+    SELECT c.lang, max(cn.na) AS n_a, max(cn.nb) AS n_b,
+           round(max(abs(CAST(ca AS DOUBLE)/cn.na - CAST(cb AS DOUBLE)/cn.nb)), 6)
+               AS ks_stat
+    FROM cum c JOIN counts cn ON c.lang = cn.lang
+    GROUP BY c.lang
+    """,
+    tags=("stats", "drift", "ks-test"),
+)
+def r34_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per language between two
+    source cohorts (even- vs odd-numbered sources) over the length
+    distribution — the distribution-drift alarm a corpus pipeline runs
+    when a new crawl/source batch lands (mean/std miss shape changes;
+    KS is the standard nonparametric detector).
+
+    Plan: tag is a narrow map; the two running counts ride ONE
+    (lang, v)-ordered window exchange — Spark's default aggregate
+    frame with ORDER BY is RANGE..CURRENT ROW, which includes ties
+    (peers), exactly the ECDF's right-continuous step — and the final
+    max is a 5-group agg on the same partitioning. ~two shuffles
+    total, state bounded per language. try_cast keeps ANSI mode safe
+    on a source name with no trailing digits."""
+    d = t(spark, sf_dir, "documents")
+    tagged = d.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        F.when(
+            F.expr(r"try_cast(regexp_extract(source, '(\\d+)$', 1) AS INT)") % 2
+            == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+    )
+    w = Window.partitionBy("lang").orderBy("v")  # RANGE default: ties included
+    wl = Window.partitionBy("lang")
+    cum = tagged.select(
+        "lang",
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).over(w).alias("ca"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).over(w).alias("cb"),
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).over(wl).alias("na"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).over(wl).alias("nb"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@register(
+    "r35_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    rowt AS (SELECT lang, sum(o) AS rl FROM obs GROUP BY lang),
+    colt AS (SELECT source, sum(o) AS cs FROM obs GROUP BY source)
+    SELECT round(sum((o - rl*cs/n) * (o - rl*cs/n) / (rl*cs/n)), 6) AS chi2,
+           CAST((count(DISTINCT obs.lang)-1) * (count(DISTINCT obs.source)-1)
+                AS BIGINT) AS dof
+    FROM obs JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN tot
+    """,
+    tags=("stats", "bias", "chi2"),
+)
+def r35_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence statistic for the lang × source
+    contingency table — the dataset-bias audit ("does language mix
+    depend on the source?") that decides whether per-source language
+    rebalancing (r26) is even needed.
+
+    The corpus collapses to |lang|×|source| observed cells in ONE agg
+    shuffle; marginals and the statistic are computed on that tiny
+    relation with broadcast joins. (o−e)² is spelled as a product, not
+    pow(), sidestepping cross-engine pow ulp drift (r24's lesson)."""
+    d = t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    tot = obs.agg(F.sum("o").alias("n"))
+    rowt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    colt = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    e = F.col("rl") * F.col("cs") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return cells.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+    )
