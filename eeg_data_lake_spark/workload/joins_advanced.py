@@ -201,3 +201,131 @@ def r02_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     return connected_components(pairs, src="vec_a", dst="vec_b").select(
         "node", "component"
     )
+
+
+# --------------------------------------------------------------------
+# r36/r37: deep multi-join plans (TPC-H Q5 / Q21 shapes)
+# --------------------------------------------------------------------
+
+
+@register(
+    "r36_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+    tags=("joins", "tpch-q5", "multi-join"),
+)
+def r36_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's plan class: a six-way join where revenue counts only
+    when the supplier sits in the customer's own nation, rolled up per
+    nation for two regions.
+
+    The join-order story IS the query: lineitem (the fact) is joined
+    exactly once and never shuffled for the dimensions — orders joins
+    by broadcast, then supplier by broadcast with the s_nationkey =
+    c_nationkey residual folded into the SAME join (not a post-filter
+    pass), then nation/region prune to 2 of 5 regions. With CBO-less
+    Catalyst this falls out of writing dims-last + broadcast()
+    explicitly; the only exchange left is the 25-group final agg. At
+    100 TB lineitem⋈orders becomes a shuffle join on l_orderkey and
+    everything else stays broadcast — same declared plan."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "r37_sole_failing_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+      SELECT l_orderkey, count(*) AS n_sup, sum(has_r) AS n_r
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per p JOIN ord o USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.has_r = 1 AND o.n_sup >= 2 AND o.n_r = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+    tags=("joins", "tpch-q21", "correlated-exists"),
+)
+def r37_sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's plan class (adapted to this schema's columns):
+    suppliers who were the ONLY supplier with a returned line on a
+    multi-supplier order, ranked by how often. The textbook SQL is an
+    EXISTS (another supplier shipped) + NOT EXISTS (no other supplier
+    failed) pair of correlated self-joins against lineitem — three
+    passes over the fact at 100 TB.
+
+    This plan replaces both correlated subqueries with aggregation
+    reuse: collapse lineitem once to (order, supplier, has_r) —
+    lineitem's ONLY shuffle — derive per-order supplier/failure counts
+    from that relation (map-side-combinable second agg over a key it
+    is already partitioned by), and the EXISTS/NOT-EXISTS semantics
+    become scalar predicates (n_sup >= 2 AND n_r = 1). Supplier names
+    broadcast; TakeOrderedAndProject caps the output."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("has_r")
+    )
+    ordstats = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sup"), F.sum("has_r").alias("n_r")
+    )
+    return (
+        per.join(ordstats, "l_orderkey")
+        .filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_sup") >= 2)
+            & (F.col("n_r") == 1)
+        )
+        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -375,3 +375,20 @@ def test_r33_rolling_p95_two_exchanges_no_joins(spark, sf_dir):
     df = q("r33_rolling_p95", spark, sf_dir)
     assert count_exchanges(df) == 2
     assert join_strategies(df) == []
+
+
+def test_r36_q5_shape_single_exchange_all_broadcast(spark, sf_dir):
+    """Six-way join: lineitem never shuffles for the dims; the only
+    exchange is the final 25-group agg."""
+    df = q("r36_local_supplier_volume", spark, sf_dir)
+    assert count_exchanges(df) == 1
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+
+
+def test_r37_q21_shape_fact_shuffles_once(spark, sf_dir):
+    """EXISTS/NOT-EXISTS become scalar predicates over aggregation
+    reuse — no self-join of lineitem, no nested loop."""
+    df = q("r37_sole_failing_suppliers", spark, sf_dir)
+    assert not has_cartesian_or_bnlj(df)
+    assert set(join_strategies(df)) <= {"BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"}
+    assert count_exchanges(df) <= 4
