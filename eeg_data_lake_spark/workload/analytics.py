@@ -1040,3 +1040,52 @@ def r35_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).alias("dof"),
     )
+
+
+# --------------------------------------------------------------------
+# r39: inter-arrival statistics (Poisson-ness diagnostic)
+# --------------------------------------------------------------------
+
+
+@register(
+    "r39_interarrival_stats",
+    oracle="""
+    WITH ia AS (
+      SELECT event_type,
+             epoch(ts) - epoch(lag(ts) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id)) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap), 6) AS avg_gap_s,
+           round(stddev_samp(gap) / avg(gap), 6) AS cv
+    FROM ia WHERE gap IS NOT NULL AND gap > 0
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "stats", "interarrival"),
+)
+def r39_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type: mean gap and the
+    coefficient of variation — the Poisson-process diagnostic (CV = 1
+    for exponential arrivals; CV >> 1 means bursts, the signal that
+    decides whether rate-based alerting thresholds are even valid).
+
+    One lead/lag window exchange on event_type; the stats are partial
+    aggregates on the same partitioning (r32's shape). Zero gaps
+    (duplicate timestamps) are excluded from the fit, as is standard for
+    continuous inter-arrival models."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ia = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    return ia.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_s"),
+        F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("cv"),
+    )

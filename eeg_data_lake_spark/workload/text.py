@@ -414,3 +414,79 @@ def r09_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------
+# r38: vocabulary coverage curve (tokenizer sizing)
+# --------------------------------------------------------------------
+
+
+@register(
+    "r38_vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS f FROM tok WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT token, f,
+             sum(f) OVER (ORDER BY f DESC, token
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(f) OVER () AS tot,
+             row_number() OVER (ORDER BY f DESC, token) AS rnk
+      FROM freq
+    )
+    SELECT t.target,
+           CAST(min(r.rnk) AS BIGINT) AS n_tokens_needed,
+           CAST(max(r.tot) AS BIGINT) AS total_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM freq) AS vocab_size
+    FROM ranked r
+    CROSS JOIN (VALUES (0.5), (0.9), (0.99)) t(target)
+    WHERE r.cum >= t.target * r.tot
+    GROUP BY t.target
+    """,
+    tags=("text", "vocabulary", "coverage"),
+)
+def r38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — "how many distinct tokens cover 50 /
+    90 / 99 % of all token occurrences": the sizing question every
+    tokenizer build answers before fixing its vocab budget.
+
+    Plan: one explode + vocab agg (map-side combined); the cumulative
+    mass runs over the VOCAB relation, which Heaps' law bounds far
+    below corpus size (q78's argument), so the single ordered window
+    is fine into the millions of types — beyond that, r30's two-phase
+    range-partitioned prefix sum is the drop-in replacement. The three
+    coverage targets broadcast; min(rank) per target gives the curve
+    point. Total-order tie-break (freq desc, token) keeps every engine
+    on the same curve."""
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    wo = Window.orderBy(F.desc("f"), F.asc("token"))
+    ranked = freq.select(
+        "f",
+        F.sum("f").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.row_number().over(wo).alias("rnk"),
+    )
+    totals = freq.agg(
+        F.sum("f").alias("tot"), F.count("*").alias("vocab_size")
+    )
+    targets = d.sparkSession.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "target double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("target") * F.col("tot"))
+        .groupBy("target")
+        .agg(
+            F.min("rnk").cast("long").alias("n_tokens_needed"),
+            F.max("tot").alias("total_tokens"),
+            F.max("vocab_size").alias("vocab_size"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Scaling probe: measure the data-bound headline queries at 10x the
+largest driver-provided scale factor (sf0.1 -> "sf1-equivalent").
+
+The driver ships sf0.001/0.01/0.1; the 100 TB claim rests on plans
+whose cost is linear in the data. This probe REPLICATES sf0.1 ten
+times with key offsets (and a per-replica text mutation so the
+dedup/near-dup queries see a realistically duplicate-heavy corpus, not
+degenerate exact copies) into /tmp/sf1_probe, then times the same
+queries at both scales. Replicated data is a PERF probe only — all
+correctness runs stay on the driver's own parquet.
+
+Run: python scaling_probe.py      (prints a small JSON report)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from eeg_data_lake_spark.session import get_spark  # noqa: E402
+from eeg_data_lake_spark.workload import REGISTRY  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_probe"
+COPIES = 10
+
+#: data-bound queries (the flat-at-sf0.1 orchestration-floor ones are
+#: pointless to replicate)
+QUERIES = [
+    "q01_pricing_summary",        # scan + hash agg over lineitem
+    "q10_price_percentiles",      # sort-based exact percentile
+    "q27_top_tokens",             # explode + vocab agg
+    "q33_neardup_shingle_jaccard",# posting-list near-dup (dup-heavy!)
+    "q43_tfidf_top_terms",        # explode + 3 hash aggs
+    "r27_crossdoc_segment_dedup", # segment DF + join-back + re-agg
+    "r30_token_shard_packing",    # two-phase prefix sum
+    "r33_rolling_p95",            # day-array window
+    "q37_cosine_topk",            # broadcast-query matmul-free scoring
+]
+
+#: key column to offset per table so replicas don't collide
+OFFSETS = {
+    "lineitem": [("l_orderkey", 10_000_000)],
+    "orders": [("o_orderkey", 10_000_000)],
+    "events": [("event_id", 10_000_000)],
+    "documents": [("doc_id", 10_000_000)],
+    "embeddings": [("vec_id", 10_000_000)],
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build(spark) -> None:
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for tbl in TABLES:
+        src = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        if tbl not in OFFSETS:  # tiny dims: copy as-is
+            src.write.parquet(f"{DST}/{tbl}.parquet")
+            continue
+        parts = []
+        for k in range(COPIES):
+            d = src
+            for col, step in OFFSETS[tbl]:
+                d = d.withColumn(col, F.col(col) + F.lit(k * step))
+            if tbl == "documents" and "text" in d.columns:
+                # mutate the tail so replicas are near- not exact dups
+                d = d.withColumn(
+                    "text", F.concat_ws(" ", "text", F.lit(f"rep{k}"))
+                )
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.parquet(f"{DST}/{tbl}.parquet")
+
+
+def timeq(spark, name: str, sf_dir: str, passes: int = 2) -> float:
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        REGISTRY[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="scaling-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        build(spark)
+    # warm-up
+    timeq(spark, "q01_pricing_summary", SRC, passes=1)
+    report = {}
+    for name in QUERIES:
+        small = timeq(spark, name, SRC)
+        big = timeq(spark, name, DST)
+        report[name] = {
+            "sf0.1_s": small,
+            "sf1_s": big,
+            "ratio": round(big / small, 2) if small else None,
+        }
+        print(json.dumps({name: report[name]}))
+    total_small = round(sum(r["sf0.1_s"] for r in report.values()), 2)
+    total_big = round(sum(r["sf1_s"] for r in report.values()), 2)
+    print(
+        json.dumps(
+            {
+                "total_sf0.1_s": total_small,
+                "total_sf1_s": total_big,
+                "ratio_at_10x_data": round(total_big / total_small, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
