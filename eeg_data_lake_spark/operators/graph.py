@@ -140,3 +140,62 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("a").alias("node"), "rank")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) — the third iterative graph op next to
+    connected_components and pagerank, and the one that splits DENSE
+    near-dup neighborhoods into communities where CC would fuse
+    everything reachable into one blob (CC answers "is there any
+    path"; LPA answers "where is the mass").
+
+    Each round every node adopts the label most frequent among its
+    neighbors AND itself (the self-inclusive variant — the self-vote
+    damps the synchronous 2-cycle classic LPA exhibits on bipartite
+    structures, e.g. a single edge oscillating forever), ties broken
+    by MIN label — the deterministic variant (classic LPA breaks ties
+    randomly; a seeded tie would still be partitioning-dependent, min
+    is not). Synchronous update with a fixed round count: LPA still
+    has no guaranteed fixpoint in general, so a cap, not a convergence
+    test, is the textbook stopping rule.
+
+    Cost per round: one join of edges to labels + one
+    (node, label)-count shuffle + one per-node argmax — all keyed
+    shuffles, no driver data path; lineage truncated per round like
+    the CC loop.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), F.col("label")
+        )
+        votes = (
+            nbr.unionByName(labels.select("node", "label"))  # self-vote
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        # per-node argmax: most neighbor votes, then min label
+        best = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("n")).alias("neg_n"), F.col("label"))
+            ).alias("s")
+        )
+        labels = best.select(
+            "node", F.col("s.label").alias("label")
+        ).localCheckpoint(eager=True)
+    return labels

@@ -666,3 +666,29 @@ def r31_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rows, same oracle, strictly smaller candidate set (see
     prefix_filter_jaccard_pairs)."""
     return prefix_filter_jaccard_pairs(shingled_cached(spark, sf_dir))
+
+
+@register(
+    "z07_neardup_communities",
+    oracle=None,  # iterative, no guaranteed fixpoint → replica-tested
+    tags=("dedup", "graph", "communities"),
+)
+def z07_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities over the q35 LSH candidate graph via deterministic
+    self-inclusive label propagation (operators.graph.
+    label_propagation): where q48/r02's connected components fuse
+    everything REACHABLE, LPA splits dense neighborhoods by vote mass
+    — the right grouping when boilerplate bridges chain unrelated dup
+    clusters together. Emits (label, n_members) community sizes.
+    Iterative with min-label tie-breaks = not SQL-expressible; exact
+    parity with an independent Python replica is pinned in
+    tests/test_label_propagation.py."""
+    from eeg_data_lake_spark.operators.graph import label_propagation
+
+    pairs = q35_minhash_lsh_pairs(spark, sf_dir)
+    lp = label_propagation(pairs, src="doc_a", dst="doc_b", max_iter=8)
+    return (
+        lp.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+    )
