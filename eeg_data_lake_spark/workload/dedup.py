@@ -573,7 +573,18 @@ def prefix_filter_jaccard_pairs(sh: DataFrame, tau: float = 0.5) -> DataFrame:
     verify candidates exactly with array_intersect over the full
     shingle sets. Emits q33's exact schema and rows — the two plans
     share one oracle, and tests/test_dedup_cap.py-style equivalence is
-    pinned in tests/test_prefix_filter.py."""
+    pinned in tests/test_prefix_filter.py.
+
+    MEASURED positioning (scaling_probe corpora): prefix filtering
+    pays for its two ordering shuffles only in the low-true-match,
+    hot-boilerplate regime it was invented for. On the clean sf0.1
+    corpus it is ~1.6x slower than q33's posting lists (2.3 vs 3.7 s);
+    on the 10x DUP-HEAVY probe it is ~4x slower (28 vs 115 s), because
+    when most candidates are true pairs there is nothing to prune and
+    the exact per-candidate verify does the full O(pairs x set-size)
+    work the posting plan amortizes map-side. Pick q33's plan when dup
+    density is high or unknown; pick this one when boilerplate
+    dominates and true pairs are rare."""
     inv = sh.select("doc_id", F.explode("sl").alias("shingle"))
     df_tbl = inv.groupBy("shingle").agg(F.count("*").alias("df"))
     ordered = (
