@@ -69,6 +69,7 @@ HEADLINE = [
     "z05_cms_heavy_hitters",      # count-min sketch build + probe
     "r27_crossdoc_segment_dedup", # sub-document boilerplate rewrite
     "r30_token_shard_packing",    # two-phase distributed prefix sum
+    "r36_local_supplier_volume",  # six-way broadcast join (TPC-H Q5)
 ]
 
 

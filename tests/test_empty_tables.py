@@ -1,0 +1,71 @@
+"""Zero-row robustness: every table empty (correct schemas, no rows)
+through a representative slice of the registry. An empty partition, an
+all-filtered-out day, or a brand-new tenant is a normal Monday at
+100 TB — no plan may crash on it (driver-side .collect() loops, numpy
+norms over (0,d) matrices, sequence(0,-1) and min()-of-nothing are the
+usual suspects, several already guarded in the operators)."""
+
+from __future__ import annotations
+
+import pytest
+
+from eeg_data_lake_spark.workload.registry import REGISTRY
+from tests.oracle_utils import TABLES
+
+#: representative per family: aggs, windows, joins, dedup, similarity,
+#: curation, text, prefix sums, graph-iterative, sketches
+EMPTY_SAFE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_customers",
+    "q10_price_percentiles",
+    "q16_order_total_zscore",
+    "q19_user_sessionization",
+    "q27_top_tokens",
+    "q32_exact_dedup_groups",
+    "q33_neardup_shingle_jaccard",
+    "q36_embedding_neardup_pairs",
+    "q37_cosine_topk",
+    "q50_asof_join_last_order",
+    "r17_event_funnel",
+    "r27_crossdoc_segment_dedup",
+    "r30_token_shard_packing",
+    "r33_rolling_p95",
+    "r34_ks_drift",
+    "r36_local_supplier_volume",
+    "r38_vocab_coverage",
+    "z05_cms_heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory, sf_dir):
+    """Single-FILE parquet per table (like the driver's layout — the
+    DuckDB oracle globs files, not Spark part-directories), zero rows,
+    schemas copied from the real testdata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path_factory.mktemp("empty_sf")
+    for tbl in TABLES:
+        schema = pq.read_schema(f"{sf_dir}/{tbl}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist([], schema=schema), str(p / f"{tbl}.parquet")
+        )
+    return str(p)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE)
+def test_runs_on_empty_tables(spark, empty_dir, name):
+    """No crash, and the same row count DuckDB's oracle produces on the
+    identical empty layout (global aggregates legitimately emit rows —
+    r17's funnel reports three zero-count stages, matching its SQL)."""
+    from tests.oracle_utils import run_oracle
+
+    df = REGISTRY[name].spark_fn(spark, empty_dir)
+    n = df.count()
+    assert len(df.columns) > 0
+    oracle = REGISTRY[name].oracle
+    if oracle:
+        assert n == len(run_oracle(oracle, empty_dir))
+    else:
+        assert n == 0
