@@ -14,8 +14,9 @@ materializing the O(n²) pair space:
 - MinHash/LSH: fixed-size signature per doc (k md5 salts), band join —
   candidate pairs are band-bucket collisions only. Pure column HOFs;
   md5 keeps the signature oracle-checkable in DuckDB.
-- SimHash: 64-bit fingerprint from xxhash64(shingle) bit-majorities;
-  Spark-native (xxhash64 has no DuckDB twin) → rows-only check.
+- SimHash: 64-bit fingerprint from hashed-shingle bit-majorities.
+  Two variants: q92 (xxhash64, Spark-native → rows-only check) and
+  r40 (md5-derived bits, integer-exact → every BIT oracle-checked).
 """
 
 from __future__ import annotations
@@ -702,4 +703,98 @@ def z07_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("label")
         .agg(F.count("*").alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("label"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r40: oracle-checkable SimHash (md5-derived bits)
+# ---------------------------------------------------------------------------
+
+#: 2^31 … 2^0 as literal bigints — bit tests and bit assembly use pure
+#: integer div/mod against this table, NEVER float pow() (whose ulp
+#: behavior differs across engines — the r24 lesson applied to bits).
+_POW2_DESC = [1 << (31 - j) for j in range(32)]
+_POW2_SQL = "[" + ", ".join(str(p) for p in _POW2_DESC) + "]"
+
+
+@register(
+    "r40_simhash_md5",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, len(sl) AS n_shingles, k.k AS k,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 1, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_hi,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 9, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_lo
+      FROM sh, UNNEST(sl) AS s(s), UNNEST(range(32)) AS k(k)
+      GROUP BY doc_id, n_shingles, k.k
+    )
+    SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+           CAST(sum(CASE WHEN c_hi > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                AS BIGINT) AS fp_hi,
+           CAST(sum(CASE WHEN c_lo > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                AS BIGINT) AS fp_lo
+    FROM bits GROUP BY doc_id, n_shingles
+    """,
+    tags=("dedup", "simhash", "sketch"),
+)
+def r40_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints whose BITS are oracle-checkable: q92's
+    operator uses xxhash64 (Spark-only, rows-only check); this variant
+    derives each shingle's 64 bits from md5 — which both engines
+    define identically — split into two 32-bit halves so every
+    arithmetic step stays inside exact bigint range. Bit tests and
+    fingerprint assembly use integer div/mod against a literal
+    power-of-two table (never float pow — cross-engine ulp drift, the
+    r24 lesson). Ties in a bit's majority count go to 0 in both
+    engines (> 0 test).
+
+    Plan shape: ENTIRELY in-row — the per-doc bit-majority fold is an
+    aggregate HOF over the shingle array with a 64-counter array
+    accumulator, so the query is one narrow projection; no explode, no
+    shuffle at all (the oracle spells the double unnest; the plan
+    never does). Docs with <3 tokens have no shingles → fingerprint 0,
+    same on both sides."""
+    d = shingled(t(spark, sf_dir, "documents"))
+    pow2 = F.array(*[F.lit(p) for p in _POW2_DESC])
+
+    def half(start: int):
+        # 32 per-bit {+1,-1} votes for md5(s)[start:start+8]
+        def bits_of(s):
+            h = F.conv(F.substring(F.md5(s), start, 8), 16, 10).cast("bigint")
+            # (h / p) is double division, but floor-recovery is exact
+            # here: h < 2^32 ≤ 2^53 and the fractional part 1/p ≥ 2^-31
+            # is orders above double eps at this magnitude, so the cast
+            # truncation equals DuckDB's integer `//` bit for bit
+            return F.transform(
+                pow2, lambda p: F.when((h / p).cast("bigint") % 2 == 1, 1).otherwise(-1)
+            )
+
+        return bits_of
+
+    def counters(bits_of):
+        return F.aggregate(
+            F.col("sl"),
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, s: F.zip_with(acc, bits_of(s), lambda a, b: a + b),
+        )
+
+    def assemble(cnt):
+        return F.aggregate(
+            F.zip_with(cnt, pow2, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    return d.select(
+        "doc_id",
+        F.size("sl").alias("n_shingles"),
+        assemble(counters(half(1))).alias("fp_hi"),
+        assemble(counters(half(9))).alias("fp_lo"),
     )
