@@ -798,3 +798,105 @@ def r40_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         assemble(counters(half(1))).alias("fp_hi"),
         assemble(counters(half(9))).alias("fp_lo"),
     )
+
+
+@register(
+    "r41_simhash_hamming_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, k.k AS k,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 1, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_hi,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 9, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_lo
+      FROM sh, UNNEST(sl) AS s(s), UNNEST(range(32)) AS k(k)
+      GROUP BY doc_id, k.k
+    ),
+    fps AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c_hi > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                  AS BIGINT) AS fp_hi,
+             CAST(sum(CASE WHEN c_lo > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                  AS BIGINT) AS fp_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+                + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+          + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+    """,
+    tags=("dedup", "simhash", "hamming", "multi-index"),
+)
+def r41_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3 via the
+    MULTI-INDEX block join (Manku et al.'s simhash-dedup construction,
+    the one Google ran for web crawl dedup): split each 64-bit
+    fingerprint into four 16-bit blocks — if hamming(a, b) ≤ 3, the 3
+    differing bits land in at most 3 blocks, so by pigeonhole at least
+    ONE block is bit-identical — and generate candidates with four
+    equi-joins (one per block position) instead of the O(n²) all-pairs
+    scan the oracle spells. Exact Hamming verify on the candidates via
+    bit_count(xor).
+
+    Block extraction uses shiftright/bitwiseAND (integer-exact, r40's
+    no-float-pow discipline). The candidate index is 4 rows per doc;
+    hot blocks (e.g. the all-zeros block shared by every empty doc)
+    are the skew point — at 100 TB, cap block-bucket size like
+    MAX_SHINGLE_DF caps posting lists. Fingerprints come from r40's
+    operator, so the bits themselves are oracle-checked upstream."""
+    fps = r40_simhash_md5(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo")
+    fps = fps.localCheckpoint(eager=True)  # reused by index + verify
+    blocks = fps.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.shiftright("fp_hi", 16),
+                F.col("fp_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("fp_lo", 16),
+                F.col("fp_lo").bitwiseAND(F.lit(65535)),
+            )
+        ).alias("j", "block"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    fa = fps.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp_hi").alias("ha"),
+        F.col("fp_lo").alias("la"),
+    )
+    fb = fps.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp_hi").alias("hb"),
+        F.col("fp_lo").alias("lb"),
+    )
+    hamming = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("long")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
