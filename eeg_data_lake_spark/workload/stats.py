@@ -501,3 +501,61 @@ def r14_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("long").alias("wau"),
     )
+
+
+@register(
+    "r42_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, sum(l_quantity) AS wt
+      FROM lineitem GROUP BY flag, v
+    ),
+    cum AS (
+      SELECT flag, v, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    )
+    SELECT flag, CAST(count(*) AS BIGINT) AS n_distinct,
+           round(min(CASE WHEN cw >= tw / 2 THEN v END), 6) AS weighted_median
+    FROM cum GROUP BY flag
+    """,
+    tags=("stats", "weighted-median", "percentile"),
+)
+def r42_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower-median convention) of price
+    weighted by quantity, per return flag — the quantity-weighted "half
+    the VOLUME sold below this price" statistic no builtin aggregate
+    computes (percentile() weights every row equally).
+
+    Same fully-parallel plan as operators/percentiles.py, generalized
+    to weights: the only heavy shuffle is the (key, value) pre-agg that
+    sums weights per distinct value (map-side combined); the cumulative
+    window then runs on |distinct values| rows, and the median is a
+    conditional min — no value→count map ever concentrates on one
+    reducer. ROWS frame (not RANGE) is correct here BECAUSE the
+    pre-agg made values distinct per key: no peers exist, and the
+    running weight must step at every value."""
+    li = t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum("l_quantity").alias("wt"))
+    wk = Window.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "v",
+        F.sum("wt")
+        .over(
+            wk.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(wk).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.min(F.when(F.col("cw") >= F.col("tw") / 2, F.col("v"))), 6
+        ).alias("weighted_median"),
+    )
