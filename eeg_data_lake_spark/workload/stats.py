@@ -559,3 +559,58 @@ def r42_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cw") >= F.col("tw") / 2, F.col("v"))), 6
         ).alias("weighted_median"),
     )
+
+
+@register(
+    "r43_target_encoding",
+    oracle="""
+    WITH enc AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS y,
+             (sum(o_totalprice) OVER (PARTITION BY o_orderpriority) - o_totalprice)
+               / (count(*) OVER (PARTITION BY o_orderpriority) - 1) AS loo,
+             avg(o_totalprice) OVER () AS prior,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT pri, CAST(max(n) AS BIGINT) AS n_rows,
+           round(avg(loo), 6) AS avg_loo_encoding,
+           round(avg((loo * (n - 1) + prior * 20) / (n - 1 + 20)), 6) AS smoothed
+    FROM enc GROUP BY pri
+    """,
+    tags=("stats", "ml-features", "target-encoding"),
+)
+def r43_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with m-estimate smoothing (m=20)
+    — the categorical-feature encoder every tabular-ML pipeline fits at
+    scale. LOO subtracts each row's own target from its category mean
+    (the standard leakage guard: encoding a row with a statistic that
+    contains its own label is target leakage), and the m-estimate
+    blends small categories toward the global prior.
+
+    Plan: category sums/counts ride ONE window exchange on the
+    category key; the global prior comes from a 1-row aggregate
+    broadcast back (the oracle's `avg() OVER ()` global window would
+    be a single-task sort in Spark — the broadcast spells the same
+    number without the scale trap). Per-row arithmetic is narrow; the
+    verification rollup groups back to |categories| rows."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("y"),
+    )
+    prior = o.agg(F.avg("y").alias("prior"))
+    w = Window.partitionBy("pri")
+    enc = (
+        o.withColumn("s", F.sum("y").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .crossJoin(F.broadcast(prior))
+        .withColumn("loo", (F.col("s") - F.col("y")) / (F.col("n") - 1))
+    )
+    m = F.lit(20)
+    smoothed = (F.col("loo") * (F.col("n") - 1) + F.col("prior") * m) / (
+        F.col("n") - 1 + m
+    )
+    return enc.groupBy("pri").agg(
+        F.max("n").alias("n_rows"),
+        F.round(F.avg("loo"), 6).alias("avg_loo_encoding"),
+        F.round(F.avg(smoothed), 6).alias("smoothed"),
+    )
