@@ -614,3 +614,73 @@ def r43_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("loo"), 6).alias("avg_loo_encoding"),
         F.round(F.avg(smoothed), 6).alias("smoothed"),
     )
+
+
+@register(
+    "r44_anova_sources",
+    oracle="""
+    WITH g AS (
+      SELECT source, count(*) AS n, avg(CAST(n_chars AS DOUBLE)) AS m,
+             sum(CAST(n_chars AS DOUBLE) * n_chars) AS ss
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n) AS nt, sum(m * n) / sum(n) AS gm, count(*) AS k FROM g
+    )
+    SELECT CAST(tot.k AS BIGINT) AS k_groups, CAST(tot.nt AS BIGINT) AS n_rows,
+           round(sum(g.n * (g.m - tot.gm) * (g.m - tot.gm)) / (tot.k - 1), 6)
+               AS ms_between,
+           round(sum(g.ss - g.n * g.m * g.m) / (tot.nt - tot.k), 6)
+               AS ms_within,
+           round((sum(g.n * (g.m - tot.gm) * (g.m - tot.gm)) / (tot.k - 1))
+                 / (sum(g.ss - g.n * g.m * g.m) / (tot.nt - tot.k)), 6)
+               AS f_stat
+    FROM g CROSS JOIN tot
+    GROUP BY tot.k, tot.nt
+    """,
+    tags=("stats", "anova", "variance-decomposition"),
+)
+def r44_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for document length across sources —
+    "does the SOURCE explain length variance?", the between/within
+    decomposition that complements r35's chi-squared (categorical ×
+    categorical) and r34's KS (two-cohort shape) with the
+    categorical × continuous axis of the dataset-bias audit family.
+
+    Plan: the corpus collapses to per-source sufficient statistics
+    (n, mean, Σx²) in ONE agg shuffle; grand totals are a 1-row
+    broadcast; SSB/SSW are arithmetic over |sources| rows. The Σx²
+    shortcut's cancellation error is ~1e-8 absolute at these
+    magnitudes — orders below the round(…,6) comparison grid (both
+    engines compute the same shortcut, so even that drift is shared)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "v", F.col("n_chars").cast("double")
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("m"),
+        F.sum(F.col("v") * F.col("n_chars")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("gm"),
+        F.count("*").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ssb = F.sum(
+        F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+    )
+    ssw = F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
+    ms_between = ssb / (F.first("k") - 1)
+    ms_within = ssw / (F.first("nt") - F.first("k"))
+    return j.groupBy("k", "nt").agg(
+        F.round(ms_between, 6).alias("ms_between"),
+        F.round(ms_within, 6).alias("ms_within"),
+        F.round(ms_between / ms_within, 6).alias("f_stat"),
+    ).select(
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_rows"),
+        "ms_between",
+        "ms_within",
+        "f_stat",
+    )
