@@ -103,3 +103,52 @@ def q90_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
         "centroid_norm",
     )
+
+
+@register(
+    "z08_pca_embeddings",
+    oracle=None,  # eigendecomposition — numpy-parity tested instead
+    tags=("ml", "pca", "dimensionality-reduction"),
+)
+def z08_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table (ml/pca.py): per-
+    partition sufficient statistics → driver eigh → JVM-side projected
+    scores, summarized as per-component eigenvalue, cumulative
+    variance-explained, and the projected-score variance (which must
+    equal the eigenvalue — reported so the driver's rows-only check
+    exercises the projection path too, not just the fit). Iterative-
+    free but eigen-based → no SQL oracle; numpy parity, partitioning
+    invariance and the all-JVM projection plan are pinned in
+    tests/test_pca.py."""
+    from eeg_data_lake_spark.ml.pca import pca_fit, pca_project
+
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(v.select("embedding").first()["embedding"])
+    k = min(8, dim)
+    comps, vals, mean = pca_fit(v, "embedding", dim, k)
+    proj = pca_project(v, "embedding", comps, mean)
+    score_vars = (
+        proj.agg(
+            *[F.var_samp(f"pc{i}").alias(f"v{i}") for i in range(k)]
+        ).collect()[0]
+    )
+    total = float(vals.sum())
+    rows = []
+    cum = 0.0
+    for i in range(k):
+        cum += float(vals[i])
+        rows.append(
+            (
+                i,
+                round(float(vals[i]), 6),
+                round(cum / total, 6),
+                round(float(score_vars[f"v{i}"]), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, cum_var_explained_of_topk double, "
+        "projected_score_var double",
+    )
