@@ -4,9 +4,11 @@ observation)."""
 
 from eeg_data_lake_spark.plans.inspect import (  # noqa: F401
     count_exchanges,
+    explain_cost,
     explain_string,
     has_cartesian_or_bnlj,
     join_strategies,
+    print_cost,
     pushed_filters,
     read_schema_columns,
 )

@@ -75,3 +75,50 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
         ]
         scans.append(cols)
     return scans
+
+
+def explain_cost(df: DataFrame) -> dict:
+    """One-glance scale report for a plan — the checklist a reviewer
+    walks before shipping a query to a 1000-executor cluster, as data:
+
+    ``exchanges`` (each multiplies cost by data volume), ``joins`` and
+    ``has_nested_loop`` (a BNLJ/cartesian on big inputs is the classic
+    100× regression), ``pushed_filters`` / ``scan_columns`` (did
+    pruning reach parquet), ``python_stages`` (Arrow/row-at-a-time
+    Python evals — the slow path when a builtin would do), and
+    ``codegen_spans`` (how much of the plan fused into whole-stage
+    codegen). Pair with `.explain("formatted")` when a number looks
+    wrong; pin the shape in tests via the individual helpers."""
+    import re as _re
+
+    plan = explain_string(df)
+    return {
+        "exchanges": count_exchanges(df),
+        "joins": join_strategies(df),
+        "has_nested_loop": has_cartesian_or_bnlj(df),
+        "pushed_filters": pushed_filters(df),
+        "scan_columns": read_schema_columns(df),
+        "python_stages": len(
+            _re.findall(r"\b(ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|"
+                        r"MapInPandas|FlatMapGroupsInArrow|PythonMapInArrow)\b", plan)
+        ),
+        # codegen fusion markers (*(n) prefixes) only appear in simple mode
+        "codegen_spans": len(
+            set(_re.findall(r"\*\((\d+)\)", explain_string(df, "simple")))
+        ),
+    }
+
+
+def print_cost(df: DataFrame) -> None:
+    """Human-oriented wrapper around explain_cost."""
+    c = explain_cost(df)
+    print(
+        f"exchanges={c['exchanges']} joins={','.join(c['joins']) or '-'} "
+        f"nested_loop={c['has_nested_loop']} python_stages={c['python_stages']} "
+        f"codegen_spans={c['codegen_spans']}"
+    )
+    for i, cols in enumerate(c["scan_columns"]):
+        print(f"scan[{i}]: {len(cols)} cols: {', '.join(cols[:8])}"
+              + (" …" if len(cols) > 8 else ""))
+    for f in c["pushed_filters"]:
+        print(f"pushed: {f}")
