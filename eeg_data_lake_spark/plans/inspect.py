@@ -102,9 +102,14 @@ def explain_cost(df: DataFrame) -> dict:
             _re.findall(r"\b(ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|"
                         r"MapInPandas|FlatMapGroupsInArrow|PythonMapInArrow)\b", plan)
         ),
-        # codegen fusion markers (*(n) prefixes) only appear in simple mode
-        "codegen_spans": len(
-            set(_re.findall(r"\*\((\d+)\)", explain_string(df, "simple")))
+        # codegen fusion markers (*(n), simple mode) exist only in the
+        # FINAL plan: under AQE that means after an action has run on
+        # this DataFrame. None = unknown yet (re-call after executing).
+        "codegen_spans": (
+            len(spans)
+            if (spans := set(_re.findall(r"\*\((\d+)\)", explain_string(df, "simple"))))
+            or "isFinalPlan=false" not in explain_string(df, "simple")
+            else None
         ),
     }
 

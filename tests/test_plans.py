@@ -397,12 +397,17 @@ def test_r37_q21_shape_fact_shuffles_once(spark, sf_dir):
 def test_explain_cost_report_shape(spark, sf_dir):
     from eeg_data_lake_spark.plans import explain_cost
 
-    c = explain_cost(q("q02_top_revenue_customers", spark, sf_dir))
+    df = q("q02_top_revenue_customers", spark, sf_dir)
+    c = explain_cost(df)
     assert c["exchanges"] >= 1
     assert "BroadcastHashJoin" in c["joins"]
     assert not c["has_nested_loop"]
     assert c["python_stages"] == 0
-    assert c["codegen_spans"] >= 1
+    # AQE hides codegen fusion until THIS DataFrame's own plan has
+    # executed (a write goes through a separate QueryExecution)
+    assert c["codegen_spans"] is None
+    df.collect()
+    assert explain_cost(df)["codegen_spans"] >= 1
     assert any("o_orderdate" in f or "c_custkey" in f or f for f in c["pushed_filters"])
     # the pandas-UDF signal fires where it should
     c2 = explain_cost(q("q94_bandpass_user_series", spark, sf_dir))
