@@ -239,3 +239,126 @@ def resize_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, RESIZE_SCHEMA)
+
+
+#: schema of the per-document PCM feature rows (decode_pcm_features)
+PCM_SCHEMA = (
+    "doc_id long, n_samples long, rms double, peak int, "
+    "mean_crossings long, mean_sample double"
+)
+
+#: schema of the per-frame PCM energy rows (pcm_frame_rms)
+PCM_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frame_samples long, frame_rms double"
+)
+
+
+def decode_pcm_samples(raw: bytes) -> np.ndarray:
+    """REAL audio decode — PCM16LE, the codec WAV data chunks use: each
+    consecutive byte pair is one little-endian signed 16-bit sample (a
+    trailing odd byte is dropped, as a truncated stream would be).
+    Unlike the image path there is nothing to stub: PCM is pure numpy,
+    so this is the one codec in the container that runs end-to-end and
+    can be checked bit-for-bit against an oracle."""
+    return np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2").astype(np.int64)
+
+
+def decode_pcm_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode each binary payload as PCM16LE and emit per-document audio
+    features: sample count, RMS level, peak amplitude, mean-crossing
+    count (zero crossings after DC removal — text-derived payloads sit
+    far above zero, so raw zero crossings would be degenerate; real
+    audio features subtract the DC offset first for the same reason),
+    and DC offset (mean sample). Narrow mapInPandas — the same
+    streaming batch shape as the image/video operators, but with a real
+    decoder in the codec slot.
+
+    Numeric discipline for oracle bit-equality: RMS and mean divide an
+    EXACT integer sum (int64 accumulation, values < 2^53) by the count,
+    so the only floating-point ops are one division (and one sqrt) that
+    any IEEE-754 engine evaluates identically. Rounding is left to the
+    caller (Spark-side F.round == oracle-side round, both half-away).
+    Documents too short to hold one sample (< 2 bytes) are skipped —
+    mirroring the oracle's empty group vanishing under GROUP BY."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                v = decode_pcm_samples(raw)
+                n = int(v.size)
+                if n == 0:
+                    continue
+                sum_sq = int(np.sum(v * v))
+                sum_v = int(np.sum(v))
+                mean = sum_v / n
+                # crossings of the DC-removed signal: sign test on a
+                # product of exact IEEE doubles — both engines multiply
+                # the same values, so the < 0 outcome is deterministic
+                c = v.astype(np.float64) - mean
+                out.append(
+                    (
+                        doc_id,
+                        n,
+                        float(np.sqrt(sum_sq / n)),
+                        int(np.max(np.abs(v))),
+                        int(np.count_nonzero(c[:-1] * c[1:] < 0.0)),
+                        mean,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_samples", "rms", "peak",
+                    "mean_crossings", "mean_sample",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, PCM_SCHEMA)
+
+
+def pcm_frame_rms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_frames: int = 8,
+) -> DataFrame:
+    """Audio frame sampling: decode PCM16LE, split the sample stream
+    into ``n_frames`` fixed-stride frames (stride = floor(n/frames),
+    min 1 — the q49 video-frame convention, trailing remainder
+    dropped), and emit one (doc_id, frame_idx, n, rms) row per
+    non-empty frame. This is the windowed-energy primitive real audio
+    pipelines run before VAD/segmentation; same exact-integer-sum
+    discipline as decode_pcm_features."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                v = decode_pcm_samples(raw)
+                n = int(v.size)
+                if n == 0:
+                    continue
+                step = max(n // n_frames, 1)
+                for f in range(n_frames):
+                    seg = v[f * step : (f + 1) * step]
+                    if not seg.size:
+                        break
+                    out.append(
+                        (
+                            doc_id,
+                            f,
+                            int(seg.size),
+                            float(np.sqrt(int(np.sum(seg * seg)) / seg.size)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "n_frame_samples", "frame_rms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, PCM_FRAME_SCHEMA)

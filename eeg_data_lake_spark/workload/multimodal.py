@@ -148,3 +148,113 @@ def q88_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_width", "src_height", "out_width", "out_height",
         F.round("mean_px", 4).alias("mean_px"), "resized_md5",
     )
+
+
+#: shared oracle CTE: decode the UTF-8 payload as PCM16LE entirely in
+#: SQL — hex() the blob, then each sample i is bytes (2i, 2i+1) read
+#: little-endian via hex-digit arithmetic (strpos into '0..F'), sign
+#: restored from the high byte. Bit-identical to numpy's '<i2' view.
+_PCM_SAMPLES_CTE = """
+    WITH p AS (
+      SELECT doc_id,
+             hex(encode(text)) AS h,
+             CAST(floor(octet_length(encode(text)) / 2) AS BIGINT) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, n, h, CAST(unnest(range(n)) AS BIGINT) AS i
+      FROM p WHERE n >= 1
+    ), raw AS (
+      SELECT doc_id, n, i,
+             (strpos('0123456789ABCDEF', substr(h, i*4 + 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, i*4 + 2, 1)) - 1 AS lo,
+             (strpos('0123456789ABCDEF', substr(h, i*4 + 3, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, i*4 + 4, 1)) - 1 AS hi
+      FROM idx
+    ), v AS (
+      SELECT doc_id, n, i,
+             CAST(lo + 256*hi
+                  - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS BIGINT) AS s
+      FROM raw
+    )
+"""
+
+
+@register(
+    "r45_audio_pcm_features",
+    oracle=_PCM_SAMPLES_CTE
+    + """
+    , mu AS (
+      SELECT doc_id, sum(s) / count(*) AS mean_s FROM v GROUP BY doc_id
+    ), lagd AS (
+      SELECT v.doc_id, v.s, mu.mean_s,
+             lag(v.s) OVER (PARTITION BY v.doc_id ORDER BY v.i) AS prev
+      FROM v JOIN mu ON v.doc_id = mu.doc_id
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                             AS n_samples,
+           round(sqrt(sum(s*s) / count(*)), 6)                  AS rms,
+           CAST(max(abs(s)) AS INTEGER)                         AS peak,
+           CAST(sum(CASE WHEN (s - mean_s) * (prev - mean_s) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT)          AS mean_crossings,
+           round(max(mean_s), 6)                                AS mean_sample
+    FROM lagd
+    GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def r45_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, fully oracle-checked: the payload bytes are
+    decoded as PCM16LE (numpy '<i2' — an actual audio codec, the WAV
+    data-chunk encoding, not a stub) inside an Arrow-batched
+    mapInPandas, and the per-document features (RMS level, peak,
+    DC-removed zero crossings, DC offset) hash-match a DuckDB twin
+    that re-derives the identical samples from hex-digit arithmetic.
+    Upgrades the
+    multimodal story from 'plumbing real, codec stubbed' (q97) to one
+    codec running end-to-end bit-for-bit. Narrow plan — no shuffle;
+    100 TB of audio streams through executors batch by batch."""
+    from eeg_data_lake_spark.functions.multimodal import decode_pcm_features
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    out = decode_pcm_features(d)
+    return out.select(
+        "doc_id", "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "peak", "mean_crossings",
+        F.round("mean_sample", 6).alias("mean_sample"),
+    )
+
+
+@register(
+    "r46_audio_frame_energy",
+    oracle=_PCM_SAMPLES_CTE
+    + """
+    , stepped AS (
+      SELECT doc_id, i, s,
+             greatest(CAST(floor(n / 8) AS BIGINT), 1) AS step
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(floor(i / step) AS INTEGER)        AS frame_idx,
+           CAST(count(*) AS BIGINT)                AS n_frame_samples,
+           round(sqrt(sum(s*s) / count(*)), 6)     AS frame_rms
+    FROM stepped
+    WHERE i < 8 * step
+    GROUP BY doc_id, CAST(floor(i / step) AS INTEGER)
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def r46_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-energy sampling (the VAD/segmentation primitive):
+    PCM16LE decode → 8 fixed-stride frames per document → per-frame
+    RMS, one scalar row per frame, hash-checked against the hex-decode
+    oracle. The audio analog of q49's video frame sampling, with the
+    decode real instead of hashed."""
+    from eeg_data_lake_spark.functions.multimodal import pcm_frame_rms
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    out = pcm_frame_rms(d, n_frames=8)
+    return out.select(
+        "doc_id", "frame_idx", "n_frame_samples",
+        F.round("frame_rms", 6).alias("frame_rms"),
+    )

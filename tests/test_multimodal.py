@@ -135,3 +135,62 @@ class TestResize:
         r = a[0]
         assert r.out_width == 8 and r.out_height == 8
         assert len(r.resized_md5) == 32 and r.mean_px > 0
+
+
+class TestPCM:
+    """Real PCM16LE codec path (decode_pcm_samples and friends)."""
+
+    def test_decode_known_bytes(self):
+        from eeg_data_lake_spark.functions.multimodal import decode_pcm_samples
+
+        # 'ab' = 0x61 0x62 → LE int16 0x6261 = 25185; '¡' = 0xC2 0xA1
+        # → 0xA1C2 = 41410 - 65536 = -24126 (sign from the high byte)
+        v = decode_pcm_samples("ab¡".encode())
+        assert v.tolist() == [25185, -24126]
+
+    def test_odd_trailing_byte_dropped_and_empty(self):
+        from eeg_data_lake_spark.functions.multimodal import decode_pcm_samples
+
+        assert decode_pcm_samples(b"abc").tolist() == [25185]
+        assert decode_pcm_samples(b"").tolist() == []
+        assert decode_pcm_samples(b"x").tolist() == []
+
+    def test_features_match_local_numpy(self, docs):
+        from eeg_data_lake_spark.functions.multimodal import (
+            decode_pcm_features,
+            decode_pcm_samples,
+        )
+
+        out = {
+            r.doc_id: r
+            for r in decode_pcm_features(attach_binary_payload(docs)).collect()
+        }
+        # doc 3 is empty (no samples) → skipped entirely
+        assert 3 not in out
+        v = decode_pcm_samples("héllo wörld".encode()).astype(np.float64)
+        r = out[2]
+        assert r.n_samples == v.size
+        assert r.rms == pytest.approx(float(np.sqrt((v**2).mean())))
+        assert r.peak == int(np.abs(v).max())
+        c = v - v.mean()
+        assert r.mean_crossings == int(np.count_nonzero(c[:-1] * c[1:] < 0))
+        assert r.mean_sample == pytest.approx(float(v.mean()))
+
+    def test_frame_rms_strides(self, spark):
+        from eeg_data_lake_spark.functions.multimodal import pcm_frame_rms
+
+        # 20 samples → step=2, frames 0..7 cover samples 0..15, the
+        # trailing 4 samples are dropped (the q49 stride convention)
+        df = spark.createDataFrame(
+            [(1, bytes(range(40)))], "doc_id long, payload binary"
+        )
+        rows = {r.frame_idx: r for r in pcm_frame_rms(df, n_frames=8).collect()}
+        assert sorted(rows) == list(range(8))
+        assert all(r.n_frame_samples == 2 for r in rows.values())
+        # short doc: 3 samples → step=1, only frames 0..2 emitted
+        df2 = spark.createDataFrame(
+            [(2, bytes([1, 0, 2, 0, 3, 0, 1]))], "doc_id long, payload binary"
+        )
+        rows2 = {r.frame_idx: r for r in pcm_frame_rms(df2, n_frames=8).collect()}
+        assert sorted(rows2) == [0, 1, 2]
+        assert rows2[2].frame_rms == pytest.approx(3.0)
