@@ -1082,3 +1082,112 @@ def r30_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
+
+
+# --------------------------------------------------------------------
+# r47: DSIR-style importance resampling (hashed n-gram feature space)
+# --------------------------------------------------------------------
+
+#: how many docs the importance-resampling step keeps
+_DSIR_KEEP = 200
+
+#: hashed feature-space size: first 2 md5 hex chars → 256 buckets
+_DSIR_BUCKETS = 256.0
+
+
+@register(
+    "r47_dsir_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, substr(md5(token), 1, 2) AS bucket
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ), db AS (
+      SELECT doc_id, bucket, count(*) AS c FROM toks GROUP BY doc_id, bucket
+    ), stats AS (
+      SELECT bucket,
+             count(*) AS c_r,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      FROM toks GROUP BY bucket
+    ), tot AS (
+      SELECT sum(c_r) AS r_tot, sum(c_t) AS t_tot FROM stats
+    ), term AS (
+      SELECT bucket,
+             ln((c_t + 1.0) / (t_tot + {_DSIR_BUCKETS}))
+               - ln((c_r + 1.0) / (r_tot + {_DSIR_BUCKETS})) AS term
+      FROM stats, tot
+    ), folded AS (
+      SELECT db.doc_id,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(b := db.bucket,
+                                            ct := db.c * term.term))),
+                 x -> x.ct),
+               (a, x) -> a + x) AS llr
+      FROM db JOIN term USING (bucket)
+      GROUP BY db.doc_id
+    )
+    SELECT d.doc_id, d.lang, round(f.llr, 6) AS dsir_logweight
+    FROM folded f JOIN documents d USING (doc_id)
+    ORDER BY f.llr DESC, d.doc_id
+    LIMIT {_DSIR_KEEP}
+    """,
+    tags=("curation", "dsir", "sampling"),
+)
+def r47_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    in hashed unigram feature space: estimate target (lang='en') and
+    raw bucket distributions with +1 smoothing, score every document by
+    its summed log-likelihood ratio Σ c_b·(ln p̂_tgt(b) − ln p̂_raw(b)),
+    and keep the top-K — the deterministic-selection variant of DSIR's
+    weighted resample (the seeded-Gumbel variant is r24's machinery).
+
+    Scale: one explode + one (doc, bucket) groupBy; the bucket stats
+    are 256 rows → broadcast; the per-doc fold runs over its sorted
+    bucket list (≤256 elements) so the float sum is order-pinned and
+    bit-identical to the oracle's list_reduce. The selection is one
+    TakeOrderedAndProject — no global sort materialized."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select(
+        "doc_id", "lang", F.substring(F.md5("token"), 1, 2).alias("bucket")
+    )
+    doc_bucket = toks.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    stats = toks.groupBy("bucket").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_t"),
+    )
+    tot = stats.agg(
+        F.sum("c_r").alias("r_tot"), F.sum("c_t").alias("t_tot")
+    )
+    term = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("t_tot") + _DSIR_BUCKETS))
+            - F.log((F.col("c_r") + 1.0) / (F.col("r_tot") + _DSIR_BUCKETS))
+        ).alias("term"),
+    )
+    folded = (
+        doc_bucket.join(F.broadcast(term), "bucket")
+        .select(
+            "doc_id",
+            F.struct("bucket", (F.col("c") * F.col("term")).alias("ct")).alias("x"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.expr("slice(xs, 2, size(xs) - 1)"),
+                F.element_at("xs", 1).getField("ct"),
+                lambda a, x: a + x.getField("ct"),
+            ).alias("llr"),
+        )
+    )
+    return (
+        folded.join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.desc("llr"), F.asc("doc_id"))
+        .limit(_DSIR_KEEP)
+        .select("doc_id", "lang", F.round("llr", 6).alias("dsir_logweight"))
+    )

@@ -86,3 +86,19 @@ def test_new_queries_registered_with_oracles():
     ):
         assert name in REGISTRY
         assert REGISTRY[name].oracle
+
+
+def test_r47_dsir_enriches_target_domain(spark, sf_dir):
+    """Importance resampling toward the lang='en' target distribution
+    must select a set MORE en-like than the population base rate —
+    that's the entire point of DSIR's likelihood-ratio weighting."""
+    sel = REGISTRY["r47_dsir_importance_resample"].spark_fn(spark, sf_dir)
+    rows = sel.collect()
+    assert len(rows) > 0
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    got = sum(r.lang == "en" for r in rows) / len(rows)
+    assert got > base
+    # log-weights arrive in selection order: non-increasing
+    ws = [r.dsir_logweight for r in rows]
+    assert all(a >= b for a, b in zip(ws, ws[1:]))
