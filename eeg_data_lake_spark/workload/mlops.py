@@ -152,3 +152,30 @@ def z08_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, eigenvalue double, cum_var_explained_of_topk double, "
         "projected_score_var double",
     )
+
+
+@register(
+    "z09_semdedup",
+    oracle=None,  # k-means fixpoint feeds the NMS scan → rows-only
+    tags=("ml", "dedup", "embedding", "semdedup"),
+)
+def z09_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then within each cluster greedily retain in ascending-id order,
+    dropping any vector whose cosine to an already-retained one is
+    ≥ 0.45 (the q36 threshold, so the two dedup surfaces agree on what
+    'near-dup' means). Pairwise work confined to clusters — O(Σ n_c²),
+    the SemDeDup scaling contract — with one dense-int exchange.
+    Deterministic: lowest-id k-means init + id-ordered NMS.
+    tests/test_semdedup.py proves the NMS chain semantics, that every
+    dropped vector has a kept in-cluster witness ≥ tau, and that the
+    quantizer's pair-capture rate beats the random-collision
+    baseline on the exact q36 pair set."""
+    from eeg_data_lake_spark.ml.kmeans import assign_clusters, kmeans_fit
+    from eeg_data_lake_spark.ml.semdedup import semdedup_flags
+    from eeg_data_lake_spark.workload.joins_advanced import COSINE_NEARDUP_TAU
+
+    v = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = kmeans_fit(v, k=8, max_iter=5)
+    assigned = assign_clusters(v, model.centroids)
+    return semdedup_flags(assigned, COSINE_NEARDUP_TAU)
