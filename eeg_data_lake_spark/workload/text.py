@@ -490,3 +490,22 @@ def r38_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vocab_size").alias("vocab_size"),
         )
     )
+
+
+@register(
+    "z10_bpe_train",
+    oracle=None,  # iterative argmax loop → rows-only (Python-ref parity
+    # and classic-corpus behavior pinned in tests/test_bpe.py)
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def z10_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer TRAINING over the documents table: 12
+    iterative merge rounds, each one vocab-sized pair-count shuffle +
+    a one-row argmax collect + a JVM fold applying the merge (see
+    functions/bpe.py for the scaling argument: the corpus is touched
+    once; rounds cost |vocab|). Completes the tokenizer story: r09 is
+    one round's candidate table, q59 applies a trained tokenizer, this
+    trains one."""
+    from eeg_data_lake_spark.functions.bpe import bpe_train
+
+    return bpe_train(t(spark, sf_dir, "documents"), n_merges=12)
