@@ -70,6 +70,7 @@ HEADLINE = [
     "r27_crossdoc_segment_dedup", # sub-document boilerplate rewrite
     "r30_token_shard_packing",    # two-phase distributed prefix sum
     "r36_local_supplier_volume",  # six-way broadcast join (TPC-H Q5)
+    "r45_audio_pcm_features",     # real PCM16 codec via Arrow mapInPandas
 ]
 
 

@@ -412,3 +412,31 @@ def test_explain_cost_report_shape(spark, sf_dir):
     # the pandas-UDF signal fires where it should
     c2 = explain_cost(q("q94_bandpass_user_series", spark, sf_dir))
     assert c2["python_stages"] >= 1
+
+
+def test_r45_audio_decode_is_narrow(spark, sf_dir):
+    """Codec path: scan → Arrow-batched Python map — NO exchange; 100 TB
+    of payloads must stream through without a shuffle."""
+    df = q("r45_audio_pcm_features", spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert join_strategies(df) == []
+
+
+def test_r46_frame_energy_is_narrow(spark, sf_dir):
+    df = q("r46_audio_frame_energy", spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_r47_dsir_broadcasts_bucket_stats(spark, sf_dir):
+    """The 256-row bucket-stat side must broadcast; the corpus side
+    shuffles only for its own aggregations (doc-bucket counts + the
+    per-doc fold + stats), never for the stats join."""
+    df = q("r47_dsir_importance_resample", spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies
+    # every join is a broadcast variant — the corpus never shuffles for
+    # a join. The BNLJ rows are the broadcast cross join attaching the
+    # ONE-row corpus totals to the 256-row bucket stats (the subtree is
+    # listed once per consumer in the formatted plan).
+    assert set(strategies) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}
+    assert count_exchanges(df) <= 6
