@@ -258,3 +258,52 @@ def r46_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "n_frame_samples",
         F.round("frame_rms", 6).alias("frame_rms"),
     )
+
+
+@register(
+    "r48_keyframe_selection",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             hex(encode(text))          AS h
+      FROM documents
+    ), f AS (
+      SELECT doc_id, n_bytes, h,
+             CAST(unnest(range(4)) AS INTEGER) AS frame_idx,
+             greatest(CAST(floor(n_bytes / 4) AS BIGINT), 1) AS step
+      FROM p
+    ), sig AS (
+      SELECT doc_id, frame_idx,
+             md5(substring(h, frame_idx * step * 2 + 1, step * 2)) AS frame_sig
+      FROM f
+    ), lagd AS (
+      SELECT doc_id, frame_idx, frame_sig,
+             lag(frame_sig) OVER (PARTITION BY doc_id
+                                  ORDER BY frame_idx) AS prev_sig
+      FROM sig
+    )
+    SELECT doc_id, frame_idx, frame_sig
+    FROM lagd
+    WHERE prev_sig IS NULL OR frame_sig <> prev_sig
+    """,
+    tags=("multimodal", "video", "keyframe"),
+)
+def r48_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection by scene-change detection: keep frame 0 and
+    every frame whose signature differs from its predecessor — the
+    dedup step video pipelines run before expensive per-frame encoding
+    (consecutive identical frames are the common case in screen
+    recordings / static shots). One window over (doc, frame_idx); the
+    signature column reuses q49's oracle-portable md5(hex(bytes)).
+    At scale the partition key is the doc — frames per doc are bounded,
+    so state per window partition is tiny."""
+    from pyspark.sql import Window
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    sig = frame_sample(d, n_frames=4)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagd = sig.withColumn("prev_sig", F.lag("frame_sig").over(w))
+    return lagd.filter(
+        F.col("prev_sig").isNull() | (F.col("frame_sig") != F.col("prev_sig"))
+    ).select("doc_id", "frame_idx", "frame_sig")
