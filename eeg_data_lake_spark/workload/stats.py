@@ -684,3 +684,41 @@ def r44_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ms_within",
         "f_stat",
     )
+
+
+@register(
+    "z11_tdigest_rollup",
+    oracle=None,  # t-digest centroids are Spark-only → rows-only;
+    # accuracy vs exact percentiles and mergeability are pinned in
+    # tests/test_tdigest.py
+    tags=("agg", "sketch", "tdigest", "quantile", "scale"),
+)
+def z11_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches — the quantile analog of z01's HLL
+    rollup: one t-digest per (event_type, day) partial, rolled up to
+    event_type totals by centroid merge (O(sketches), raw data never
+    re-read), then p50/p95/p99 estimated from the merged digests.
+    Persisting the daily partials in a gold table turns any later
+    percentile query over any day slice into a centroid merge; exact
+    percentile (q10) needs every raw value every time. Accuracy is
+    relative-error bounded at the tails by the k1 scale function
+    (tests gate p50/p95/p99 against the exact answers)."""
+    from eeg_data_lake_spark.operators.tdigest import (
+        build_digests,
+        merge_digests,
+        quantiles_from_digests,
+    )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = build_digests(e, ["event_type", "day"], "value")
+    merged = merge_digests(daily, ["event_type"])
+    return quantiles_from_digests(merged, [0.50, 0.95, 0.99]).select(
+        "event_type",
+        "d_count",
+        F.size("centroids").alias("n_centroids"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p95", 4).alias("p95"),
+        F.round("p99", 4).alias("p99"),
+    )
