@@ -21,6 +21,8 @@ maintenance worth it at 100 TB of history.
 
 from __future__ import annotations
 
+import json
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,3 +169,93 @@ def maintain_gold_from_changes(
             txn_id=f"cdc-{source.path}-v{v}",
         )
     return new_version
+
+
+# --------------------------------------------------------------------
+# incremental JOIN view maintenance (two-table IVM over change feeds)
+# --------------------------------------------------------------------
+
+def _ivm_join_state(sink: TxTable, sink_id: str) -> tuple[int, int]:
+    """Recover the (left_version, right_version) the sink has applied
+    — read from the sink's OWN log (the latest ``ivm-<sink_id>-L..R..``
+    txn id), never from an external high-water mark. An external mark
+    persisted after the commit can be stale on crash, and a stale mark
+    would re-derive deltas against a DIFFERENT snapshot of the other
+    side than the committed step used, double- or under-counting
+    Δleft⋈Δright; the sink log is transactionally exact by
+    construction."""
+    prefix = f"ivm-{sink_id}-L"
+    state = (-1, -1)
+    from eeg_data_lake_spark.sources.txlog import iter_manifests
+
+    for _v, mp in iter_manifests(sink.path):
+        with open(mp) as fh:
+            tid = json.load(fh).get("txn_id") or ""
+        if tid.startswith(prefix):
+            l_part, r_part = tid[len(prefix):].rsplit("-R", 1)
+            state = (int(l_part), int(r_part))
+    return state
+
+
+def maintain_join_view(
+    left: TxTable,
+    right: TxTable,
+    on: Sequence[str],
+    sink: TxTable,
+    sink_id: str,
+) -> tuple[int, int]:
+    """Incrementally maintain ``sink`` = ``left ⋈ right`` (inner equi
+    join) as both APPEND-ONLY sources grow — classic two-table
+    incremental view maintenance: ΔV = ΔL⋈R ∪ L⋈ΔR, with ΔL⋈ΔR
+    counted exactly once because left deltas join the right side
+    frozen at the applied right version, while right deltas join the
+    left side at the NEW left version.
+
+    Per maintenance run, each source commit is applied as its own
+    sink append whose txn id encodes the exact (left, right) state
+    pair it produces, so any crash/replay interleaving no-ops on the
+    already-applied prefix and resumes bit-exactly (state is
+    recovered from the sink's own log — see _ivm_join_state).
+    Logical rewrites (overwrite/upsert) in a source raise via the
+    change feed, mirroring TxTable.changes: file-level logs cannot
+    re-derive row-level join retractions.
+
+    Cost per run: O(ΔL ⋈ R) + O(L ⋈ ΔR) — never |L ⋈ R|. At 100 TB
+    the snapshot side of each delta join is a keyed equi join that
+    Catalyst plans normally (broadcast if the delta is small,
+    shuffle otherwise); history is re-read only as join INPUT, never
+    re-materialized into the sink.
+
+    Returns the new applied (left_version, right_version).
+    """
+    from eeg_data_lake_spark.sources.txlog import feed_adds_between
+
+    on = list(on)
+    vl, vr = _ivm_join_state(sink, sink_id)
+    new_l, new_r = left.version(), right.version()
+
+    def _delta(tbl: TxTable, v: int) -> DataFrame:
+        return tbl.changes(since=v - 1, to=v).drop("_commit_version")
+
+    # left commits first, each against the right side AT ITS APPLIED
+    # version; then right commits against the left side at new_l.
+    # Every step commits — even an empty delta join — so the applied
+    # state pair always advances and a recovering run never re-derives
+    # more than the uncommitted suffix (empty data files are reclaimed
+    # by the sink's normal compact()+vacuum()). Steps whose OTHER side
+    # is still empty are the only skips: there is no join schema to
+    # commit yet, and re-deriving them is free (the feed short-circuits
+    # on an empty opposite side).
+    for v, _files in feed_adds_between(
+        left.path, vl, new_l, False, f"ivm {sink_id} left"
+    ):
+        if vr >= 0:
+            d = _delta(left, v).join(right.read(version=vr), on)
+            sink.append(d, txn_id=f"ivm-{sink_id}-L{v}-R{vr}")
+    for w, _files in feed_adds_between(
+        right.path, vr, new_r, False, f"ivm {sink_id} right"
+    ):
+        if new_l >= 0:
+            d = left.read(version=new_l).join(_delta(right, w), on)
+            sink.append(d, txn_id=f"ivm-{sink_id}-L{new_l}-R{w}")
+    return new_l, new_r

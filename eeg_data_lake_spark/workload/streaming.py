@@ -578,3 +578,60 @@ def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "r49_incremental_join_view",
+    oracle="""
+    SELECT c.c_mktsegment                 AS segment,
+           CAST(count(*) AS BIGINT)       AS n_orders,
+           round(sum(o.o_totalprice), 2)  AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "txlog", "ivm", "join"),
+)
+def r49_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance, end-to-end verified: orders
+    and customer land in transaction-logged tables across interleaved
+    append commits; after each commit batch, maintain_join_view folds
+    only ΔL⋈R / L⋈ΔR into the sink (state recovered from the sink's
+    own log — streaming/incremental.py). The final sink must equal the
+    full join bit-for-bit, which the DuckDB oracle checks through the
+    downstream aggregate. Exercises all three delta paths, including a
+    Δleft⋈Δright batch that must be counted exactly once."""
+    import os
+    import tempfile
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.incremental import maintain_join_view
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = read_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    d = tempfile.mkdtemp(prefix="ivm_join_q_")
+    left = TxTable(spark, os.path.join(d, "orders_tbl"))
+    right = TxTable(spark, os.path.join(d, "customer_tbl"))
+    sink = TxTable(spark, os.path.join(d, "sink_tbl"))
+    # three maintenance runs over interleaved growth: left-only,
+    # left+right (Δ⋈Δ), right-only
+    left.append(o.filter(F.col("custkey") % 2 == 0))
+    right.append(c.filter(F.col("custkey") % 3 == 0))
+    maintain_join_view(left, right, ["custkey"], sink, "q-ivm")
+    left.append(o.filter(F.col("custkey") % 2 == 1))
+    right.append(c.filter(F.col("custkey") % 3 == 1))
+    maintain_join_view(left, right, ["custkey"], sink, "q-ivm")
+    right.append(c.filter(F.col("custkey") % 3 == 2))
+    maintain_join_view(left, right, ["custkey"], sink, "q-ivm")
+    return (
+        sink.read()
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
