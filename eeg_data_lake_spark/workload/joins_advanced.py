@@ -329,3 +329,48 @@ def r37_sole_failing_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "r50_bloom_prefilter_join",
+    oracle="""
+    WITH small AS (
+      SELECT o_orderkey AS orderkey FROM orders WHERE o_custkey % 97 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT)                                AS n_items,
+           CAST(count(DISTINCT l.orderkey) AS BIGINT)              AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)   AS revenue
+    FROM (SELECT l_orderkey AS orderkey, l_extendedprice, l_discount
+          FROM lineitem) l
+    JOIN small USING (orderkey)
+    """,
+    tags=("join", "bloom", "runtime-filter", "scale"),
+)
+def r50_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: the ~1% of orders that match
+    the predicate build a distributed Bloom filter (one bit_or shuffle
+    bounded by the bitmap size); lineitem rows are pruned by k
+    codegen'd bitmap probes BEFORE any exchange, then the exact join
+    eliminates the false positives — so the result is bit-identical to
+    the plain join (the oracle) while the shuffled volume drops to
+    ~|matches| + FP. This is the explicit form of Catalyst's
+    InjectRuntimeFilter for cases its thresholds decline (see
+    operators/bloomjoin.py for sizing math)."""
+    from eeg_data_lake_spark.operators.bloomjoin import bloom_prefiltered_join
+
+    small = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 97 == 0)
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    large = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice", "l_discount"
+    )
+    joined = bloom_prefiltered_join(large, small, "orderkey", n_bits=1 << 16)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("orderkey").alias("n_orders"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
