@@ -34,11 +34,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tie_breakers: Sequence[str] = (),
+    tolerance=None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: each left row gains the payload
     of the right row with the greatest ``right_ts <= left_ts`` for the
     same key; ``tie_breakers`` resolve equal timestamps (greatest
     wins). Right payload columns must not collide with left columns.
+
+    ``tolerance`` bounds the lookback (pandas ``merge_asof``
+    semantics): a match older than ``left_ts - tolerance`` yields NULL
+    payload instead. Pass a Column matching the timestamp type —
+    ``F.expr("INTERVAL '90' DAY")`` for timestamps, a numeric literal
+    for numeric ts. Same one-exchange plan: the matched right
+    timestamp rides inside the payload struct, so the bound is a
+    post-window scalar comparison, not another join.
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in keys + [right_ts]]
@@ -59,7 +68,11 @@ def asof_join(
     # would resurrect non-null values from OLDER right rows whenever
     # the matched row holds a NULL in some column, emitting a mixed
     # row that never existed on the right.
-    rt = rt.withColumn("__p", F.struct(*payload)).drop(*payload)
+    if "__rts" in payload:
+        raise ValueError("right payload may not use the reserved name '__rts'")
+    rt = rt.withColumn(
+        "__p", F.struct(F.col("__t").alias("__rts"), *payload)
+    ).drop(*payload)
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # tie-breakers naming payload columns resolve inside the struct
     # (they only ever disambiguate right-vs-right rows, whose __p is
@@ -75,6 +88,14 @@ def asof_join(
     )
     unioned = unioned.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
     out = unioned.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__p",
+            F.when(
+                F.col("__p").getField("__rts") >= F.col("__t") - tolerance,
+                F.col("__p"),
+            ),
+        )
     for c in payload:
         out = out.withColumn(c, F.col("__p").getField(c))
     return out.drop("__t", "__side", "__p")

@@ -374,3 +374,49 @@ def r50_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "r51_asof_join_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           o.last_order_key, o.last_order_date
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey  AS last_order_key,
+             o_orderdate AS last_order_date
+      FROM orders
+      WHERE o_custkey = e.user_id
+        AND o_orderdate <= e.ts
+        AND o_orderdate >= e.ts - INTERVAL 9000 DAY
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 1
+    ) o ON TRUE
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def r51_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50's as-of join with a 9000-day lookback bound (pandas
+    merge_asof `tolerance`, sized so the bound genuinely splits the
+    testdata's 8190-9799-day event-to-order gaps): matches older than
+    the window yield NULL.
+    Same single union+window exchange — the matched right timestamp
+    rides in the payload struct and the bound is one post-window
+    comparison, where a naive formulation would re-join or carry an
+    inequality predicate into the join itself."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_order_key"),
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+    out = asof_join(
+        e, o,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        tie_breakers=("last_order_key",),
+        tolerance=F.expr("INTERVAL '9000' DAY"),
+    )
+    return out.select("event_id", "user_id", "last_order_key", "last_order_date")
