@@ -635,3 +635,107 @@ def r49_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+def sessionize_closed_on_timeout(
+    stream: DataFrame, gap_s: float = 3600.0, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows emitted ON CLOSE via event-time state timeout —
+    the half of custom stateful processing q39 does not cover: q39
+    UPDATES running counters every batch; this operator holds each
+    user's open session in state and emits it exactly once, either
+    when a later in-batch event breaks the gap, or — the part only a
+    TIMEOUT can do — when the watermark passes session_end + gap while
+    the user receives NO further events. Without the timeout, a user
+    who goes quiet leaks an open session in state forever and the
+    session is never reported.
+
+    Append output mode (each closed session is final), EventTimeTimeout,
+    state = the open session's (start, last, count) — O(1) per user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(gap_s * 1000)
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        def out_rows(rows):
+            return pd.DataFrame(
+                rows, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield out_rows(
+                [(key[0],
+                  pd.Timestamp(start, unit="s"),
+                  pd.Timestamp(last, unit="s"),
+                  int(n))]
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        t_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+        closed: list[tuple] = []
+        if state.exists:
+            start, last, n = state.get
+            if len(t_s) and t_s[0] - last <= gap_s:
+                pass  # batch continues the open session
+            else:
+                closed.append(
+                    (key[0], pd.Timestamp(start, unit="s"),
+                     pd.Timestamp(last, unit="s"), int(n))
+                )
+                start = last = None
+                n = 0
+        else:
+            start = last = None
+            n = 0
+        # vectorized burst split within the batch
+        if len(t_s):
+            gaps = np.empty(len(t_s))
+            gaps[0] = 0.0 if start is not None else np.inf
+            gaps[1:] = t_s[1:] - t_s[:-1]
+            seg_starts = np.flatnonzero(gaps > gap_s).tolist()
+            if not seg_starts or seg_starts[0] != 0:
+                seg_starts = [0] + seg_starts  # leading continuation segment
+            bounds = seg_starts + [len(t_s)]
+            segs = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+            for i, (b, e) in enumerate(segs):
+                seg_n = e - b
+                if i == 0 and start is not None:
+                    cur = (start, float(t_s[e - 1]), n + seg_n)
+                else:
+                    cur = (float(t_s[b]), float(t_s[e - 1]), seg_n)
+                if i < len(segs) - 1:
+                    closed.append(
+                        (key[0], pd.Timestamp(cur[0], unit="s"),
+                         pd.Timestamp(cur[1], unit="s"), int(cur[2]))
+                    )
+                else:
+                    start, last, n = cur
+        if start is not None:
+            state.update((float(start), float(last), int(n)))
+            state.setTimeoutTimestamp(int(last * 1000) + gap_ms)
+        else:
+            state.remove()
+        yield out_rows(closed)
+
+    return (
+        stream.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, session_start timestamp, "
+                "session_end timestamp, n_events long"
+            ),
+            stateStructType="start double, last double, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
