@@ -1191,3 +1191,61 @@ def r47_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DSIR_KEEP)
         .select("doc_id", "lang", F.round("llr", 6).alias("dsir_logweight"))
     )
+
+
+# --------------------------------------------------------------------
+# r52: k-anonymity risk audit (privacy/governance for shared datasets)
+# --------------------------------------------------------------------
+
+#: a quasi-identifier group smaller than this re-identifies its members
+_K_ANON = 10
+
+
+@register(
+    "r52_k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN GROUPING(c_nationkey) = 0
+                  THEN 'nation_segment' ELSE 'segment' END AS level,
+             count(*) AS n
+      FROM customer
+      GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_mktsegment))
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT)                              AS n_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                                                                 AS n_risky_groups,
+           CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+                                                                 AS n_risky_rows
+    FROM g
+    GROUP BY level
+    """,
+    tags=("curation", "privacy", "k-anonymity", "grouping-sets"),
+)
+def r52_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit before sharing a dataset: a quasi-identifier
+    combination (nation × segment) whose group holds < k rows
+    re-identifies its members; the audit reports risky-group and
+    risky-row counts at the full granularity AND after generalizing
+    nation away — the comparison that tells a data owner whether
+    suppression of one column is enough. One scan + one Expand
+    (GROUPING SETS, the q58 machinery) + two small agg shuffles —
+    never two scans of the corpus."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_kanon_v")
+    return spark.sql(
+        f"""
+        WITH g AS (
+          SELECT CASE WHEN GROUPING(c_nationkey) = 0
+                      THEN 'nation_segment' ELSE 'segment' END AS level,
+                 count(*) AS n
+          FROM customer_kanon_v
+          GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_mktsegment))
+        )
+        SELECT level,
+               count(*)                                        AS n_groups,
+               sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END)  AS n_risky_groups,
+               sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END)  AS n_risky_rows
+        FROM g
+        GROUP BY level
+        """
+    )
