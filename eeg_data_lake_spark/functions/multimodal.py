@@ -362,3 +362,38 @@ def pcm_frame_rms(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, PCM_FRAME_SCHEMA)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (dHash) of a pixel grid: resize to 8×9 with the
+    REAL bilinear kernel, then bit k = 1 iff pixel[row][col] >
+    pixel[row][col+1] — 64 horizontal-gradient bits. Gradients survive
+    brightness/contrast shifts, which is why dHash is the standard
+    cheap perceptual fingerprint for image near-dup."""
+    small = resize_bilinear(img.astype(np.float64), 8, 9)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    # interpret as signed 64-bit (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_column(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, phash) per payload: decode (stub — see module docstring),
+    REAL bilinear downsample, REAL dHash bit extraction. Narrow
+    mapInPandas; only the 8-byte hash leaves the executor."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                _fmt, width, height = _decode_one(raw)
+                img = _fake_pixels(raw, max(width, 1), max(height, 1))
+                out.append((doc_id, dhash64(img)))
+        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, "doc_id long, phash long")

@@ -307,3 +307,25 @@ def r48_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagd.filter(
         F.col("prev_sig").isNull() | (F.col("frame_sig") != F.col("prev_sig"))
     ).select("doc_id", "frame_idx", "frame_sig")
+
+
+@register(
+    "z12_phash_neardup",
+    oracle=None,  # stub pixel decode → rows-only (dHash kernel and
+    # multi-index join are numpy/Python-parity tested in
+    # tests/test_phash.py)
+    tags=("multimodal", "dedup", "phash", "hamming"),
+)
+def z12_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: dHash64 per
+    payload (stub decode → REAL bilinear 8×9 downsample → REAL
+    horizontal-gradient bits), then Hamming pairs ≤ 3 via the Manku
+    4×16-bit multi-index (operators/hamming.py) — four equi-joins
+    instead of O(n²), the image-side analog of r41's SimHash text
+    dedup. Only 8-byte hashes ever shuffle."""
+    from eeg_data_lake_spark.functions.multimodal import phash_column
+    from eeg_data_lake_spark.operators.hamming import hamming_pairs_64
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    fps = phash_column(d)
+    return hamming_pairs_64(fps, id_col="doc_id", fp_col="phash", max_dist=3)
