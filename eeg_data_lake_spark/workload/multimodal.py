@@ -329,3 +329,67 @@ def z12_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
     fps = phash_column(d)
     return hamming_pairs_64(fps, id_col="doc_id", fp_col="phash", max_dist=3)
+
+
+#: audio band edges (Hz) at the assumed 8 kHz PCM sample rate
+_AUDIO_BANDS = {
+    "bass": (0.0, 250.0),
+    "low_mid": (250.0, 1000.0),
+    "high_mid": (1000.0, 3000.0),
+    "treble": (3000.0, 4000.0),
+}
+_AUDIO_FS = 8000.0
+
+
+@register(
+    "z13_audio_spectral",
+    oracle=None,  # FFT → rows-only (kernel Parseval-pinned in
+    # tests/test_spectral.py; tone placement in tests/test_multimodal.py)
+    tags=("multimodal", "audio", "spectral", "pandas-udf"),
+)
+def z13_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectral profile per document: REAL PCM16LE decode (r45's
+    codec) → DC removal → REAL periodogram band power over standard
+    audio bands at the assumed 8 kHz rate → dominant band. Completes
+    the audio modality: decode (r45), framing (r46), spectrum (here) —
+    all on the same narrow Arrow-batched plan, reusing the
+    Parseval-exact FFT kernel the EEG gold layer uses (q87)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from eeg_data_lake_spark.functions.multimodal import decode_pcm_samples
+    from eeg_data_lake_spark.functions.spectral import band_power
+
+    names = list(_AUDIO_BANDS)
+    schema = (
+        "doc_id long, n_samples long, "
+        + ", ".join(f"{n}_power double" for n in names)
+        + ", dominant_band string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_pcm_samples(
+                    bytes(payload) if payload is not None else b""
+                ).astype(np.float64)
+                if not v.size:
+                    continue
+                v = v - v.mean()  # DC would swamp the bass band
+                bp = band_power(v, _AUDIO_FS, _AUDIO_BANDS)
+                dom = max(names, key=lambda n: (bp[n], n))
+                out.append(
+                    (doc_id, int(v.size), *[round(bp[n], 4) for n in names], dom)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples"]
+                + [f"{n}_power" for n in names]
+                + ["dominant_band"],
+            )
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(fn, schema)

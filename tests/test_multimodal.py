@@ -194,3 +194,35 @@ class TestPCM:
         rows2 = {r.frame_idx: r for r in pcm_frame_rms(df2, n_frames=8).collect()}
         assert sorted(rows2) == [0, 1, 2]
         assert rows2[2].frame_rms == pytest.approx(3.0)
+
+
+class TestAudioSpectral:
+    def test_pure_tone_lands_in_its_band(self, spark):
+        """A 2 kHz sine encoded as PCM16LE must be dominated by the
+        high_mid (1-3 kHz) band; a 100 Hz sine by bass."""
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.multimodal import decode_pcm_samples
+        from eeg_data_lake_spark.functions.spectral import band_power
+        from eeg_data_lake_spark.workload.multimodal import (
+            _AUDIO_BANDS,
+            _AUDIO_FS,
+        )
+
+        for freq, want in ((2000.0, "high_mid"), (100.0, "bass")):
+            t = np.arange(4096) / _AUDIO_FS
+            raw = (20000 * np.sin(2 * np.pi * freq * t)).astype("<i2").tobytes()
+            v = decode_pcm_samples(raw).astype(np.float64)
+            v = v - v.mean()
+            bp = band_power(v, _AUDIO_FS, _AUDIO_BANDS)
+            assert max(bp, key=bp.get) == want
+
+    def test_z13_runs_deterministic(self, spark, sf_dir):
+        from eeg_data_lake_spark.workload import REGISTRY
+
+        a = REGISTRY["z13_audio_spectral"].spark_fn(spark, sf_dir).collect()
+        b = REGISTRY["z13_audio_spectral"].spark_fn(spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) > 0
+        assert all(r.dominant_band in (
+            "bass", "low_mid", "high_mid", "treble") for r in a)
