@@ -44,6 +44,7 @@ QUERIES = [
     "r30_token_shard_packing",    # two-phase prefix sum
     "r33_rolling_p95",            # day-array window
     "q37_cosine_topk",            # broadcast-query matmul-free scoring
+    "r45_audio_pcm_features",     # Arrow-batched Python codec (per-row cost)
 ]
 
 #: key column to offset per table so replicas don't collide
