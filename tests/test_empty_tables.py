@@ -34,6 +34,16 @@ EMPTY_SAFE = [
     "r36_local_supplier_volume",
     "r38_vocab_coverage",
     "z05_cms_heavy_hitters",
+    # round-3 session additions
+    "r45_audio_pcm_features",
+    "r46_audio_frame_energy",
+    "r47_dsir_importance_resample",
+    "r48_keyframe_selection",
+    "r50_bloom_prefilter_join",
+    "r51_asof_join_tolerance",
+    "r52_k_anonymity_audit",
+    "z12_phash_neardup",
+    "z13_audio_spectral",
 ]
 
 
