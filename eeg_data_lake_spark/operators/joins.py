@@ -128,3 +128,68 @@ def range_count_join(
         .groupBy(*[left[c] for c in group_cols])
         .agg(F.count(right[count_col]).alias(f"n_{count_col}"))
     )
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    start_us: str,
+    end_us: str,
+    bin_us: int,
+) -> DataFrame:
+    """All overlapping interval PAIRS within each key group — the
+    general interval-overlap join (genomics/occupancy/session-overlap
+    shape) that Spark has no native operator for, built as
+    bin-and-verify:
+
+    1. each interval explodes into the ``bin_us``-wide bins it spans
+       (``sequence(floor(s/W), floor(e/W))`` — JVM, no Python);
+    2. candidates come from an EQUI join on (keys…, bin) — never an
+       inequality join, which Catalyst would execute as a per-key
+       nested loop;
+    3. exact overlap verify, ``id_a < id_b`` orientation;
+    4. each true pair is COUNTED ONCE by keeping only the bin holding
+       the later start: overlapping intervals share that bin by
+       construction, so no distinct() pass is needed.
+
+    Cost: |bins per interval| ≈ span/W + 1 index rows, and the
+    candidate join is keyed by (keys, bin) — pick W near the median
+    span so candidates ≈ true pairs. Inputs are integer microseconds
+    (exact in both engines; no float time math).
+
+    Output: keys…, id_a, id_b, overlap_us.
+    """
+    keys = list(keys)
+    s, e = F.col(start_us), F.col(end_us)
+    binned = df.select(
+        *keys,
+        F.col(id_col).alias("id"),
+        s.alias("s"),
+        e.alias("e"),
+        F.explode(
+            F.sequence(F.floor(s / bin_us), F.floor(e / bin_us))
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+    on += [
+        F.col("a.bin") == F.col("b.bin"),
+        F.col("a.id") < F.col("b.id"),
+        F.col("a.s") <= F.col("b.e"),
+        F.col("b.s") <= F.col("a.e"),
+        # count-once: only the bin containing the later start emits
+        F.col("a.bin") == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / bin_us),
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        (
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("overlap_us"),
+    )

@@ -420,3 +420,52 @@ def r51_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=F.expr("INTERVAL '9000' DAY"),
     )
     return out.select("event_id", "user_id", "last_order_key", "last_order_date")
+
+
+@register(
+    "r53_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts + INTERVAL 30 MINUTE) AS e
+      FROM events
+    )
+    SELECT a.user_id,
+           a.event_id AS id_a,
+           b.event_id AS id_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+    tags=("join", "interval", "overlap"),
+)
+def r53_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-activity detection: every pair of 30-minute event
+    windows of the same user that overlap in time, with the exact
+    overlap duration. The oracle spells the quadratic inequality
+    self-join; the registered plan is the bin-and-verify equi join
+    (operators/joins.interval_overlap_join) whose candidates are keyed
+    by (user, 30-min bin) and whose count-once rule needs no distinct
+    — the construction that keeps interval joins hash-partitionable
+    at 100 TB. Integer-microsecond time math on both engines."""
+    from eeg_data_lake_spark.operators.joins import interval_overlap_join
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        F.unix_micros(
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).cast("timestamp")
+        ).alias("e"),
+    )
+    return interval_overlap_join(
+        iv,
+        keys=["user_id"],
+        id_col="event_id",
+        start_us="s",
+        end_us="e",
+        bin_us=30 * 60 * 1_000_000,
+    )

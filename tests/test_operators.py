@@ -334,3 +334,40 @@ def test_group_aware_folds_never_split_a_source(spark, sf_dir):
         .count()
     )
     assert spans == 0
+
+
+class TestIntervalOverlapJoin:
+    def test_count_once_across_many_bins(self, spark):
+        """A long interval overlapping a short one across many bins
+        must yield exactly ONE pair row (the count-once bin rule), and
+        touching endpoints count as overlap (inclusive semantics)."""
+        from eeg_data_lake_spark.operators.joins import interval_overlap_join
+
+        df = spark.createDataFrame(
+            [
+                ("u", 1, 0, 10_000),      # spans bins 0..10
+                ("u", 2, 3_500, 4_200),   # inside bin 3-4
+                ("u", 3, 10_000, 11_000), # touches id 1 at exactly 10_000
+                ("u", 4, 20_000, 21_000), # disjoint
+                ("v", 5, 3_500, 4_200),   # other key: never pairs
+            ],
+            "k string, id long, s long, e long",
+        )
+        rows = {
+            (r.id_a, r.id_b): r.overlap_us
+            for r in interval_overlap_join(
+                df, ["k"], "id", "s", "e", bin_us=1_000
+            ).collect()
+        }
+        assert rows == {(1, 2): 700, (1, 3): 0}
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from eeg_data_lake_spark.operators.joins import interval_overlap_join
+        from eeg_data_lake_spark.plans import has_cartesian_or_bnlj
+
+        df = spark.createDataFrame(
+            [("u", i, i * 100, i * 100 + 500) for i in range(50)],
+            "k string, id long, s long, e long",
+        )
+        out = interval_overlap_join(df, ["k"], "id", "s", "e", bin_us=1_000)
+        assert not has_cartesian_or_bnlj(out)
