@@ -167,8 +167,12 @@ def interval_overlap_join(
         F.col(id_col).alias("id"),
         s.alias("s"),
         e.alias("e"),
+        # integer DIV, not float floor(x/W): exact at any epoch scale
         F.explode(
-            F.sequence(F.floor(s / bin_us), F.floor(e / bin_us))
+            F.sequence(
+                F.expr(f"{start_us} DIV {bin_us}"),
+                F.expr(f"{end_us} DIV {bin_us}"),
+            )
         ).alias("bin"),
     )
     a, b = binned.alias("a"), binned.alias("b")
@@ -179,7 +183,8 @@ def interval_overlap_join(
         F.col("a.s") <= F.col("b.e"),
         F.col("b.s") <= F.col("a.e"),
         # count-once: only the bin containing the later start emits
-        F.col("a.bin") == F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / bin_us),
+        F.col("a.bin")
+        == F.expr(f"greatest(a.s, b.s) DIV {bin_us}"),
     ]
     cond = on[0]
     for c in on[1:]:

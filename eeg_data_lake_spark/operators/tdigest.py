@@ -195,7 +195,6 @@ def quantiles_from_digests(
     """Append one estimate column per requested quantile (p50 → q=0.5
     named 'p50', etc.) via a scalar iterator over Arrow batches."""
     cols = {f"p{int(q * 100):02d}": q for q in qs}
-    in_schema = digests.schema.simpleString()  # noqa: F841  (doc aid)
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in digests.schema.fields
     )
