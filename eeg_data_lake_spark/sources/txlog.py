@@ -653,3 +653,55 @@ class TxTable:
             ):
                 shutil.rmtree(full)
         return sorted(deleted)
+
+
+def table_diff(
+    table: TxTable,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table:
+    (keys…, op) with op ∈ {added, removed, changed} — the
+    version-compare primitive audits and replication checkers run
+    (Delta's CDF answers this only when change capture was on BEFORE
+    the writes; the diff works retroactively on any two time-travelable
+    versions).
+
+    Plan: one null-safe full-outer join of the two snapshots on the
+    key, payload equality via a hash over the non-key columns
+    (computed per side, so wide rows never compare column-by-column in
+    the join condition), unchanged rows filtered out. Cost is a join
+    of the two snapshots — O(|old| + |new|), the floor for a
+    retroactive diff; for continuous consumption use the change feed
+    instead."""
+    old_df, new_df = table.read(version=v_old), table.read(version=v_new)
+    payload = [c for c in new_df.columns if c not in keys]
+    if sorted(old_df.columns) != sorted(new_df.columns):
+        raise ValueError(
+            "table_diff across a schema change is not row-comparable; "
+            "diff the overlapping columns explicitly"
+        )
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        cols = [F.col(c).alias(f"{side}_{c}") for c in keys]
+        h = F.xxhash64(*[F.col(c) for c in sorted(payload)])
+        return df.select(*cols, h.alias(f"{side}_h"))
+
+    o, n = hashed(old_df, "o"), hashed(new_df, "n")
+    cond = None
+    for k in keys:
+        c = F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    op = (
+        F.when(F.col(f"o_{keys[0]}").isNull() & F.col(f"n_{keys[0]}").isNotNull(),
+               F.lit("added"))
+        .when(F.col(f"n_{keys[0]}").isNull() & F.col(f"o_{keys[0]}").isNotNull(),
+              F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*out_keys, op.alias("op")).filter(F.col("op").isNotNull())

@@ -739,3 +739,71 @@ def sessionize_closed_on_timeout(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+@register(
+    "r55_table_version_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE (o_orderkey % 2 = 0 AND o_orderkey % 6 <> 0)
+         OR o_orderkey % 2 = 1
+    )
+    SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS op,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    GROUP BY op
+    """,
+    tags=("storage", "txlog", "diff", "time-travel"),
+)
+def r55_table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retroactive row-level diff between two table versions
+    (sources/txlog.table_diff): build a txlog table (v1 = even orders),
+    then upsert a mutation batch (every 10th order repriced, odd
+    orders added) and delete every 6th via overwrite of survivors —
+    and require diff(v1, v2) to classify added/removed/changed rows
+    exactly as the oracle derives them from the raw data. One
+    null-safe full-outer join of the two time-travel snapshots with
+    per-side payload hashes."""
+    import os
+    import tempfile
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    d = tempfile.mkdtemp(prefix="tdiff_q_")
+    tbl = TxTable(spark, os.path.join(d, "orders_tbl"))
+    tbl.append(o.filter(F.col("o_orderkey") % 2 == 0))
+    v1 = tbl.version()
+    # one logical batch for v2: drop %6==0 rows, reprice %10==0 of the
+    # remaining evens, add the odds
+    survivors = (
+        o.filter((F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 6 != 0))
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    tbl.overwrite(survivors.unionByName(o.filter(F.col("o_orderkey") % 2 == 1)))
+    v2 = tbl.version()
+    return (
+        table_diff(tbl, v1, v2, keys=["o_orderkey"])
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -228,3 +228,50 @@ def test_true_multithreaded_append_stress(spark, tmp_path):
     )
     assert table.version() == before
     assert table.read().count() == N_THREADS * N_APPENDS * 3
+
+
+class TestTableDiff:
+    def test_classifies_and_filters_unchanged(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        t.append(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+            )
+        )
+        v1 = t.version()
+        t.upsert(
+            spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"),
+            keys=["k"],
+        )
+        got = {
+            r.k: r.op for r in table_diff(t, v1, t.version(), ["k"]).collect()
+        }
+        # 1 and 3 unchanged → absent; 2 changed; 4 added
+        assert got == {2: "changed", 4: "added"}
+
+    def test_removed_and_identity(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+        v1 = t.version()
+        t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+        got = {r.k: r.op for r in table_diff(t, v1, t.version(), ["k"]).collect()}
+        assert got == {2: "removed"}
+        assert table_diff(t, v1, v1, ["k"]).count() == 0
+
+    def test_schema_change_refused(self, spark, tmp_path):
+        import pytest
+
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+        v1 = t.version()
+        t.overwrite(
+            spark.createDataFrame([(1, "a", 0.5)], "k long, v string, w double")
+        )
+        with pytest.raises(ValueError, match="schema change"):
+            table_diff(t, v1, t.version(), ["k"])
