@@ -722,3 +722,34 @@ def z11_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p95", 4).alias("p95"),
         F.round("p99", 4).alias("p99"),
     )
+
+
+@register(
+    "z14_rolling_hll_wau",
+    oracle=None,  # binary HLL sketches are Spark-only → rows-only;
+    # accuracy gated against the EXACT r14 curve in tests/test_sketches.py
+    tags=("agg", "sketch", "hll", "window", "scale"),
+)
+def z14_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAU curve r14 computes exactly, re-expressed as the sketch
+    rollup r14's docstring promises for web scale: one HLL sketch per
+    day (the only corpus-sized shuffle), then a 7-day RANGE frame
+    unions SKETCHES instead of user-id sets — per-day state is ~KB
+    regardless of per-day cardinality, where r14's arrays grow with
+    distinct users. The unpartitioned window moves |days| sketch rows,
+    not events (same note as r14). ~1-2% error, gated against the
+    exact curve in tests."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_wau"),
+    )

@@ -84,3 +84,22 @@ def test_cms_never_underestimates_and_is_mergeable(spark, sf_dir):
     )
     assert merged.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged).count() == 0
+
+
+def test_z14_rolling_hll_tracks_exact_wau(spark, sf_dir):
+    """The sketch-rollup WAU curve must track the exact r14 curve
+    within HLL error on every day (default lgConfigK=12 → ~1.6% rse;
+    gate at 5% or ±2 users for tiny days)."""
+    from eeg_data_lake_spark.workload import REGISTRY
+
+    exact = {
+        str(r.day): r.wau
+        for r in REGISTRY["r14_rolling_distinct_users"].spark_fn(spark, sf_dir).collect()
+    }
+    approx = {
+        str(r.day): r.approx_wau
+        for r in REGISTRY["z14_rolling_hll_wau"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.05 * n), (day, approx[day], n)
