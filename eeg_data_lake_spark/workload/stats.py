@@ -753,3 +753,66 @@ def z14_rolling_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_wau"),
     )
+
+
+#: quantile-normalization grid resolution (bins of the reference CDF)
+_QN_BINS = 1000
+
+_QN_FRACS = ", ".join(f"{i}/{_QN_BINS}.0" for i in range(_QN_BINS + 1))
+
+
+@register(
+    "r56_quantile_normalization",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM d
+    ),
+    g AS (SELECT quantile_cont(n_chars, [{_QN_FRACS}]) AS l FROM d),
+    grid AS (
+      SELECT CAST(i.i AS INTEGER) AS bin, g.l[i.i + 1] AS gval
+      FROM g, UNNEST(range({_QN_BINS} + 1)) AS i(i)
+    )
+    SELECT p.doc_id, p.source, p.n_chars,
+           round(grid.gval, 6) AS normalized
+    FROM pr p
+    JOIN grid ON grid.bin = least(CAST(floor(p.pr * {_QN_BINS}) AS INTEGER),
+                                  {_QN_BINS})
+    """,
+    tags=("stats", "curation", "quantile-normalization"),
+)
+def r56_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the genomics/ML standard
+    for making per-source score distributions comparable — here:
+    document lengths, the same shape applies to quality scores before
+    a global threshold): each document's within-source percent rank is
+    mapped onto the GLOBAL distribution via a precomputed
+    1001-point quantile grid.
+
+    Scale design: the grid is ONE percentile aggregate (array of
+    fractions — one state build, the q10 discipline) broadcast to a
+    1001-row join; the per-source rank is one window exchange on
+    source. The naive formulation — an asof join of every row's rank
+    against the full sorted global column — would put the whole corpus
+    through a single-partition range lookup; the grid caps that at
+    {_QN_BINS}+1 rows for any corpus size (grid resolution, not data
+    size, bounds the mapping error)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    fracs = ", ".join(repr(i / _QN_BINS) for i in range(_QN_BINS + 1))
+    grid = (
+        d.agg(F.expr(f"percentile(n_chars, array({fracs}))").alias("l"))
+        .select(F.posexplode("l").alias("bin", "gval"))
+    )
+    scored = d.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("pr") * _QN_BINS).cast("int"), F.lit(_QN_BINS)
+        ),
+    )
+    return scored.join(F.broadcast(grid), "bin").select(
+        "doc_id", "source", "n_chars", F.round("gval", 6).alias("normalized")
+    )
