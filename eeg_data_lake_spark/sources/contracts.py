@@ -1,0 +1,89 @@
+"""Schema data contracts: decide whether a producer's new schema is
+backward-compatible with what consumers already read — the check a
+pipeline runs BEFORE a write, so an incompatible deploy fails at
+commit time instead of poisoning downstream readers.
+
+Rules (the Delta/Avro-resolution consensus):
+
+- **additive**: new nullable columns are fine (old readers ignore
+  them, new readers see NULL for old data — the txlog merge-on-read
+  path already proves this end to end);
+- **widening**: int→long, float→double (value-preserving) are fine;
+- **forbidden**: dropping a column, narrowing a type, any other type
+  change, or adding a NON-nullable column (old files cannot supply a
+  value and NULL would violate the declared contract);
+- nested structs are checked field-by-field under the same rules;
+  arrays/maps recurse on their element/key/value types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+#: value-preserving widenings (old reader type -> allowed new types)
+_WIDENINGS: dict[type, tuple[type, ...]] = {
+    T.ByteType: (T.ShortType, T.IntegerType, T.LongType),
+    T.ShortType: (T.IntegerType, T.LongType),
+    T.IntegerType: (T.LongType,),
+    T.FloatType: (T.DoubleType,),
+}
+
+
+def _type_ok(old: T.DataType, new: T.DataType, path: str, problems: list[str]):
+    if old == new:
+        return
+    if isinstance(new, tuple(_WIDENINGS.get(type(old), ()))):
+        return
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        _struct_ok(old, new, path, problems)
+        return
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        _type_ok(old.elementType, new.elementType, f"{path}[]", problems)
+        return
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        _type_ok(old.keyType, new.keyType, f"{path}<key>", problems)
+        _type_ok(old.valueType, new.valueType, f"{path}<value>", problems)
+        return
+    problems.append(
+        f"{path}: incompatible type change "
+        f"{old.simpleString()} -> {new.simpleString()}"
+    )
+
+
+def _struct_ok(old: T.StructType, new: T.StructType, path: str, problems: list[str]):
+    new_fields = {f.name: f for f in new.fields}
+    for f in old.fields:
+        p = f"{path}.{f.name}" if path else f.name
+        nf = new_fields.pop(f.name, None)
+        if nf is None:
+            problems.append(f"{p}: column dropped")
+            continue
+        _type_ok(f.dataType, nf.dataType, p, problems)
+        if f.nullable and not nf.nullable:
+            problems.append(f"{p}: nullable column became non-nullable")
+    for name, nf in new_fields.items():
+        p = f"{path}.{name}" if path else name
+        if not nf.nullable:
+            problems.append(
+                f"{p}: new column must be nullable (old data has no value)"
+            )
+
+
+def compatibility_problems(
+    old: T.StructType, new: T.StructType
+) -> list[str]:
+    """All backward-compatibility violations of evolving ``old`` →
+    ``new`` (empty list == compatible)."""
+    problems: list[str] = []
+    _struct_ok(old, new, "", problems)
+    return problems
+
+
+def assert_compatible(old: T.StructType, new: T.StructType) -> None:
+    """Raise with every violation listed — run this before a write
+    whose schema may have drifted."""
+    problems = compatibility_problems(old, new)
+    if problems:
+        raise ValueError(
+            "schema contract violation:\n  " + "\n  ".join(problems)
+        )
