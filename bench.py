@@ -161,6 +161,25 @@ def main() -> None:
             timings[name] = min(timings.get(name, wall), wall)
 
     total = round(sum(timings.values()), 3)
+
+    # plan audit alongside the walls (BENCH_DETAIL only): exchanges,
+    # join strategies, Python stages, nested-loop flag per query —
+    # the reviewer sees WHAT plan produced each number
+    from eeg_data_lake_spark.plans import explain_cost
+
+    plans: dict[str, dict] = {}
+    for name in HEADLINE:
+        try:
+            c = explain_cost(REGISTRY[name].spark_fn(spark, sf_dir))
+            plans[name] = {
+                "exchanges": c["exchanges"],
+                "joins": c["joins"],
+                "python_stages": c["python_stages"],
+                "nested_loop": c["has_nested_loop"],
+            }
+        except Exception as exc:  # never fail the bench over the audit
+            plans[name] = {"error": str(exc)[:120]}
+
     duck = _duckdb_timings(sf_dir)
     ratios = {
         name: (round(timings[name] / duck[name], 2) if duck.get(name) else None)
@@ -184,6 +203,13 @@ def main() -> None:
         "duckdb": duck,
         "spark_vs_duckdb": ratios,
         "spark_vs_duckdb_total": agg_ratio,
+        "plans": plans,
+        # the two nested_loop=true rows are BY DESIGN: both broadcast a
+        # TINY side (q37: the 10 query vectors, q71: per-language quota
+        # stats) against a stream — a broadcast BNLJ whose inner side
+        # is O(10) rows, not a quadratic join (pinned in tests/test_plans.py)
+        "plan_notes": "nested_loop=true only where a tiny broadcast side "
+        "streams by design (q37 query vectors, q71 quota stats)",
         "sf": sf,
     }
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
