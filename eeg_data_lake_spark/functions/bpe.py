@@ -114,3 +114,47 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED merge list to the corpus and report tokenizer
+    quality: (n_distinct_words, total_words, avg_tokens_per_word,
+    compression_vs_chars). The application runs over the VOCAB
+    relation (distinct words + frequencies — the same Heaps'-law
+    bound as training), applying each merge with the identical
+    greedy fold used during training, so train and apply cannot
+    diverge; corpus-level stats weight by word frequency.
+    localCheckpoint every few merges keeps the expression tree flat
+    (N nested folds would otherwise stack in one codegen unit)."""
+    vocab = (
+        word_frequencies(docs, text_col)
+        .select(
+            "freq",
+            F.char_length("word").alias("n_chars"),
+            F.expr(
+                "transform(sequence(1, char_length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i, (left, right) in enumerate(merges):
+        vocab = vocab.withColumn("syms", F.expr(merge_fold_expr(left, right)))
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return vocab.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("freq").alias("total_words"),
+        F.round(
+            F.sum(F.col("freq") * F.size("syms")) / F.sum("freq"), 6
+        ).alias("avg_tokens_per_word"),
+        F.round(
+            F.sum(F.col("freq") * F.size("syms"))
+            / F.sum(F.col("freq") * F.col("n_chars")),
+            6,
+        ).alias("compression_vs_chars"),
+    )

@@ -509,3 +509,25 @@ def z10_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eeg_data_lake_spark.functions.bpe import bpe_train
 
     return bpe_train(t(spark, sf_dir, "documents"), n_merges=12)
+
+
+@register(
+    "z15_bpe_apply",
+    oracle=None,  # consumes the iterative z10 trainer's merges → rows-only
+    # (application parity vs a Python reference in tests/test_bpe.py)
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def z15_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop closed: train 12 merges (z10), apply them
+    back to the corpus with the identical greedy fold, and report the
+    tokenizer's corpus-level quality — average tokens per word and
+    compression vs characters. The apply pass runs over the vocab
+    relation, so at 100 TB it costs the one word-count shuffle plus
+    |vocab|-sized fold rounds, same as training."""
+    from eeg_data_lake_spark.functions.bpe import bpe_apply, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right) for r in bpe_train(d, n_merges=12).collect()
+    ]
+    return bpe_apply(d, merges)

@@ -89,3 +89,41 @@ def test_fold_handles_overlap_and_quotes(spark):
     df2 = spark.createDataFrame([(["d", "'", "s"],)], "syms array<string>")
     out2 = df2.select(F.expr(merge_fold_expr("'", "s")).alias("m")).collect()
     assert out2[0].m == ["d", "'s"]
+
+
+def test_apply_matches_python_reference(spark, sf_dir):
+    from eeg_data_lake_spark.functions.bpe import bpe_apply, bpe_train
+    from eeg_data_lake_spark.workload.registry import t
+
+    docs = t(spark, sf_dir, "documents")
+    wf = {
+        r.word: r.freq
+        for r in docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter("word <> ''")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    merges = [(l, r) for _, l, r, _ in _ref_bpe(wf, 8)]
+    got = bpe_apply(docs, merges).collect()[0]
+
+    def apply_all(word):
+        syms = list(word)
+        for l, r in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    total = sum(wf.values())
+    tok = sum(f * len(apply_all(w)) for w, f in wf.items())
+    chars = sum(f * len(w) for w, f in wf.items())
+    assert got.n_distinct_words == len(wf)
+    assert got.total_words == total
+    assert got.avg_tokens_per_word == round(tok / total, 6)
+    assert got.compression_vs_chars == round(tok / chars, 6)
+    assert got.compression_vs_chars < 1.0  # merges actually compress
