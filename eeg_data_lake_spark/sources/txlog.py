@@ -705,3 +705,53 @@ def table_diff(
         F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k) for k in keys
     ]
     return joined.select(*out_keys, op.alias("op")).filter(F.col("op").isNotNull())
+
+
+def describe_detail(table: TxTable) -> DataFrame:
+    """Table introspection as a DataFrame — one row per LIVE data file
+    with (file, rows, bytes, n_cols) plus the per-column min/max the
+    log already tracks for data skipping, flattened to JSON. The
+    "DESCRIBE DETAIL"/"files()" surface operators and humans use to
+    spot small-file buildup, skew, and stats coverage without touching
+    the data."""
+    state = table._replay()
+    rows = [
+        (
+            f,
+            int(s.get("rows", 0)),
+            int(s.get("bytes", 0)),
+            len(s.get("cols", {})),
+            json.dumps(s.get("cols", {}), sort_keys=True, default=str),
+        )
+        for f, s in sorted(state.stats.items())
+    ]
+    return table.spark.createDataFrame(
+        rows, "file string, rows long, bytes long, n_stat_cols int, col_stats string"
+    )
+
+
+def maybe_compact(
+    table: TxTable,
+    max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    txn_id: str | None = None,
+) -> int | None:
+    """Policy-driven auto-compaction: OPTIMIZE only when more than
+    ``max_small_files`` live files are under the small-file threshold
+    (default: the target size) — the background-maintenance trigger a
+    streaming ingest calls after each batch so commit latency stays
+    low but the table never degrades into thousands of tiny files.
+    Returns the new version when compaction ran, else None."""
+    cutoff = small_file_bytes or target_file_bytes
+    state = table._replay()
+    small = [
+        f for f, s in state.stats.items() if int(s.get("bytes", 0)) < cutoff
+    ]
+    if len(small) <= max_small_files:
+        return None
+    return table.compact(
+        target_file_bytes=target_file_bytes,
+        min_file_bytes=cutoff,
+        txn_id=txn_id,
+    )

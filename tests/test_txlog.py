@@ -275,3 +275,42 @@ class TestTableDiff:
         )
         with pytest.raises(ValueError, match="schema change"):
             table_diff(t, v1, t.version(), ["k"])
+
+
+class TestDescribeAndAutoCompact:
+    def test_describe_detail_reports_live_files(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import TxTable, describe_detail
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        for i in range(3):
+            t.append(
+                spark.createDataFrame(
+                    [(i, "x" * 10)], "k long, v string"
+                ).coalesce(1)
+            )
+        rows = describe_detail(t).collect()
+        assert len(rows) == 3
+        assert all(r.rows == 1 and r.bytes > 0 for r in rows)
+        assert all("k" in r.col_stats for r in rows)
+
+    def test_auto_compact_triggers_on_policy(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import (
+            TxTable,
+            describe_detail,
+            maybe_compact,
+        )
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        for i in range(5):
+            t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+        # below threshold: no-op
+        assert maybe_compact(t, max_small_files=8) is None
+        for i in range(5, 12):
+            t.append(spark.createDataFrame([(i,)], "k long").coalesce(1))
+        v = maybe_compact(t, max_small_files=8)
+        assert v is not None
+        n_files = describe_detail(t).count()
+        assert n_files < 12
+        assert sorted(r.k for r in t.read().collect()) == list(range(12))
+        # immediately after: policy satisfied, no churn
+        assert maybe_compact(t, max_small_files=8) is None
