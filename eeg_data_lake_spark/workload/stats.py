@@ -816,3 +816,70 @@ def r56_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(grid), "bin").select(
         "doc_id", "source", "n_chars", F.round("gval", 6).alias("normalized")
     )
+
+
+def _profile_sql(col: str, val_expr: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(count(*) AS BIGINT)                    AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT)       AS n_distinct,
+           CAST(min({val_expr}) AS VARCHAR)            AS min_s,
+           CAST(max({val_expr}) AS VARCHAR)            AS max_s
+    FROM orders"""
+
+
+@register(
+    "r57_table_profile",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_sql("o_orderkey", "o_orderkey"),
+            _profile_sql("o_orderpriority", "o_orderpriority"),
+            _profile_sql("o_orderstatus", "o_orderstatus"),
+            _profile_sql(
+                "o_totalprice",
+                "CAST(round(o_totalprice, 2) AS DECIMAL(18,2))",
+            ),
+            _profile_sql("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        ]
+    ),
+    tags=("stats", "profiling", "quality"),
+)
+def r57_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (the Deequ/"ANALYZE report" shape):
+    per column — row count, NULL count, exact distinct count, min and
+    max (value-typed columns rendered through engine-portable casts:
+    decimals for floats, dates for timestamps, so the string forms
+    hash-match across engines). ONE scan: all metrics ride a single
+    aggregate (multi-distinct → one Expand), then the wide row unpivots
+    to the long report. The profile every ingestion gate and data
+    catalog computes nightly."""
+    o = t(spark, sf_dir, "orders")
+    specs = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        (
+            "o_totalprice",
+            F.round("o_totalprice", 2).cast("decimal(18,2)"),
+        ),
+        ("o_orderdate", F.col("o_orderdate").cast("date")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in specs:
+        aggs += [
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0)).alias(f"{name}__nn"),
+            F.countDistinct(F.col(name)).alias(f"{name}__nd"),
+            F.min(expr).cast("string").alias(f"{name}__min"),
+            F.max(expr).cast("string").alias(f"{name}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{n}', {n}__nn, {n}__nd, {n}__min, {n}__max" for n, _ in specs
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(specs)}, {stack}) AS "
+        "(column_name, n_null, n_distinct, min_s, max_s)",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
