@@ -883,3 +883,60 @@ def r57_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(specs)}, {stack}) AS "
         "(column_name, n_null, n_distinct, min_s, max_s)",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+@register(
+    "r58_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'nation->region',
+           CAST((SELECT count(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM nation) AS BIGINT)
+    """,
+    tags=("stats", "quality", "referential-integrity", "anti-join"),
+)
+def r58_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — orphan counts for
+    every foreign key in the star schema, the warehouse QA gate run
+    after each load. Each check is one LEFT ANTI join counting rows
+    whose key has no parent; parent key sets are dimension-sized →
+    broadcast, so the fact tables never shuffle. (The engine has no
+    enforced FK constraints — like every lakehouse — so this audit IS
+    the integrity mechanism; r10's expectations quarantine the rows
+    these counts detect.)"""
+    pairs = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for fk, child, ck, parent, pk in pairs:
+        c = t(spark, sf_dir, child)
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = c.join(F.broadcast(p), ck, "left_anti").count()
+        parts.append((fk, orphans, c.count()))
+    return spark.createDataFrame(parts, "fk string, n_orphans long, n_rows long")
