@@ -940,3 +940,48 @@ def r58_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans = c.join(F.broadcast(p), ck, "left_anti").count()
         parts.append((fk, orphans, c.count()))
     return spark.createDataFrame(parts, "fk string, n_orphans long, n_rows long")
+
+
+@register(
+    "r59_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT count(*)                    AS n_keys,
+             sum(n)                      AS n_rows,
+             max(n)                      AS max_key_rows,
+             avg(n)                      AS mean_rows,
+             quantile_cont(n, 0.99)      AS p99_rows
+      FROM per_key
+    )
+    SELECT CAST(n_keys AS BIGINT)                       AS n_keys,
+           CAST(n_rows AS BIGINT)                       AS n_rows,
+           CAST(max_key_rows AS BIGINT)                 AS max_key_rows,
+           round(max_key_rows / mean_rows, 6)           AS max_over_mean,
+           round(p99_rows / mean_rows, 6)               AS p99_over_mean,
+           round(max_key_rows * 1.0 / n_rows, 6)        AS max_key_share
+    FROM stats
+    """,
+    tags=("stats", "skew", "diagnosis"),
+)
+def r59_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnosis: the per-key row distribution's
+    max/mean, p99/mean and hottest-key share — the numbers that decide
+    between a plain shuffle, AQE skew-join, and explicit salting
+    (operators/skew.salted_join) BEFORE a 100 TB job discovers its
+    straggler the hard way. One groupBy of the key + a 1-row stats agg;
+    at scale the per-key relation is |keys|, not |rows|."""
+    per_key = (
+        t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("max_over_mean"),
+        F.round(F.expr("percentile(n, 0.99)") / F.avg("n"), 6).alias(
+            "p99_over_mean"
+        ),
+        F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("max_key_share"),
+    )
