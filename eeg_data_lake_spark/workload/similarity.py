@@ -746,3 +746,94 @@ def r13_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("max_bench_cosine") >= 0.25)
     )
+
+
+#: Matryoshka audit: how many leading dims the truncated ranking keeps
+_MRL_DIMS = 16
+_MRL_K = 10
+
+
+@register(
+    "r60_matryoshka_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {_MRL_K}
+    ), tops AS (
+      SELECT q.qid,
+        (SELECT list(vec_id) FROM (
+           SELECT b.vec_id FROM v b WHERE b.vec_id <> q.qid
+           ORDER BY list_dot_product(q.qe, b.e)
+                    / (sqrt(list_dot_product(q.qe, q.qe))
+                       * sqrt(list_dot_product(b.e, b.e))) DESC,
+                    b.vec_id
+           LIMIT {_MRL_K}) t) AS full_top,
+        (SELECT list(vec_id) FROM (
+           SELECT b.vec_id FROM v b WHERE b.vec_id <> q.qid
+           ORDER BY list_dot_product(q.qe[1:{_MRL_DIMS}], b.e[1:{_MRL_DIMS}])
+                    / (sqrt(list_dot_product(q.qe[1:{_MRL_DIMS}],
+                                             q.qe[1:{_MRL_DIMS}]))
+                       * sqrt(list_dot_product(b.e[1:{_MRL_DIMS}],
+                                               b.e[1:{_MRL_DIMS}]))) DESC,
+                    b.vec_id
+           LIMIT {_MRL_K}) t) AS trunc_top
+      FROM q
+    )
+    SELECT qid AS query_id,
+           CAST(len(list_intersect(full_top, trunc_top)) AS INTEGER)
+               AS n_overlap,
+           round(len(list_intersect(full_top, trunc_top)) / {_MRL_K}.0, 2)
+               AS recall_at_{_MRL_K}
+    FROM tops
+    """,
+    tags=("similarity", "embedding", "matryoshka", "audit"),
+)
+def r60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval audit (the Matryoshka/MRL
+    question): for each query, how much of the exact top-10
+    neighbor set survives when cosine ranking uses only the first
+    16 of 64 dims — the measurement that decides whether a
+    cheap truncated index can serve first-stage retrieval. Both
+    rankings ride the one broadcast-query scoring pass (the q37 plan,
+    two rank columns from one join); overlap is an in-row
+    array_intersect. Fully oracle-checked against LATERAL top-k
+    twins."""
+    from pyspark.sql import Window
+
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    q = v.filter(F.col("vec_id") < _MRL_K).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    tr = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
+    scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        (dot(F.col("qe"), F.col("e"))
+         / (l2norm(F.col("qe")) * l2norm(F.col("e")))).alias("cos_full"),
+        (dot(tr(F.col("qe")), tr(F.col("e")))
+         / (l2norm(tr(F.col("qe"))) * l2norm(tr(F.col("e"))))).alias("cos_tr"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_tr"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid", "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    sets = ranked.groupBy("qid").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("rf") <= _MRL_K, F.col("vec_id")))
+        ).alias("full_top"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rt") <= _MRL_K, F.col("vec_id")))
+        ).alias("trunc_top"),
+    )
+    n_overlap = F.size(F.array_intersect("full_top", "trunc_top"))
+    return sets.select(
+        F.col("qid").alias("query_id"),
+        n_overlap.cast("int").alias("n_overlap"),
+        F.round(n_overlap / float(_MRL_K), 2).alias(f"recall_at_{_MRL_K}"),
+    )
