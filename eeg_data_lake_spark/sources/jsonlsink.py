@@ -1,0 +1,169 @@
+"""JSONL shard sink with a driver-committed manifest — the WRITE side
+of the Spark 4 Python DataSource API (the engine already ships a batch
+reader, `sources/eegsynth.py`, and a streaming reader,
+`sources/txstream.py`; this completes the surface), shaped as the
+training-data EXPORT step: each task writes one `.jsonl` shard and
+reports (file, rows, bytes, md5); the driver's ``commit`` writes
+`_manifest.json` LAST, so a half-failed job leaves data files but no
+manifest and consumers — who resolve the manifest first — never see a
+torn export. ``abort`` removes the orphaned shards.
+
+Rows are serialized with sorted keys and ISO timestamps/dates —
+deterministic bytes per row, so the per-shard md5 is a real integrity
+check, not a formatting lottery.
+
+Usage::
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    df.write.format("jsonlshards").mode("append") \\
+        .option("path", "/out/corpus").save()
+    manifest = read_manifest("/out/corpus")
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import date, datetime
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_manifest.json"
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+@dataclass
+class ShardCommit(WriterCommitMessage):
+    file: str
+    rows: int
+    n_bytes: int
+    md5: str
+
+
+class JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = (options.get("path") or "").rstrip("/")
+        if not self.path:
+            raise ValueError("jsonlshards requires .option('path', <dir>)")
+        self.overwrite = False
+
+    def write(self, iterator) -> ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"shard-{uuid.uuid4().hex[:12]}.jsonl"
+        full = os.path.join(self.path, name)
+        h = hashlib.md5()
+        rows = 0
+        with open(full, "wb") as fh:
+            for row in iterator:
+                line = (
+                    json.dumps(
+                        {k: _jsonable(v) for k, v in row.asDict().items()},
+                        sort_keys=True,
+                        ensure_ascii=False,
+                    )
+                    + "\n"
+                ).encode()
+                fh.write(line)
+                h.update(line)
+                rows += 1
+        return ShardCommit(name, rows, os.path.getsize(full), h.hexdigest())
+
+    def commit(self, messages) -> None:
+        shards = [
+            {
+                "file": m.file,
+                "rows": m.rows,
+                "bytes": m.n_bytes,
+                "md5": m.md5,
+            }
+            for m in messages
+        ]
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "shards": sorted(shards, key=lambda s: s["file"]),
+                    "total_rows": sum(s["rows"] for s in shards),
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.unlink(os.path.join(self.path, m.file))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlShardsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlshards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        w = JsonlShardWriter(self.options)
+        if overwrite:
+            # overwrite = fresh export: old shards die with the old
+            # manifest at commit; physically clear them up front so a
+            # mixed directory can't confuse manifest-less readers
+            if os.path.isdir(w.path):
+                for f in os.listdir(w.path):
+                    if f.endswith(".jsonl") or f == MANIFEST:
+                        os.unlink(os.path.join(w.path, f))
+        return w
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path.rstrip("/"), MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def verify_export(path: str) -> list[str]:
+    """Integrity check a consumer runs before training: every manifest
+    shard exists, matches its byte size and md5, and line counts add
+    up. Returns problems (empty == verified)."""
+    path = path.rstrip("/")
+    m = read_manifest(path)
+    problems: list[str] = []
+    total = 0
+    for s in m["shards"]:
+        full = os.path.join(path, s["file"])
+        if not os.path.exists(full):
+            problems.append(f"{s['file']}: missing")
+            continue
+        data = open(full, "rb").read()
+        if len(data) != s["bytes"]:
+            problems.append(f"{s['file']}: size {len(data)} != {s['bytes']}")
+        if hashlib.md5(data).hexdigest() != s["md5"]:
+            problems.append(f"{s['file']}: checksum mismatch")
+        n = data.count(b"\n")
+        if n != s["rows"]:
+            problems.append(f"{s['file']}: {n} lines != {s['rows']} rows")
+        total += n
+    if total != m["total_rows"]:
+        problems.append(f"total {total} != {m['total_rows']}")
+    return problems

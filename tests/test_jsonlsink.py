@@ -1,0 +1,89 @@
+"""Python DataSource WRITER: JSONL shard export with manifest-last
+commit, checksum verification, round-trip, overwrite semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.sources.jsonlsink import (
+    JsonlShardsDataSource,
+    read_manifest,
+    verify_export,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(JsonlShardsDataSource)
+    return spark
+
+
+def test_export_roundtrip_and_manifest(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "corpus")
+    df = spark.range(0, 1000).select(
+        "id",
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        F.to_date(F.lit("2024-01-02")).alias("day"),
+    ).repartition(4)
+    df.write.format("jsonlshards").mode("append").option("path", out).save()
+
+    m = read_manifest(out)
+    assert m["total_rows"] == 1000
+    assert len(m["shards"]) == 4
+    assert verify_export(out) == []
+
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 1000
+    row = back.filter(F.col("id") == 7).collect()[0]
+    assert row.text == "doc-7" and row.day == "2024-01-02"
+
+
+def test_overwrite_replaces_export(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 100).repartition(2).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    spark.range(0, 10).repartition(1).write.format("jsonlshards").mode(
+        "overwrite"
+    ).option("path", out).save()
+    m = read_manifest(out)
+    assert m["total_rows"] == 10 and len(m["shards"]) == 1
+    # no stale shards on disk
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(shards) == 1
+    assert verify_export(out) == []
+
+
+def test_verify_detects_corruption(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 50).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    shard = read_manifest(out)["shards"][0]["file"]
+    with open(os.path.join(out, shard), "ab") as fh:
+        fh.write(b'{"id": 999}\n')  # tampered
+    problems = verify_export(out)
+    assert problems and any("checksum" in p for p in problems)
+
+
+def test_deterministic_bytes_per_row(registered, tmp_path):
+    """Same rows → same checksums (sorted keys + ISO dates make the
+    shard md5 a real integrity check)."""
+    spark = registered
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"c{i}")
+        spark.range(0, 20).select(
+            "id", F.current_date().alias("d")
+        ).coalesce(1).write.format("jsonlshards").mode("append").option(
+            "path", out
+        ).save()
+        outs.append(read_manifest(out)["shards"][0]["md5"])
+    assert outs[0] == outs[1]
