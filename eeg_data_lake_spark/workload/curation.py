@@ -1249,3 +1249,51 @@ def r52_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY level
         """
     )
+
+
+@register(
+    "r61_training_export",
+    oracle="""
+    SELECT CAST(4 AS INTEGER)        AS n_shards,
+           CAST(count(*) AS BIGINT)  AS total_rows,
+           TRUE                      AS verified
+    FROM documents
+    WHERE lang IS NOT NULL
+    """,
+    tags=("curation", "export", "datasource-writer"),
+)
+def r61_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of the training-data pipeline: materialize the
+    curated corpus as JSONL shards through the Python DataSource
+    WRITER (sources/jsonlsink.py — manifest-last commit, per-shard
+    checksums), then run the consumer-side integrity gate and report
+    (n_shards, total_rows, verified). The oracle pins the row count
+    and that verification must pass; shard writing itself is the
+    side effect under test — a torn or lossy export would fail the
+    count or the checksum gate."""
+    import tempfile
+
+    from eeg_data_lake_spark.sources.jsonlsink import (
+        JsonlShardsDataSource,
+        read_manifest,
+        verify_export,
+    )
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    out = tempfile.mkdtemp(prefix="train_export_q_")
+    (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+        .repartition(4)
+        .write.format("jsonlshards")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    m = read_manifest(out)
+    problems = verify_export(out)
+    return spark.createDataFrame(
+        [(len(m["shards"]), m["total_rows"], not problems)],
+        "n_shards int, total_rows long, verified boolean",
+    )
