@@ -36,7 +36,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 #: digest columns appended per group
 DIGEST_FIELDS = (
