@@ -39,6 +39,8 @@ MANIFEST = "_manifest.json"
 
 
 def _jsonable(v):
+    if hasattr(v, "asDict"):  # nested Row: asDict is shallow, recurse
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

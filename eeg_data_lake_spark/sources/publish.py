@@ -108,11 +108,20 @@ def prune_published(dest: str, keep: int = 0) -> list[str]:
     dest = dest.rstrip("/")
     m = _read_manifest(dest)
     live = m["snapshot_dir"] if m else None
+    # sort by the embedded source VERSION, not the directory string —
+    # lexicographic order puts v10 before v2 and would vacuum the
+    # newest grace-window generation instead of the oldest
+    def _ver(d: str) -> int:
+        return int(d.split("-", 2)[1][1:])
+
     candidates = sorted(
-        d
-        for d in os.listdir(dest)
-        if d.startswith("snapshot-v") and d != live
-        and os.path.isdir(os.path.join(dest, d))
+        (
+            d
+            for d in os.listdir(dest)
+            if d.startswith("snapshot-v") and d != live
+            and os.path.isdir(os.path.join(dest, d))
+        ),
+        key=_ver,
     )
     doomed = candidates[: max(0, len(candidates) - keep)]
     for d in doomed:

@@ -45,6 +45,8 @@ QUERIES = [
     "r33_rolling_p95",            # day-array window
     "q37_cosine_topk",            # broadcast-query matmul-free scoring
     "r45_audio_pcm_features",     # Arrow-batched Python codec (per-row cost)
+    "r47_dsir_importance_resample",  # explode + 256-bucket broadcast fold
+    "r53_interval_overlap_join",  # bin-and-verify pair join (output grows 10x)
 ]
 
 #: key column to offset per table so replicas don't collide

@@ -87,3 +87,17 @@ def test_deterministic_bytes_per_row(registered, tmp_path):
         ).save()
         outs.append(read_manifest(out)["shards"][0]["md5"])
     assert outs[0] == outs[1]
+
+
+def test_nested_struct_rows_serialize(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "nested")
+    spark.range(0, 5).select(
+        "id", F.struct(F.lit("en").alias("lang"), F.col("id").alias("n")).alias("meta")
+    ).coalesce(1).write.format("jsonlshards").mode("append").option(
+        "path", out
+    ).save()
+    assert verify_export(out) == []
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    r = back.filter(F.col("id") == 3).collect()[0]
+    assert r.meta.lang == "en" and r.meta.n == 3

@@ -77,3 +77,28 @@ def test_partitioned_publish_and_version_pin(spark, table, tmp_path):
     # partition pruning works on the published layout
     pruned = out.filter(F.col("day") == "d1")
     assert pruned.count() == 2
+
+
+def test_prune_keep_respects_version_order(spark, table, tmp_path):
+    """keep=1 must retain the NEWEST unreferenced generation even when
+    the version count crosses a digit boundary (v10 sorts before v2
+    lexicographically — the trap)."""
+    from eeg_data_lake_spark.sources.publish import _read_manifest
+
+    dest = str(tmp_path / "pub")
+    dirs = []
+    for i in range(11):  # publish versions v0..v10 → ten stale gens
+        publish_snapshot(table, dest)
+        dirs.append(published_dir(dest))
+        table.append(
+            spark.createDataFrame(
+                [(100 + i, "x", "d1")], "id long, v string, day string"
+            )
+        )
+    publish_snapshot(table, dest)
+    live = published_dir(dest)
+    deleted = prune_published(dest, keep=1)
+    assert live not in deleted
+    # the newest stale generation (the one for v10) survives; v0..v9 die
+    assert dirs[-1] not in deleted
+    assert all(d in deleted for d in dirs[:-1])
