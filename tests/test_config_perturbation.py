@@ -1,0 +1,52 @@
+"""Partitioning-independence under config perturbation: the same
+queries must hash-match their oracles with AQE DISABLED and a hostile
+shuffle-partition count (7). Catches results that silently depend on
+partition count or AQE coalescing — the classic source of
+'works-on-my-cluster' drift for order-sensitive folds, collect_list
+surfaces, prefix sums and sampled/salted plans. SQL confs are
+session-scoped, so a newSession() perturbs only this module."""
+
+from __future__ import annotations
+
+import pytest
+
+from eeg_data_lake_spark.workload import REGISTRY
+from tests.oracle_utils import compare, run_oracle
+
+#: queries whose SEMANTICS could plausibly leak partitioning: ordered
+#: folds, collect_list/sort_array, windows, prefix sums, sampling,
+#: posting lists, asof, interval pairs, percentile grids
+SENSITIVE = [
+    "q17_first_order_per_customer",
+    "q20_event_type_pivot",
+    "q33_neardup_shingle_jaccard",
+    "q43_tfidf_top_terms",
+    "q50_asof_join_last_order",
+    "r14_rolling_distinct_users",
+    "r17_event_funnel",
+    "r23_ewma_fold",
+    "r24_weighted_sample",
+    "r30_token_shard_packing",
+    "r42_weighted_median",
+    "r47_dsir_importance_resample",
+    "r53_interval_overlap_join",
+    "r56_quantile_normalization",
+    "z05_cms_heavy_hitters",
+]
+
+
+@pytest.fixture(scope="module")
+def perturbed(spark):
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    return s2
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_oracle_parity_under_perturbation(perturbed, sf_dir, name):
+    e = REGISTRY[name]
+    problems = compare(
+        e.spark_fn(perturbed, sf_dir), run_oracle(e.oracle, sf_dir), name
+    )
+    assert not problems, "\n".join(problems)
