@@ -50,3 +50,31 @@ def test_oracle_parity_under_perturbation(perturbed, sf_dir, name):
         e.spark_fn(perturbed, sf_dir), run_oracle(e.oracle, sf_dir), name
     )
     assert not problems, "\n".join(problems)
+
+
+@pytest.fixture(scope="module")
+def tiny_splits(spark):
+    s3 = spark.newSession()
+    s3.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    s3.conf.set("spark.sql.files.openCostInBytes", "0")
+    return s3
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q16_order_total_zscore",   # window over scan order
+        "q33_neardup_shingle_jaccard",
+        "r23_ewma_fold",
+        "r30_token_shard_packing",  # prefix sum over partition ids
+        "r53_interval_overlap_join",
+    ],
+)
+def test_oracle_parity_with_tiny_scan_splits(tiny_splits, sf_dir, name):
+    """64 KB input splits multiply scan partitions and reorder rows —
+    results must not notice."""
+    e = REGISTRY[name]
+    problems = compare(
+        e.spark_fn(tiny_splits, sf_dir), run_oracle(e.oracle, sf_dir), name
+    )
+    assert not problems, "\n".join(problems)
