@@ -29,6 +29,12 @@ Scale design, all JVM expressions:
 Sizing: FP rate ≈ (1 − e^{−k·n/m})^k; the 2^20-bit default holds
 ~100 K keys at k=5 under 5% FPs. For 100 TB probes raise n_bits —
 the build shuffle grows only with n_bits/64, never with the corpus.
+
+Measured (sf0.1, r50's 1%-selective join, broadcast disabled so the
+fact side really shuffles, Spark UI stage metrics): the prefilter
+cut shuffle write from 7.48 MB to 0.106 MB (70.6×) by letting only
+6,157 of 600,000 fact rows reach the exchange (97.5×), with results
+row-for-row identical to the plain join.
 """
 
 from __future__ import annotations
