@@ -985,3 +985,128 @@ def r59_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("max_key_share"),
     )
+
+
+#: PSI period boundary: January 2024 first half vs second half
+_PSI_SPLIT = "2024-01-16"
+
+_PSI_DECILES = ", ".join(repr(i / 10) for i in range(1, 10))
+
+
+@register(
+    "r62_psi_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT event_type, value FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}'
+    ), cur AS (
+      SELECT event_type, value FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'
+    ), edges AS (
+      SELECT quantile_cont(value, [{_PSI_DECILES}]) AS l FROM ref
+    ), rb AS (
+      SELECT event_type,
+             len(list_filter((SELECT l FROM edges), e -> value >= e)) AS bin
+      FROM ref
+    ), cb AS (
+      SELECT event_type,
+             len(list_filter((SELECT l FROM edges), e -> value >= e)) AS bin
+      FROM cur
+    ), rc AS (
+      SELECT event_type, bin, count(*) AS c FROM rb GROUP BY 1, 2
+    ), cc AS (
+      SELECT event_type, bin, count(*) AS c FROM cb GROUP BY 1, 2
+    ), rn AS (SELECT event_type, sum(c) AS n FROM rc GROUP BY 1),
+    cn AS (SELECT event_type, sum(c) AS n FROM cc GROUP BY 1),
+    bins AS (
+      SELECT et.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM events) et,
+           UNNEST(range(10)) AS b(bin)
+    ), terms AS (
+      SELECT bins.event_type, bins.bin,
+             ((COALESCE(rc.c, 0) + 1.0) / (rn.n + 10.0)
+              - (COALESCE(cc.c, 0) + 1.0) / (cn.n + 10.0))
+             * ln(((COALESCE(rc.c, 0) + 1.0) / (rn.n + 10.0))
+                  / ((COALESCE(cc.c, 0) + 1.0) / (cn.n + 10.0))) AS term
+      FROM bins
+      LEFT JOIN rc ON rc.event_type = bins.event_type AND rc.bin = bins.bin
+      LEFT JOIN cc ON cc.event_type = bins.event_type AND cc.bin = bins.bin
+      JOIN rn ON rn.event_type = bins.event_type
+      JOIN cn ON cn.event_type = bins.event_type
+    )
+    SELECT event_type,
+           round(list_reduce(
+             list_transform(
+               list_sort(list(struct_pack(b := bin, t := term))),
+               x -> x.t),
+             (a, x) -> a + x), 6) AS psi
+    FROM terms
+    GROUP BY event_type
+    """,
+    tags=("stats", "drift", "psi", "monitoring"),
+)
+def r62_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference period (first
+    half of the month) and the current period, per event type — THE
+    production ML-monitoring drift metric (PSI > 0.2 = retrain alarm),
+    complementing r34's KS test with the binned, additive formulation
+    monitoring dashboards use. Decile edges come from ONE percentile
+    aggregate over the reference period (broadcast, 9 doubles);
+    binning is an in-row array count; the per-type PSI folds its 10
+    bin terms in pinned bin order (the r47 discipline) so the float
+    sum is bit-identical to the oracle's list_reduce. Laplace +1
+    smoothing keeps empty bins finite."""
+    e = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ref = e.filter(F.col("ts") < _PSI_SPLIT)
+    cur = e.filter(F.col("ts") >= _PSI_SPLIT)
+    edges = ref.agg(
+        F.expr(f"percentile(value, array({_PSI_DECILES}))").alias("l")
+    )
+
+    def binned(df):
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(
+                "event_type",
+                F.size(
+                    F.filter("l", lambda x: F.col("value") >= x)
+                ).alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("c"))
+        )
+
+    rc = binned(ref)
+    cc = binned(cur)
+    rn = rc.groupBy("event_type").agg(F.sum("c").alias("rn"))
+    cn = cc.groupBy("event_type").agg(F.sum("c").alias("cn"))
+    bins = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    p = (F.coalesce(F.col("rc_c"), F.lit(0)) + 1.0) / (F.col("rn") + 10.0)
+    q = (F.coalesce(F.col("cc_c"), F.lit(0)) + 1.0) / (F.col("cn") + 10.0)
+    terms = (
+        bins.join(rc.withColumnRenamed("c", "rc_c"), ["event_type", "bin"], "left")
+        .join(cc.withColumnRenamed("c", "cc_c"), ["event_type", "bin"], "left")
+        .join(F.broadcast(rn), "event_type")
+        .join(F.broadcast(cn), "event_type")
+        .select(
+            "event_type",
+            F.struct(F.col("bin"), ((p - q) * F.log(p / q)).alias("t")).alias("x"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .select(
+            "event_type",
+            F.round(
+                F.aggregate(
+                    F.expr("slice(xs, 2, size(xs) - 1)"),
+                    F.element_at("xs", 1).getField("t"),
+                    lambda a, x: a + x.getField("t"),
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )
