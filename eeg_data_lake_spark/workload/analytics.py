@@ -1089,3 +1089,98 @@ def r39_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap"), 6).alias("avg_gap_s"),
         F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("cv"),
     )
+
+
+# --------------------------------------------------------------------
+# r63: churn survival life table (Kaplan-Meier risk sets)
+# --------------------------------------------------------------------
+
+#: users quiet for this many days before the corpus end are churned
+#: (sized so the testdata's final-days activity cluster actually
+#: censors: ~17 of 150 users churn at sf0.01); still-active users are
+#: right-censored at their observed duration
+_CHURN_GAP_DAYS = 1
+
+
+@register(
+    "r63_survival_life_table",
+    oracle=f"""
+    WITH bounds AS (SELECT max(ts) AS mx FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(floor(date_diff('second', min(ts), max(ts)) / 86400.0)
+                  AS BIGINT) AS duration_days,
+             max(ts) < (SELECT mx FROM bounds) - INTERVAL {_CHURN_GAP_DAYS} DAY
+                 AS churned
+      FROM events GROUP BY user_id
+    ), ev AS (
+      SELECT duration_days AS d,
+             sum(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+      FROM u GROUP BY duration_days
+    ), risk AS (
+      SELECT ev.d, ev.n_events,
+             (SELECT count(*) FROM u WHERE u.duration_days >= ev.d)
+                 AS n_at_risk
+      FROM ev
+    )
+    SELECT d AS duration_days,
+           CAST(n_at_risk AS BIGINT)  AS n_at_risk,
+           CAST(n_events AS BIGINT)   AS n_churned,
+           round(n_events / n_at_risk, 6) AS hazard
+    FROM risk
+    WHERE n_events > 0
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "churn"),
+)
+def r63_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis of user lifetime (Kaplan-Meier risk sets):
+    per observed churn duration, the at-risk count, churn count, and
+    hazard — with right-censoring (users still active in the final
+    day are censored at their observed duration, not counted as
+    deaths; ignoring censoring is the classic churn-analysis bug that
+    biases lifetimes short). The KM survival curve is the running
+    product of (1 − hazard) over this table — pinned in tests; the
+    oracle checks the life table itself.
+
+    Plan: one (user) aggregation shuffle; the risk-set counts come
+    from a cumulative window over the |distinct durations| relation
+    (days-bounded), never a per-user rescan."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mx"))
+    u = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+                / 86400.0
+            ).alias("duration_days"),
+            (
+                F.col("last_ts")
+                < F.col("mx") - F.expr(f"INTERVAL {_CHURN_GAP_DAYS} DAYS")
+            ).alias("churned"),
+        )
+    )
+    per_d = u.groupBy("duration_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_events"),
+        F.count(F.lit(1)).alias("n_here"),
+    )
+    # at risk at duration d = everyone whose duration >= d: cumulative
+    # sum from the longest duration down, over the tiny durations table
+    w = (
+        Window.orderBy(F.desc("duration_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_d.withColumn("n_at_risk", F.sum("n_here").over(w))
+    return (
+        risk.filter(F.col("n_events") > 0)
+        .select(
+            "duration_days",
+            "n_at_risk",
+            F.col("n_events").alias("n_churned"),
+            F.round(F.col("n_events") / F.col("n_at_risk"), 6).alias("hazard"),
+        )
+    )

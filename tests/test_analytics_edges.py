@@ -178,3 +178,28 @@ def test_bigram_lm_scores_repetition_low(spark, tmp_path):
     # (majority continuation → low nll) while the varied doc keeps
     # hitting 1/n continuations → strictly higher nll
     assert got2[2] > got2[1]
+
+
+def test_r63_km_survival_from_life_table(spark, sf_dir):
+    """The KM survival curve derived from the life table must start
+    at S <= 1, be strictly computed as the running product of
+    (1 - hazard) in duration order, and stay monotonically
+    non-increasing; censored users must make the at-risk counts
+    exceed total churned (right-censoring actually happened)."""
+    rows = sorted(
+        REGISTRY["r63_survival_life_table"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows, "life table empty — churn gap no longer fires on testdata"
+    s, prev = 1.0, None
+    total_churned = 0
+    for r in rows:
+        assert 0 < r.hazard <= 1
+        assert r.n_churned <= r.n_at_risk
+        s *= 1.0 - r.n_churned / r.n_at_risk
+        assert prev is None or s <= prev
+        prev = s
+        total_churned += r.n_churned
+    # right-censoring: at the earliest churn duration, the risk set
+    # includes censored users too, so it must exceed all churn events
+    assert rows[0].n_at_risk > total_churned
