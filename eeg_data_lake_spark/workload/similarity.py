@@ -837,3 +837,189 @@ def r60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_overlap.cast("int").alias("n_overlap"),
         F.round(n_overlap / float(_MRL_K), 2).alias(f"recall_at_{_MRL_K}"),
     )
+
+
+# --------------------------------------------------------------------
+# r64: hybrid search — BM25 + vector cosine fused with RRF
+# --------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_RRF_K = 60
+_HYBRID_TOPN = 20
+_HYBRID_QUERY_DOC = 0
+
+
+@register(
+    "r64_hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+      SELECT DISTINCT term FROM tf WHERE doc_id = {_HYBRID_QUERY_DOC}
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1}
+                * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)) AS c
+      FROM tf
+      JOIN qterms USING (term)
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> {_HYBRID_QUERY_DOC}
+    ), bm25 AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(t := term, c := c))), x -> x.c),
+               (a, x) -> a + x) AS score
+      FROM contrib GROUP BY doc_id
+    ), br AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm25
+      FROM bm25
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), qv AS (SELECT e AS qe FROM v WHERE vec_id = {_HYBRID_QUERY_DOC}),
+    cosr AS (
+      SELECT v.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_dot_product(qv.qe, v.e)
+                        / (sqrt(list_dot_product(qv.qe, qv.qe))
+                           * sqrt(list_dot_product(v.e, v.e))) DESC,
+                        v.vec_id) AS r_cos
+      FROM v, qv WHERE v.vec_id <> {_HYBRID_QUERY_DOC}
+    )
+    SELECT br.doc_id,
+           CAST(br.r_bm25 AS BIGINT) AS r_bm25,
+           CAST(cosr.r_cos AS BIGINT) AS r_cos,
+           round(1.0 / ({_RRF_K} + br.r_bm25)
+                 + 1.0 / ({_RRF_K} + cosr.r_cos), 6) AS rrf
+    FROM br JOIN cosr USING (doc_id)
+    ORDER BY 1.0 / ({_RRF_K} + br.r_bm25)
+             + 1.0 / ({_RRF_K} + cosr.r_cos) DESC,
+             br.doc_id
+    LIMIT {_HYBRID_TOPN}
+    """,
+    tags=("similarity", "text", "bm25", "hybrid", "rrf"),
+)
+def r64_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the modern RAG first stage: rank the corpus
+    by real BM25 (k1=1.2, b=0.75, Lucene idf) against the query doc's
+    terms AND by embedding cosine against its vector, then fuse with
+    reciprocal-rank fusion (1/(60+r) each side) — RRF needs no score
+    calibration between the two systems, which is why it's the
+    production default. Only documents matching ≥1 query term enter
+    the lexical ranking (the inverted-index contract: a real engine
+    scores postings, never the corpus).
+
+    Scale shape: tf/df/dl are one explode + hash aggs (the q43
+    machinery); query terms broadcast; each doc's BM25 sums its
+    matched-term contributions in a term-sorted fold (the r47
+    order-pinning discipline, bit-equal to the oracle's list_reduce);
+    the vector side is the q37 broadcast-query pass; fusion is a join
+    of two |ranked| relations + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # reused 4×: dl, df, qterms, contrib
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") == _HYBRID_QUERY_DOC).select("term").distinct()
+    )
+    contrib = (
+        tf.filter(F.col("doc_id") != _HYBRID_QUERY_DOC)
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t.join(F.broadcast(qterms), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("term").alias("t"),
+                (
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * (_BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("c"),
+            ).alias("x"),
+        )
+    )
+    bm25 = (
+        contrib.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.expr("slice(xs, 2, size(xs) - 1)"),
+                F.element_at("xs", 1).getField("c"),
+                lambda a, x: a + x.getField("c"),
+            ).alias("score"),
+        )
+    )
+    br = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("r_bm25"),
+    )
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    qv = v.filter(F.col("vec_id") == _HYBRID_QUERY_DOC).select(
+        F.col("e").alias("qe")
+    )
+    cos = (
+        v.filter(F.col("vec_id") != _HYBRID_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("qe"), F.col("e"))
+                / (l2norm(F.col("qe")) * l2norm(F.col("e")))
+            ).alias("cosine"),
+        )
+    )
+    cosr = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .alias("r_cos"),
+    )
+    rrf = 1.0 / (_RRF_K + F.col("r_bm25")) + 1.0 / (_RRF_K + F.col("r_cos"))
+    return (
+        br.join(cosr, "doc_id")
+        .orderBy(rrf.desc(), F.asc("doc_id"))
+        .limit(_HYBRID_TOPN)
+        .select(
+            "doc_id",
+            F.col("r_bm25").cast("long").alias("r_bm25"),
+            F.col("r_cos").cast("long").alias("r_cos"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+    )
