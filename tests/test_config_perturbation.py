@@ -32,6 +32,9 @@ SENSITIVE = [
     "r53_interval_overlap_join",
     "r56_quantile_normalization",
     "z05_cms_heavy_hitters",
+    "r62_psi_drift",
+    "r63_survival_life_table",
+    "r64_hybrid_search_rrf",
 ]
 
 
