@@ -403,6 +403,12 @@ class TxTable:
                         "remove": remove,
                         "txn_id": txn_id,
                         "stats": stats,
+                        # wall-clock commit time: metadata only (no
+                        # reader derives data from it) → additive and
+                        # replay-safe; powers table_history/freshness
+                        "committed_at": datetime.datetime.now(
+                            datetime.timezone.utc
+                        ).isoformat(),
                     },
                     fh,
                 )
@@ -755,3 +761,46 @@ def maybe_compact(
         min_file_bytes=cutoff,
         txn_id=txn_id,
     )
+
+
+def table_history(table: TxTable) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit — version, operation,
+    files added/removed, rows added, txn id, wall-clock commit time —
+    read straight from the manifests (older manifests without a
+    committed_at read as NULL; the field is additive). The audit/
+    freshness surface every lakehouse exposes: "when did this table
+    last change, and what did each commit do"."""
+    rows = []
+    for v, mp in iter_manifests(table.path):
+        with open(mp) as fh:
+            m = json.load(fh)
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                len(m.get("add", [])),
+                len(m.get("remove", [])),
+                sum(
+                    int(s.get("rows", 0))
+                    for f, s in (m.get("stats") or {}).items()
+                ),
+                m.get("txn_id"),
+                m.get("committed_at"),
+            )
+        )
+    return table.spark.createDataFrame(
+        rows,
+        "version int, op string, n_added_files int, n_removed_files int, "
+        "n_added_rows long, txn_id string, committed_at string",
+    )
+
+
+def last_modified(table: TxTable) -> str | None:
+    """Freshness probe: the newest commit's wall-clock time (None for
+    a pre-committed_at log) — the staleness input data SLA monitors
+    alert on."""
+    out = None
+    for _v, mp in iter_manifests(table.path):
+        with open(mp) as fh:
+            out = json.load(fh).get("committed_at")
+    return out

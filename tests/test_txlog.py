@@ -314,3 +314,42 @@ class TestDescribeAndAutoCompact:
         assert sorted(r.k for r in t.read().collect()) == list(range(12))
         # immediately after: policy satisfied, no churn
         assert maybe_compact(t, max_small_files=8) is None
+
+
+class TestHistory:
+    def test_describe_history_rows(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import (
+            TxTable,
+            last_modified,
+            table_history,
+        )
+
+        t = TxTable(spark, str(tmp_path / "h"))
+        t.append(spark.createDataFrame([(1,), (2,)], "k long").coalesce(1))
+        t.upsert(
+            spark.createDataFrame([(2,), (3,)], "k long").coalesce(1), keys=["k"]
+        )
+        t.compact(txn_id="c1")
+        h = sorted(map(tuple, table_history(t).collect()))
+        assert [r[1] for r in h] == ["append", "upsert", "compact"]
+        assert h[0][4] == 2  # first append added 2 rows
+        assert all(r[6] is not None for r in h)  # committed_at present
+        assert last_modified(t) == h[-1][6]
+        # timestamps non-decreasing in version order
+        assert [r[6] for r in h] == sorted(r[6] for r in h)
+
+    def test_old_manifests_without_timestamp_read_null(self, spark, tmp_path):
+        import json as _json
+        import os as _os
+
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_history
+
+        t = TxTable(spark, str(tmp_path / "h"))
+        t.append(spark.createDataFrame([(1,)], "k long").coalesce(1))
+        # simulate a pre-upgrade manifest: strip the field
+        mp = _os.path.join(t.log_dir, "00000000.json")
+        m = _json.load(open(mp))
+        del m["committed_at"]
+        _json.dump(m, open(mp, "w"))
+        h = table_history(t).collect()
+        assert h[0].committed_at is None  # additive field, no crash
