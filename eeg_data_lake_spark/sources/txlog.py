@@ -633,13 +633,29 @@ class TxTable:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    def vacuum(self, keep_versions: int = 0) -> list[str]:
-        """Delete data files unreachable from the newest
-        ``keep_versions + 1`` versions (and orphans from crashed
-        commits). Returns deleted paths."""
+    def vacuum(
+        self, keep_versions: int = 0, retain_after: str | None = None
+    ) -> list[str]:
+        """Delete data files unreachable from the retained versions
+        (and orphans from crashed commits). Retention is the UNION of
+        two rules — the newest ``keep_versions + 1`` versions, plus
+        (with ``retain_after``, an ISO-8601 UTC timestamp) every
+        version committed at or after that instant: Delta's
+        ``RETAIN n HOURS`` age rule, expressed as a cutoff so callers
+        own the clock. Time travel to a vacuumed version fails cleanly.
+        Returns deleted paths."""
         latest = self.version()
+        keep_v: set[int] = set(
+            range(max(0, latest - keep_versions), latest + 1)
+        )
+        if retain_after is not None:
+            for v, mp in iter_manifests(self.path):
+                with open(mp) as fh:
+                    ts = json.load(fh).get("committed_at")
+                if ts is not None and ts >= retain_after:
+                    keep_v.add(v)
         keep: set[str] = set()
-        for v in range(max(0, latest - keep_versions), latest + 1):
+        for v in sorted(keep_v):
             keep |= set(self._replay(upto=v).files)
         deleted = []
         for root, _dirs, names in os.walk(self.data_dir):

@@ -353,3 +353,32 @@ class TestHistory:
         _json.dump(m, open(mp, "w"))
         h = table_history(t).collect()
         assert h[0].committed_at is None  # additive field, no crash
+
+
+def test_vacuum_age_retention(spark, tmp_path):
+    """retain_after keeps every version committed at or after the
+    cutoff readable via time travel, even past keep_versions."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "age"))
+    for i in range(4):
+        t.overwrite(spark.createDataFrame([(i,)], "k long").coalesce(1))
+    # backdate versions 0-1 before the cutoff; 2-3 stay 'recent'
+    for v in (0, 1):
+        mp = _os.path.join(t.log_dir, f"{v:08d}.json")
+        m = _json.load(open(mp))
+        m["committed_at"] = "2000-01-01T00:00:00+00:00"
+        _json.dump(m, open(mp, "w"))
+    cutoff = "2020-01-01T00:00:00+00:00"
+    deleted = t.vacuum(keep_versions=0, retain_after=cutoff)
+    assert deleted  # the backdated snapshots' files went away
+    # recent versions stay time-travelable; old ones fail cleanly
+    assert t.read(version=2).collect()[0].k == 2
+    assert t.read(version=3).collect()[0].k == 3
+    with _pytest.raises(Exception):
+        t.read(version=0).collect()
