@@ -1184,3 +1184,104 @@ def r63_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_events") / F.col("n_at_risk"), 6).alias("hazard"),
         )
     )
+
+
+@register(
+    "r65_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
+                 AS recency_days,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT custkey,
+             ntile(5) OVER (ORDER BY recency_days ASC, custkey)  AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey)    AS f_inv,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey)     AS m_inv,
+             monetary
+      FROM base
+    ), seg AS (
+      SELECT custkey, monetary,
+             r_score, 6 - f_inv AS f_score, 6 - m_inv AS m_score,
+             CASE
+               WHEN r_score <= 2 AND 6 - f_inv >= 4 AND 6 - m_inv >= 4
+                 THEN 'champions'
+               WHEN r_score >= 4 AND 6 - f_inv <= 2 THEN 'at_risk'
+               WHEN r_score <= 2 THEN 'recent'
+               ELSE 'regular'
+             END AS segment
+      FROM scored
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT)         AS n_customers,
+           round(avg(monetary), 4)          AS avg_monetary,
+           round(avg(r_score), 4)           AS avg_r,
+           round(avg(f_score), 4)           AS avg_f,
+           round(avg(m_score), 4)           AS avg_m
+    FROM seg
+    GROUP BY segment
+    """,
+    tags=("analytics", "rfm", "segmentation", "window"),
+)
+def r65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic CRM workload: quintile
+    scores for recency/frequency/monetary (deterministic ntile ties
+    broken by custkey; F/M ranked DESC then inverted so 5 = best) and
+    rule-based segments, reported per segment. One customer
+    aggregation shuffle + three window passes over the |customers|
+    relation; at scale each ntile is one ordered exchange of the
+    aggregate, never of the fact table."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff(F.col("mxd"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_s = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+    f_i = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m_i = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+    scored = base.select(
+        "custkey", "monetary",
+        r_s.alias("r_score"),
+        (6 - f_i).alias("f_score"),
+        (6 - m_i).alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") <= 2)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") <= 2, "recent")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+            F.round(F.avg("r_score"), 4).alias("avg_r"),
+            F.round(F.avg("f_score"), 4).alias("avg_f"),
+            F.round(F.avg("m_score"), 4).alias("avg_m"),
+        )
+    )
