@@ -1285,3 +1285,64 @@ def r65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("m_score"), 4).alias("avg_m"),
         )
     )
+
+
+@register(
+    "r66_hierarchy_revenue_shares",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6)
+               AS share_of_total,
+           CAST(rank() OVER (PARTITION BY region
+                             ORDER BY revenue DESC, nation) AS BIGINT)
+               AS rank_in_region
+    FROM rev
+    """,
+    tags=("analytics", "window", "hierarchy", "share-of-total"),
+)
+def r66_hierarchy_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation share of its
+    region, share of world) plus within-region ranking — the standard
+    BI drill-down readout. The fact table joins two broadcast dims and
+    aggregates ONCE; both shares and the rank ride windows over the
+    25-row aggregate, so the only corpus-sized work is the one
+    revenue shuffle."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy("region").orderBy(F.desc("revenue"), F.asc("nation"))
+    return rev.select(
+        "region", "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+        F.rank().over(w_rank).cast("long").alias("rank_in_region"),
+    )
