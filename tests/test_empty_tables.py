@@ -54,6 +54,11 @@ EMPTY_SAFE = [
     "r61_training_export",
     "z14_rolling_hll_wau",
     "z15_bpe_apply",
+    "r62_psi_drift",
+    "r63_survival_life_table",
+    "r64_hybrid_search_rrf",
+    "r65_rfm_segmentation",
+    "r66_hierarchy_revenue_shares",
 ]
 
 
