@@ -1346,3 +1346,99 @@ def r66_hierarchy_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_rank).cast("long").alias("rank_in_region"),
     )
+
+
+# --------------------------------------------------------------------
+# r67: CUSUM changepoint detection per user series
+# --------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS k
+  FROM events
+),
+s AS (
+  SELECT *, round(sum(value - mu) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING), 6) AS s
+  FROM d
+),
+r AS (
+  SELECT user_id, k, ts, s,
+         max(s) OVER (PARTITION BY user_id) AS smax,
+         min(s) OVER (PARTITION BY user_id) AS smin,
+         max(k) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(s) DESC, k) AS rn
+  FROM s
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(smax - smin, 6) AS cusum_range,
+       CAST(k AS INTEGER) AS cp_index,
+       ts AS cp_ts,
+       round(abs(s), 6) AS cusum_stat
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+@register(
+    "r67_cusum_changepoint",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "changepoint", "window"),
+)
+def r67_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per user series (Page 1954): the
+    cumulative sum of deviations from the series mean, its range
+    max(S)-min(S) as the shift statistic, and the argmax of |S| as the
+    estimated changepoint location — the standard drift detector run
+    over per-entity metric streams before retraining decisions.
+
+    Plan shape: ONE exchange on user_id; the mean, the ordered prefix
+    sum, the extrema and the argmax ranking are all windows over the
+    same partitioning, so Catalyst reuses a single sort. The prefix
+    sum is order-pinned by (ts, event_id) — a total order, event_id
+    unique — and rounded to 6 before the argmax ranking so both
+    engines rank the identical value (the r24 pow-ulp lesson); the
+    rank tie-breaks on k, making the changepoint row deterministic.
+    Per-user state is O(1) per row — no collected lists — so the plan
+    survives arbitrarily long series, unlike fold-based r23 which
+    bounds by events-per-entity."""
+    e = t(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        e.withColumn("mu", F.avg("value").over(w_user))
+        .withColumn("k", F.row_number().over(w_ord))
+        .withColumn(
+            "s", F.round(F.sum(F.col("value") - F.col("mu")).over(w_cum), 6)
+        )
+    )
+    r = s.select(
+        "user_id",
+        "k",
+        "ts",
+        "s",
+        F.max("s").over(w_user).alias("smax"),
+        F.min("s").over(w_user).alias("smin"),
+        F.max("k").over(w_user).cast("long").alias("n_events"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.abs("s").desc(), "k"))
+        .alias("rn"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("smax") - F.col("smin"), 6).alias("cusum_range"),
+            F.col("k").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            F.round(F.abs("s"), 6).alias("cusum_stat"),
+        )
+        .orderBy("user_id")
+    )

@@ -59,6 +59,7 @@ EMPTY_SAFE = [
     "r64_hybrid_search_rrf",
     "r65_rfm_segmentation",
     "r66_hierarchy_revenue_shares",
+    "r67_cusum_changepoint",
 ]
 
 
