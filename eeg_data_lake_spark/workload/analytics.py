@@ -1442,3 +1442,99 @@ def r67_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------
+# r68: Holt linear-trend smoothing + h-step forecast (struct fold)
+# --------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+HOLT_H = 3
+
+# NB: a list_reduce-with-STRUCT-accumulator oracle would be the r23
+# shape, but DuckDB 1.0 evaluates struct_pack lambda fields
+# sequentially, mutating the accumulator in place — the b field sees
+# the already-updated l (probed: (acc,e) -> struct(l := acc.l + e.l,
+# b := acc.l + e.l) folds [1,2,3] to {l: 6, b: 9}, not {6, 6}) — so
+# the two-state recursion is spelled as a recursive CTE instead: the
+# per-step expressions are written token-for-token like the Spark
+# fold, so both engines run the identical IEEE chain.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+holt AS (
+  SELECT user_id, k, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM base WHERE k = 1
+  UNION ALL
+  SELECT nx.user_id, nx.k, nx.n,
+         {HOLT_ALPHA} * nx.x + {1 - HOLT_ALPHA} * (h.l + h.b) AS l,
+         {HOLT_BETA} * (({HOLT_ALPHA} * nx.x
+            + {1 - HOLT_ALPHA} * (h.l + h.b)) - h.l)
+           + {1 - HOLT_BETA} * h.b AS b
+  FROM holt h JOIN base nx ON nx.user_id = h.user_id AND nx.k = h.k + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + {HOLT_H} * b, 6) AS forecast_3
+FROM holt WHERE k = n ORDER BY user_id
+"""
+
+
+@register(
+    "r68_holt_forecast",
+    oracle=_HOLT_ORACLE,
+    tags=("timeseries", "forecast", "hof"),
+)
+def r68_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user series (level +
+    trend state) and the h-step-ahead forecast ŷ = l + h·b — the
+    capacity-planning readout teams run over per-entity metrics. The
+    recursion carries TWO coupled states, which no window frame can
+    express; it rides the same ordered `aggregate` fold as r23 but
+    with a STRUCT accumulator (l, b), seeded Holt-style from the first
+    observation (l₁ = x₁, b₁ = 0).
+
+    One exchange on user_id; the fold order is pinned by (ts,
+    event_id) inside sort_array, and both engines execute the
+    identical IEEE multiply-add chain (DuckDB folds the same
+    struct_pack lambda), so the floats agree bitwise before the
+    round-to-6. Per-user state is the collected series — bounded by
+    events-per-entity, same as every fold query; the O(1)-per-row
+    streaming analog is the q84 transformWithState path."""
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("xs")
+        )
+    )
+    a, b_ = F.lit(HOLT_ALPHA), F.lit(HOLT_BETA)
+
+    def step(acc, x):
+        lnew = a * x.getField("value") + (1 - a) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        bnew = b_ * (lnew - acc.getField("l")) + (1 - b_) * acc.getField("b")
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    init = F.struct(
+        F.element_at("xs", 1).getField("value").cast("double").alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    fold = F.aggregate(F.expr("slice(xs, 2, size(xs) - 1)"), init, step)
+    return g.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(fold.getField("l"), 6).alias("level"),
+        F.round(fold.getField("b"), 6).alias("trend"),
+        F.round(fold.getField("l") + HOLT_H * fold.getField("b"), 6).alias(
+            "forecast_3"
+        ),
+    ).orderBy("user_id")

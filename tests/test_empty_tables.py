@@ -60,6 +60,7 @@ EMPTY_SAFE = [
     "r65_rfm_segmentation",
     "r66_hierarchy_revenue_shares",
     "r67_cusum_changepoint",
+    "r68_holt_forecast",
 ]
 
 
