@@ -1110,3 +1110,155 @@ def r62_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# r69: Benford first-digit audit (forensic data quality)
+# --------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT digit,
+       CAST(n AS BIGINT) AS n,
+       round(n / total, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(pow(n / total - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+FROM obs, tot ORDER BY digit
+"""
+
+
+@register(
+    "r69_benford_audit",
+    oracle=_BENFORD_ORACLE,
+    tags=("quality", "benford", "forensic"),
+)
+def r69_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic data-quality screen for fabricated or truncated numeric
+    columns (Nigrini 2012): observed first-significant-digit shares
+    vs the log10(1 + 1/d) law, with the per-digit chi-square
+    contribution so an auditor can see WHICH digit deviates.
+
+    The digit is extracted arithmetically-by-string (first char of the
+    integer part — identical semantics in both engines, no float-log
+    round-trip), so the whole query is one map + one 9-group
+    aggregation: a single partial-aggregated shuffle of 9 rows,
+    trivially 100 TB-safe. The total rides a broadcast of the 9-row
+    aggregate back over itself (Catalyst folds the cross join of one
+    row), never a second corpus scan."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("total")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(F.pow(share - benford, 2) / benford, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------
+# r70: Gini concentration of revenue per nation (skew quantified)
+# --------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+         sum(o.o_totalprice) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, revenue,
+         row_number() OVER (PARTITION BY nationkey
+                            ORDER BY revenue, custkey) AS i,
+         count(*) OVER (PARTITION BY nationkey) AS n,
+         sum(revenue) OVER (PARTITION BY nationkey) AS total
+  FROM rev
+)
+SELECT n2.n_name AS nation,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       round(max(total), 2) AS total_revenue,
+       round(2.0 * sum(i * revenue) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 6) AS gini
+FROM ranked JOIN nation n2 ON ranked.nationkey = n2.n_nationkey
+GROUP BY n2.n_name ORDER BY nation
+"""
+
+
+@register(
+    "r70_gini_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("skew", "gini", "window"),
+)
+def r70_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each nation —
+    the single-number concentration readout that turns r59's raw key
+    histogram into 'how skewed is this join key really' (G = 2·Σi·xᵢ/
+    (n·Σx) − (n+1)/n over ascending-sorted values): the number a
+    platform team tracks to decide when a key needs salting.
+
+    Plan: the corpus-sized work is ONE groupBy (order → per-customer
+    revenue); the ranking windows run over the |customers| aggregate
+    partitioned by nation, and the nation dim joins broadcast. The
+    rank tie-breaks on custkey so i is deterministic when two
+    customers tie on revenue — without it the Σi·xᵢ dot product would
+    be engine-dependent."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nationkey")
+    w_rank = Window.partitionBy("nationkey").orderBy("revenue", "custkey")
+    ranked = rev.select(
+        "nationkey",
+        "revenue",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w).alias("n"),
+        F.sum("revenue").over(w).alias("total"),
+    )
+    return (
+        ranked.join(F.broadcast(n), ranked.nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(F.max("total"), 2).alias("total_revenue"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("revenue"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )

@@ -61,6 +61,8 @@ EMPTY_SAFE = [
     "r66_hierarchy_revenue_shares",
     "r67_cusum_changepoint",
     "r68_holt_forecast",
+    "r69_benford_audit",
+    "r70_gini_concentration",
 ]
 
 
