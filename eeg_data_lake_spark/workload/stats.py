@@ -1262,3 +1262,77 @@ def r70_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------
+# r71: ROC-AUC by rank statistic over binned scores
+# --------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH b AS (
+  SELECT round(value, 2) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT s, sum(y) AS np, sum(1 - y) AS nn
+  FROM b GROUP BY s
+),
+c AS (
+  SELECT s, np, nn,
+         coalesce(sum(nn) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+  FROM g
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       CAST(sum(nn) AS BIGINT) AS n_neg,
+       round(sum(np * (cum_neg + 0.5 * nn))
+             / (sum(np) * sum(nn)), 6) AS auc
+FROM c
+"""
+
+
+@register(
+    "r71_auc_rank",
+    oracle=_AUC_ORACLE,
+    tags=("ml-eval", "auc", "window"),
+)
+def r71_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the metric value as a predictor of purchase events,
+    by the Mann–Whitney identity AUC = P(s₊ > s₋) + ½P(s₊ = s₋) —
+    the univariate feature-screening number ranked before any model
+    training. Computed HISTOGRAM-style: scores bin to 2 decimals, the
+    corpus aggregates to (bin, n_pos, n_neg) once, and the rank
+    statistic folds over cumulative-negative counts on the BIN table.
+
+    Scale shape: the only corpus-sized pass is the bin groupBy
+    (partial-aggregated shuffle of |bins| rows); the unpartitioned
+    cumulative window rides the bounded bin table (≤ ~10⁴ bins by
+    construction of the rounding), not the corpus — the same
+    single-partition-on-purpose trade every distributed AUC
+    implementation (e.g. MLlib's BinaryClassificationMetrics
+    curve-on-bins) makes. Ties are handled exactly via the ½·n_neg
+    same-bin term, so the result is the true tie-corrected AUC of the
+    binned scores in both engines."""
+    b = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.round("value", 2).alias("s"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+    )
+    g = b.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn("cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("np") * (F.col("cum_neg") + 0.5 * F.col("nn")))
+            / (F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )

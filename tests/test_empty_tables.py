@@ -63,6 +63,7 @@ EMPTY_SAFE = [
     "r68_holt_forecast",
     "r69_benford_audit",
     "r70_gini_concentration",
+    "r71_auc_rank",
 ]
 
 
