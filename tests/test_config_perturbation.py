@@ -35,6 +35,10 @@ SENSITIVE = [
     "r62_psi_drift",
     "r63_survival_life_table",
     "r64_hybrid_search_rrf",
+    "r67_cusum_changepoint",
+    "r68_holt_forecast",
+    "r70_gini_concentration",
+    "r71_auc_rank",
 ]
 
 
@@ -71,6 +75,8 @@ def tiny_splits(spark):
         "r23_ewma_fold",
         "r30_token_shard_packing",  # prefix sum over partition ids
         "r53_interval_overlap_join",
+        "r67_cusum_changepoint",    # prefix sum over window order
+        "r68_holt_forecast",        # ordered struct fold
     ],
 )
 def test_oracle_parity_with_tiny_scan_splits(tiny_splits, sf_dir, name):
