@@ -1152,9 +1152,10 @@ def r69_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer part — identical semantics in both engines, no float-log
     round-trip), so the whole query is one map + one 9-group
     aggregation: a single partial-aggregated shuffle of 9 rows,
-    trivially 100 TB-safe. The total rides a broadcast of the 9-row
-    aggregate back over itself (Catalyst folds the cross join of one
-    row), never a second corpus scan."""
+    trivially 100 TB-safe. The total rides an unpartitioned window
+    over the 9-row aggregate (the r66 whole-relation-share pattern —
+    single-partition on purpose, it carries ≤ 9 rows at any corpus
+    size), never a second corpus scan and never a join."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     digits = o.select(
         F.substring(
@@ -1164,12 +1165,11 @@ def r69_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
-    tot = obs.agg(F.sum("n").alias("total"))
+    total = F.sum("n").over(Window.partitionBy())
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
-    share = F.col("n") / F.col("total")
+    share = F.col("n") / total
     return (
-        obs.crossJoin(F.broadcast(tot))
-        .select(
+        obs.select(
             "digit",
             F.col("n").cast("long").alias("n"),
             F.round(share, 6).alias("observed_share"),

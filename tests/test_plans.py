@@ -9,6 +9,7 @@ import pytest
 
 from eeg_data_lake_spark.plans import (
     count_exchanges,
+    explain_string,
     has_cartesian_or_bnlj,
     join_strategies,
     pushed_filters,
@@ -440,3 +441,52 @@ def test_r47_dsir_broadcasts_bucket_stats(spark, sf_dir):
     # listed once per consumer in the formatted plan).
     assert set(strategies) <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}
     assert count_exchanges(df) <= 6
+
+
+def test_r67_cusum_single_data_exchange(spark, sf_dir):
+    """All four window families (mean, prefix sum, extrema, argmax)
+    share the ONE user_id hash exchange; the second exchange is the
+    presentation ORDER BY. The rn=1 argmax must push down to a
+    WindowGroupLimit, not rank every row."""
+    df = q("r67_cusum_changepoint", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
+    assert "WindowGroupLimit" in explain_string(df)
+
+
+def test_r68_holt_single_data_exchange(spark, sf_dir):
+    """Ordered struct fold: one user_id exchange for the collect_list
+    groupBy, plus the presentation sort. The fold itself is an in-row
+    expression — no joins, no extra shuffle."""
+    df = q("r68_holt_forecast", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
+
+
+def test_r69_benford_no_joins(spark, sf_dir):
+    """Digit histogram: one partial-aggregated 9-row shuffle + the
+    presentation sort; the corpus total rides a window over the 9-row
+    aggregate, never a join or second scan."""
+    df = q("r69_benford_audit", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_r70_gini_all_broadcast(spark, sf_dir):
+    """Both dims broadcast — the fact table shuffles only for its own
+    aggregations (per-customer revenue, per-nation windows, final
+    nation agg, presentation sort), never for a join."""
+    df = q("r70_gini_concentration", spark, sf_dir)
+    assert set(join_strategies(df)) == {"BroadcastHashJoin"}
+    assert not has_cartesian_or_bnlj(df)
+    assert count_exchanges(df) <= 4
+
+
+def test_r71_auc_bin_table_windows(spark, sf_dir):
+    """The corpus-sized pass is the bin groupBy; the cumulative window
+    and final agg ride the bounded bin table (one single-partition
+    exchange, deliberate and documented)."""
+    df = q("r71_auc_rank", spark, sf_dir)
+    assert count_exchanges(df) == 2
+    assert join_strategies(df) == []
