@@ -47,6 +47,8 @@ QUERIES = [
     "r45_audio_pcm_features",     # Arrow-batched Python codec (per-row cost)
     "r47_dsir_importance_resample",  # explode + 256-bucket broadcast fold
     "r53_interval_overlap_join",  # bin-and-verify pair join (output grows 10x)
+    "r67_cusum_changepoint",      # O(1)/row windows over 10x-longer series
+    "r68_holt_forecast",          # collect_list fold over 10x-longer series
 ]
 
 #: key column to offset per table so replicas don't collide
