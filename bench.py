@@ -71,6 +71,8 @@ HEADLINE = [
     "r30_token_shard_packing",    # two-phase distributed prefix sum
     "r36_local_supplier_volume",  # six-way broadcast join (TPC-H Q5)
     "r45_audio_pcm_features",     # real PCM16 codec via Arrow mapInPandas
+    "r67_cusum_changepoint",      # 4 window families on one exchange
+    "r68_holt_forecast",          # ordered struct fold (recursive state)
 ]
 
 
