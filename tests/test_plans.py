@@ -490,3 +490,32 @@ def test_r71_auc_bin_table_windows(spark, sf_dir):
     df = q("r71_auc_rank", spark, sf_dir)
     assert count_exchanges(df) == 2
     assert join_strategies(df) == []
+
+
+def test_whole_stage_codegen_spans(spark, sf_dir):
+    """Hot relational paths must stay inside whole-stage codegen — the
+    'expressions JVM-side' claim made testable. AQE hides codegen until
+    runtime, so the pin runs on an AQE-off twin session; span counts
+    are exact (a drop means an expression fell out of codegen, a rise
+    means a pipeline fractured into more stages)."""
+    import re
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    expected = {
+        "q01_pricing_summary": 2,        # scan..partial-agg | final-agg
+        "q02_top_revenue_customers": 5,  # per join/agg stage
+        "q16_order_total_zscore": 3,
+        "q33_neardup_shingle_jaccard": 4,
+    }
+    for name, n_spans in expected.items():
+        df = REGISTRY[name].spark_fn(s2, sf_dir)
+        txt = df._jdf.queryExecution().explainString(
+            s2._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
+        assert m, f"{name}: no codegen report"
+        assert int(m.group(1)) == n_spans, f"{name}: {m.group(1)} != {n_spans}"
