@@ -1538,3 +1538,141 @@ def r68_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_3"
         ),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------
+# r72: order-fulfillment latency SLA percentiles by priority
+# --------------------------------------------------------------------
+
+_LATENCY_ORACLE = """
+WITH ship AS (
+  SELECT l_orderkey,
+         min(l_shipdate) AS first_ship,
+         max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey
+),
+lat AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, s.first_ship) AS days_to_first,
+         date_diff('day', o.o_orderdate, s.last_ship)  AS days_to_full
+  FROM orders o JOIN ship s ON o.o_orderkey = s.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(days_to_first), 4) AS avg_days_to_first,
+       round(quantile_cont(days_to_full, 0.5), 4)  AS p50_days_to_full,
+       round(quantile_cont(days_to_full, 0.95), 4) AS p95_days_to_full,
+       CAST(max(days_to_full) AS BIGINT) AS worst_days
+FROM lat GROUP BY priority ORDER BY priority
+"""
+
+
+@register(
+    "r72_fulfillment_latency",
+    oracle=_LATENCY_ORACLE,
+    tags=("analytics", "latency", "sla"),
+)
+def r72_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment latency SLA readout: days from order date to
+    first and to final shipment, with p50/p95 per priority class — the
+    cross-table lifecycle-latency report an ops team pages on (and the
+    shape of any event-pair latency: request→response, ingest→serve).
+
+    Plan: lineitem pre-aggregates to one (orderkey, first, last) row
+    BEFORE the join — the q02 lesson: the join moves |orders| rows,
+    never |lineitem| — then one 5-group aggregate carries the exact
+    interpolated percentiles (q10's percentile↔quantile_cont
+    convention). Two corpus-sized exchanges total, both unavoidable
+    (the per-order agg and the order join's own key exchange)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    lat = o.join(ship, o.o_orderkey == ship.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("first_ship", "o_orderdate").alias("days_to_first"),
+        F.datediff("last_ship", "o_orderdate").alias("days_to_full"),
+    )
+    ps = F.expr("percentile(days_to_full, array(0.5, 0.95))")
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.avg("days_to_first"), 4).alias("avg_days_to_first"),
+            ps.alias("_ps"),
+            F.max("days_to_full").cast("long").alias("worst_days"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            "avg_days_to_first",
+            F.round(F.col("_ps")[0], 4).alias("p50_days_to_full"),
+            F.round(F.col("_ps")[1], 4).alias("p95_days_to_full"),
+            "worst_days",
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------
+# r73: calendar seasonality profile (hour × weekday chi-square)
+# --------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH cells AS (
+  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — align
+  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT sum(n) AS total, count(*) AS n_cells FROM cells
+)
+SELECT dow, hod, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / total, 6) AS share,
+       round((n - total * 1.0 / n_cells) * (n - total * 1.0 / n_cells)
+             / (total * 1.0 / n_cells), 6) AS chi2_term
+FROM cells, tot ORDER BY dow, hod
+"""
+
+
+@register(
+    "r73_calendar_seasonality",
+    oracle=_SEASONALITY_ORACLE,
+    tags=("analytics", "seasonality", "calendar"),
+)
+def r73_calendar_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week load profile with per-cell chi-square
+    deviation from uniform — the seasonality fingerprint that sizes
+    batch windows, autoscaling schedules and anomaly baselines (a cell
+    with a big chi² term is a rush hour; a flat profile means the
+    uniform-rate assumption is safe).
+
+    One corpus pass into a ≤168-cell aggregate; totals ride a window
+    over the cell table (the r69 pattern — the observed-cell count
+    n_cells, not a literal 168, so empty cells are handled the way the
+    oracle's FROM-aggregate handles them). Everything after the one
+    partial-aggregated shuffle is O(168)."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    n_cells = F.count("*").over(w)
+    expected = total * 1.0 / n_cells
+    return cells.select(
+        "dow",
+        "hod",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / total, 6).alias("share"),
+        F.round(
+            (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
+        ).alias("chi2_term"),
+    ).orderBy("dow", "hod")

@@ -64,6 +64,8 @@ EMPTY_SAFE = [
     "r69_benford_audit",
     "r70_gini_concentration",
     "r71_auc_rank",
+    "r72_fulfillment_latency",
+    "r73_calendar_seasonality",
 ]
 
 
