@@ -1676,3 +1676,72 @@ def r73_calendar_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
         ).alias("chi2_term"),
     ).orderBy("dow", "hod")
+
+
+# --------------------------------------------------------------------
+# r74: differential-privacy release — seeded-Laplace noisy counts
+# --------------------------------------------------------------------
+
+DP_EPSILON = 1.0
+
+_DP_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+),
+u AS (
+  SELECT event_type, n,
+         (('0x' || substr(md5(event_type), 1, 8))::UBIGINT + 0.5)
+           / 4294967296.0 AS u
+  FROM g
+)
+SELECT event_type,
+       round(n + (-1.0 / {DP_EPSILON})
+                 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
+             6) AS noisy_n,
+       round((-1.0 / {DP_EPSILON})
+             * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+FROM u ORDER BY event_type
+"""
+
+
+@register(
+    "r74_dp_noisy_counts",
+    oracle=_DP_ORACLE,
+    tags=("privacy", "dp", "laplace"),
+)
+def r74_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differential-privacy release shape for count queries: per-type
+    event counts plus Laplace(Δ/ε) noise (Δ=1 for counting, ε=1), the
+    standard noisy-histogram release. The draw is SEEDED — uniform u
+    from md5(key) via the r24 idiom, mapped through the Laplace inverse
+    CDF −b·sign(u−½)·ln(1−2|u−½|) — so the release is reproducible and
+    hash-checkable across engines; a production release swaps the md5
+    for a secret-keyed PRF (same plan, the ε accounting is unchanged —
+    what must be secret is the seed, not the mechanism). Exact n never
+    leaves this query's scope.
+
+    Plan: one partial-aggregated corpus shuffle into |event_type|
+    rows; the noise is an in-row expression over the aggregate.
+    100 TB-safe trivially."""
+    g = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        F.lit(-b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+        F.round(noise, 6).alias("noise"),
+    ).orderBy("event_type")

@@ -66,6 +66,7 @@ EMPTY_SAFE = [
     "r71_auc_rank",
     "r72_fulfillment_latency",
     "r73_calendar_seasonality",
+    "r74_dp_noisy_counts",
 ]
 
 
