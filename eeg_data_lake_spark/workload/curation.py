@@ -1297,3 +1297,76 @@ def r61_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(m["shards"]), m["total_rows"], not problems)],
         "n_shards int, total_rows long, verified boolean",
     )
+
+
+# --------------------------------------------------------------------
+# r75: l-diversity audit (the k-anonymity follow-on)
+# --------------------------------------------------------------------
+
+_L_DIV = 2
+
+_BAND_SQL = """CASE WHEN c_acctbal < 0 THEN 'debt'
+     WHEN c_acctbal < 2500 THEN 'low'
+     WHEN c_acctbal < 5000 THEN 'mid'
+     ELSE 'high' END"""
+
+_LDIV_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         {_BAND_SQL} AS band,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+shared AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment) AS grp_n
+  FROM cells
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS l_distinct,
+       round(-sum((cnt * 1.0 / grp_n) * ln(cnt * 1.0 / grp_n)), 6) AS entropy,
+       CAST(count(*) >= {_L_DIV} AS INTEGER) AS l_ok
+FROM shared
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@register(
+    "r75_l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("curation", "privacy", "l-diversity"),
+)
+def r75_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the follow-on
+    r52's k-anonymity misses: a group can hold ≥ k rows yet leak the
+    sensitive attribute if every member shares one value. Per
+    quasi-identifier group (nation × segment): distinct-l over the
+    banded sensitive attribute (account-balance band), the entropy of
+    its distribution (entropy l-diversity — distinct-l says 2 values
+    exist, entropy says whether the second is a token presence), and
+    the l ≥ {l} gate.
+
+    Plan: corpus → (QI, band) cells in one partial-aggregated shuffle;
+    l/entropy/n ride a second agg over the |QI|×|bands|-bounded cell
+    table. The within-group share uses a window on the CELL table —
+    never a corpus re-scan.""".format(l=_L_DIV)
+    c = t(spark, sf_dir, "customer")
+    cells = (
+        c.withColumn("band", F.expr(_BAND_SQL))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("cnt") * 1.0 / F.sum("cnt").over(w)
+    return (
+        cells.withColumn("plogp", p * F.log(p))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.count("*").cast("long").alias("l_distinct"),
+            F.round(-F.sum("plogp"), 6).alias("entropy"),
+            (F.count("*") >= _L_DIV).cast("int").alias("l_ok"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

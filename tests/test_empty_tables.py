@@ -67,6 +67,7 @@ EMPTY_SAFE = [
     "r72_fulfillment_latency",
     "r73_calendar_seasonality",
     "r74_dp_noisy_counts",
+    "r75_l_diversity_audit",
 ]
 
 
