@@ -1370,3 +1370,133 @@ def r75_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------
+# r76: t-closeness audit (ordered EMD) — completes the privacy triad
+# --------------------------------------------------------------------
+
+_T_CLOSE = 0.2
+
+_TCLOSE_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         {{band}} AS band,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+bands(band, band_idx) AS (
+  VALUES ('debt', 0), ('low', 1), ('mid', 2), ('high', 3)
+),
+grid AS (
+  SELECT q.c_nationkey, q.c_mktsegment, b.band, b.band_idx,
+         coalesce(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM cells) q
+  CROSS JOIN bands b
+  LEFT JOIN cells c USING (c_nationkey, c_mktsegment, band)
+),
+shares AS (
+  SELECT g.*,
+         sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment) AS grp_n,
+         sum(cnt) OVER (PARTITION BY band) * 1.0
+           / sum(cnt) OVER () AS q_share
+  FROM grid g
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, grp_n,
+         sum(cnt * 1.0 / grp_n - q_share)
+           OVER (PARTITION BY c_nationkey, c_mktsegment
+                 ORDER BY band_idx ROWS UNBOUNDED PRECEDING) AS cum_diff
+  FROM shares
+)
+SELECT c_nationkey, c_mktsegment,
+       CAST(max(grp_n) AS BIGINT) AS n,
+       round(sum(abs(cum_diff)) / 3.0, 6) AS t_emd,
+       CAST(sum(abs(cum_diff)) / 3.0 <= {_T_CLOSE} AS INTEGER) AS t_ok
+FROM cum
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+""".format(band=_BAND_SQL)
+
+
+@register(
+    "r76_t_closeness_audit",
+    oracle=_TCLOSE_ORACLE,
+    tags=("curation", "privacy", "t-closeness"),
+)
+def r76_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third privacy gate:
+    a group can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION diverges from the table's (a group
+    that is 90% 'debt' in a 10%-debt table reveals plenty). Per QI
+    group: the ordered earth-mover's distance between the group's
+    account-band distribution and the global one — EMD over an ordered
+    attribute is the mean |cumulative difference| — gated at
+    t ≤ {t}.
+
+    Plan: corpus → (QI, band) cells once (shared shape with r75); the
+    dense QI × band grid comes from an EXPLODE of the 4-band literal
+    (never a cross join — the plan-sweep rule), zero-filled by a left
+    join on the cell table; global band shares and the cumulative
+    difference are windows over the grid, which is bounded by
+    |QI|·|bands| at any corpus size.""".format(t=_T_CLOSE)
+    c = t(spark, sf_dir, "customer")
+    cells = (
+        c.withColumn("band", F.expr(_BAND_SQL))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").alias("cnt"))
+    )
+    band_order = ["debt", "low", "mid", "high"]
+    grid = (
+        cells.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band"), F.lit(i).alias("band_idx"))
+                    for i, b in enumerate(band_order)
+                ])
+            ).alias("b"),
+        )
+        .select("c_nationkey", "c_mktsegment", "b.band", "b.band_idx")
+        .join(cells, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    w_qi = Window.partitionBy("c_nationkey", "c_mktsegment")
+    w_band = Window.partitionBy("band")
+    w_all = Window.partitionBy()
+    w_cum = w_qi.orderBy("band_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    shares = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "band_idx",
+        "cnt",
+        F.sum("cnt").over(w_qi).alias("grp_n"),
+        (F.sum("cnt").over(w_band) * 1.0 / F.sum("cnt").over(w_all)).alias(
+            "q_share"
+        ),
+    )
+    cum = shares.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "grp_n",
+        F.sum(
+            F.col("cnt") * 1.0 / F.col("grp_n") - F.col("q_share")
+        ).over(w_cum).alias("cum_diff"),
+    )
+    m1 = float(len(band_order) - 1)
+    return (
+        cum.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("grp_n").cast("long").alias("n"),
+            F.round(F.sum(F.abs("cum_diff")) / m1, 6).alias("t_emd"),
+            (F.sum(F.abs("cum_diff")) / m1 <= _T_CLOSE)
+            .cast("int")
+            .alias("t_ok"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -68,6 +68,7 @@ EMPTY_SAFE = [
     "r73_calendar_seasonality",
     "r74_dp_noisy_counts",
     "r75_l_diversity_audit",
+    "r76_t_closeness_audit",
 ]
 
 
