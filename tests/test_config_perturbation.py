@@ -39,6 +39,9 @@ SENSITIVE = [
     "r68_holt_forecast",
     "r70_gini_concentration",
     "r71_auc_rank",
+    "r72_fulfillment_latency",
+    "r75_l_diversity_audit",
+    "r76_t_closeness_audit",
 ]
 
 
