@@ -1336,3 +1336,105 @@ def r71_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------
+# r77: Theil-T inequality with between/within-nation decomposition
+# --------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+         sum(o.o_totalprice) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT count(*) AS n, sum(x) AS sx, avg(x) AS mu FROM rev
+),
+within AS (
+  SELECT r.nationkey,
+         count(*) AS n_g,
+         sum(r.x) AS sx_g,
+         avg(r.x) AS mu_g,
+         sum((r.x / t.mu) * ln(r.x / t.mu)) / t.n AS theil_contrib
+  FROM rev r, tot t
+  GROUP BY r.nationkey, t.n, t.mu
+)
+SELECT w.nationkey AS nationkey,
+       CAST(w.n_g AS BIGINT) AS n_customers,
+       round(w.theil_contrib, 6) AS theil_contrib,
+       round((w.sx_g / t.sx) * ln((w.sx_g / t.sx) / (w.n_g * 1.0 / t.n)),
+             6) AS between_term,
+       round(w.theil_contrib
+             - (w.sx_g / t.sx) * ln((w.sx_g / t.sx) / (w.n_g * 1.0 / t.n)),
+             6) AS within_term
+FROM within w, tot t
+ORDER BY nationkey
+"""
+
+
+@register(
+    "r77_theil_decomposition",
+    oracle=_THEIL_ORACLE,
+    tags=("skew", "theil", "inequality"),
+)
+def r77_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-customer revenue with the exact
+    between-/within-nation decomposition — the property Gini (r70)
+    lacks: T = T_between + Σ share_g·T_within,g, so a platform team
+    can read WHERE the concentration lives (a few hot nations vs hot
+    customers inside each nation) — the shuffle-skew triage question.
+
+    Plan: same single corpus groupBy as r70 (per-customer revenue),
+    then nation-level SUFFICIENT statistics (Σx·lnx, Σx, n) — the
+    algebraic form Σ(x/μ)ln(x/μ) = (Σx·lnx − ln(μ)Σx)/μ means no
+    per-row global mean is ever needed, so grand totals ride a window
+    over the 25-row nation aggregate (the r69 pattern), never a join
+    onto the corpus. Two aggregate exchanges, nothing corpus-sized
+    re-shuffles."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    # nation-level sufficient statistics only — Σx·lnx, Σx, n_g —
+    # so the per-customer relation is aggregated straight to 25 rows
+    # with NO per-row global mean: Σ(x/μ)ln(x/μ) = (Σx·lnx − ln(μ)·Σx)/μ
+    g = rev.groupBy("nationkey").agg(
+        F.count("*").alias("n_g"),
+        F.sum("x").alias("sx_g"),
+        F.sum(F.col("x") * F.log("x")).alias("sxlx_g"),
+    )
+    w_all = Window.partitionBy()
+    n = F.sum("n_g").over(w_all)
+    sx = F.sum("sx_g").over(w_all)
+    mu = sx / n
+    within = g.select(
+        "nationkey",
+        "n_g",
+        "sx_g",
+        n.alias("n"),
+        sx.alias("sx"),
+        (
+            (F.col("sxlx_g") - F.log(mu) * F.col("sx_g")) / mu / n
+        ).alias("theil_contrib"),
+    )
+    between = (F.col("sx_g") / F.col("sx")) * F.log(
+        (F.col("sx_g") / F.col("sx")) / (F.col("n_g") * 1.0 / F.col("n"))
+    )
+    return (
+        within.select(
+            "nationkey",
+            F.col("n_g").cast("long").alias("n_customers"),
+            F.round("theil_contrib", 6).alias("theil_contrib"),
+            F.round(between, 6).alias("between_term"),
+            F.round(F.col("theil_contrib") - between, 6).alias("within_term"),
+        )
+        .orderBy("nationkey")
+    )

@@ -69,6 +69,7 @@ EMPTY_SAFE = [
     "r74_dp_noisy_counts",
     "r75_l_diversity_audit",
     "r76_t_closeness_audit",
+    "r77_theil_decomposition",
 ]
 
 
