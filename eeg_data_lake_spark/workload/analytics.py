@@ -1745,3 +1745,74 @@ def r74_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
         F.round(noise, 6).alias("noise"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------
+# r78: first-touch attribution (conversion by acquisition channel)
+# --------------------------------------------------------------------
+
+_ATTRIB_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(struct_pack(ts := ts, event_id := event_id,
+                         event_type := event_type)).event_type AS channel,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+         coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0)
+           AS purchase_value
+  FROM events GROUP BY user_id
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS conversion_rate,
+       round(sum(purchase_value), 4) AS attributed_value
+FROM per_user GROUP BY channel ORDER BY channel
+"""
+
+
+@register(
+    "r78_first_touch_attribution",
+    oracle=_ATTRIB_ORACLE,
+    tags=("analytics", "attribution", "window"),
+)
+def r78_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every user's lifetime purchase value is
+    credited to the channel (event type) of their FIRST interaction —
+    the acquisition-channel ROI table (last-touch is the same plan with
+    the window reversed; the r17 funnel gives the path in between).
+
+    Plan: ONE pass, NO join, NO window — the first touch is
+    min(struct(ts, event_id, event_type)) (struct ordering is
+    lexicographic in both engines, and event_id makes the order
+    total), folded into the same partial-aggregated user_id groupBy
+    that computes the conversion stats; the channel rollup then
+    aggregates |users| rows on a ~|channels|-cardinality key. Two
+    exchanges, both aggregation's own — the window+self-join
+    formulation costs two corpus exchanges plus a join and reads
+    events twice."""
+    e = t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    conv = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("channel"),
+        F.sum(is_p.cast("int")).alias("n_purchases"),
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)
+        ).alias("purchase_value"),
+    )
+    converted = (F.col("n_purchases") > 0).cast("int")
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(converted).cast("long").alias("n_converted"),
+            F.round(F.sum(converted) * 1.0 / F.count("*"), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(F.sum("purchase_value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -70,6 +70,7 @@ EMPTY_SAFE = [
     "r75_l_diversity_audit",
     "r76_t_closeness_audit",
     "r77_theil_decomposition",
+    "r78_first_touch_attribution",
 ]
 
 

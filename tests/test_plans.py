@@ -519,3 +519,12 @@ def test_whole_stage_codegen_spans(spark, sf_dir):
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
         assert m, f"{name}: no codegen report"
         assert int(m.group(1)) == n_spans, f"{name}: {m.group(1)} != {n_spans}"
+
+
+def test_r78_attribution_is_joinless_single_pass(spark, sf_dir):
+    """First-touch via min-of-struct folds into the conversion agg —
+    events read once, no window, no join; exchanges are the two
+    aggregations' own plus the presentation sort."""
+    df = q("r78_first_touch_attribution", spark, sf_dir)
+    assert count_exchanges(df) <= 3
+    assert join_strategies(df) == []
