@@ -1345,12 +1345,12 @@ def r75_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded sensitive attribute (account-balance band), the entropy of
     its distribution (entropy l-diversity — distinct-l says 2 values
     exist, entropy says whether the second is a token presence), and
-    the l ≥ {l} gate.
+    the l >= 2 (_L_DIV) gate.
 
     Plan: corpus → (QI, band) cells in one partial-aggregated shuffle;
     l/entropy/n ride a second agg over the |QI|×|bands|-bounded cell
     table. The within-group share uses a window on the CELL table —
-    never a corpus re-scan.""".format(l=_L_DIV)
+    never a corpus re-scan."""
     c = t(spark, sf_dir, "customer")
     cells = (
         c.withColumn("band", F.expr(_BAND_SQL))
@@ -1432,14 +1432,14 @@ def r76_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     group: the ordered earth-mover's distance between the group's
     account-band distribution and the global one — EMD over an ordered
     attribute is the mean |cumulative difference| — gated at
-    t ≤ {t}.
+    t <= 0.2 (_T_CLOSE).
 
     Plan: corpus → (QI, band) cells once (shared shape with r75); the
     dense QI × band grid comes from an EXPLODE of the 4-band literal
     (never a cross join — the plan-sweep rule), zero-filled by a left
     join on the cell table; global band shares and the cumulative
     difference are windows over the grid, which is bounded by
-    |QI|·|bands| at any corpus size.""".format(t=_T_CLOSE)
+    |QI|·|bands| at any corpus size."""
     c = t(spark, sf_dir, "customer")
     cells = (
         c.withColumn("band", F.expr(_BAND_SQL))
