@@ -1816,3 +1816,88 @@ def r78_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------
+# r79: time-to-convert percentiles by acquisition channel
+# --------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(struct_pack(ts := ts, event_id := event_id,
+                         event_type := event_type)).event_type AS channel,
+         min(ts) AS first_ts,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase_ts
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT channel,
+         date_diff('second', first_ts, first_purchase_ts) / 3600.0 AS hours
+  FROM per_user WHERE first_purchase_ts IS NOT NULL
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_converters,
+       round(quantile_cont(hours, 0.5), 6)  AS p50_hours,
+       round(quantile_cont(hours, 0.95), 6) AS p95_hours,
+       round(max(hours), 6) AS max_hours
+FROM conv GROUP BY channel ORDER BY channel
+"""
+
+
+@register(
+    "r79_time_to_convert",
+    oracle=_TTC_ORACLE,
+    tags=("analytics", "attribution", "latency"),
+)
+def r79_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert by acquisition channel: hours from a user's
+    first-ever touch to their first purchase, p50/p95 per first-touch
+    channel — the behavioral-latency companion to r78's conversion
+    rates (two channels can convert equally often yet one takes 10×
+    longer; budget follows the fast one).
+
+    Same single-pass shape as r78: first touch, first timestamp and
+    first purchase timestamp all fold into ONE user_id groupBy (the
+    purchase min is a conditional aggregate, no second scan); the
+    channel rollup carries the exact interpolated percentiles (q10
+    convention). Seconds-resolution datediff ÷ 3600 keeps the hour
+    arithmetic exact-integer before one float divide, so both engines
+    hash-match."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("channel"),
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase_ts"),
+    )
+    conv = per_user.filter(F.col("first_purchase_ts").isNotNull()).select(
+        "channel",
+        (
+            (
+                F.unix_timestamp("first_purchase_ts")
+                - F.unix_timestamp("first_ts")
+            )
+            / 3600.0
+        ).alias("hours"),
+    )
+    ps = F.expr("percentile(hours, array(0.5, 0.95))")
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_converters"),
+            ps.alias("_ps"),
+            F.round(F.max("hours"), 6).alias("max_hours"),
+        )
+        .select(
+            "channel",
+            "n_converters",
+            F.round(F.col("_ps")[0], 6).alias("p50_hours"),
+            F.round(F.col("_ps")[1], 6).alias("p95_hours"),
+            "max_hours",
+        )
+        .orderBy("channel")
+    )

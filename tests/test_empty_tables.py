@@ -71,6 +71,7 @@ EMPTY_SAFE = [
     "r76_t_closeness_audit",
     "r77_theil_decomposition",
     "r78_first_touch_attribution",
+    "r79_time_to_convert",
 ]
 
 
