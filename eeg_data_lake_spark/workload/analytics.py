@@ -1901,3 +1901,87 @@ def r79_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------
+# r80: linear multi-touch attribution (fractional credit)
+# --------------------------------------------------------------------
+
+_LINEAR_ATTRIB_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS fp_ts,
+         coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0)
+           AS purchase_value
+  FROM events GROUP BY user_id
+),
+touches AS (
+  SELECT DISTINCT e.user_id, e.event_type AS channel
+  FROM events e JOIN pu ON e.user_id = pu.user_id
+  WHERE pu.fp_ts IS NOT NULL AND e.ts <= pu.fp_ts
+),
+credit AS (
+  SELECT t.user_id, t.channel,
+         pu.purchase_value
+           / count(*) OVER (PARTITION BY t.user_id) AS credited
+  FROM touches t JOIN pu ON t.user_id = pu.user_id
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credited_users,
+       round(sum(credited), 4) AS attributed_value
+FROM credit GROUP BY channel ORDER BY channel
+"""
+
+
+@register(
+    "r80_linear_attribution",
+    oracle=_LINEAR_ATTRIB_ORACLE,
+    tags=("analytics", "attribution", "multi-touch"),
+)
+def r80_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each converter's lifetime
+    purchase value is split EQUALLY across every distinct channel they
+    touched up to (and including) their first purchase — the fractional
+    -credit model teams A/B against r78's winner-takes-all first-touch
+    (channels that assist but rarely initiate only show up here).
+
+    Plan: per-user purchase stats (one user_id groupBy), joined BACK
+    to events on the same key (co-located with the aggregate's output
+    partitioning at scale; AQE broadcasts the aggregated side when
+    small), then the distinct touch set AND its count fold into one
+    collect_set per user — bounded by |channels|, so the "collected
+    state" hazard doesn't apply — followed by an in-row explode and a
+    ~|channels|-key rollup. Nothing corpus-sized moves twice."""
+    e = t(spark, sf_dir, "events")
+    is_p = F.col("event_type") == "purchase"
+    pu = e.groupBy("user_id").agg(
+        F.min(F.when(is_p, F.col("ts"))).alias("fp_ts"),
+        F.coalesce(
+            F.sum(F.when(is_p, F.col("value"))), F.lit(0.0)
+        ).alias("purchase_value"),
+    )
+    # distinct channels + their count fold into ONE user agg via
+    # collect_set (bounded by |channels|) — a separate distinct would
+    # exchange on (user, channel) and the count window would exchange
+    # AGAIN on user; this keeps every post-join stage on the user key
+    per_user = (
+        e.join(pu, "user_id")
+        .filter(F.col("fp_ts").isNotNull() & (F.col("ts") <= F.col("fp_ts")))
+        .groupBy("user_id")
+        .agg(
+            F.collect_set("event_type").alias("channels"),
+            F.first("purchase_value").alias("purchase_value"),
+        )
+    )
+    credit = per_user.select(
+        F.explode("channels").alias("channel"),
+        (F.col("purchase_value") / F.size("channels")).alias("credited"),
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_credited_users"),
+            F.round(F.sum("credited"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

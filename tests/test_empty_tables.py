@@ -72,6 +72,7 @@ EMPTY_SAFE = [
     "r77_theil_decomposition",
     "r78_first_touch_attribution",
     "r79_time_to_convert",
+    "r80_linear_attribution",
 ]
 
 
