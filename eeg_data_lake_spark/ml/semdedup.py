@@ -44,11 +44,17 @@ def _nms_scan(ids: np.ndarray, X: np.ndarray, tau: float):
 
     Returns (sorted_ids, kept_mask, max_kept_cosine) where
     max_kept_cosine[i] is item i's best cosine against the retained
-    set at its decision point (NaN for the first item)."""
+    set at its decision point (NaN for the first item). Zero-norm
+    vectors are clamped (norm floored at 1e-12) so they normalize to
+    the zero vector: cosine 0 against everything, hence always kept
+    and never suppressing later items — without the clamp a 0/0 NaN
+    would propagate through the running max and wrongly flag every
+    subsequent item in the cluster as a duplicate."""
     order = np.argsort(ids)
     ids_s = ids[order]
     Xn = X[order]
-    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    norms = np.linalg.norm(Xn, axis=1, keepdims=True)
+    Xn = Xn / np.maximum(norms, 1e-12)
     sims = Xn @ Xn.T
     n = len(ids_s)
     kept = np.zeros(n, dtype=bool)

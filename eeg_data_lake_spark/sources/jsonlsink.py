@@ -61,11 +61,11 @@ class ShardCommit(WriterCommitMessage):
 
 
 class JsonlShardWriter(DataSourceWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = (options.get("path") or "").rstrip("/")
         if not self.path:
             raise ValueError("jsonlshards requires .option('path', <dir>)")
-        self.overwrite = False
+        self.overwrite = overwrite
 
     def write(self, iterator) -> ShardCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -89,7 +89,14 @@ class JsonlShardWriter(DataSourceWriter):
         return ShardCommit(name, rows, os.path.getsize(full), h.hexdigest())
 
     def commit(self, messages) -> None:
-        shards = [
+        """Manifest-last commit. Append merges this job's shards into
+        the existing manifest; overwrite swaps in a manifest listing
+        ONLY the new shards (atomic ``os.replace``) and deletes the
+        old generation's shards AFTER the swap — a job that dies
+        mid-write therefore leaves the previous manifest and every
+        shard it references untouched, so consumers (who resolve the
+        manifest first) never see a torn or destroyed export."""
+        new = [
             {
                 "file": m.file,
                 "rows": m.rows,
@@ -98,6 +105,13 @@ class JsonlShardWriter(DataSourceWriter):
             }
             for m in messages
         ]
+        new_names = {s["file"] for s in new}
+        shards = new
+        if not self.overwrite:
+            try:
+                shards = read_manifest(self.path)["shards"] + new
+            except FileNotFoundError:
+                pass
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(
@@ -110,6 +124,16 @@ class JsonlShardWriter(DataSourceWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, MANIFEST))
+        if self.overwrite:
+            # old generation is unreferenced as of the swap above;
+            # reclaim it (a crash here leaves only harmless orphans,
+            # which the next overwrite's sweep removes)
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") and f not in new_names:
+                    try:
+                        os.unlink(os.path.join(self.path, f))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -127,16 +151,12 @@ class JsonlShardsDataSource(DataSource):
         return "jsonlshards"
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
-        w = JsonlShardWriter(self.options)
-        if overwrite:
-            # overwrite = fresh export: old shards die with the old
-            # manifest at commit; physically clear them up front so a
-            # mixed directory can't confuse manifest-less readers
-            if os.path.isdir(w.path):
-                for f in os.listdir(w.path):
-                    if f.endswith(".jsonl") or f == MANIFEST:
-                        os.unlink(os.path.join(w.path, f))
-        return w
+        # NOTHING is deleted here: overwrite defers old-generation
+        # removal to commit() (manifest swapped first, then old shards
+        # reclaimed), so a job that fails mid-write leaves the previous
+        # good export fully intact — same manifest-last discipline as
+        # append mode and publish.py's pointer swap.
+        return JsonlShardWriter(self.options, overwrite=overwrite)
 
 
 def read_manifest(path: str) -> dict:

@@ -12,6 +12,15 @@ one result (the loser's append no-ops on the txn id) and a crash
 between compute and commit just recomputes. Old versions' rows stay
 until ``vacuum_cache`` — time-travel-style debugging of "what did the
 dashboard show at v12" included.
+
+Every cached row carries BOTH a ``_cache_tag`` and a
+``_source_version`` column, and reads filter on the pair — several
+tagged queries can share one cache table without their rows bleeding
+into each other. ``vacuum_cache(tag)`` only rewrites that tag's rows
+(other tags' rows survive untouched) and records what it dropped in
+its commit's txn_id, so the manifest-derived "is version v cached?"
+check stays truthful after a vacuum instead of serving an empty
+result for a version whose rows were reclaimed.
 """
 
 from __future__ import annotations
@@ -25,15 +34,29 @@ from eeg_data_lake_spark.sources.txlog import TxTable, iter_manifests
 import json
 
 
-def _cached_versions(cache: TxTable, tag: str) -> set[int]:
-    out: set[int] = set()
-    prefix = f"rc-{tag}-v"
+def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
+    """``(valid_versions, n_vacuums)`` for ``tag``, replayed from the
+    cache table's commit log in commit order: an ``rc-{tag}-g{g}-v{v}``
+    commit claims source version ``v`` cached; an
+    ``rcvac-{tag}-below-{floor}`` commit drops every version claimed
+    so far that is below its floor (a version RE-added after the
+    vacuum stays valid — order matters). ``n_vacuums`` makes re-add
+    txn ids unique so the txlog's replay protection doesn't swallow a
+    legitimate recompute of a vacuumed version."""
+    claimed: set[int] = set()
+    n_vac = 0
+    add_prefix = f"rc-{tag}-g"
+    vac_prefix = f"rcvac-{tag}-below-"
     for _v, mp in iter_manifests(cache.path):
         with open(mp) as fh:
             tid = json.load(fh).get("txn_id") or ""
-        if tid.startswith(prefix):
-            out.add(int(tid[len(prefix):]))
-    return out
+        if tid.startswith(add_prefix):
+            claimed.add(int(tid.rsplit("-v", 1)[1]))
+        elif tid.startswith(vac_prefix):
+            n_vac += 1
+            floor = int(tid[len(vac_prefix):])
+            claimed = {v for v in claimed if v >= floor}
+    return claimed, n_vac
 
 
 def cached_result(
@@ -45,28 +68,47 @@ def cached_result(
     """The result of ``compute(source.read())`` at the source's CURRENT
     version — computed at most once per version, then served from
     ``cache``. ``tag`` namespaces several cached queries in one cache
-    table (their schemas must match)."""
+    table (their schemas must match): rows are stored with the tag and
+    reads filter on ``(tag, source_version)``."""
     v = source.version()
     if v < 0:
         raise ValueError(f"source table at {source.path} has no data")
-    if v not in _cached_versions(cache, tag):
-        result = compute(source.read(version=v)).withColumn(
-            "_source_version", F.lit(v).cast("long")
+    cached, n_vac = _cache_state(cache, tag)
+    if v not in cached:
+        result = (
+            compute(source.read(version=v))
+            .withColumn("_cache_tag", F.lit(tag))
+            .withColumn("_source_version", F.lit(v).cast("long"))
         )
-        cache.append(result, txn_id=f"rc-{tag}-v{v}")
+        cache.append(result, txn_id=f"rc-{tag}-g{n_vac}-v{v}")
     return (
         cache.read()
-        .filter(F.col("_source_version") == v)
-        .drop("_source_version")
+        .filter((F.col("_cache_tag") == tag) & (F.col("_source_version") == v))
+        .drop("_cache_tag", "_source_version")
     )
 
 
 def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:
     """Logically drop all but the newest ``keep_versions`` cached
-    source versions for ``tag`` (one overwrite commit; reclaim files
-    with the table's normal vacuum). Returns surviving row count."""
-    versions = sorted(_cached_versions(cache, tag))
-    keep = set(versions[-keep_versions:]) if keep_versions else set()
-    survivors = cache.read().filter(F.col("_source_version").isin(list(keep)))
-    cache.overwrite(survivors)
-    return survivors.count()
+    source versions for ``tag`` — other tags' rows are untouched (one
+    overwrite commit; reclaim files with the table's normal vacuum).
+    The commit's txn_id records the drop floor so later
+    ``cached_result`` calls know the dropped versions are gone and
+    recompute instead of serving an empty result. Returns the
+    surviving row count for ``tag``."""
+    versions = sorted(_cache_state(cache, tag)[0])
+    if not versions:
+        return 0
+    keep = versions[-keep_versions:] if keep_versions else []
+    # Everything strictly below this floor is dropped for this tag.
+    floor = keep[0] if keep else versions[-1] + 1
+    survivors = cache.read().filter(
+        (F.col("_cache_tag") != tag)
+        | F.col("_source_version").isin([int(k) for k in keep])
+    )
+    cache.overwrite(survivors, txn_id=f"rcvac-{tag}-below-{floor}")
+    return (
+        cache.read()
+        .filter(F.col("_cache_tag") == tag)
+        .count()
+    )

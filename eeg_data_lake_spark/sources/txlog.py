@@ -691,12 +691,16 @@ def table_diff(
     versions).
 
     Plan: one null-safe full-outer join of the two snapshots on the
-    key, payload equality via a hash over the non-key columns
-    (computed per side, so wide rows never compare column-by-column in
-    the join condition), unchanged rows filtered out. Cost is a join
-    of the two snapshots — O(|old| + |new|), the floor for a
-    retroactive diff; for continuous consumption use the change feed
-    instead."""
+    key, payload equality via a 128-bit md5 over the JSON encoding of
+    the non-key columns (computed per side, so wide rows never compare
+    column-by-column in the join condition), unchanged rows filtered
+    out. JSON — not ``xxhash64(cols…)`` — because Spark's xxhash64
+    SKIPS null arguments (leaves the running seed unchanged), so
+    (a=NULL,b='x') and (a='x',b=NULL) would hash identically and a
+    null-position change would be reported unchanged; ``to_json``
+    drops null fields by NAME, which discriminates. Cost is a join of
+    the two snapshots — O(|old| + |new|), the floor for a retroactive
+    diff; for continuous consumption use the change feed instead."""
     old_df, new_df = table.read(version=v_old), table.read(version=v_new)
     payload = [c for c in new_df.columns if c not in keys]
     if sorted(old_df.columns) != sorted(new_df.columns):
@@ -707,7 +711,11 @@ def table_diff(
 
     def hashed(df: DataFrame, side: str) -> DataFrame:
         cols = [F.col(c).alias(f"{side}_{c}") for c in keys]
-        h = F.xxhash64(*[F.col(c) for c in sorted(payload)])
+        h = (
+            F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(payload)])))
+            if payload
+            else F.lit("")  # key-only table: rows can't be 'changed'
+        )
         return df.select(*cols, h.alias(f"{side}_h"))
 
     o, n = hashed(old_df, "o"), hashed(new_df, "n")

@@ -1697,9 +1697,7 @@ u AS (
 SELECT event_type,
        round(n + (-1.0 / {DP_EPSILON})
                  * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)),
-             6) AS noisy_n,
-       round((-1.0 / {DP_EPSILON})
-             * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+             6) AS noisy_n
 FROM u ORDER BY event_type
 """
 
@@ -1710,18 +1708,23 @@ FROM u ORDER BY event_type
     tags=("privacy", "dp", "laplace"),
 )
 def r74_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differential-privacy release shape for count queries: per-type
-    event counts plus Laplace(Δ/ε) noise (Δ=1 for counting, ε=1), the
-    standard noisy-histogram release. The draw is SEEDED — uniform u
-    from md5(key) via the r24 idiom, mapped through the Laplace inverse
-    CDF −b·sign(u−½)·ln(1−2|u−½|) — so the release is reproducible and
-    hash-checkable across engines; a production release swaps the md5
-    for a secret-keyed PRF (same plan, the ε accounting is unchanged —
-    what must be secret is the seed, not the mechanism). Exact n never
-    leaves this query's scope.
+    """Reproducible noisy-release SHAPE for count queries — NOT a
+    differential-privacy mechanism. Per-type event counts plus a
+    Laplace(Δ/ε)-shaped perturbation (Δ=1 for counting, ε=1), the
+    noisy-histogram release pattern: a deterministic uniform u from
+    md5(key) via the r24 idiom, mapped through the Laplace inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|). Because the perturbation is a PUBLIC
+    deterministic function of the group key, exact counts are
+    recoverable and NO ε-DP guarantee holds; even a secret-keyed PRF
+    would not make it DP — true DP requires fresh randomness drawn
+    independently per release. The determinism here is deliberate: it
+    makes the release hash-checkable across engines, which is what
+    this query exists to verify (the plan shape and inverse-CDF
+    arithmetic a real DP release would use). Only ``noisy_n`` is
+    emitted; exact n never leaves this query's scope.
 
     Plan: one partial-aggregated corpus shuffle into |event_type|
-    rows; the noise is an in-row expression over the aggregate.
+    rows; the perturbation is an in-row expression over the aggregate.
     100 TB-safe trivially."""
     g = (
         t(spark, sf_dir, "events")
@@ -1743,7 +1746,6 @@ def r74_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
-        F.round(noise, 6).alias("noise"),
     ).orderBy("event_type")
 
 

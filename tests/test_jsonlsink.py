@@ -60,6 +60,46 @@ def test_overwrite_replaces_export(registered, tmp_path):
     assert verify_export(out) == []
 
 
+def test_append_merges_into_existing_manifest(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 100).repartition(2).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    spark.range(100, 150).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    m = read_manifest(out)
+    assert m["total_rows"] == 150 and len(m["shards"]) == 3
+    assert verify_export(out) == []
+
+
+def test_failed_overwrite_preserves_previous_export(registered, tmp_path):
+    """A job that dies mid-overwrite must leave the previous good
+    manifest AND every shard it references untouched (old behavior
+    deleted them up front, destroying the export before any task ran)."""
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 100).repartition(2).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    before = read_manifest(out)
+
+    def boom(i: int) -> int:
+        raise RuntimeError("task failure injected")
+
+    ubad = F.udf(boom, "int")
+    with pytest.raises(Exception):
+        spark.range(0, 10).select(ubad("id").alias("id")).repartition(
+            1
+        ).write.format("jsonlshards").mode("overwrite").option(
+            "path", out
+        ).save()
+
+    assert read_manifest(out) == before  # manifest untouched
+    assert verify_export(out) == []  # every referenced shard intact
+
+
 def test_verify_detects_corruption(registered, tmp_path):
     spark = registered
     out = str(tmp_path / "corpus")

@@ -64,6 +64,58 @@ def test_tags_namespace_and_vacuum(spark, tables):
     assert len(calls) == before
 
 
+def _cnt(calls):
+    def compute(df):
+        calls.append(1)
+        return df.groupBy().agg(F.count(F.lit(1)).alias("n"), F.lit(0.0).alias("total"))
+
+    return compute
+
+
+def test_two_tags_share_cache_without_bleed(spark, tables):
+    src, cache = tables
+    calls_a: list[int] = []
+    calls_b: list[int] = []
+    a = cached_result(src, cache, _agg(calls_a), "a").collect()
+    b = cached_result(src, cache, _cnt(calls_b), "b").collect()
+    # each tag sees ONLY its own single row, not the union
+    assert len(a) == 1 and len(b) == 1
+    assert a[0].total == 30.0 and b[0].total == 0.0
+    # serving again hits the per-tag cache
+    a2 = cached_result(src, cache, _agg(calls_a), "a").collect()
+    b2 = cached_result(src, cache, _cnt(calls_b), "b").collect()
+    assert len(calls_a) == 1 and len(calls_b) == 1
+    assert a2 == a and b2 == b
+
+
+def test_vacuum_one_tag_preserves_other_tags(spark, tables):
+    src, cache = tables
+    calls_a: list[int] = []
+    calls_b: list[int] = []
+    cached_result(src, cache, _agg(calls_a), "a")
+    cached_result(src, cache, _cnt(calls_b), "b")
+    src.append(spark.createDataFrame([(3, 30.0)], "k long, v double"))
+    cached_result(src, cache, _agg(calls_a), "a")
+    cached_result(src, cache, _cnt(calls_b), "b")
+    n = vacuum_cache(cache, "a", keep_versions=1)
+    assert n == 1
+    # tag b's rows (both versions) survive a's vacuum and serve cached
+    before = len(calls_b)
+    out = cached_result(src, cache, _cnt(calls_b), "b").collect()
+    assert len(calls_b) == before and out[0].n == 3
+
+
+def test_vacuumed_version_recomputes_not_empty(spark, tables):
+    src, cache = tables
+    calls: list[int] = []
+    first = cached_result(src, cache, _agg(calls), "a").collect()
+    # drop EVERYTHING for tag a; manifests alone would still claim cached
+    assert vacuum_cache(cache, "a", keep_versions=0) == 0
+    out = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 2  # recomputed, did NOT serve an empty result
+    assert out == first
+
+
 def test_empty_source_refused(spark, tmp_path):
     src = TxTable(spark, str(tmp_path / "s2"))
     cache = TxTable(spark, str(tmp_path / "c2"))

@@ -27,6 +27,24 @@ def test_nms_chain_keeps_endpoints():
     assert best[2] == pytest.approx(0.0)  # vs retained {a} only
 
 
+def test_nms_zero_norm_vector_is_inert():
+    """A zero-norm embedding normalizes to the zero vector (norm
+    clamped): cosine 0 against everything, so it is kept and — the
+    regression — does NOT poison later comparisons with NaN, which
+    previously flagged every subsequent item in the cluster as a
+    duplicate."""
+    z = np.array([0.0, 0.0])
+    a = np.array([1.0, 0.0])
+    a2 = np.array([0.999, 0.01]) / np.linalg.norm([0.999, 0.01])
+    c = np.array([0.0, 1.0])
+    ids = np.array([1, 2, 3, 4], dtype=np.int64)
+    ids_s, kept, best = _nms_scan(ids, np.stack([z, a, a2, c]), tau=0.9)
+    assert ids_s.tolist() == [1, 2, 3, 4]
+    # zero vec kept; a kept (cos 0 vs z); a2 suppressed by a; c kept
+    assert kept.tolist() == [True, True, False, True]
+    assert not np.isnan(best[1:]).any()
+
+
 def test_flags_deterministic_and_witnessed(spark, sf_dir):
     out = REGISTRY["z09_semdedup"].spark_fn(spark, sf_dir)
     rows = out.collect()

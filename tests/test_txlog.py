@@ -262,6 +262,38 @@ class TestTableDiff:
         assert got == {2: "removed"}
         assert table_diff(t, v1, v1, ["k"]).count() == 0
 
+    def test_null_position_swap_detected(self, spark, tmp_path):
+        """Spark's xxhash64 skips NULL args, so (a=NULL,b='x') and
+        (a='x',b=NULL) hashed identically under the old payload hash
+        and the change was silently dropped; the JSON-encoded md5
+        discriminates nulls by field name."""
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        t.append(
+            spark.createDataFrame(
+                [(1, None, "x"), (2, "y", "y")], "k long, a string, b string"
+            )
+        )
+        v1 = t.version()
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "x", None), (2, "y", "y")], "k long, a string, b string"
+            )
+        )
+        got = {r.k: r.op for r in table_diff(t, v1, t.version(), ["k"]).collect()}
+        assert got == {1: "changed"}
+
+    def test_key_only_table_diff(self, spark, tmp_path):
+        from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+        t = TxTable(spark, str(tmp_path / "d"))
+        t.append(spark.createDataFrame([(1,), (2,)], "k long"))
+        v1 = t.version()
+        t.overwrite(spark.createDataFrame([(2,), (3,)], "k long"))
+        got = {r.k: r.op for r in table_diff(t, v1, t.version(), ["k"]).collect()}
+        assert got == {1: "removed", 3: "added"}
+
     def test_schema_change_refused(self, spark, tmp_path):
         import pytest
 
