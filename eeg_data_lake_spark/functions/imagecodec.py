@@ -1,0 +1,270 @@
+"""Pure-Python image codecs (PNG via stdlib zlib, PPM/PGM) — the REAL
+decode step for the multimodal pipeline.
+
+The container has no PIL/cv2/torchvision, so the round-3 image path
+decoded through a documented stub. This module removes the stub for
+two real container-runnable formats:
+
+- **PNG** (``encode_png`` / ``decode_png``): full chunk parsing with
+  CRC-32 verification, zlib inflate, and all five scanline filters
+  (None/Sub/Up/Average/Paeth) un-applied exactly per the PNG spec;
+  grayscale (color type 0) and truecolor RGB (color type 2), bit
+  depth 8, non-interlaced. The encoder can emit any fixed filter type
+  so tests exercise every unfilter branch.
+- **PPM/PGM** (``encode_ppm`` / ``decode_ppm``): the binary P6/P5
+  netpbm formats, with spec-correct comment and whitespace handling.
+
+Only stdlib (zlib, struct, binascii) + numpy — nothing to install,
+so the decode seam (`functions/multimodal.py::_decode_pixels`) runs
+NON-STUB code end-to-end in this container, mirroring what the PCM16
+path (r45) did for audio. Reference capability: the reference decodes
+images for training batches in ``/root/reference/test_train.py:66-93``
+(PIL there; same role here, Spark-side via mapInPandas).
+
+Scale notes: codecs are per-row CPU work inside Arrow-batched
+``mapInPandas`` — narrow, no shuffle; 100 TB of payloads stream
+through executors batch by batch, and only small decoded features
+leave the worker.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------
+# PNG
+# ------------------------------------------------------------------
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (uint8 1-D)."""
+    r = row.astype(np.int64)
+    p = prev.astype(np.int64)
+    a = np.concatenate([np.zeros(bpp, np.int64), r[:-bpp]])
+    c = np.concatenate([np.zeros(bpp, np.int64), p[:-bpp]])
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - a
+    elif ftype == 2:
+        out = r - p
+    elif ftype == 3:
+        out = r - (a + p) // 2
+    elif ftype == 4:
+        pr = np.array([_paeth(int(a[i]), int(p[i]), int(c[i])) for i in range(len(r))])
+        out = r - pr
+    else:
+        raise ValueError(f"bad filter type {ftype}")
+    return (out % 256).astype(np.uint8).tobytes()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal spec-conformant PNG writer: uint8 (h, w) grayscale or
+    (h, w, 3) RGB, bit depth 8, non-interlaced, every scanline
+    filtered with ``filter_type`` (0–4) — varying it exercises every
+    decoder unfilter branch."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = img.shape[:2]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    flat = img.reshape(h, w * channels)
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        raw.append(filter_type)
+        raw += _filter_row(filter_type, flat[y], prev, channels)
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """Decode a PNG byte string to uint8 (h, w) or (h, w, 3): chunk
+    walk with CRC-32 verification, IDAT concat + inflate, all five
+    filters reversed. Raises ValueError on corruption or unsupported
+    features (non-8-bit depth, palette/alpha, interlace)."""
+    if raw[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(raw):
+        if pos + 8 > len(raw):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(raw):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        if crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (need 8-bit, non-interlaced)")
+    if color_type == 0:
+        channels = 1
+    elif color_type == 2:
+        channels = 3
+    else:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    stride = w * channels
+    plain = zlib.decompress(bytes(idat))
+    if len(plain) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = plain[y * (stride + 1)]
+        line = np.frombuffer(
+            plain, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:
+            cur = line.copy()
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) % 256
+        elif ftype == 2:
+            cur = (line + prev) % 256
+        elif ftype == 3:
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
+        elif ftype == 4:
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + _paeth(int(a), int(prev[x]), int(c))) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out if channels == 1 else out.reshape(h, w, 3)
+
+
+# ------------------------------------------------------------------
+# PPM / PGM (binary netpbm)
+# ------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary netpbm writer: (h, w) → P5 (PGM), (h, w, 3) → P6 (PPM),
+    maxval 255."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic, (h, w) = b"P5", img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic, (h, w) = b"P6", img.shape[:2]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Decode binary P5/P6 netpbm with spec-correct whitespace and
+    ``#`` comment handling in the header."""
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    channels = 1 if raw[:2] == b"P5" else 3
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(raw) and raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    n = w * h * channels
+    body = raw[pos : pos + n]
+    if len(body) != n:
+        raise ValueError("truncated netpbm pixel data")
+    arr = np.frombuffer(body, dtype=np.uint8)
+    return arr.reshape(h, w) if channels == 1 else arr.reshape(h, w, 3)
+
+
+# ------------------------------------------------------------------
+# dispatch
+# ------------------------------------------------------------------
+
+def sniff(raw: bytes) -> str | None:
+    """'png' / 'ppm' / 'pgm' from magic bytes, else None."""
+    if raw[:8] == PNG_MAGIC:
+        return "png"
+    if raw[:2] == b"P6":
+        return "ppm"
+    if raw[:2] == b"P5":
+        return "pgm"
+    return None
+
+
+def decode_image(raw: bytes) -> np.ndarray:
+    """Decode any supported format (dispatch on magic bytes)."""
+    fmt = sniff(raw)
+    if fmt == "png":
+        return decode_png(raw)
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(raw)
+    raise ValueError("unrecognized image format")
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """float64 (h, w) luma: grayscale passthrough; RGB via integer
+    BT.601 weights (299R + 587G + 114B) / 1000 — exact in doubles."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    return (299.0 * r + 587.0 * g + 114.0 * b) / 1000.0

@@ -2,13 +2,15 @@
 opaque ``binary`` columns with typed metadata, processed with
 Arrow-batched ``mapInPandas``.
 
-The *plumbing* here is real and tested — binary column handling,
-schema, batch iteration, per-byte feature math. The actual image
-codec is STUBBED: this container has no PIL/cv2/torchvision, so
-``decode_image_features`` tries a real decoder import and falls back
-to ``_fake_decode`` — a deterministic, documented stand-in that
-derives (width, height, format) from the payload bytes. Swapping in a
-real codec changes only the body of ``_decode_one``.
+The image decode seam is REAL for PNG / PPM / PGM payloads: the codec
+dispatch (`_decode_full`) sniffs magic bytes and runs the pure-Python
+decoders in ``functions/imagecodec.py`` (stdlib zlib inflate, CRC
+verification, all five PNG scanline filters) — the same non-stub
+discipline the PCM16 audio path established. Payloads in any OTHER
+format fall back to ``_fake_decode`` — a deterministic, documented
+stand-in that derives (width, height, format) from the payload bytes
+— because this container has no PIL/cv2 for JPEG-class formats; when
+PIL is present, unrecognized payloads route through it instead.
 
 Scale notes: all operators are NARROW (mapInPandas over whatever
 partitioning the scan produced) — no shuffle; 100 TB of images stream
@@ -26,6 +28,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark.functions.imagecodec import (
+    decode_image,
+    encode_png,
+    sniff,
+    to_gray,
+)
+
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # type: ignore  # noqa: F401
 
@@ -36,7 +45,8 @@ except ImportError:
 #: schema of the decoded-feature rows appended by decode_image_features
 DECODE_SCHEMA = (
     "doc_id long, fmt string, width int, height int, "
-    "n_bytes int, mean_byte double, std_byte double"
+    "n_bytes int, mean_byte double, std_byte double, "
+    "px_sum long, corner_px int"
 )
 
 
@@ -57,6 +67,33 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with a deterministic REAL grayscale PNG per id:
+    width = 8 + id % 9, height = 8 + (id·7) % 9, pixel[i][j] =
+    (id·31 + i·17 + j·7) % 256, scanline filter = id % 5 — so a table
+    scan exercises every PNG filter type through the production decode
+    path. The pixel generator is deliberately SQL-expressible: a DuckDB
+    oracle can re-derive exact pixel sums from the formula, turning the
+    whole encode→deflate→inflate→unfilter round trip into a
+    hash-checkable query (z16). Narrow mapInPandas; real media
+    pipelines read parquet binary columns instead."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w = 8 + d % 9
+                h = 8 + (d * 7) % 9
+                i = np.arange(h, dtype=np.int64)[:, None]
+                j = np.arange(w, dtype=np.int64)[None, :]
+                px = ((d * 31 + i * 17 + j * 7) % 256).astype(np.uint8)
+                out.append((d, encode_png(px, filter_type=d % 5)))
+            yield pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col).mapInPandas(fn, f"{id_col} long, payload binary")
+
+
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     """Deterministic stand-in for an image codec (STUB — see module
     docstring): pretends the payload is a tiny image whose dimensions
@@ -69,27 +106,52 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
     return ("fake/utf8", width, height) if n else ("empty", 0, 0)
 
 
+def _decode_full(payload: bytes) -> tuple[str, int, int, np.ndarray]:
+    """(fmt, width, height, float64 gray grid) — the ONE decode seam
+    every image operator goes through. PNG/PPM/PGM payloads decode for
+    REAL (imagecodec.py: zlib inflate + CRC + filter reversal, nothing
+    stubbed); unrecognized payloads go to PIL when available, else the
+    deterministic ``_fake_decode`` stand-in."""
+    fmt = sniff(payload) if payload else None
+    if fmt is not None:
+        g = to_gray(decode_image(payload))
+        return fmt, g.shape[1], g.shape[0], g
+    if _HAVE_PIL and payload:  # pragma: no cover - PIL absent here
+        import io
+
+        try:
+            im = Image.open(io.BytesIO(payload)).convert("L")
+            g = np.asarray(im, dtype=np.float64)
+            return (im.format or "pil").lower(), g.shape[1], g.shape[0], g
+        except Exception:
+            pass
+    f, w, h = _fake_decode(payload)
+    return f, w, h, _fake_pixels(payload, max(w, 1), max(h, 1))
+
+
 def _decode_one(payload: bytes) -> tuple[str, int, int]:
-    if _HAVE_PIL:  # pragma: no cover - real codec path
-        raise NotImplementedError(
-            "real image decode not wired: container lacks test images"
-        )
-    return _fake_decode(payload)
+    fmt, w, h, _g = _decode_full(payload)
+    return fmt, w, h
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           payload_col: str = "payload") -> DataFrame:
-    """Decode + feature-extract each payload: format/dimensions from the
-    (stubbed) codec, byte statistics computed for real with numpy.
-    Narrow mapInPandas — schema, batching and math are production
-    shape; only the codec body is fake."""
+    """Decode + feature-extract each payload: format/dimensions/pixels
+    from the REAL codec for PNG/PPM/PGM (fake stand-in for other
+    formats — see ``_decode_full``), byte statistics with numpy, plus
+    pixel-level evidence that the decode is genuine: ``px_sum`` (exact
+    integer sum of the decoded gray grid) and ``corner_px`` (the
+    bottom-right decoded pixel) — both re-derivable in a SQL oracle
+    when the payload generator is SQL-expressible, which is how z16
+    hash-checks the whole encode→inflate→unfilter→decode loop.
+    Narrow mapInPandas, no shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                fmt, width, height = _decode_one(raw)
+                fmt, width, height, grid = _decode_full(raw)
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 out.append(
                     (
@@ -100,6 +162,8 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                         len(raw),
                         float(arr.mean()) if len(arr) else 0.0,
                         float(arr.std()) if len(arr) else 0.0,
+                        int(round(float(grid.sum()))),
+                        int(round(float(grid[-1, -1]))),
                     )
                 )
             yield pd.DataFrame(
@@ -107,6 +171,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 columns=[
                     "doc_id", "fmt", "width", "height",
                     "n_bytes", "mean_byte", "std_byte",
+                    "px_sum", "corner_px",
                 ],
             )
 
@@ -203,7 +268,8 @@ def resize_image_features(
     out_w: int = 8,
     out_h: int = 8,
 ) -> DataFrame:
-    """Decode (stubbed) → resize (real bilinear) → emit resized stats
+    """Decode (real codec for PNG/PPM/PGM, fake stand-in otherwise) →
+    resize (real bilinear) → emit resized stats
     and a checksum of the uint8-quantized resized grid. Narrow
     mapInPandas like the other multimodal ops — 100 TB of payloads
     stream through one Arrow batch at a time, no shuffle; the checksum
@@ -215,8 +281,7 @@ def resize_image_features(
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                _fmt, width, height = _decode_one(raw)
-                img = _fake_pixels(raw, max(width, 1), max(height, 1))
+                _fmt, _w, _h, img = _decode_full(raw)
                 resized = resize_bilinear(img, out_h, out_w)
                 q = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
                 out.append(
@@ -382,7 +447,8 @@ def dhash64(img: np.ndarray) -> int:
 def phash_column(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """(id, phash) per payload: decode (stub — see module docstring),
+    """(id, phash) per payload: decode (real codec for PNG/PPM/PGM,
+    fake stand-in otherwise — see module docstring),
     REAL bilinear downsample, REAL dHash bit extraction. Narrow
     mapInPandas; only the 8-byte hash leaves the executor."""
 
@@ -391,8 +457,7 @@ def phash_column(
         for pdf in batches:
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                _fmt, width, height = _decode_one(raw)
-                img = _fake_pixels(raw, max(width, 1), max(height, 1))
+                _fmt, _w, _h, img = _decode_full(raw)
                 out.append((doc_id, dhash64(img)))
         yield pd.DataFrame(out, columns=["doc_id", "phash"])
 

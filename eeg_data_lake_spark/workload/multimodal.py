@@ -3,8 +3,10 @@ decode/feature-extract via mapInPandas, frame sampling.
 
 q47 is fully oracle-checked (byte length, md5, hex prefix are
 bit-identical between Spark and DuckDB over the same UTF-8 payload).
-The decode (q48) and frame-sig (q49) steps use Spark-only hashing /
-a stubbed codec → rows-only.
+z16 oracle-checks the REAL PNG codec end-to-end (SQL-expressible
+pixel generator, decoded pixel sums hash-matched); r45 does the same
+for PCM16 audio. q97/q88 run the same real decode but emit
+non-SQL-derivable byte/resample stats → rows-only.
 """
 
 from __future__ import annotations
@@ -47,18 +49,86 @@ def q47_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q97_multimodal_decode_features",
-    oracle=None,  # codec is a documented deterministic stub → rows-only
+    oracle=None,  # PNG bytes aren't SQL-derivable → rows-only (z16 is the oracle twin)
     tags=("multimodal", "pandas-udf"),
 )
 def q97_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract payloads with Arrow-batched mapInPandas
-    (byte stats real, codec stubbed). Narrow plan: no shuffle."""
-    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    """Decode + feature-extract image payloads with Arrow-batched
+    mapInPandas. The codec is REAL: each document carries a
+    deterministic grayscale PNG (attach_image_payload) and the decode
+    runs the pure-Python PNG pipeline — chunk walk, CRC-32 check, zlib
+    inflate, per-scanline unfilter (all five filter types appear in
+    the corpus) — in ``functions/imagecodec.py``; nothing in the hot
+    path is stubbed. Byte stats over the compressed payload are
+    Spark-side only (PNG bytes aren't SQL-derivable), so this entry is
+    rows-only; z16 proves the same decode against a DuckDB oracle via
+    the SQL-expressible pixel generator. Narrow plan: no shuffle."""
+    from eeg_data_lake_spark.functions.multimodal import attach_image_payload
+
+    d = attach_image_payload(t(spark, sf_dir, "documents"))
     out = decode_image_features(d)
     return out.select(
         "doc_id", "fmt", "width", "height", "n_bytes",
         F.round("mean_byte", 4).alias("mean_byte"),
         F.round("std_byte", 4).alias("std_byte"),
+        "px_sum", "corner_px",
+    )
+
+
+@register(
+    "z16_png_codec_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 9       AS w,
+             8 + (doc_id * 7) % 9 AS h
+      FROM documents
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, ii.i, jj.j,
+             (d.doc_id * 31 + ii.i * 17 + jj.j * 7) % 256 AS p
+      FROM dims d,
+           (SELECT CAST(unnest(range(17)) AS BIGINT) AS i) ii,
+           (SELECT CAST(unnest(range(17)) AS BIGINT) AS j) jj
+      WHERE ii.i < d.h AND jj.j < d.w
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(sum(p) AS BIGINT)  AS px_sum,
+           CAST(max(CASE WHEN i = h - 1 AND j = w - 1 THEN p END)
+                AS INTEGER)        AS corner_px,
+           round(sum(p) * 1.0 / (max(w) * max(h)), 6) AS mean_px
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "codec", "pandas-udf"),
+)
+def z16_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec, fully oracle-checked — the image twin of the
+    audio r45. Each document gets a deterministic grayscale PNG whose
+    pixel formula is SQL-expressible (attach_image_payload: pixel =
+    (id·31 + i·17 + j·7) % 256, scanline filter = id % 5 so every PNG
+    filter type is exercised); Spark encodes it, then decodes it back
+    through the production seam (zlib inflate + CRC verify + unfilter
+    in ``functions/imagecodec.py``) and emits exact pixel evidence
+    (px_sum, corner_px, mean_px). The DuckDB oracle re-derives the
+    same numbers from the formula WITHOUT any codec — a hash match
+    proves the encode→deflate→inflate→unfilter loop is lossless.
+    Narrow plan: one mapInPandas chain, no shuffle; at 100 TB the
+    payloads stream batch-by-batch and only scalar features move.
+
+    Reference capability: image decode for training batches,
+    /root/reference/test_train.py:66-93 (PIL there; pure-Python
+    container-runnable codec here)."""
+    from eeg_data_lake_spark.functions.multimodal import attach_image_payload
+
+    d = attach_image_payload(t(spark, sf_dir, "documents"))
+    out = decode_image_features(d)
+    return out.select(
+        "doc_id", "fmt", "width", "height", "px_sum", "corner_px",
+        F.round(F.col("px_sum") / (F.col("width") * F.col("height")), 6).alias(
+            "mean_px"
+        ),
     )
 
 
@@ -132,17 +202,22 @@ def q98_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_multimodal_resize",
-    oracle=None,  # codec stubbed → rows-only (kernel numpy-parity tested)
+    oracle=None,  # bilinear resample not SQL-expressible → rows-only
     tags=("multimodal", "resize", "pandas-udf"),
 )
 def q88_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode (stubbed) → REAL bilinear resize → resized stats +
-    checksum, Arrow-batched mapInPandas, narrow plan (no shuffle). The
-    resize kernel is validated against exact hand-computed bilinear
-    values and an identity-resize invariant in tests/test_multimodal.py."""
-    from eeg_data_lake_spark.functions.multimodal import resize_image_features
+    """REAL decode (the z16 PNG corpus through the production codec
+    seam) → REAL bilinear resize → resized stats + checksum,
+    Arrow-batched mapInPandas, narrow plan (no shuffle). The resize
+    kernel is validated against exact hand-computed bilinear values
+    and an identity-resize invariant in tests/test_multimodal.py; the
+    decode is oracle-proven by z16."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_image_payload,
+        resize_image_features,
+    )
 
-    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    d = attach_image_payload(t(spark, sf_dir, "documents"))
     out = resize_image_features(d)
     return out.select(
         "doc_id", "src_width", "src_height", "out_width", "out_height",

