@@ -28,22 +28,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
+def pca_fit(df: DataFrame, vec_col: str, dim: int | None, k: int):
     """Fit PCA from distributed sufficient statistics.
 
     Returns (components, eigenvalues, mean): components is (k, dim)
     rows = top-k eigenvectors of the sample covariance (sign-pinned),
     eigenvalues the matching variances (descending), mean the column
-    mean vector."""
+    mean vector. ``dim`` may be None — each partition infers it from
+    its first batch and the driver cross-checks that the partials
+    agree, so callers need no eager ``.first()`` probe at plan-build
+    time; ``k`` is clamped to the discovered dim."""
 
     def partials(batches):
         n = 0
-        s = np.zeros(dim)
-        ss = np.zeros((dim, dim))
+        s = ss = None
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if s is None:
+                d = x.shape[1]
+                s = np.zeros(d)
+                ss = np.zeros((d, d))
             n += len(x)
             s += x.sum(axis=0)
             ss += x.T @ x
@@ -62,6 +68,11 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
     n = sum(r["n"] for r in rows)
     if n < 2:
         raise ValueError("pca_fit: need at least 2 vectors")
+    dims = {len(r["s"]) for r in rows}
+    if len(dims) != 1 or (dim is not None and dims != {dim}):
+        raise ValueError(f"pca_fit: inconsistent vector dims {sorted(dims)}")
+    dim = dims.pop()
+    k = min(k, dim)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.array(r["ss"]).reshape(dim, dim) for r in rows], axis=0)
     mean = s / n

@@ -125,9 +125,10 @@ def z08_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    dim = len(v.select("embedding").first()["embedding"])
-    k = min(8, dim)
-    comps, vals, mean = pca_fit(v, "embedding", dim, k)
+    # dim inferred inside the fit's sufficient-stats pass — no eager
+    # .first() probe at plan-build time (k clamps to dim in pca_fit)
+    comps, vals, mean = pca_fit(v, "embedding", None, 8)
+    k = comps.shape[0]
     proj = pca_project(v, "embedding", comps, mean)
     score_vars = (
         proj.agg(

@@ -485,6 +485,48 @@ def transform_with_state_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def apws_running_totals(stream: DataFrame) -> DataFrame:
+    """Protobuf-free TWIN of ``transform_with_state_totals``: the same
+    per-user running (n_events, total_value) fold, carried across
+    micro-batches, but on ``applyInPandasWithState`` — which speaks no
+    state-server protocol and therefore runs in THIS container. Where
+    protobuf is absent (q84 unregistered), this is the asserted-equal
+    alternative path: tests/test_transform_with_state.py drives both
+    semantics over identical micro-batches and pins the fold to the
+    batch aggregate, so the capability (arbitrary per-key state with
+    update-mode emission) is proven even while the newer API is
+    environment-gated."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(s, 4)],
+            }
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_transform_with_state_totals(
     spark: SparkSession, stream: DataFrame
 ) -> DataFrame:
