@@ -95,14 +95,18 @@ def _broadcast_matmul_pairs(v: DataFrame, tau: float) -> DataFrame:
         )
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # norm floored at 1e-12: a zero vector normalizes to zeros (cosine
+    # 0 vs everything) instead of poisoning whole score rows with NaN
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.maximum(
+                np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+            )
             own = pdf["vec_id"].to_numpy(dtype=np.int64)
             sims = x @ mat.T
             # same_block=False semantics but with a < filter: each pair
@@ -158,12 +162,12 @@ def _block_pair_matmul_pairs(v: DataFrame, tau: float, n_blocks: int) -> DataFra
         if not len(ids_a) or not len(ids_b):
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
         xa = np.array(a["embedding"].tolist(), dtype=np.float64)
-        xa = xa / np.linalg.norm(xa, axis=1, keepdims=True)
+        xa = xa / np.maximum(np.linalg.norm(xa, axis=1, keepdims=True), 1e-12)
         if ba == bb:
             xb, same = xa, True
         else:
             xb = np.array(b["embedding"].tolist(), dtype=np.float64)
-            xb = xb / np.linalg.norm(xb, axis=1, keepdims=True)
+            xb = xb / np.maximum(np.linalg.norm(xb, axis=1, keepdims=True), 1e-12)
             same = False
         return _pairs_from_sims(ids_a, ids_b, xa @ xb.T, tau, same)
 

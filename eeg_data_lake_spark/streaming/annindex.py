@@ -85,7 +85,7 @@ def probe_topk(
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)  # zero query -> zero scores, not NaN
     probes = np.argsort(-(np.asarray(cents) @ qn))[:nprobe].tolist()
 
     parts = [

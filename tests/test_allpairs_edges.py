@@ -43,6 +43,26 @@ def test_tiny_blocks_match_broadcast_path(spark):
     assert got == want and len(want) >= 2
 
 
+def test_zero_vector_is_inert_not_nan(spark):
+    """A zero-norm embedding must not poison score rows with NaN (the
+    semdedup bug class): it pairs with nothing, and every real pair is
+    still found on both the broadcast and block paths."""
+    rows = [
+        (1, [0.0, 0.0, 0.0]),  # zero vector
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.98, 0.02, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    v = _vecs(spark, rows)
+    for kwargs in ({}, {"broadcast_cutover": 0, "rows_per_block": 1}):
+        got = {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in cosine_neardup_pairs(v, tau=0.8, **kwargs).collect()
+        }
+        assert set(got) == {(2, 3)}
+        assert all(c == c for c in got.values())  # no NaNs
+
+
 def test_band_power_ignores_non_finite_samples(spark):
     import math
 
