@@ -1354,33 +1354,39 @@ def r66_hierarchy_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUSUM_ORACLE = """
 WITH d AS (
-  SELECT user_id, ts, event_id, value,
-         avg(value) OVER (PARTITION BY user_id) AS mu,
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS v,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS k
+                            ORDER BY ts, event_id) AS k,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
   FROM events
 ),
 s AS (
-  SELECT *, round(sum(value - mu) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING), 6) AS s
+  SELECT *,
+         CAST(sum(v) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+         CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS tot
   FROM d
 ),
-r AS (
-  SELECT user_id, k, ts, s,
-         max(s) OVER (PARTITION BY user_id) AS smax,
-         min(s) OVER (PARTITION BY user_id) AS smin,
-         max(k) OVER (PARTITION BY user_id) AS n_events,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY abs(s) DESC, k) AS rn
+x AS (
+  SELECT user_id, k, ts, n, n * cs - k * tot AS ss
   FROM s
+),
+r AS (
+  SELECT user_id, k, ts, n, ss,
+         max(ss) OVER (PARTITION BY user_id) AS smax,
+         min(ss) OVER (PARTITION BY user_id) AS smin,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY abs(ss) DESC, k) AS rn
+  FROM x
 )
 SELECT user_id,
-       CAST(n_events AS BIGINT) AS n_events,
-       round(smax - smin, 6) AS cusum_range,
+       n AS n_events,
+       round((smax - smin) / (n * 1000000.0), 6) AS cusum_range,
        CAST(k AS INTEGER) AS cp_index,
        ts AS cp_ts,
-       round(abs(s), 6) AS cusum_stat
+       round(abs(ss) / (n * 1000000.0), 6) AS cusum_stat
 FROM r WHERE rn = 1 ORDER BY user_id
 """
 
@@ -1397,48 +1403,64 @@ def r67_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated changepoint location — the standard drift detector run
     over per-entity metric streams before retraining decisions.
 
-    Plan shape: ONE exchange on user_id; the mean, the ordered prefix
-    sum, the extrema and the argmax ranking are all windows over the
-    same partitioning, so Catalyst reuses a single sort. The prefix
-    sum is order-pinned by (ts, event_id) — a total order, event_id
-    unique — and rounded to 6 before the argmax ranking so both
-    engines rank the identical value (the r24 pow-ulp lesson); the
-    rank tie-breaks on k, making the changepoint row deterministic.
-    Per-user state is O(1) per row — no collected lists — so the plan
-    survives arbitrarily long series, unlike fold-based r23 which
-    bounds by events-per-entity."""
+    Plan shape: ONE exchange on user_id; the ordered prefix sum, the
+    total, the extrema and the argmax ranking are all windows over the
+    same partitioning, so Catalyst reuses a single sort. Per-user
+    state is O(1) per row — no collected lists — so the plan survives
+    arbitrarily long series, unlike fold-based r23 which bounds by
+    events-per-entity.
+
+    Cross-engine exactness: the whole statistic is computed in EXACT
+    integer arithmetic — values scale to micro-units (one IEEE
+    multiply + round, identical bits in any engine), and the centered
+    prefix sum is expressed denominator-free as
+    ss_k = n·cs_k − k·S_n  (= n·Σ_{i≤k}(v_i − mean) in micro-units),
+    so extrema, the argmax and its tie-break rank on exact BIGINTs;
+    floats only appear in ONE final division per output. Round 3's
+    float formulation hit a round(·,6) boundary at sf0.1 where the
+    engines' avg() disagreed by 1 ulp — this version is bit-stable at
+    every SF by construction. Exactness envelope: n²·max|v|·10⁶ < 2⁶³
+    per series (≈100k rows/user at |v|≤10³); longer series drop the
+    scale factor."""
     e = t(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.round(F.col("value") * 1000000, 0).cast("long")
     s = (
-        e.withColumn("mu", F.avg("value").over(w_user))
+        e.select("user_id", "ts", "event_id", v.alias("v"))
         .withColumn("k", F.row_number().over(w_ord))
+        .withColumn("n", F.count("*").over(w_user).cast("long"))
+        .withColumn("cs", F.sum("v").over(w_cum))
+        .withColumn("tot", F.sum("v").over(w_user))
         .withColumn(
-            "s", F.round(F.sum(F.col("value") - F.col("mu")).over(w_cum), 6)
+            "ss", F.col("n") * F.col("cs") - F.col("k").cast("long") * F.col("tot")
         )
     )
     r = s.select(
         "user_id",
         "k",
         "ts",
-        "s",
-        F.max("s").over(w_user).alias("smax"),
-        F.min("s").over(w_user).alias("smin"),
-        F.max("k").over(w_user).cast("long").alias("n_events"),
+        "n",
+        "ss",
+        F.max("ss").over(w_user).alias("smax"),
+        F.min("ss").over(w_user).alias("smin"),
         F.row_number()
-        .over(Window.partitionBy("user_id").orderBy(F.abs("s").desc(), "k"))
+        .over(Window.partitionBy("user_id").orderBy(F.abs("ss").desc(), "k"))
         .alias("rn"),
     )
+    denom = F.col("n") * F.lit(1000000.0)
     return (
         r.filter(F.col("rn") == 1)
         .select(
             "user_id",
-            "n_events",
-            F.round(F.col("smax") - F.col("smin"), 6).alias("cusum_range"),
+            F.col("n").alias("n_events"),
+            F.round((F.col("smax") - F.col("smin")) / denom, 6).alias(
+                "cusum_range"
+            ),
             F.col("k").alias("cp_index"),
             F.col("ts").alias("cp_ts"),
-            F.round(F.abs("s"), 6).alias("cusum_stat"),
+            F.round(F.abs("ss") / denom, 6).alias("cusum_stat"),
         )
         .orderBy("user_id")
     )
