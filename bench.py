@@ -76,6 +76,7 @@ HEADLINE = [
     "r30_token_shard_packing",    # two-phase distributed prefix sum
     "r36_local_supplier_volume",  # six-way broadcast join (TPC-H Q5)
     "r45_audio_pcm_features",     # real PCM16 codec via Arrow mapInPandas
+    "z16_png_codec_roundtrip",    # real PNG codec (zlib+filters) round trip
     "r67_cusum_changepoint",      # 4 window families on one exchange
     "r68_holt_forecast",          # ordered struct fold (recursive state)
 ]

@@ -148,8 +148,13 @@ def decode_png(raw: bytes) -> np.ndarray:
         channels = 3
     else:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if w < 1 or h < 1:
+        raise ValueError("zero-dimension PNG refused")
     stride = w * channels
-    plain = zlib.decompress(bytes(idat))
+    try:
+        plain = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # keep the documented ValueError contract
+        raise ValueError(f"PNG deflate stream corrupt: {exc}") from exc
     if len(plain) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -204,7 +209,11 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 def decode_ppm(raw: bytes) -> np.ndarray:
     """Decode binary P5/P6 netpbm with spec-correct whitespace and
-    ``#`` comment handling in the header."""
+    ``#`` comment handling in the header. Non-numeric header tokens,
+    zero dimensions, a non-whitespace maxval terminator, and truncated
+    pixel data all raise ValueError; a CR-LF maxval terminator (out of
+    spec but emitted by Windows writers) is consumed as one separator
+    so the pixel grid is never silently shifted by a byte."""
     if raw[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PGM/PPM")
     channels = 1 if raw[:2] == b"P5" else 3
@@ -221,11 +230,26 @@ def decode_ppm(raw: bytes) -> np.ndarray:
             pos += 1
         if start == pos:
             raise ValueError("truncated netpbm header")
-        fields.append(int(raw[start:pos]))
-    pos += 1  # single whitespace byte after maxval
+        try:
+            fields.append(int(raw[start:pos]))
+        except ValueError as exc:
+            raise ValueError(
+                f"non-numeric netpbm header token {raw[start:pos]!r}"
+            ) from exc
+    # exactly one whitespace byte separates maxval from pixel data —
+    # but accept the CR of a CR-LF pair together with its LF, else the
+    # LF would be consumed as the first pixel (silent corruption)
+    sep = raw[pos : pos + 1]
+    if not sep.isspace():
+        raise ValueError("netpbm maxval not followed by whitespace")
+    pos += 1
+    if sep == b"\r" and raw[pos : pos + 1] == b"\n":
+        pos += 1
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
+    if w < 1 or h < 1:
+        raise ValueError("zero-dimension netpbm refused")
     n = w * h * channels
     body = raw[pos : pos + n]
     if len(body) != n:
@@ -239,12 +263,14 @@ def decode_ppm(raw: bytes) -> np.ndarray:
 # ------------------------------------------------------------------
 
 def sniff(raw: bytes) -> str | None:
-    """'png' / 'ppm' / 'pgm' from magic bytes, else None."""
+    """'png' / 'ppm' / 'pgm' from magic bytes, else None. The netpbm
+    magics require a following whitespace byte (per spec) so ordinary
+    text that merely STARTS with "P5"/"P6" isn't misclassified."""
     if raw[:8] == PNG_MAGIC:
         return "png"
-    if raw[:2] == b"P6":
+    if raw[:2] == b"P6" and raw[2:3].isspace():
         return "ppm"
-    if raw[:2] == b"P5":
+    if raw[:2] == b"P5" and raw[2:3].isspace():
         return "pgm"
     return None
 

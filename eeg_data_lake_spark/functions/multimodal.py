@@ -111,11 +111,19 @@ def _decode_full(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     every image operator goes through. PNG/PPM/PGM payloads decode for
     REAL (imagecodec.py: zlib inflate + CRC + filter reversal, nothing
     stubbed); unrecognized payloads go to PIL when available, else the
-    deterministic ``_fake_decode`` stand-in."""
+    deterministic ``_fake_decode`` stand-in. A payload that SNIFFS as
+    a real format but fails to decode (corrupt stream, bad CRC,
+    zero-dimension header) also drops to the fallback rather than
+    raising — at 100 TB one malformed payload must not abort the whole
+    mapInPandas job; callers that want strictness call
+    ``imagecodec.decode_image`` directly."""
     fmt = sniff(payload) if payload else None
     if fmt is not None:
-        g = to_gray(decode_image(payload))
-        return fmt, g.shape[1], g.shape[0], g
+        try:
+            g = to_gray(decode_image(payload))
+            return fmt, g.shape[1], g.shape[0], g
+        except ValueError:
+            pass  # corrupt/unsupported: fall through to the stand-in
     if _HAVE_PIL and payload:  # pragma: no cover - PIL absent here
         import io
 
@@ -127,11 +135,6 @@ def _decode_full(payload: bytes) -> tuple[str, int, int, np.ndarray]:
             pass
     f, w, h = _fake_decode(payload)
     return f, w, h, _fake_pixels(payload, max(w, 1), max(h, 1))
-
-
-def _decode_one(payload: bytes) -> tuple[str, int, int]:
-    fmt, w, h, _g = _decode_full(payload)
-    return fmt, w, h
 
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
@@ -162,8 +165,8 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                         len(raw),
                         float(arr.mean()) if len(arr) else 0.0,
                         float(arr.std()) if len(arr) else 0.0,
-                        int(round(float(grid.sum()))),
-                        int(round(float(grid[-1, -1]))),
+                        int(round(float(grid.sum()))) if grid.size else 0,
+                        int(round(float(grid[-1, -1]))) if grid.size else 0,
                     )
                 )
             yield pd.DataFrame(

@@ -45,17 +45,25 @@ def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
     legitimate recompute of a vacuumed version."""
     claimed: set[int] = set()
     n_vac = 0
-    add_prefix = f"rc-{tag}-g"
-    vac_prefix = f"rcvac-{tag}-below-"
     for _v, mp in iter_manifests(cache.path):
         with open(mp) as fh:
             tid = json.load(fh).get("txn_id") or ""
-        if tid.startswith(add_prefix):
-            claimed.add(int(tid.rsplit("-v", 1)[1]))
-        elif tid.startswith(vac_prefix):
-            n_vac += 1
-            floor = int(tid[len(vac_prefix):])
-            claimed = {v for v in claimed if v >= floor}
+        # Parse STRUCTURALLY from the right (rc-<tag>-g<int>-v<int> /
+        # rcvac-<tag>-below-<int>) and require the remaining middle to
+        # equal the tag EXACTLY — a prefix test would misattribute
+        # commits between tags where one tag is a prefix of another
+        # (e.g. 'a' vs 'a-g1' sharing a cache table).
+        if tid.startswith("rc-") and "-v" in tid and "-g" in tid:
+            head, _, vpart = tid.rpartition("-v")
+            mid, _, gpart = head.rpartition("-g")
+            if mid == f"rc-{tag}" and vpart.isdigit() and gpart.isdigit():
+                claimed.add(int(vpart))
+        elif tid.startswith("rcvac-") and "-below-" in tid:
+            mid, _, fpart = tid.rpartition("-below-")
+            if mid == f"rcvac-{tag}" and fpart.isdigit():
+                n_vac += 1
+                floor = int(fpart)
+                claimed = {v for v in claimed if v >= floor}
     return claimed, n_vac
 
 

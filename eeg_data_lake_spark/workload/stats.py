@@ -953,7 +953,12 @@ def r58_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             c.join(F.broadcast(p), F.col(ck) == F.col("__pk"), "left")
             .agg(
-                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                # coalesce: sum over an EMPTY child is NULL, but the
+                # audit (and the oracle's count(*)) must report 0
+                F.coalesce(
+                    F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_orphans"),
                 F.count(F.lit(1)).alias("n_rows"),

@@ -110,3 +110,15 @@ def test_runs_on_empty_tables(spark, empty_dir, name):
         # rows-only: empty inputs yield empty outputs, except global
         # summary aggregates that legitimately report one zero row
         assert n == {"z15_bpe_apply": 1}.get(name, 0)
+
+
+def test_r58_reports_zero_not_null_on_empty_children(spark, empty_dir):
+    """sum() over an empty child aggregates to NULL; the audit must
+    coalesce it to 0 like the oracle's count(*) (value-level check —
+    the row-count sweep above can't see this)."""
+    rows = (
+        REGISTRY["r58_referential_integrity"].spark_fn(spark, empty_dir).collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_orphans == 0 and r.n_rows == 0

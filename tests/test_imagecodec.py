@@ -67,6 +67,67 @@ def test_ppm_header_comments_and_whitespace():
     assert img.shape == (2, 3) and img[1, 2] == 5
 
 
+def test_ppm_crlf_maxval_terminator_not_shifted():
+    """A Windows-written header ('255\\r\\n') must not consume the LF
+    as the first pixel — that was silent one-byte grid corruption."""
+    img = decode_ppm(b"P5\n3 2\n255\r\n" + bytes(range(6)))
+    assert np.array_equal(img, np.arange(6, dtype=np.uint8).reshape(2, 3))
+
+
+def test_ppm_bad_headers_raise_not_corrupt():
+    with pytest.raises(ValueError, match="non-numeric"):
+        decode_ppm(b"P6 is a chess move, not an image")
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_ppm(b"P5\n0 0\n255\n")
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P5\n3 2\n255")  # truncated right after maxval
+    with pytest.raises(ValueError, match="non-numeric"):
+        decode_ppm(b"P5\n3 2\n255x" + bytes(6))
+
+
+def test_png_zero_dims_and_bad_deflate_raise_valueerror():
+    import struct
+    import zlib
+    from binascii import crc32
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr0 = struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="zero-dimension"):
+        decode_png(PNG_MAGIC + chunk(b"IHDR", ihdr0) + chunk(b"IEND", b""))
+    # valid IHDR, IDAT with a truncated deflate stream + VALID crc:
+    # must raise ValueError (documented), never leak zlib.error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad = zlib.compress(b"\x00\x00\x00" * 2)[:4]
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(
+            PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bad)
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_text_starting_with_netpbm_magic_not_sniffed_or_fatal():
+    """'P6 ...' prose must neither sniff as an image (magic requires
+    following whitespace + a parseable header) nor crash the Spark
+    decode seam — it falls back to the deterministic stand-in."""
+    from eeg_data_lake_spark.functions.multimodal import _decode_full
+
+    prose = b"P6 is a chess move, not an image"
+    fmt, w, h, grid = _decode_full(prose)
+    assert fmt == "fake/utf8" and grid.size > 0
+    # sniffed-but-corrupt payloads also fall back instead of raising
+    corrupt = bytearray(encode_png(_img(9, 5, 5, 1)))
+    corrupt[40] ^= 0xFF
+    fmt2, _w, _h, grid2 = _decode_full(bytes(corrupt))
+    assert fmt2 == "fake/utf8" and grid2.size > 0
+
+
 def test_sniff_dispatch():
     g = _img(1, 4, 5, 1)
     rgb = _img(2, 4, 5, 3)

@@ -116,6 +116,25 @@ def test_vacuumed_version_recomputes_not_empty(spark, tables):
     assert out == first
 
 
+def test_prefix_tags_do_not_collide(spark, tables):
+    """Tag 'a' vs tag 'a-g1' (one a prefix of the other, and one that
+    mimics the generation marker): commits must attribute to exactly
+    one tag — a prefix-based parse credited 'a-g1' commits to 'a' and
+    served tag 'a' an empty cached result."""
+    src, cache = tables
+    calls_a: list[int] = []
+    calls_p: list[int] = []
+    b = cached_result(src, cache, _cnt(calls_p), "a-g1").collect()
+    a = cached_result(src, cache, _agg(calls_a), "a").collect()
+    assert len(calls_a) == 1  # 'a' computed its OWN result, not served b's
+    assert a[0].total == 30.0 and b[0].total == 0.0
+    # vacuum of the longer tag leaves the shorter tag served & intact
+    vacuum_cache(cache, "a-g1", keep_versions=1)
+    before = len(calls_a)
+    assert cached_result(src, cache, _agg(calls_a), "a").collect() == a
+    assert len(calls_a) == before
+
+
 def test_empty_source_refused(spark, tmp_path):
     src = TxTable(spark, str(tmp_path / "s2"))
     cache = TxTable(spark, str(tmp_path / "c2"))
