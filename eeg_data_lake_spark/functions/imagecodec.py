@@ -59,6 +59,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int64 arrays (the ENCODER can
+    vectorize freely: its neighbors are raw bytes, not just-decoded
+    outputs, so there is no sequential dependency)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
 def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> bytes:
     """Apply PNG filter ``ftype`` to one raw scanline (uint8 1-D)."""
     r = row.astype(np.int64)
@@ -74,8 +83,7 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> byte
     elif ftype == 3:
         out = r - (a + p) // 2
     elif ftype == 4:
-        pr = np.array([_paeth(int(a[i]), int(p[i]), int(c[i])) for i in range(len(r))])
-        out = r - pr
+        out = r - _paeth_vec(a, p, c)
     else:
         raise ValueError(f"bad filter type {ftype}")
     return (out % 256).astype(np.uint8).tobytes()
@@ -167,22 +175,37 @@ def decode_png(raw: bytes) -> np.ndarray:
         if ftype == 0:
             cur = line
         elif ftype == 1:
+            # Sub unfilters to a running sum per channel lane:
+            # out[x] = (Σ line[x, x-bpp, x-2bpp, …]) mod 256 — one
+            # vectorized cumsum per lane instead of a Python loop
             cur = line.copy()
-            for x in range(channels, stride):
-                cur[x] = (cur[x] + cur[x - channels]) % 256
+            for ch in range(channels):
+                lane = cur[ch::channels]
+                cur[ch::channels] = np.cumsum(lane) % 256
         elif ftype == 2:
             cur = (line + prev) % 256
         elif ftype == 3:
-            cur = line.copy()
+            # sequential through the left neighbor — run the recurrence
+            # over plain Python lists (≈10× numpy scalar indexing)
+            lp, pv = line.tolist(), prev.tolist()
+            out_l = [0] * stride
             for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
-                cur[x] = (cur[x] + (a + prev[x]) // 2) % 256
+                a = out_l[x - channels] if x >= channels else 0
+                out_l[x] = (lp[x] + (a + pv[x]) // 2) % 256
+            cur = np.asarray(out_l, dtype=np.int64)
         elif ftype == 4:
-            cur = line.copy()
+            lp, pv = line.tolist(), prev.tolist()
+            out_l = [0] * stride
             for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
-                c = prev[x - channels] if x >= channels else 0
-                cur[x] = (cur[x] + _paeth(int(a), int(prev[x]), int(c))) % 256
+                a = out_l[x - channels] if x >= channels else 0
+                b = pv[x]
+                c = pv[x - channels] if x >= channels else 0
+                pa = abs(b - c)          # |p - a| with p = a + b - c
+                pb = abs(a - c)
+                pc = abs(a + b - c - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out_l[x] = (lp[x] + pred) % 256
+            cur = np.asarray(out_l, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
