@@ -51,14 +51,6 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Vectorized Paeth predictor over int64 arrays (the ENCODER can
     vectorize freely: its neighbors are raw bytes, not just-decoded
@@ -168,33 +160,34 @@ def decode_png(raw: bytes) -> np.ndarray:
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        ftype = plain[y * (stride + 1)]
-        line = np.frombuffer(
-            plain, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int64)
+        off = y * (stride + 1)
+        ftype = plain[off]
+        if ftype in (0, 1, 2):
+            line = np.frombuffer(plain, np.uint8, stride, off + 1).astype(
+                np.int64
+            )
         if ftype == 0:
             cur = line
         elif ftype == 1:
             # Sub unfilters to a running sum per channel lane:
             # out[x] = (Σ line[x, x-bpp, x-2bpp, …]) mod 256 — one
             # vectorized cumsum per lane instead of a Python loop
-            cur = line.copy()
+            cur = line
             for ch in range(channels):
-                lane = cur[ch::channels]
-                cur[ch::channels] = np.cumsum(lane) % 256
+                cur[ch::channels] = np.cumsum(cur[ch::channels]) % 256
         elif ftype == 2:
             cur = (line + prev) % 256
         elif ftype == 3:
             # sequential through the left neighbor — run the recurrence
             # over plain Python lists (≈10× numpy scalar indexing)
-            lp, pv = line.tolist(), prev.tolist()
+            lp, pv = list(plain[off + 1 : off + 1 + stride]), prev.tolist()
             out_l = [0] * stride
             for x in range(stride):
                 a = out_l[x - channels] if x >= channels else 0
                 out_l[x] = (lp[x] + (a + pv[x]) // 2) % 256
             cur = np.asarray(out_l, dtype=np.int64)
         elif ftype == 4:
-            lp, pv = line.tolist(), prev.tolist()
+            lp, pv = list(plain[off + 1 : off + 1 + stride]), prev.tolist()
             out_l = [0] * stride
             for x in range(stride):
                 a = out_l[x - channels] if x >= channels else 0
