@@ -37,6 +37,12 @@ import numpy as np
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: refuse PNG decodes whose DECLARED pixel grid exceeds this many
+#: bytes (256 MB) — a valid header claiming a multi-gigapixel image
+#: must fail with ValueError (skippable per-row) rather than OOM the
+#: executor mid-batch
+MAX_DECODE_PIXEL_BYTES = 1 << 28
+
 
 # ------------------------------------------------------------------
 # PNG
@@ -131,6 +137,8 @@ def decode_png(raw: bytes) -> np.ndarray:
         if crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"bad IHDR length {len(data)} (want 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat += data
@@ -151,11 +159,26 @@ def decode_png(raw: bytes) -> np.ndarray:
     if w < 1 or h < 1:
         raise ValueError("zero-dimension PNG refused")
     stride = w * channels
+    if h * stride > MAX_DECODE_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG declares {h * stride} pixel bytes "
+            f"(cap {MAX_DECODE_PIXEL_BYTES}); refusing executor-OOM-sized "
+            "allocation — raise MAX_DECODE_PIXEL_BYTES for genuinely "
+            "giant images"
+        )
+    expected = h * (stride + 1)
+    # bounded inflate: a deflate bomb (tiny IDAT declaring a tiny image
+    # but inflating to GBs) must not allocate past the declared pixel
+    # size — cap at expected+1 so an oversized stream is detectable as
+    # a length mismatch instead of an OOM
+    d = zlib.decompressobj()
     try:
-        plain = zlib.decompress(bytes(idat))
+        plain = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:  # keep the documented ValueError contract
         raise ValueError(f"PNG deflate stream corrupt: {exc}") from exc
-    if len(plain) != h * (stride + 1):
+    if len(plain) < expected and not d.eof:
+        raise ValueError("PNG deflate stream corrupt: truncated")
+    if len(plain) != expected or d.unconsumed_tail:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

@@ -89,8 +89,15 @@ def cached_result(
             .withColumn("_source_version", F.lit(v).cast("long"))
         )
         cache.append(result, txn_id=f"rc-{tag}-g{n_vac}-v{v}")
+    # merge_schema: a cache table written before the _cache_tag column
+    # existed holds files without it; the merged read surfaces those
+    # rows with a NULL tag, so the tag filter excludes them (they are
+    # unattributable to any tag and treated as not cached — the claim
+    # parser likewise ignores legacy 'rc-{tag}-v{v}' txn ids) and the
+    # query recomputes once under the current format instead of
+    # AnalysisException-ing on a missing column.
     return (
-        cache.read()
+        cache.read(merge_schema=True)
         .filter((F.col("_cache_tag") == tag) & (F.col("_source_version") == v))
         .drop("_cache_tag", "_source_version")
     )
@@ -110,9 +117,16 @@ def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:
     keep = versions[-keep_versions:] if keep_versions else []
     # Everything strictly below this floor is dropped for this tag.
     floor = keep[0] if keep else versions[-1] + 1
-    survivors = cache.read().filter(
-        (F.col("_cache_tag") != tag)
-        | F.col("_source_version").isin([int(k) for k in keep])
+    # merged read for pre-_cache_tag files (see cached_result); their
+    # rows carry a NULL tag, fail both filter arms, and are reclaimed
+    # by the first vacuum of any tag — they were unattributable dead
+    # weight from the moment the tag column was introduced.
+    survivors = cache.read(merge_schema=True).filter(
+        (F.col("_cache_tag").isNotNull() & (F.col("_cache_tag") != tag))
+        | (
+            (F.col("_cache_tag") == tag)
+            & F.col("_source_version").isin([int(k) for k in keep])
+        )
     )
     cache.overwrite(survivors, txn_id=f"rcvac-{tag}-below-{floor}")
     return (

@@ -64,11 +64,12 @@ def main() -> None:
         except Exception as exc:  # record, keep sweeping
             n_fail += 1
             results[name] = {"mode": "error", "error": str(exc)[:300]}
-        print(
-            f"{name}: {results[name].get('mode')} "
-            f"{'OK' if results[name].get('match', True) else 'MISMATCH'}",
-            flush=True,
-        )
+        mode = results[name].get("mode")
+        if mode == "error":
+            status = "ERROR"
+        else:
+            status = "OK" if results[name].get("match", True) else "MISMATCH"
+        print(f"{name}: {mode} {status}", flush=True)
 
     out = {
         "sf_dir": sf_dir,

@@ -220,3 +220,67 @@ def test_decode_seam_fake_fallback_still_works(spark, sf_dir):
     d = attach_binary_payload(t(spark, sf_dir, "documents").limit(5))
     rows = decode_image_features(d).collect()
     assert len(rows) == 5 and all(r.fmt == "fake/utf8" for r in rows)
+
+
+def _chunk(typ, data):
+    import struct
+    from binascii import crc32
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_short_ihdr_raises_valueerror_not_struct_error():
+    """An IHDR whose body is not 13 bytes (valid CRC) must raise the
+    documented ValueError — struct.error would escape _decode_full's
+    handler and abort the whole mapInPandas job."""
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(PNG_MAGIC + _chunk(b"IHDR", b"\x00" * 5) + _chunk(b"IEND", b""))
+
+
+def test_png_deflate_bomb_bounded():
+    """A tiny IDAT inflating far past the declared 1x1 image must fail
+    with ValueError WITHOUT materializing the inflated stream (bounded
+    decompressobj, not whole-stream zlib.decompress)."""
+    import resource
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)  # ~200 MB -> ~200 KB
+    raw = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    rss_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(raw)
+    rss_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux; the 200 MB plaintext must not appear
+    assert rss_after - rss_before < 50 * 1024, (rss_before, rss_after)
+
+
+def test_png_declared_gigapixel_refused():
+    """A valid header declaring a pixel grid past MAX_DECODE_PIXEL_BYTES
+    must fail per-row instead of OOMing the executor."""
+    import struct
+
+    from eeg_data_lake_spark.functions.imagecodec import MAX_DECODE_PIXEL_BYTES
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)  # 12 GiB RGB
+    assert (1 << 32) * 3 > MAX_DECODE_PIXEL_BYTES
+    with pytest.raises(ValueError, match="cap"):
+        decode_png(PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b""))
+
+
+def test_png_oversized_stream_and_trailing_garbage_refused():
+    """Streams inflating past the declared size, or followed by a second
+    deflate stream, are length mismatches, never silent truncations."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # expects 3 bytes
+    over = zlib.compress(b"\x00" * 10)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", over) + _chunk(b"IEND", b""))

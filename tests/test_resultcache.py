@@ -140,3 +140,34 @@ def test_empty_source_refused(spark, tmp_path):
     cache = TxTable(spark, str(tmp_path / "c2"))
     with pytest.raises(ValueError, match="no data"):
         cached_result(src, cache, lambda df: df, "x")
+
+
+def test_legacy_pre_tag_cache_table_upgrades_cleanly(spark, tables):
+    """A cache table written by the pre-_cache_tag format (rows without
+    the tag column, txn ids 'rc-{tag}-v{v}') must neither break reads
+    (mixed parquet schemas) nor be served as a claim: the query
+    recomputes once under the new format, legacy rows stay invisible,
+    and the first vacuum reclaims them."""
+    src, cache = tables
+    # simulate the legacy writer: no _cache_tag column, old txn format
+    legacy = (
+        src.read()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .withColumn("_source_version", F.lit(0).cast("long"))
+    )
+    cache.append(legacy, txn_id="rc-t1-v0")
+
+    calls: list[int] = []
+    out = cached_result(src, cache, _agg(calls), "t1").collect()
+    assert len(calls) == 1  # legacy claim ignored -> recomputed
+    assert out[0].n == 2 and out[0].total == 30.0
+    # served-from-cache on the second call (new-format claim works)
+    out2 = cached_result(src, cache, _agg(calls), "t1").collect()
+    assert len(calls) == 1 and out2 == out
+    # exactly one row visible for the tag (legacy row has NULL tag)
+    vis = cache.read(merge_schema=True).filter(F.col("_cache_tag") == "t1")
+    assert vis.count() == 1
+    # vacuum keeps the tagged row and reclaims the unattributable one
+    assert vacuum_cache(cache, "t1", keep_versions=1) == 1
+    assert cache.read().count() == 1
