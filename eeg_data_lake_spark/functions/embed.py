@@ -4,23 +4,32 @@ the inference runs *inside* Spark via ``pyspark.ml.functions.
 predict_batch_udf`` — the batched-inference API real model serving
 uses).
 
-The model itself is STUBBED (no torch/CLIP in this container): a
-deterministic hash-seeded Gaussian projection, L2-normalized like CLIP
-embeddings. Swapping in a real encoder changes only ``_encode_batch``
-— the predict_batch_udf wiring (Arrow batches, batch_size, tensor
+The encoder is REAL (no torch/CLIP in this container, so it is a
+non-neural one): feature-hashed character 3-grams (the hashing trick,
+Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+Learning" — the representation fastText/Vowpal Wabbit use) followed by
+a seeded Gaussian random projection to ``dim`` (Johnson-Lindenstrauss;
+Achlioptas 2003 shows such projections preserve inner products), then
+L2 normalization like CLIP embeddings. Texts sharing most of their
+n-grams land close in cosine and lexically disjoint texts land near
+orthogonal — a measurable semantic(-lexical) property the previous
+hash-seeded stand-in could not have, and the property the test suite
+pins. Swapping in a neural encoder changes only ``_encode_batch`` —
+the predict_batch_udf wiring (Arrow batches, batch_size, tensor
 shapes, array<float> column) is exactly what a GPU-backed encoder
-needs, including the one-model-per-worker reuse predict_batch_udf
-guarantees via its make_predict_fn factory.
+needs, including the one-projection-per-worker reuse that
+predict_batch_udf guarantees via its make_predict_fn factory (the
+16 MB projection matrix is the "model load").
 
 Scale notes: inference is a narrow map — no shuffle; batch_size
 bounds peak memory per worker; at 100 TB throughput scales with
 executors (and predict_batch_udf keeps the model loaded per worker,
-not per batch).
+not per batch). Per batch the n-gram hash is vectorized numpy
+(splitmix64 over packed byte triples) and the projection is one
+row-gather + segment-sum — no per-character Python.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -29,18 +38,94 @@ from pyspark.sql import types as T
 EMBED_DIM = 64
 BATCH_SIZE = 256
 
+#: feature-hashing bucket count (2^16 buckets keeps 3-gram collisions
+#: rare enough that hashed-tf cosine tracks true n-gram cosine)
+HASH_DIM = 1 << 16
 
-def _encode_batch(texts: np.ndarray, dim: int) -> np.ndarray:
-    """STUB encoder: deterministic per-text hash-seeded unit vector.
-    Replace with a real model's forward pass; signature stays."""
-    out = np.empty((len(texts), dim), dtype=np.float32)
-    for i, s in enumerate(texts):
-        seed = int.from_bytes(
-            hashlib.md5(str(s).encode()).digest()[:8], "little"
+#: fixed seed for the projection matrix — the "model weights"; every
+#: worker generates the identical matrix, so embeddings are
+#: deterministic across executors, runs, and partitionings
+PROJECTION_SEED = 0x5EED_E18D
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 — a well-mixed
+    stable hash (Python's hash() is salted per process and unusable
+    across workers)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _ngram_features(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket indices, ±1 signs) of the text's character 3-grams
+    under the hashing trick. The sign hash (bit 63) makes collisions
+    cancel in expectation instead of biasing counts upward (the
+    signed-hashing variant from the feature-hashing paper). Texts too
+    short for a 3-gram map to one fixed sentinel bucket so every such
+    text gets the same unit vector rather than a zero vector (zero
+    norms poison downstream cosines)."""
+    b = np.frombuffer(str(s).lower().encode("utf-8"), dtype=np.uint8)
+    if b.size < 3:
+        h = _mix64(np.array([0xE417], dtype=np.uint64))
+    else:
+        codes = (
+            b[:-2].astype(np.uint64) << np.uint64(16)
+            | b[1:-1].astype(np.uint64) << np.uint64(8)
+            | b[2:].astype(np.uint64)
         )
-        v = np.random.default_rng(seed).standard_normal(dim)
-        out[i] = (v / np.linalg.norm(v)).astype(np.float32)
-    return out
+        h = _mix64(codes)
+    idx = (h % np.uint64(HASH_DIM)).astype(np.int64)
+    sign = 1.0 - 2.0 * (h >> np.uint64(63)).astype(np.float64)
+    return idx, sign
+
+
+def hashed_tf_vector(s: str) -> np.ndarray:
+    """The exact (un-projected) signed hashed-tf vector in HASH_DIM
+    dims — the representation the projection approximates; exposed so
+    tests can check the JL property against ground truth."""
+    idx, sign = _ngram_features(s)
+    v = np.zeros(HASH_DIM, dtype=np.float64)
+    np.add.at(v, idx, sign)
+    return v
+
+
+def _make_projection(dim: int) -> np.ndarray:
+    """(HASH_DIM, dim) float32 Gaussian JL projection, fixed seed,
+    scaled 1/sqrt(dim) so inner products are preserved in
+    expectation."""
+    rng = np.random.default_rng(PROJECTION_SEED)
+    return (
+        rng.standard_normal((HASH_DIM, dim)) / np.sqrt(dim)
+    ).astype(np.float32)
+
+
+def _encode_batch(
+    texts: np.ndarray, dim: int, proj: np.ndarray
+) -> np.ndarray:
+    """Hashed-3-gram + random-projection embeddings for one Arrow
+    batch, L2-normalized. One concatenated row-gather over ``proj``
+    and one reduceat segment-sum per batch."""
+    if len(texts) == 0:
+        return np.empty((0, dim), dtype=np.float32)
+    idxs, signs, offsets = [], [], [0]
+    for s in texts:
+        idx, sign = _ngram_features(s)
+        idxs.append(idx)
+        signs.append(sign)
+        offsets.append(offsets[-1] + idx.size)
+    cat_idx = np.concatenate(idxs)
+    cat_sign = np.concatenate(signs).astype(np.float32)
+    gathered = proj[cat_idx] * cat_sign[:, None]
+    # every segment is non-empty (the sentinel guarantees >= 1 row),
+    # so reduceat's empty-segment quirk cannot fire
+    sums = np.add.reduceat(gathered, offsets[:-1], axis=0)
+    norms = np.linalg.norm(sums, axis=1, keepdims=True)
+    return (sums / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
 def with_text_embedding(
@@ -50,12 +135,14 @@ def with_text_embedding(
     dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Attach an ``array<float>`` embedding column computed with
-    predict_batch_udf (batched, model-per-worker)."""
+    predict_batch_udf (batched, projection-matrix-per-worker)."""
     from pyspark.ml.functions import predict_batch_udf
 
     def make_predict_fn():
-        # runs once per Python worker: the place a real model loads
-        return lambda batch: _encode_batch(batch, dim)
+        # runs once per Python worker: the model load — here the JL
+        # projection; a neural encoder's weights would load here
+        proj = _make_projection(dim)
+        return lambda batch: _encode_batch(batch, dim, proj)
 
     embed = predict_batch_udf(
         make_predict_fn,

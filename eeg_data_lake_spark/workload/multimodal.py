@@ -169,7 +169,8 @@ def q49_frame_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q98_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 end-to-end: generate embeddings for the documents table with
-    predict_batch_udf (stub encoder, real batched-inference wiring),
+    predict_batch_udf (REAL hashed-3-gram + JL-projection encoder —
+    see functions/embed.py — on real batched-inference wiring),
     then run the U5 retrieval shape on them — top-3 nearest documents
     for the 5 lowest doc_ids by cosine. Inference is a narrow map;
     scoring broadcasts the 5 query vectors (the q37 plan)."""

@@ -226,3 +226,94 @@ class TestAudioSpectral:
         assert len(a) > 0
         assert all(r.dominant_band in (
             "bass", "low_mid", "high_mid", "treble") for r in a)
+
+
+class TestRealEncoder:
+    """The encoder is REAL (hashed 3-grams + JL projection), not a
+    hash-seeded stand-in: lexical similarity must be measurable in the
+    output cosines, and the projection must track the exact hashed-tf
+    cosine it approximates. A per-text-seeded random vector (the old
+    stub) fails all of these — any two distinct texts were orthogonal
+    on average regardless of content."""
+
+    def _cos(self, a, b):
+        import numpy as np
+
+        return float(
+            np.dot(a, b)
+            / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+        )
+
+    def test_similar_texts_close_disjoint_texts_far(self):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.embed import (
+            EMBED_DIM,
+            _encode_batch,
+            _make_projection,
+        )
+
+        proj = _make_projection(EMBED_DIM)
+        a = "the quick brown fox jumps over the lazy dog"
+        b = "the quick brown fox jumps over the lazy cat"   # 1-word edit
+        c = "zzyzx qwfp vjkl mxbn ghrt uioe"                # disjoint
+        e = _encode_batch(np.array([a, b, c]), EMBED_DIM, proj)
+        sim_ab = self._cos(e[0], e[1])
+        sim_ac = self._cos(e[0], e[2])
+        assert sim_ab > 0.8, sim_ab       # near-dup texts land close
+        assert abs(sim_ac) < 0.45, sim_ac  # disjoint texts ~orthogonal
+        assert sim_ab > sim_ac + 0.4
+
+    def test_projection_tracks_exact_hashed_tf_cosine(self):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.embed import (
+            EMBED_DIM,
+            _encode_batch,
+            _make_projection,
+            hashed_tf_vector,
+        )
+
+        texts = [
+            "spark structured streaming watermark",
+            "spark structured streaming checkpoint",
+            "duckdb quantile oracle parity",
+            "completely unrelated pelican filament",
+        ]
+        proj = _make_projection(EMBED_DIM)
+        emb = _encode_batch(np.array(texts), EMBED_DIM, proj)
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                exact = self._cos(
+                    hashed_tf_vector(texts[i]), hashed_tf_vector(texts[j])
+                )
+                approx = self._cos(emb[i], emb[j])
+                # JL at dim=64: inner products preserved within ~3/sqrt(dim)
+                assert abs(exact - approx) < 0.4, (texts[i], texts[j], exact, approx)
+
+    def test_spark_path_matches_local_encoder_exactly(self, spark):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.embed import (
+            EMBED_DIM,
+            _encode_batch,
+            _make_projection,
+            with_text_embedding,
+        )
+
+        texts = ["alpha beta gamma", "x", "", "alpha beta gamma delta"]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: np.array(r.embedding, dtype=np.float32)
+            for r in with_text_embedding(df).collect()
+        }
+        want = _encode_batch(
+            np.array(texts), EMBED_DIM, _make_projection(EMBED_DIM)
+        )
+        for i in range(len(texts)):
+            assert np.allclose(got[i], want[i], atol=1e-6), i
+        # short texts share the sentinel bucket -> identical unit vector
+        assert np.allclose(got[1], got[2])
+        assert abs(np.linalg.norm(got[2]) - 1.0) < 1e-5
