@@ -128,6 +128,87 @@ def _encode_batch(
     return (sums / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
+#: tiny-image patch side: images are decoded, bilinear-resampled to
+#: PATCH x PATCH, contrast-normalized, then JL-projected — the
+#: "tiny images" descriptor (Torralba, Fergus & Freeman 2008), the
+#: classic non-neural stand-in for a learned image embedding
+IMAGE_PATCH = 16
+
+IMAGE_PROJECTION_SEED = 0x1A6E_5EED
+
+
+def _make_image_projection(dim: int) -> np.ndarray:
+    """(PATCH*PATCH, dim) float32 Gaussian JL projection for the
+    flattened normalized patch."""
+    rng = np.random.default_rng(IMAGE_PROJECTION_SEED)
+    return (
+        rng.standard_normal((IMAGE_PATCH * IMAGE_PATCH, dim)) / np.sqrt(dim)
+    ).astype(np.float32)
+
+
+def _encode_image_batch(
+    payloads: np.ndarray, dim: int, proj: np.ndarray
+) -> np.ndarray:
+    """Real image embeddings for one Arrow batch of binary payloads:
+    decode through the production codec seam (real PNG/PPM/PGM,
+    documented fallback otherwise), resize to the tiny-image patch
+    with the real bilinear kernel, contrast-normalize (mean/std — the
+    descriptor is brightness- and contrast-invariant by construction),
+    JL-project, L2-normalize. Flat (zero-variance) patches share one
+    fixed unit vector — two blank images are identical, not
+    zero-vector poison."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        _decode_full,
+        resize_bilinear,
+    )
+
+    out = np.empty((len(payloads), dim), dtype=np.float32)
+    flat_sentinel = None
+    for i, payload in enumerate(payloads):
+        raw = bytes(payload) if payload is not None else b""
+        _fmt, _w, _h, grid = _decode_full(raw)
+        patch = resize_bilinear(grid, IMAGE_PATCH, IMAGE_PATCH).ravel()
+        std = float(patch.std())
+        if std < 1e-9:
+            if flat_sentinel is None:
+                v = proj.sum(axis=0)
+                flat_sentinel = (
+                    v / max(float(np.linalg.norm(v)), 1e-12)
+                ).astype(np.float32)
+            out[i] = flat_sentinel
+            continue
+        feat = ((patch - patch.mean()) / std).astype(np.float32)
+        e = feat @ proj
+        out[i] = e / max(float(np.linalg.norm(e)), 1e-12)
+    return out
+
+
+def with_image_embedding(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Attach an ``array<float>`` image-embedding column (U4's image
+    half): same predict_batch_udf wiring as the text encoder, encoder
+    body = real decode → real bilinear tiny-image → JL projection.
+    A neural image encoder (the reference's CLIP ViT-B/32) swaps in by
+    replacing ``_encode_image_batch``; batching, schema, and plan are
+    unchanged."""
+    from pyspark.ml.functions import predict_batch_udf
+
+    def make_predict_fn():
+        proj = _make_image_projection(dim)
+        return lambda batch: _encode_image_batch(batch, dim, proj)
+
+    embed = predict_batch_udf(
+        make_predict_fn,
+        return_type=T.ArrayType(T.FloatType()),
+        batch_size=BATCH_SIZE,
+    )
+    return df.withColumn(out_col, embed(payload_col))
+
+
 def with_text_embedding(
     df: DataFrame,
     text_col: str = "text",

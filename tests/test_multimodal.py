@@ -317,3 +317,98 @@ class TestRealEncoder:
         # short texts share the sentinel bucket -> identical unit vector
         assert np.allclose(got[1], got[2])
         assert abs(np.linalg.norm(got[2]) - 1.0) < 1e-5
+
+
+class TestImageEncoder:
+    """The image encoder is REAL: decode through the production codec,
+    bilinear tiny-image patch, contrast normalization, JL projection.
+    The properties below are impossible for a byte-hash stand-in."""
+
+    def _embs(self, imgs_and_filters):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.embed import (
+            EMBED_DIM,
+            _encode_image_batch,
+            _make_image_projection,
+        )
+        from eeg_data_lake_spark.functions.imagecodec import encode_png
+
+        payloads = np.array(
+            [bytes(encode_png(img, ft)) for img, ft in imgs_and_filters],
+            dtype=object,
+        )
+        return _encode_image_batch(
+            payloads, EMBED_DIM, _make_image_projection(EMBED_DIM)
+        )
+
+    def test_codec_invariance_noise_and_scale(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        base = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        noisy = np.clip(
+            base.astype(np.int64) + rng.integers(-8, 9, size=base.shape),
+            0,
+            255,
+        ).astype(np.uint8)
+        other = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+        big = np.kron(base, np.ones((2, 2), dtype=np.uint8))
+        e = self._embs(
+            [(base, 0), (base, 4), (noisy, 2), (other, 1), (big, 3)]
+        )
+        cos = lambda a, b: float(np.dot(a, b))  # noqa: E731 (unit vecs)
+        # identical pixels through DIFFERENT PNG filter types: the
+        # decoded grid must be bit-identical, so cosine is exactly 1
+        assert cos(e[0], e[1]) > 1 - 1e-6
+        assert cos(e[0], e[2]) > 0.95          # small noise: near-dup
+        assert abs(cos(e[0], e[3])) < 0.5       # unrelated: far
+        assert cos(e[0], e[4]) > 0.8            # 2x upscale: same scene
+
+    def test_flat_images_share_sentinel_and_brightness_invariance(self):
+        import numpy as np
+
+        flat_dark = np.full((10, 10), 7, dtype=np.uint8)
+        flat_bright = np.full((6, 6), 200, dtype=np.uint8)
+        e = self._embs([(flat_dark, 0), (flat_bright, 0)])
+        assert np.allclose(e[0], e[1])
+        assert abs(np.linalg.norm(e[0]) - 1.0) < 1e-5
+
+    def test_spark_image_embedding_matches_local(self, spark):
+        import numpy as np
+
+        from eeg_data_lake_spark.functions.embed import (
+            EMBED_DIM,
+            _encode_image_batch,
+            _make_image_projection,
+            with_image_embedding,
+        )
+        from eeg_data_lake_spark.functions.imagecodec import encode_png
+
+        rng = np.random.default_rng(11)
+        payloads = [
+            bytes(encode_png(rng.integers(0, 256, size=(9, 7), dtype=np.uint8), i % 5))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(payloads)), "doc_id long, payload binary"
+        )
+        got = {
+            r.doc_id: np.array(r.embedding, dtype=np.float32)
+            for r in with_image_embedding(df).collect()
+        }
+        want = _encode_image_batch(
+            np.array(payloads, dtype=object),
+            EMBED_DIM,
+            _make_image_projection(EMBED_DIM),
+        )
+        assert all(np.allclose(got[i], want[i], atol=1e-6) for i in range(8))
+
+
+def test_z17_image_topk_runs_and_finds_similar_images(spark, sf_dir):
+    from eeg_data_lake_spark.workload.multimodal import z17_image_embedding_topk
+
+    rows = z17_image_embedding_topk(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 queries x top-3
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)

@@ -26,6 +26,7 @@ BNLJ_OK = {
     "q71_language_mixture_sample", # global min language share
     "q78_lang_vocab_overlap",      # global vocab size
     "q98_text_embedding_topk",     # broadcast query embedding row
+    "z17_image_embedding_topk",    # broadcast query embedding row (5)
     "r13_semantic_decontamination",# broadcast eval-centroid row
     "r26_temperature_mixture",     # global Z normalizer
     "r29_domain_quality_filter",   # global quality threshold row
