@@ -108,24 +108,17 @@ def _encode_batch(
     texts: np.ndarray, dim: int, proj: np.ndarray
 ) -> np.ndarray:
     """Hashed-3-gram + random-projection embeddings for one Arrow
-    batch, L2-normalized. One concatenated row-gather over ``proj``
-    and one reduceat segment-sum per batch."""
-    if len(texts) == 0:
-        return np.empty((0, dim), dtype=np.float32)
-    idxs, signs, offsets = [], [], [0]
-    for s in texts:
+    batch, L2-normalized. Projected per text (one row-gather +
+    vector-matrix product each) so peak worker memory is
+    O(longest_text_ngrams x dim), independent of how many long
+    documents share a batch — a batch-wide concatenated gather would
+    amplify batch text bytes ~4*dim-fold in one allocation."""
+    out = np.empty((len(texts), dim), dtype=np.float32)
+    for i, s in enumerate(texts):
         idx, sign = _ngram_features(s)
-        idxs.append(idx)
-        signs.append(sign)
-        offsets.append(offsets[-1] + idx.size)
-    cat_idx = np.concatenate(idxs)
-    cat_sign = np.concatenate(signs).astype(np.float32)
-    gathered = proj[cat_idx] * cat_sign[:, None]
-    # every segment is non-empty (the sentinel guarantees >= 1 row),
-    # so reduceat's empty-segment quirk cannot fire
-    sums = np.add.reduceat(gathered, offsets[:-1], axis=0)
-    norms = np.linalg.norm(sums, axis=1, keepdims=True)
-    return (sums / np.maximum(norms, 1e-12)).astype(np.float32)
+        e = sign.astype(np.float32) @ proj[idx]
+        out[i] = e / max(float(np.linalg.norm(e)), 1e-12)
+    return out
 
 
 #: tiny-image patch side: images are decoded, bilinear-resampled to

@@ -172,33 +172,15 @@ def q98_text_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     predict_batch_udf (REAL hashed-3-gram + JL-projection encoder —
     see functions/embed.py — on real batched-inference wiring),
     then run the U5 retrieval shape on them — top-3 nearest documents
-    for the 5 lowest doc_ids by cosine. Inference is a narrow map;
-    scoring broadcasts the 5 query vectors (the q37 plan)."""
-    from pyspark.sql import Window
-
+    for the 5 lowest doc_ids by cosine (embedding_topk: broadcast
+    query vectors, the q37 plan). Inference is a narrow map."""
     from eeg_data_lake_spark.functions.embed import with_text_embedding
-    from eeg_data_lake_spark.workload.similarity import as_double, dot, l2norm
+    from eeg_data_lake_spark.workload.similarity import as_double, embedding_topk
 
     d = with_text_embedding(t(spark, sf_dir, "documents")).select(
         "doc_id", as_double(F.col("embedding")).alias("e")
     )
-    q = d.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    scored = d.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("doc_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("qe"), F.col("e")) / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return embedding_topk(d)
 
 
 @register(
@@ -482,38 +464,17 @@ def z17_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample → contrast-normalize → JL projection, functions/embed.py
     — the non-neural stand-in for the reference's CLIP ViT-B/32,
     /root/reference/test_train.py:66-93) and retrieve the top-3 most
-    visually similar documents for the 5 lowest doc_ids by cosine.
-    Inference is a narrow predict_batch_udf map; scoring broadcasts
-    the 5 query vectors (the q37 plan). Rows-only by design; the
+    visually similar documents for the 5 lowest doc_ids by cosine
+    (embedding_topk: broadcast query vectors, the q37 plan; inference
+    is a narrow predict_batch_udf map). Rows-only by design; the
     encoder's realness is pinned by property tests (codec-invariance
     cosine == 1 across PNG filter types, noise robustness, scale
     robustness via the bilinear patch)."""
-    from pyspark.sql import Window
-
     from eeg_data_lake_spark.functions.embed import with_image_embedding
     from eeg_data_lake_spark.functions.multimodal import attach_image_payload
-    from eeg_data_lake_spark.workload.similarity import as_double, dot, l2norm
+    from eeg_data_lake_spark.workload.similarity import as_double, embedding_topk
 
     d = with_image_embedding(
         attach_image_payload(t(spark, sf_dir, "documents"))
     ).select("doc_id", as_double(F.col("embedding")).alias("e"))
-    q = d.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    scored = d.join(F.broadcast(q), F.col("doc_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("doc_id").alias("neighbor_id"),
-        F.round(
-            dot(F.col("qe"), F.col("e"))
-            / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return embedding_topk(d)

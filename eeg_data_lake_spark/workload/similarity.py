@@ -42,6 +42,38 @@ def l2norm(a):
     return F.sqrt(dot(a, a))
 
 
+def embedding_topk(d, n_queries: int = 5, k: int = 3):
+    """Top-``k`` cosine neighbors for the ``n_queries`` lowest doc_ids
+    of an embedded corpus ``d`` with columns (doc_id, e: array<double>)
+    — the retrieval block q98 (text) and z17 (image) share. Scoring
+    broadcasts the query vectors (the q37 plan); the != join is the
+    reviewed tiny-broadcast BNLJ whitelisted in the plan sweep."""
+    from pyspark.sql import Window
+
+    q = d.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = d.join(
+        F.broadcast(q), F.col("doc_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qe"), F.col("e"))
+            / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 @register(
     "q37_cosine_topk",
     oracle=f"""

@@ -73,6 +73,8 @@ EMPTY_SAFE = [
     "r78_first_touch_attribution",
     "r79_time_to_convert",
     "r80_linear_attribution",
+    "q98_text_embedding_topk",
+    "z17_image_embedding_topk",
 ]
 
 
