@@ -1500,3 +1500,157 @@ def r76_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------
+# z18: exact-substring dedup (Lee et al. 2022, ExactSubstr)
+# --------------------------------------------------------------------
+
+#: minimum duplicated span length in tokens (Lee et al. use 50 BPE
+#: tokens at web scale; 8 fits this corpus's short documents)
+_ESD_L = 8
+
+_ESD_ORACLE = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         array_to_string(w[(i+1):(i+{_ESD_L})], ' ') AS g
+  FROM words, UNNEST(range(len(w) - {_ESD_L} + 1)) AS tt(i)
+  WHERE len(w) >= {_ESD_L}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, p,
+         max(p + {_ESD_L}) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM dpos
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev_max IS NULL OR p > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS gid
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, gid, min(p) AS s, max(p) + {_ESD_L} AS e
+  FROM grp GROUP BY doc_id, gid
+),
+removed AS (SELECT doc_id, unnest(range(s, e)) AS t FROM merged),
+tok AS (
+  SELECT doc_id, unnest(w) AS wd,
+         CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS t
+  FROM words
+),
+kept AS (
+  SELECT k.doc_id, k.wd, k.t
+  FROM tok k LEFT JOIN removed r ON r.doc_id = k.doc_id AND r.t = k.t
+  WHERE r.t IS NULL
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         md5(string_agg(wd, ' ' ORDER BY t)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT)                          AS n_tokens,
+       CAST(coalesce(s.n_kept, 0) AS BIGINT)             AS n_kept,
+       CAST(len(w.w) - coalesce(s.n_kept, 0) AS BIGINT)  AS n_removed,
+       s.kept_md5
+FROM words w LEFT JOIN stats s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "z18_exact_substring_dedup",
+    oracle=_ESD_ORACLE,
+    tags=("curation", "dedup", "exact-substring"),
+)
+def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): DELETE every token that lies inside
+    a substring of >= L tokens appearing verbatim more than once
+    anywhere in the corpus (same document included), and reassemble the
+    survivors in order. The cover of duplicated *overlapping* L-grams
+    equals that token set EXACTLY — every length->=L duplicated span has
+    all its L-windows duplicated, and any duplicated L-window is itself
+    such a span — so the distributed L-gram inverted index computes the
+    same answer the paper's single-node suffix array does. This is the
+    overlapping-span upgrade of r27 (which deletes fixed non-overlapping
+    segments by document frequency).
+
+    Plan: gram construction is narrow codegen (split/transform/slice);
+    shuffle 1 counts gram occurrences (partial-agg combines repeats
+    map-side); shuffle 2 joins duplicate grams back to positions;
+    interval union is the classic gaps-and-islands pair of windows over
+    (doc_id, p) — one more doc-keyed shuffle reused by the final
+    reassembly agg; removed positions explode from merged intervals
+    (bounded by corpus token count) into a doc_id+pos anti-join. At
+    100 TB swap the gram string key for xxhash64(gram) to cut shuffle-1
+    bytes ~8x (kept as the string here so the DuckDB oracle shares the
+    key, the r27 convention); a hot boilerplate gram's posting list is
+    count-only — no pair blowup anywhere."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", words.alias("w"))
+    grams = (
+        docs.filter(F.size("w") >= _ESD_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _ESD_L),
+                    lambda i: F.array_join(F.slice("w", i + 1, _ESD_L), " "),
+                )
+            ).alias("p", "g"),
+        )
+        .withColumn("p", F.col("p").cast("long"))
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
+    w_ord = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max(F.col("p") + _ESD_L).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = dpos.withColumn(
+        "newgrp",
+        F.when(prev_max.isNull() | (F.col("p") > prev_max), 1).otherwise(0),
+    ).withColumn("gid", F.sum("newgrp").over(w_ord))
+    merged = grp.groupBy("doc_id", "gid").agg(
+        F.min("p").alias("s"), (F.max("p") + _ESD_L).alias("e")
+    )
+    removed = merged.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("t")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode("w").alias("t", "wd")
+    ).withColumn("t", F.col("t").cast("long"))
+    kept = tok.join(removed, ["doc_id", "t"], "left_anti")
+    stats = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t", "wd"))),
+                    lambda s: s["wd"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    base = docs.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        base.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            "kept_md5",
+        )
+        .orderBy("doc_id")
+    )

@@ -75,6 +75,7 @@ EMPTY_SAFE = [
     "r80_linear_attribution",
     "q98_text_embedding_topk",
     "z17_image_embedding_topk",
+    "z18_exact_substring_dedup",
 ]
 
 
