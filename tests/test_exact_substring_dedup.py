@@ -1,0 +1,107 @@
+"""z18 ExactSubstr semantics on planted data: duplicated cross-doc
+spans, within-doc repetition, overlap merging, and degenerate texts —
+each hand-computed AND oracle-compared on the same crafted parquet."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from eeg_data_lake_spark.workload.curation import (
+    _ESD_L,
+    z18_exact_substring_dedup,
+)
+from eeg_data_lake_spark.workload.registry import REGISTRY
+from tests.oracle_utils import compare, run_oracle
+
+
+def _w(n, prefix):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def _fill_other_tables(p, sf_dir):
+    """Zero-row copies of the remaining tables so run_oracle's view
+    registration finds every file."""
+    from tests.oracle_utils import TABLES
+
+    for tbl in TABLES:
+        if tbl == "documents":
+            continue
+        schema = pq.read_schema(f"{sf_dir}/{tbl}.parquet")
+        pq.write_table(schema.empty_table(), str(p / f"{tbl}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory, sf_dir):
+    span = _w(_ESD_L + 2, "dup")          # 10-token span shared by 2 docs
+    rep = _w(_ESD_L, "rep")               # 8-token span repeated IN one doc
+    texts = [
+        (0, f"{_w(5, 'a')} {span} {_w(5, 'b')}"),      # span in context
+        (1, f"{_w(3, 'c')} {span}"),                   # same span, other doc
+        (2, f"{rep} {_w(4, 'm')} {rep}"),              # within-doc repeat
+        (3, _w(_ESD_L - 1, "s")),                      # too short for a gram
+        (4, ""),                                       # empty text
+        (5, _w(30, "u")),                              # all unique: untouched
+    ]
+    p = tmp_path_factory.mktemp("planted")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([t[0] for t in texts], pa.int64()),
+                "text": pa.array([t[1] for t in texts], pa.string()),
+            }
+        ),
+        str(p / "documents.parquet"),
+    )
+    _fill_other_tables(p, sf_dir)
+    return str(p)
+
+
+def test_planted_spans_removed_exactly(spark, planted_dir):
+    rows = {
+        r.doc_id: r
+        for r in z18_exact_substring_dedup(spark, planted_dir).collect()
+    }
+    # docs 0/1: exactly the 10 shared tokens go; context survives
+    assert rows[0].n_removed == _ESD_L + 2 and rows[0].n_kept == 10
+    assert rows[1].n_removed == _ESD_L + 2 and rows[1].n_kept == 3
+    # doc 2: both copies of the repeated 8-token span go, middle stays
+    assert rows[2].n_removed == 2 * _ESD_L and rows[2].n_kept == 4
+    # doc 3 (< L tokens) and doc 5 (unique) untouched
+    assert rows[3].n_removed == 0 and rows[5].n_removed == 0
+    # empty text tokenizes to the single empty token, kept
+    assert rows[4].n_tokens == 1 and rows[4].n_removed == 0
+    assert rows[5].kept_md5 is not None
+
+
+def test_planted_matches_oracle(spark, planted_dir):
+    e = REGISTRY["z18_exact_substring_dedup"]
+    problems = compare(
+        e.spark_fn(spark, planted_dir),
+        run_oracle(e.oracle, planted_dir),
+        "z18_planted",
+    )
+    assert problems == [], problems
+
+
+def test_overlapping_duplicate_windows_merge(spark, tmp_path):
+    # two docs sharing a LONG span: removal must be one merged interval
+    span = _w(3 * _ESD_L, "x")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [f"{span} {_w(2, 'p')}", f"{_w(2, 'q')} {span}"], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in z18_exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert rows[0].n_removed == 3 * _ESD_L and rows[0].n_kept == 2
+    assert rows[1].n_removed == 3 * _ESD_L and rows[1].n_kept == 2
