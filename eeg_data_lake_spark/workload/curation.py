@@ -1569,8 +1569,9 @@ ORDER BY doc_id
     tags=("curation", "dedup", "exact-substring"),
 )
 def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
-    Makes Language Models Better"): DELETE every token that lies inside
+    """ExactSubstr dedup (Lee/Ippolito/Nystrom/Zhang/Eck/Callison-Burch/
+    Carlini 2022, "Deduplicating Training Data Makes Language Models
+    Better"): DELETE every token that lies inside
     a substring of >= L tokens appearing verbatim more than once
     anywhere in the corpus (same document included), and reassemble the
     survivors in order. The cover of duplicated *overlapping* L-grams

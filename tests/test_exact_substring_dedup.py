@@ -105,3 +105,34 @@ def test_overlapping_duplicate_windows_merge(spark, tmp_path):
     }
     assert rows[0].n_removed == 3 * _ESD_L and rows[0].n_kept == 2
     assert rows[1].n_removed == 3 * _ESD_L and rows[1].n_kept == 2
+
+
+def test_fully_removed_document_null_md5(spark, tmp_path, sf_dir):
+    """Two identical L-token docs: every token removed in both, Spark's
+    missing-stats row must surface as (n_kept=0, kept_md5 NULL) — the
+    exact shape the oracle's empty string_agg produces."""
+    same = _w(_ESD_L, "z")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([same, same], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    _fill_other_tables(tmp_path, sf_dir)
+    rows = {
+        r.doc_id: r
+        for r in z18_exact_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    for i in (0, 1):
+        assert rows[i].n_kept == 0 and rows[i].n_removed == _ESD_L
+        assert rows[i].kept_md5 is None
+    e = REGISTRY["z18_exact_substring_dedup"]
+    problems = compare(
+        e.spark_fn(spark, str(tmp_path)),
+        run_oracle(e.oracle, str(tmp_path)),
+        "z18_fully_removed",
+    )
+    assert problems == [], problems
