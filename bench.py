@@ -79,6 +79,8 @@ HEADLINE = [
     "z16_png_codec_roundtrip",    # real PNG codec (zlib+filters) round trip
     "r67_cusum_changepoint",      # 4 window families on one exchange
     "r68_holt_forecast",          # ordered struct fold (recursive state)
+    "q98_text_embedding_topk",    # real hashed-ngram encoder + retrieval
+    "z18_exact_substring_dedup",  # ExactSubstr span removal (Lee+ 2022)
 ]
 
 

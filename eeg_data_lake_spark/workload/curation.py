@@ -1582,17 +1582,23 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlapping-span upgrade of r27 (which deletes fixed non-overlapping
     segments by document frequency).
 
-    Plan: gram construction is narrow codegen (split/transform/slice);
-    shuffle 1 counts gram occurrences (partial-agg combines repeats
-    map-side); shuffle 2 joins duplicate grams back to positions;
-    interval union is the classic gaps-and-islands pair of windows over
-    (doc_id, p) — one more doc-keyed shuffle reused by the final
-    reassembly agg; removed positions explode from merged intervals
-    (bounded by corpus token count) into a doc_id+pos anti-join. At
-    100 TB swap the gram string key for xxhash64(gram) to cut shuffle-1
-    bytes ~8x (kept as the string here so the DuckDB oracle shares the
-    key, the r27 convention); a hot boilerplate gram's posting list is
-    count-only — no pair blowup anywhere."""
+    Plan (3 shuffles, no token-level rows ever): gram construction is
+    narrow codegen (split/transform/slice); shuffle 1 counts gram
+    occurrences (partial-agg combines repeats map-side, so only
+    distinct grams travel); the duplicate-gram set is small and joins
+    back to positions as an AQE broadcast (grams are recomputed
+    narrowly — cheaper than shuffling them); interval union is the
+    classic gaps-and-islands pair of windows over (doc_id, p) —
+    shuffle 2, whose doc_id partitioning is reused by both the
+    merged-interval agg and the per-doc interval-array collect;
+    shuffle 3 joins the interval arrays back to the documents, and the
+    entire removal + reassembly is then ARRAY expressions (filter +
+    exists over the merged intervals — m is tiny after merging), so no
+    per-token rows exist anywhere in the plan. At 100 TB swap the gram
+    string key for xxhash64(gram) to cut shuffle-1 bytes ~8x (kept as
+    the string here so the DuckDB oracle shares the key, the r27
+    convention); a hot boilerplate gram's posting list is count-only —
+    no pair blowup anywhere."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     docs = d.select("doc_id", words.alias("w"))
@@ -1622,36 +1628,43 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = grp.groupBy("doc_id", "gid").agg(
         F.min("p").alias("s"), (F.max("p") + _ESD_L).alias("e")
     )
-    removed = merged.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("t")
+    # per-doc merged-interval array (reuses the doc_id partitioning)
+    ivs = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("iv")
     )
-    tok = docs.select(
-        "doc_id", F.posexplode("w").alias("t", "wd")
-    ).withColumn("t", F.col("t").cast("long"))
-    kept = tok.join(removed, ["doc_id", "t"], "left_anti")
-    stats = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("t", "wd"))),
-                    lambda s: s["wd"],
-                ),
-                " ",
-            )
-        ).alias("kept_md5"),
+    iv = F.col("iv")
+    covered = lambda t: F.exists(  # noqa: E731
+        iv, lambda r: (t >= r["s"]) & (t < r["e"])
     )
-    base = docs.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    kept_w = F.filter(
+        F.zip_with(
+            F.col("w"),
+            F.sequence(F.lit(0), F.size("w") - 1).cast("array<long>"),
+            lambda wd, i: F.struct(wd.alias("wd"), i.alias("t")),
+        ),
+        lambda s: ~covered(s["t"]),
+    )
+    n_kept = F.when(iv.isNull(), F.size("w")).otherwise(F.size(kept_w))
+    kept_md5 = F.when(
+        iv.isNull(), F.md5(F.array_join(F.col("w"), " "))
+    ).otherwise(
+        F.when(
+            F.size(kept_w) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(kept_w, lambda s: s["wd"]), " "
+                )
+            ),
+        )
+    )
     return (
-        base.join(stats, "doc_id", "left")
+        docs.join(ivs, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            "kept_md5",
+            F.size("w").cast("long").alias("n_tokens"),
+            n_kept.cast("long").alias("n_kept"),
+            (F.size("w") - n_kept).cast("long").alias("n_removed"),
+            kept_md5.alias("kept_md5"),
         )
         .orderBy("doc_id")
     )

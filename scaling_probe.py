@@ -49,6 +49,8 @@ QUERIES = [
     "r53_interval_overlap_join",  # bin-and-verify pair join (output grows 10x)
     "r67_cusum_changepoint",      # O(1)/row windows over 10x-longer series
     "r68_holt_forecast",          # collect_list fold over 10x-longer series
+    "q98_text_embedding_topk",    # per-row encoder cost (narrow map)
+    "z18_exact_substring_dedup",  # overlapping-gram dedup on dup-heavy 10x
 ]
 
 #: key column to offset per table so replicas don't collide
