@@ -1644,7 +1644,14 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda s: ~covered(s["t"]),
     )
-    n_kept = F.when(iv.isNull(), F.size("w")).otherwise(F.size(kept_w))
+    # NULL text: split is NULL, size is NULL (ANSI) — n_tokens/
+    # n_removed/kept_md5 stay NULL like the oracle's, but n_kept must
+    # be the explicit 0 the oracle's coalesce produces
+    n_kept = (
+        F.when(F.col("w").isNull(), F.lit(0))
+        .when(iv.isNull(), F.size("w"))
+        .otherwise(F.size(kept_w))
+    )
     kept_md5 = F.when(
         iv.isNull(), F.md5(F.array_join(F.col("w"), " "))
     ).otherwise(

@@ -51,6 +51,8 @@ TEXT_QUERIES = [
     "q70_blocklist_scrub",
     "r21_token_entropy",
     "r27_crossdoc_segment_dedup",
+    "q98_text_embedding_topk",
+    "z18_exact_substring_dedup",
 ]
 
 
@@ -94,3 +96,28 @@ def test_null_text_consistent_with_oracle_semantics(spark, unicode_dir):
     rows = {r["doc_id"]: r for r in REGISTRY["q26_token_counts"].spark_fn(spark, unicode_dir).collect()}
     assert rows[5]["n_tokens"] is None
     assert rows[6]["n_tokens"] == 1  # '' splits to [''] in both engines
+
+
+def test_z18_unicode_null_empty_rows(spark, unicode_dir):
+    """ExactSubstr on the pathological corpus: NULL text surfaces as
+    (n_tokens NULL, n_kept 0, n_removed NULL, md5 NULL) — the oracle's
+    exact shape; unicode docs with no >=L-token duplicates are
+    untouched and their reassembly md5 is codepoint-exact."""
+    from eeg_data_lake_spark.workload.curation import (
+        z18_exact_substring_dedup,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in z18_exact_substring_dedup(spark, unicode_dir).collect()
+    }
+    assert out[5]["n_tokens"] is None and out[5]["n_kept"] == 0
+    assert out[5]["n_removed"] is None and out[5]["kept_md5"] is None
+    assert out[6]["n_tokens"] == 1 and out[6]["n_removed"] == 0
+    # every non-NULL doc here is shorter than 2L with unique grams
+    assert all(
+        out[i]["n_removed"] == 0 for i in (0, 1, 2, 3, 4, 6, 7, 8)
+    )
+    assert out[0]["kept_md5"] == hashlib.md5(
+        UNICODE_DOCS[0][1].encode("utf-8")
+    ).hexdigest()
