@@ -68,8 +68,13 @@ def _ngram_features(s: str) -> tuple[np.ndarray, np.ndarray]:
     signed-hashing variant from the feature-hashing paper). Texts too
     short for a 3-gram map to one fixed sentinel bucket so every such
     text gets the same unit vector rather than a zero vector (zero
-    norms poison downstream cosines)."""
-    b = np.frombuffer(str(s).lower().encode("utf-8"), dtype=np.uint8)
+    norms poison downstream cosines). NULL text maps to the sentinel
+    too — str(None) would otherwise embed it as the literal word
+    'none', colliding with real text."""
+    if s is None or (isinstance(s, float) and np.isnan(s)):
+        b = np.empty(0, dtype=np.uint8)
+    else:
+        b = np.frombuffer(str(s).lower().encode("utf-8"), dtype=np.uint8)
     if b.size < 3:
         h = _mix64(np.array([0xE417], dtype=np.uint64))
     else:

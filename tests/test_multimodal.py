@@ -412,3 +412,21 @@ def test_z17_image_topk_runs_and_finds_similar_images(spark, sf_dir):
     assert len(rows) == 15  # 5 queries x top-3
     assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
     assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_null_text_embeds_as_sentinel_not_literal_none(spark):
+    import numpy as np
+
+    from eeg_data_lake_spark.functions.embed import with_text_embedding
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "none"), (3, "None")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: np.array(r.embedding)
+        for r in with_text_embedding(df).collect()
+    }
+    assert np.allclose(got[0], got[1])       # NULL == empty == sentinel
+    assert not np.allclose(got[0], got[2])   # literal 'none' is distinct
+    assert np.allclose(got[2], got[3])       # case-folded real text
