@@ -50,17 +50,23 @@ def embedding_topk(d, n_queries: int = 5, k: int = 3):
     reviewed tiny-broadcast BNLJ whitelisted in the plan sweep."""
     from pyspark.sql import Window
 
-    q = d.filter(F.col("doc_id") < n_queries).select(
-        F.col("doc_id").alias("query_id"), F.col("e").alias("qe")
+    # norms hoisted to per-row columns BEFORE the pair join: each
+    # l2norm is an O(dim) interpreted HOF fold, and computing it per
+    # PAIR would triple the fold work n_queries-fold (bit-identical
+    # result — the same fold value is reused, not re-derived)
+    dn = d.withColumn("n", l2norm(F.col("e")))
+    q = dn.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n").alias("qn"),
     )
-    scored = d.join(
+    scored = dn.join(
         F.broadcast(q), F.col("doc_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("doc_id").alias("neighbor_id"),
         F.round(
-            dot(F.col("qe"), F.col("e"))
-            / (l2norm(F.col("qe")) * l2norm(F.col("e"))),
+            dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")),
             6,
         ).alias("cosine"),
     )
