@@ -84,8 +84,9 @@ EVENTS_SCHEMA = T.StructType(
 EVENT_PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType(), True)])
 
 #: Multimodal asset table: opaque binary payload + typed metadata
-#: (north-star "multimodal columns"; the decode step is stubbed because
-#: image/audio libs are not in the container — plumbing is real).
+#: (north-star "multimodal columns"; PNG/PPM/PGM and PCM16 payloads
+#: decode through the real pure-Python codecs in functions/, other
+#: formats fall back to the documented deterministic stand-in).
 MULTIMODAL_ASSET_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
