@@ -1647,25 +1647,27 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text: split is NULL, size is NULL (ANSI) — n_tokens/
     # n_removed/kept_md5 stay NULL like the oracle's, but n_kept must
     # be the explicit 0 the oracle's coalesce produces
+    kw = F.col("kept_w")
     n_kept = (
         F.when(F.col("w").isNull(), F.lit(0))
         .when(iv.isNull(), F.size("w"))
-        .otherwise(F.size(kept_w))
+        .otherwise(F.size(kw))
     )
     kept_md5 = F.when(
         iv.isNull(), F.md5(F.array_join(F.col("w"), " "))
     ).otherwise(
         F.when(
-            F.size(kept_w) > 0,
+            F.size(kw) > 0,
             F.md5(
-                F.array_join(
-                    F.transform(kept_w, lambda s: s["wd"]), " "
-                )
+                F.array_join(F.transform(kw, lambda s: s["wd"]), " ")
             ),
         )
     )
     return (
         docs.join(ivs, "doc_id", "left")
+        # materialized once: the filter/exists subtree is the per-row
+        # hot path and would otherwise be re-evaluated per consumer
+        .withColumn("kept_w", kept_w)
         .select(
             "doc_id",
             F.size("w").cast("long").alias("n_tokens"),
