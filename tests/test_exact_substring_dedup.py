@@ -136,3 +136,79 @@ def test_fully_removed_document_null_md5(spark, tmp_path, sf_dir):
         "z18_fully_removed",
     )
     assert problems == [], problems
+
+
+class TestPropertyVsPythonReference:
+    """Randomized corpora over a tiny vocabulary (duplicated L-grams
+    arise constantly) checked against a direct pure-Python
+    re-implementation of the ExactSubstr definition — independent of
+    both the Spark plan and the SQL oracle."""
+
+    @staticmethod
+    def _reference(texts, L):
+        import hashlib
+        from collections import Counter
+
+        toks = {i: (t.split(" ") if t is not None else None) for i, t in texts}
+        grams = Counter()
+        for w in toks.values():
+            if w and len(w) >= L:
+                for p in range(len(w) - L + 1):
+                    grams[" ".join(w[p : p + L])] += 1
+        out = {}
+        for i, w in toks.items():
+            if w is None:
+                out[i] = (None, 0, None, None)
+                continue
+            covered = [False] * len(w)
+            for p in range(max(len(w) - L + 1, 0)):
+                if grams[" ".join(w[p : p + L])] >= 2:
+                    covered[p : p + L] = [True] * L
+            kept = [wd for wd, c in zip(w, covered) if not c]
+            md5 = (
+                hashlib.md5(" ".join(kept).encode()).hexdigest()
+                if kept
+                else None
+            )
+            out[i] = (len(w), len(kept), len(w) - len(kept), md5)
+        return out
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(seed=st.integers(0, 2**16))
+        @settings(max_examples=8, deadline=None)
+        def run(seed):
+            rng = random.Random(seed)
+            vocab = ["a", "b", "c", "d"]
+            texts = []
+            for i in range(rng.randint(2, 5)):
+                n = rng.randint(0, 30)
+                texts.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(n)))
+                )
+            if rng.random() < 0.3:
+                texts.append((len(texts), None))
+            df = spark.createDataFrame(texts, "doc_id long, text string")
+            from eeg_data_lake_spark.workload.curation import (
+                _ESD_L,
+                z18_exact_substring_dedup,
+            )
+
+            import tempfile
+
+            d = tempfile.mkdtemp()
+            df.coalesce(1).write.mode("overwrite").parquet(
+                d + "/documents.parquet"
+            )
+            got = {
+                r.doc_id: (r.n_tokens, r.n_kept, r.n_removed, r.kept_md5)
+                for r in z18_exact_substring_dedup(spark, d).collect()
+            }
+            want = self._reference(texts, _ESD_L)
+            assert got == want, (texts, got, want)
+
+        run()
