@@ -93,3 +93,48 @@ def test_probe_prunes_files_and_matches_rescan(spark, table):
     assert [v for v, _ in got] == [v for v, _ in want]
     for (_, a), (_, b) in zip(got, want):
         assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_text_to_index_to_retrieval_end_to_end(spark, tmp_path):
+    """U4 -> §2.8 integration: raw TEXT micro-batches run through the
+    REAL hashed-ngram encoder, the embeddings stream into the IVF
+    txlog index, and a probe with a fresh query string retrieves the
+    planted near-duplicate text first — the full text -> embedding ->
+    online-index -> ANN-retrieval loop with no stub anywhere."""
+    from eeg_data_lake_spark.functions.embed import (
+        EMBED_DIM,
+        _encode_batch,
+        _make_projection,
+        with_text_embedding,
+    )
+
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((K_CELLS, EMBED_DIM))
+    cents = (c / np.linalg.norm(c, axis=1, keepdims=True)).round(6).tolist()
+    table = TxTable(spark, str(tmp_path / "textidx"))
+    writer = index_batch_writer(table, cents, "textann")
+
+    target = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [(0, "completely unrelated pelican filament text"),
+              (1, target),
+              (2, "spark structured streaming with watermarks")]
+    batch2 = [(3, "duckdb oracle parity and value hashing"),
+              (4, "another unrelated document about nothing")]
+    for bid, rows in enumerate((batch1, batch2)):
+        df = spark.createDataFrame(rows, "vec_id long, text string")
+        emb = with_text_embedding(df).select(
+            "vec_id", as_double(F.col("embedding")).alias("embedding")
+        )
+        writer(emb, bid)
+    assert table.read().count() == 5
+
+    query = "the quick brown fox jumps over the lazy cat again and again"
+    qv = _encode_batch(
+        np.array([query]), EMBED_DIM, _make_projection(EMBED_DIM)
+    )[0].tolist()
+    # nprobe=K_CELLS makes the probe exhaustive -> rank-1 must be the
+    # planted near-dup regardless of which cell it landed in
+    top = probe_topk(table, qv, cents, nprobe=K_CELLS, k=2).collect()
+    assert top[0].vec_id == 1, top
+    assert top[0].cosine > 0.8, top
+    assert top[1].cosine < top[0].cosine - 0.2, top
