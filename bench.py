@@ -24,6 +24,17 @@ back-to-back), and min-of-N is the standard steady-state estimator
 under noisy co-tenancy — both engines get the same treatment, so the
 ratios stay fair.
 
+A structural note for reading the per-query walls: every driver
+testdata table is ONE parquet file with ONE row group, and parquet
+splits at row-group granularity — so each scan (and everything narrow
+above it: broadcast-join probes, Python encoder maps) runs as a
+single task locally regardless of spark.sql.files.maxPartitionBytes.
+DuckDB parallelizes inside a row group; Spark cannot. The scaling
+probe (scaling_probe.py) shows what happens the moment there is more
+than one file: 10x the data in 10 files costs ~0.9-1.6x the wall for
+scan-bound queries because the idle cores finally get splits. At
+100 TB (millions of row groups) this artifact vanishes.
+
 The DuckDB leg anchors "fast": each headline query's oracle SQL runs
 on the same parquet at the same SF (fetchall-materialized, all cores),
 and spark_vs_duckdb records wall/wall per query (<1 means Spark is
