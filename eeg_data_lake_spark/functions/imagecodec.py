@@ -275,21 +275,29 @@ def decode_ppm(raw: bytes) -> np.ndarray:
             raise ValueError(
                 f"non-numeric netpbm header token {raw[start:pos]!r}"
             ) from exc
-    # exactly one whitespace byte separates maxval from pixel data —
-    # but accept the CR of a CR-LF pair together with its LF, else the
-    # LF would be consumed as the first pixel (silent corruption)
-    sep = raw[pos : pos + 1]
-    if not sep.isspace():
-        raise ValueError("netpbm maxval not followed by whitespace")
-    pos += 1
-    if sep == b"\r" and raw[pos : pos + 1] == b"\n":
-        pos += 1
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval 255 supported")
     if w < 1 or h < 1:
         raise ValueError("zero-dimension netpbm refused")
     n = w * h * channels
+    # exactly one whitespace byte separates maxval from pixel data.
+    # A '\r' followed by '\n' is ambiguous: a Windows CR-LF writer's
+    # two-byte separator, or a spec-exact bare-CR separator whose
+    # first pixel happens to be 0x0A. Resolve with the raster length:
+    # keep the LF as pixel data when doing so fits the declared size
+    # exactly (the only reading that decodes the bare-CR file at all);
+    # otherwise consume it as the LF of a CR-LF pair.
+    sep = raw[pos : pos + 1]
+    if not sep.isspace():
+        raise ValueError("netpbm maxval not followed by whitespace")
+    pos += 1
+    if (
+        sep == b"\r"
+        and raw[pos : pos + 1] == b"\n"
+        and len(raw) - pos != n
+    ):
+        pos += 1
     body = raw[pos : pos + n]
     if len(body) != n:
         raise ValueError("truncated netpbm pixel data")

@@ -50,6 +50,13 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int | None, k: int):
                 d = x.shape[1]
                 s = np.zeros(d)
                 ss = np.zeros((d, d))
+            elif x.shape[1] != d:
+                # must raise HERE: a (1,)-wide later batch would numpy-
+                # broadcast into the (d,)/(d,d) accumulators silently
+                raise ValueError(
+                    f"pca_fit: inconsistent vector dims within a "
+                    f"partition ({x.shape[1]} vs {d})"
+                )
             n += len(x)
             s += x.sum(axis=0)
             ss += x.T @ x

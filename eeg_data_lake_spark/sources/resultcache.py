@@ -34,6 +34,21 @@ from eeg_data_lake_spark.sources.txlog import TxTable, iter_manifests
 import json
 
 
+def _check_tag(tag: str) -> str:
+    """Tags must not contain '-': the txn-id grammar separates fields
+    with dashes, and a tag like 'a-g7' would make legacy id
+    'rc-a-g7-v3' (tag 'a-g7', version 3) indistinguishable from the
+    current format's (tag 'a', generation 7, version 3) — a misclaim
+    that would serve an empty result. Rejecting dashes at every entry
+    point keeps both grammars unambiguous."""
+    if not tag or "-" in tag:
+        raise ValueError(
+            f"cache tag {tag!r} must be non-empty and contain no '-' "
+            "(the txn-id field separator)"
+        )
+    return tag
+
+
 def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
     """``(valid_versions, n_vacuums)`` for ``tag``, replayed from the
     cache table's commit log in commit order: an ``rc-{tag}-g{g}-v{v}``
@@ -52,7 +67,9 @@ def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
         # rcvac-<tag>-below-<int>) and require the remaining middle to
         # equal the tag EXACTLY — a prefix test would misattribute
         # commits between tags where one tag is a prefix of another
-        # (e.g. 'a' vs 'a-g1' sharing a cache table).
+        # (e.g. 'a' vs 'ag1' sharing a cache table). Tags are dashless
+        # by _check_tag, which also keeps legacy 'rc-<tag>-v<v>' ids
+        # (no generation field) unambiguously NON-matching here.
         if tid.startswith("rc-") and "-v" in tid and "-g" in tid:
             head, _, vpart = tid.rpartition("-v")
             mid, _, gpart = head.rpartition("-g")
@@ -78,6 +95,7 @@ def cached_result(
     ``cache``. ``tag`` namespaces several cached queries in one cache
     table (their schemas must match): rows are stored with the tag and
     reads filter on ``(tag, source_version)``."""
+    _check_tag(tag)
     v = source.version()
     if v < 0:
         raise ValueError(f"source table at {source.path} has no data")
@@ -111,7 +129,7 @@ def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:
     ``cached_result`` calls know the dropped versions are gone and
     recompute instead of serving an empty result. Returns the
     surviving row count for ``tag``."""
-    versions = sorted(_cache_state(cache, tag)[0])
+    versions = sorted(_cache_state(cache, _check_tag(tag))[0])
     if not versions:
         return 0
     keep = versions[-keep_versions:] if keep_versions else []

@@ -709,10 +709,20 @@ def table_diff(
             "diff the overlapping columns explicitly"
         )
 
+    # to_json renders timestamps at MILLIsecond precision, so a
+    # sub-millisecond update would hash as unchanged — feed timestamp
+    # columns through unix_micros (full stored precision) instead
+    ttypes = dict(new_df.dtypes)
+
+    def _jsonable(c: str):
+        if ttypes[c].startswith("timestamp"):
+            return F.unix_micros(F.col(c)).alias(c)
+        return F.col(c)
+
     def hashed(df: DataFrame, side: str) -> DataFrame:
         cols = [F.col(c).alias(f"{side}_{c}") for c in keys]
         h = (
-            F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(payload)])))
+            F.md5(F.to_json(F.struct(*[_jsonable(c) for c in sorted(payload)])))
             if payload
             else F.lit("")  # key-only table: rows can't be 'changed'
         )

@@ -284,3 +284,20 @@ def test_png_oversized_stream_and_trailing_garbage_refused():
     over = zlib.compress(b"\x00" * 10)
     with pytest.raises(ValueError, match="length mismatch"):
         decode_png(PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", over) + _chunk(b"IEND", b""))
+
+
+def test_ppm_bare_cr_separator_with_lf_first_pixel():
+    """Spec-exact bare-CR maxval separator whose FIRST PIXEL is 0x0A:
+    the raster length proves the LF is data, so the decode must
+    succeed unshifted (a blind CR-LF skip ate the pixel and raised)."""
+    raw = b"P5\n3 2\n255\r" + bytes([10, 1, 2, 3, 4, 5])
+    img = decode_ppm(raw)
+    assert img.shape == (2, 3)
+    assert img.ravel().tolist() == [10, 1, 2, 3, 4, 5]
+
+
+def test_ppm_crlf_separator_still_consumed_as_one():
+    """Windows CR-LF writer (raster length says the LF cannot be a
+    pixel): both bytes are the separator, grid unshifted."""
+    raw = b"P5\n3 2\n255\r\n" + bytes([9, 1, 2, 3, 4, 5])
+    assert decode_ppm(raw).ravel().tolist() == [9, 1, 2, 3, 4, 5]

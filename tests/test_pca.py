@@ -80,3 +80,25 @@ def test_partitioning_invariance(data):
     c13, v13, m13 = pca_fit(df.repartition(13), "embedding", DIM, K)
     assert np.allclose(v1, v13, rtol=1e-9)
     assert np.allclose(c1, c13, atol=1e-8)
+
+
+def test_mixed_dims_within_one_partition_raise(spark):
+    """A later Arrow batch of narrower vectors must raise, not numpy-
+    broadcast into the accumulators (which would silently corrupt the
+    components while passing the cross-partition dim check)."""
+    import pytest
+
+    from eeg_data_lake_spark.ml.pca import pca_fit
+
+    rows = [([1.0, 2.0, 3.0],)] * 4 + [([9.0],)] * 2
+    df = spark.createDataFrame(rows, "v array<double>").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        with pytest.raises(Exception, match="inconsistent vector dims"):
+            pca_fit(df, "v", dim=None, k=2)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -117,22 +117,36 @@ def test_vacuumed_version_recomputes_not_empty(spark, tables):
 
 
 def test_prefix_tags_do_not_collide(spark, tables):
-    """Tag 'a' vs tag 'a-g1' (one a prefix of the other, and one that
-    mimics the generation marker): commits must attribute to exactly
-    one tag — a prefix-based parse credited 'a-g1' commits to 'a' and
-    served tag 'a' an empty cached result."""
+    """Tag 'a' vs tag 'ag1' (one a prefix of the other): commits must
+    attribute to exactly one tag — a prefix-based parse would credit
+    'ag1' commits to 'a' and serve tag 'a' an empty cached result."""
     src, cache = tables
     calls_a: list[int] = []
     calls_p: list[int] = []
-    b = cached_result(src, cache, _cnt(calls_p), "a-g1").collect()
+    b = cached_result(src, cache, _cnt(calls_p), "ag1").collect()
     a = cached_result(src, cache, _agg(calls_a), "a").collect()
     assert len(calls_a) == 1  # 'a' computed its OWN result, not served b's
     assert a[0].total == 30.0 and b[0].total == 0.0
     # vacuum of the longer tag leaves the shorter tag served & intact
-    vacuum_cache(cache, "a-g1", keep_versions=1)
+    vacuum_cache(cache, "ag1", keep_versions=1)
     before = len(calls_a)
     assert cached_result(src, cache, _agg(calls_a), "a").collect() == a
     assert len(calls_a) == before
+
+
+def test_dashed_tags_rejected(spark, tables):
+    """'-' is the txn-id field separator: a tag like 'a-g7' would make
+    a LEGACY id 'rc-a-g7-v3' (tag 'a-g7' at v3) indistinguishable from
+    the current format's (tag 'a', gen 7, v3) misclaim — so dashed
+    tags are refused at every entry point instead of parsed wrongly at
+    migration time."""
+    src, cache = tables
+    with pytest.raises(ValueError, match="no '-'"):
+        cached_result(src, cache, lambda df: df, "a-g7")
+    with pytest.raises(ValueError, match="no '-'"):
+        vacuum_cache(cache, "a-g1")
+    with pytest.raises(ValueError, match="non-empty"):
+        cached_result(src, cache, lambda df: df, "")
 
 
 def test_empty_source_refused(spark, tmp_path):

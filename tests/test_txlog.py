@@ -414,3 +414,19 @@ def test_vacuum_age_retention(spark, tmp_path):
     assert t.read(version=3).collect()[0].k == 3
     with _pytest.raises(Exception):
         t.read(version=0).collect()
+
+
+def test_table_diff_submillisecond_timestamp_change_detected(spark, tmp_path):
+    """to_json truncates timestamps to milliseconds; the diff hash
+    must see full microsecond precision (unix_micros feed)."""
+    import datetime as dt
+
+    from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0, 123456)
+    t1 = dt.datetime(2020, 1, 1, 0, 0, 0, 123999)  # same millisecond
+    tbl = TxTable(spark, str(tmp_path / "ts"))
+    tbl.append(spark.createDataFrame([(1, t0)], "k long, ts timestamp"))
+    tbl.overwrite(spark.createDataFrame([(1, t1)], "k long, ts timestamp"))
+    diff = table_diff(tbl, 0, 1, keys=["k"]).collect()
+    assert len(diff) == 1 and diff[0]["op"] == "changed"
