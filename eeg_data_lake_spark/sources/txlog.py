@@ -716,7 +716,9 @@ def table_diff(
 
     def _jsonable(c: str):
         if ttypes[c].startswith("timestamp"):
-            return F.unix_micros(F.col(c)).alias(c)
+            # cast: unix_micros wants TIMESTAMP; an ntz column converts
+            # via the (UTC-pinned) session zone, same on both sides
+            return F.unix_micros(F.col(c).cast("timestamp")).alias(c)
         return F.col(c)
 
     def hashed(df: DataFrame, side: str) -> DataFrame:
