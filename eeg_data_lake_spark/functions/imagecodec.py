@@ -250,9 +250,14 @@ def decode_ppm(raw: bytes) -> np.ndarray:
     """Decode binary P5/P6 netpbm with spec-correct whitespace and
     ``#`` comment handling in the header. Non-numeric header tokens,
     zero dimensions, a non-whitespace maxval terminator, and truncated
-    pixel data all raise ValueError; a CR-LF maxval terminator (out of
-    spec but emitted by Windows writers) is consumed as one separator
-    so the pixel grid is never silently shifted by a byte."""
+    pixel data all raise ValueError. A '\\r' maxval terminator followed
+    by '\\n' is inherently ambiguous (Windows CR-LF separator vs a
+    spec-exact bare-CR file whose first pixel is 0x0A); it is resolved
+    by the declared raster length — the LF stays pixel data only when
+    that reading fits exactly, else it is consumed as separator. The
+    one undecidable corner (a CR-LF file truncated by exactly one
+    byte, or a bare-CR file with trailing bytes) decodes per this rule
+    rather than raising."""
     if raw[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PGM/PPM")
     channels = 1 if raw[:2] == b"P5" else 3

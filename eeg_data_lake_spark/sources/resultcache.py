@@ -68,8 +68,11 @@ def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
         # equal the tag EXACTLY — a prefix test would misattribute
         # commits between tags where one tag is a prefix of another
         # (e.g. 'a' vs 'ag1' sharing a cache table). Tags are dashless
-        # by _check_tag, which also keeps legacy 'rc-<tag>-v<v>' ids
-        # (no generation field) unambiguously NON-matching here.
+        # by _check_tag, so ids WE write are unambiguous. A legacy id
+        # written for a DASHED tag ('rc-a-g7-v3' for old tag 'a-g7')
+        # still parses as a claim for tag 'a' — grammatically
+        # unavoidable; cached_result neutralizes it by verifying the
+        # claimed slice is non-empty before serving.
         if tid.startswith("rc-") and "-v" in tid and "-g" in tid:
             head, _, vpart = tid.rpartition("-v")
             mid, _, gpart = head.rpartition("-g")
@@ -100,13 +103,7 @@ def cached_result(
     if v < 0:
         raise ValueError(f"source table at {source.path} has no data")
     cached, n_vac = _cache_state(cache, tag)
-    if v not in cached:
-        result = (
-            compute(source.read(version=v))
-            .withColumn("_cache_tag", F.lit(tag))
-            .withColumn("_source_version", F.lit(v).cast("long"))
-        )
-        cache.append(result, txn_id=f"rc-{tag}-g{n_vac}-v{v}")
+
     # merge_schema: a cache table written before the _cache_tag column
     # existed holds files without it; the merged read surfaces those
     # rows with a NULL tag, so the tag filter excludes them (they are
@@ -114,11 +111,35 @@ def cached_result(
     # parser likewise ignores legacy 'rc-{tag}-v{v}' txn ids) and the
     # query recomputes once under the current format instead of
     # AnalysisException-ing on a missing column.
-    return (
-        cache.read(merge_schema=True)
-        .filter((F.col("_cache_tag") == tag) & (F.col("_source_version") == v))
-        .drop("_cache_tag", "_source_version")
+    def read_slice() -> DataFrame:
+        return (
+            cache.read(merge_schema=True)
+            .filter(
+                (F.col("_cache_tag") == tag)
+                & (F.col("_source_version") == v)
+            )
+            .drop("_cache_tag", "_source_version")
+        )
+
+    if v in cached:
+        hit = read_slice()
+        # trust-but-verify: a LEGACY txn id written for a dashed tag
+        # (e.g. 'rc-a-g7-v3' for old tag 'a-g7') is grammatically
+        # indistinguishable from a current-format claim for tag 'a',
+        # but its rows never carry our tag — so a claim whose slice is
+        # empty falls through to recompute instead of serving the
+        # misclaimed empty result. Cost: a genuinely empty cached
+        # result recomputes per call (the append below no-ops on its
+        # txn id, so this stays correct and idempotent).
+        if not hit.isEmpty():
+            return hit
+    result = (
+        compute(source.read(version=v))
+        .withColumn("_cache_tag", F.lit(tag))
+        .withColumn("_source_version", F.lit(v).cast("long"))
     )
+    cache.append(result, txn_id=f"rc-{tag}-g{n_vac}-v{v}")
+    return read_slice()
 
 
 def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:

@@ -710,15 +710,59 @@ def table_diff(
         )
 
     # to_json renders timestamps at MILLIsecond precision, so a
-    # sub-millisecond update would hash as unchanged — feed timestamp
-    # columns through unix_micros (full stored precision) instead
-    ttypes = dict(new_df.dtypes)
+    # sub-millisecond update would hash as unchanged — feed every
+    # timestamp (top-level OR nested in struct/array/map) through
+    # unix_micros (full stored precision). Only subtrees that actually
+    # contain a timestamp are rewritten; everything else hashes as-is.
+    from pyspark.sql import types as T
+
+    def _has_ts(dt) -> bool:
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_has_ts(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _has_ts(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _has_ts(dt.keyType) or _has_ts(dt.valueType)
+        return False
+
+    def _micros(col, dt):
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # cast: unix_micros wants TIMESTAMP; ntz converts via the
+            # (UTC-pinned) session zone, same on both sides
+            return F.unix_micros(col.cast("timestamp"))
+        if isinstance(dt, T.StructType):
+            rebuilt = F.struct(
+                *[
+                    _micros(col[f.name], f.dataType).alias(f.name)
+                    for f in dt.fields
+                ]
+            )
+            # a NULL struct must stay NULL (to_json drops it by name),
+            # not become a struct of NULL fields
+            return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+        if isinstance(dt, T.ArrayType):
+            return F.transform(col, lambda x: _micros(x, dt.elementType))
+        if isinstance(dt, T.MapType):
+            out = col
+            if _has_ts(dt.keyType):
+                out = F.transform_keys(
+                    out, lambda k, _v: _micros(k, dt.keyType)
+                )
+            if _has_ts(dt.valueType):
+                out = F.transform_values(
+                    out, lambda _k, v: _micros(v, dt.valueType)
+                )
+            return out
+        return col
+
+    fields = {f.name: f.dataType for f in new_df.schema.fields}
 
     def _jsonable(c: str):
-        if ttypes[c].startswith("timestamp"):
-            # cast: unix_micros wants TIMESTAMP; an ntz column converts
-            # via the (UTC-pinned) session zone, same on both sides
-            return F.unix_micros(F.col(c).cast("timestamp")).alias(c)
+        dt = fields[c]
+        if _has_ts(dt):
+            return _micros(F.col(c), dt).alias(c)
         return F.col(c)
 
     def hashed(df: DataFrame, side: str) -> DataFrame:

@@ -185,3 +185,26 @@ def test_legacy_pre_tag_cache_table_upgrades_cleanly(spark, tables):
     # vacuum keeps the tagged row and reclaims the unattributable one
     assert vacuum_cache(cache, "t1", keep_versions=1) == 1
     assert cache.read().count() == 1
+
+
+def test_legacy_dashed_tag_misclaim_recomputes_not_empty(spark, tables):
+    """A legacy-format commit for old dashed tag 'a-g7' ('rc-a-g7-v0')
+    grammatically parses as a current-format claim for tag 'a' at v0.
+    Serving it blindly would return an EMPTY result; the non-empty
+    verification must fall through to recompute instead."""
+    src, cache = tables
+    legacy = (
+        src.read()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .withColumn("_cache_tag", F.lit("a-g7"))
+        .withColumn("_source_version", F.lit(0).cast("long"))
+    )
+    cache.append(legacy, txn_id="rc-a-g7-v0")
+    calls: list[int] = []
+    out = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 1                       # recomputed
+    assert out[0].n == 2 and out[0].total == 30.0
+    # second call serves the now-real rows without recomputing
+    out2 = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 1 and out2 == out

@@ -430,3 +430,27 @@ def test_table_diff_submillisecond_timestamp_change_detected(spark, tmp_path):
     tbl.overwrite(spark.createDataFrame([(1, t1)], "k long, ts timestamp"))
     diff = table_diff(tbl, 0, 1, keys=["k"]).collect()
     assert len(diff) == 1 and diff[0]["op"] == "changed"
+
+
+def test_table_diff_nested_timestamp_submillisecond_detected(spark, tmp_path):
+    """Timestamps nested in struct and array payload columns must also
+    hash at microsecond precision."""
+    import datetime as dt
+
+    from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0, 123456)
+    t1 = dt.datetime(2020, 1, 1, 0, 0, 0, 123999)
+    schema = "k long, s struct<ts:timestamp, x:long>, a array<timestamp>"
+    tbl = TxTable(spark, str(tmp_path / "nts"))
+    tbl.append(spark.createDataFrame([(1, (t0, 7), [t0])], schema))
+    tbl.overwrite(spark.createDataFrame([(1, (t1, 7), [t0])], schema))
+    d1 = table_diff(tbl, 0, 1, keys=["k"]).collect()
+    assert len(d1) == 1 and d1[0]["op"] == "changed"  # struct-nested
+    tbl.overwrite(spark.createDataFrame([(1, (t1, 7), [t1])], schema))
+    d2 = table_diff(tbl, 1, 2, keys=["k"]).collect()
+    assert len(d2) == 1 and d2[0]["op"] == "changed"  # array-nested
+    # unchanged nested payload diffs empty (NULL struct stays NULL)
+    tbl.overwrite(spark.createDataFrame([(1, None, [t1])], schema))
+    tbl.overwrite(spark.createDataFrame([(1, None, [t1])], schema))
+    assert table_diff(tbl, 3, 4, keys=["k"]).count() == 0
