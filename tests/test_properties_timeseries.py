@@ -50,9 +50,16 @@ def _events_dir(values_by_user: dict[int, np.ndarray]) -> str:
 
 
 def _np_cusum(xs: np.ndarray) -> tuple[float, int]:
-    s = np.round(np.cumsum(xs - xs.mean()), 6)
-    rng = round(s.max() - s.min(), 6)
-    cp = int(np.lexsort((np.arange(len(s)), -np.abs(s)))[0]) + 1
+    """Replicates r67's EXACT integer model: values quantized to
+    micro-units with HALF_UP (Spark round), denominator-free centered
+    prefix sums ss_k = n*cs_k - k*S_n on int64, one final division."""
+    x = np.asarray(xs, dtype=np.float64) * 1e6
+    v = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    n = len(v)
+    cs = np.cumsum(v)
+    ss = n * cs - np.arange(1, n + 1, dtype=np.int64) * cs[-1]
+    rng = round(float(ss.max() - ss.min()) / (n * 1e6), 6)
+    cp = int(np.lexsort((np.arange(n), -np.abs(ss)))[0]) + 1
     return rng, cp
 
 
@@ -85,14 +92,22 @@ class TestTimeseriesProperties:
             .collect()
         }
         for u, xs in data.items():
+            # each run matches the exact integer model bit-for-bit
+            # (1e-6 slack covers only the final decimal rounding mode:
+            # Spark HALF_UP vs Python round-half-even on one double)
             exp_rng, exp_cp = _np_cusum(xs)
-            assert rows[u].cusum_range == pytest.approx(exp_rng, abs=2e-6)
+            assert rows[u].cusum_range == pytest.approx(exp_rng, abs=1.1e-6)
             assert rows[u].cp_index == exp_cp
-            # deviations-from-mean are shift-invariant
+            sh_rng, sh_cp = _np_cusum(xs + shift)
+            assert shifted[u].cusum_range == pytest.approx(sh_rng, abs=1.1e-6)
+            assert shifted[u].cp_index == sh_cp
+            # deviations-from-mean are shift-invariant up to the
+            # micro-quantization of the SHIFTED values: each ss_k
+            # moves by at most n*k + k*n <= 2n^2 integer units, so the
+            # range moves by <= 4n^2/(n*1e6) = 4n/1e6
             assert shifted[u].cusum_range == pytest.approx(
-                rows[u].cusum_range, abs=2e-6
+                rows[u].cusum_range, abs=4 * len(xs) / 1e6 + 2.2e-6
             )
-            assert shifted[u].cp_index == rows[u].cp_index
 
     @given(seed=st.integers(0, 2**16), c=st.floats(0.1, 10, allow_nan=False))
     @settings(max_examples=5, deadline=None)
