@@ -91,11 +91,21 @@ class JsonlShardWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         """Manifest-last commit. Append merges this job's shards into
         the existing manifest; overwrite swaps in a manifest listing
-        ONLY the new shards (atomic ``os.replace``) and deletes the
-        old generation's shards AFTER the swap — a job that dies
-        mid-write therefore leaves the previous manifest and every
-        shard it references untouched, so consumers (who resolve the
-        manifest first) never see a torn or destroyed export."""
+        ONLY the new shards (atomic ``os.replace``) and AFTER the swap
+        deletes exactly the shards the PREVIOUS manifest listed — a
+        job that dies mid-write therefore leaves the previous manifest
+        and every shard it references untouched, and the reclaim never
+        touches a `.jsonl` it can't account for (an uncommitted shard
+        a concurrent append job is still writing survives).
+
+        Concurrency contract: appends may run concurrently with each
+        other (last commit's manifest merge wins the race benignly —
+        shards are never deleted on the append path), but OVERWRITE
+        assumes no concurrent writer and no reader holding the OLD
+        manifest across the swap: a reader that resolved the previous
+        manifest before the swap can see its shards deleted mid-scan.
+        Run overwrites as the sole writer, or vacuum old generations
+        out-of-band after readers drain."""
         new = [
             {
                 "file": m.file,
@@ -106,6 +116,14 @@ class JsonlShardWriter(DataSourceWriter):
             for m in messages
         ]
         new_names = {s["file"] for s in new}
+        # capture the outgoing generation BEFORE the swap: it is the
+        # only set of files overwrite is entitled to delete
+        try:
+            prev_names = {
+                s["file"] for s in read_manifest(self.path)["shards"]
+            }
+        except FileNotFoundError:
+            prev_names = set()
         shards = new
         if not self.overwrite:
             try:
@@ -126,14 +144,16 @@ class JsonlShardWriter(DataSourceWriter):
         os.replace(tmp, os.path.join(self.path, MANIFEST))
         if self.overwrite:
             # old generation is unreferenced as of the swap above;
-            # reclaim it (a crash here leaves only harmless orphans,
-            # which the next overwrite's sweep removes)
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") and f not in new_names:
-                    try:
-                        os.unlink(os.path.join(self.path, f))
-                    except FileNotFoundError:
-                        pass
+            # reclaim ONLY the shards the previous manifest listed —
+            # an unlisted .jsonl is either a crashed job's orphan
+            # (harmless, abort() normally removes these) or a
+            # concurrent append's not-yet-committed shard (deleting it
+            # would corrupt that job), and we can't tell them apart
+            for f in prev_names - new_names:
+                try:
+                    os.unlink(os.path.join(self.path, f))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages) -> None:
         for m in messages:

@@ -49,30 +49,39 @@ def _check_tag(tag: str) -> str:
     return tag
 
 
-def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
-    """``(valid_versions, n_vacuums)`` for ``tag``, replayed from the
-    cache table's commit log in commit order: an ``rc-{tag}-g{g}-v{v}``
-    commit claims source version ``v`` cached; an
-    ``rcvac-{tag}-below-{floor}`` commit drops every version claimed
-    so far that is below its floor (a version RE-added after the
-    vacuum stays valid — order matters). ``n_vacuums`` makes re-add
-    txn ids unique so the txlog's replay protection doesn't swallow a
-    legitimate recompute of a vacuumed version."""
+def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int, set[str]]:
+    """``(valid_versions, n_vacuums, all_txn_ids)`` for ``tag``,
+    replayed from the cache table's commit log in commit order: an
+    ``rc-{tag}-g{g}-v{v}`` commit claims source version ``v`` cached;
+    an ``rcvac-{tag}-n{k}-below-{floor}`` commit (legacy form without
+    ``-n{k}``) drops every version claimed so far that is below its
+    floor (a version RE-added after the vacuum stays valid — order
+    matters). ``n_vacuums`` makes both re-add and vacuum txn ids
+    unique: without the ``n{k}`` ordinal, two vacuums landing on the
+    SAME floor (e.g. vacuum(keep_versions=0), recompute the sole
+    version, vacuum(0) again) would share a txn id and the second
+    overwrite would replay-skip — rows the caller asked to drop would
+    survive. ``all_txn_ids`` is every txn id in the log (ours or not),
+    used by writers to sidestep replay collisions with legacy ids."""
     claimed: set[int] = set()
     n_vac = 0
+    txn_ids: set[str] = set()
     for _v, mp in iter_manifests(cache.path):
         with open(mp) as fh:
             tid = json.load(fh).get("txn_id") or ""
+        if tid:
+            txn_ids.add(tid)
         # Parse STRUCTURALLY from the right (rc-<tag>-g<int>-v<int> /
-        # rcvac-<tag>-below-<int>) and require the remaining middle to
-        # equal the tag EXACTLY — a prefix test would misattribute
-        # commits between tags where one tag is a prefix of another
-        # (e.g. 'a' vs 'ag1' sharing a cache table). Tags are dashless
-        # by _check_tag, so ids WE write are unambiguous. A legacy id
-        # written for a DASHED tag ('rc-a-g7-v3' for old tag 'a-g7')
-        # still parses as a claim for tag 'a' — grammatically
-        # unavoidable; cached_result neutralizes it by verifying the
-        # claimed slice is non-empty before serving.
+        # rcvac-<tag>[-n<int>]-below-<int>) and require the remaining
+        # middle to equal the tag EXACTLY — a prefix test would
+        # misattribute commits between tags where one tag is a prefix
+        # of another (e.g. 'a' vs 'ag1' sharing a cache table). Tags
+        # are dashless by _check_tag, so ids WE write are unambiguous.
+        # A legacy id written for a DASHED tag ('rc-a-g7-v3' for old
+        # tag 'a-g7') still parses as a claim for tag 'a' —
+        # grammatically unavoidable; cached_result neutralizes it by
+        # verifying the claimed slice is non-empty before serving and
+        # bumping the generation past the collided id on recompute.
         if tid.startswith("rc-") and "-v" in tid and "-g" in tid:
             head, _, vpart = tid.rpartition("-v")
             mid, _, gpart = head.rpartition("-g")
@@ -80,11 +89,17 @@ def _cache_state(cache: TxTable, tag: str) -> tuple[set[int], int]:
                 claimed.add(int(vpart))
         elif tid.startswith("rcvac-") and "-below-" in tid:
             mid, _, fpart = tid.rpartition("-below-")
-            if mid == f"rcvac-{tag}" and fpart.isdigit():
-                n_vac += 1
-                floor = int(fpart)
-                claimed = {v for v in claimed if v >= floor}
-    return claimed, n_vac
+            if fpart.isdigit():
+                # current form carries a vacuum ordinal: rcvac-<tag>-n<k>
+                nmid, _, npart = mid.rpartition("-n")
+                is_vac = mid == f"rcvac-{tag}" or (
+                    nmid == f"rcvac-{tag}" and npart.isdigit()
+                )
+                if is_vac:
+                    n_vac += 1
+                    floor = int(fpart)
+                    claimed = {v for v in claimed if v >= floor}
+    return claimed, n_vac, txn_ids
 
 
 def cached_result(
@@ -102,7 +117,7 @@ def cached_result(
     v = source.version()
     if v < 0:
         raise ValueError(f"source table at {source.path} has no data")
-    cached, n_vac = _cache_state(cache, tag)
+    cached, n_vac, txn_ids = _cache_state(cache, tag)
 
     # merge_schema: a cache table written before the _cache_tag column
     # existed holds files without it; the merged read surfaces those
@@ -138,7 +153,24 @@ def cached_result(
         .withColumn("_cache_tag", F.lit(tag))
         .withColumn("_source_version", F.lit(v).cast("long"))
     )
-    cache.append(result, txn_id=f"rc-{tag}-g{n_vac}-v{v}")
+    txn = f"rc-{tag}-g{n_vac}-v{v}"
+    if txn in txn_ids:
+        # The id we'd commit under is already in the log but the slice
+        # above was empty/absent. Two causes, handled differently:
+        #  * a LEGIT earlier claim whose result is genuinely empty —
+        #    the recompute is empty too; serve it WITHOUT a new commit
+        #    so pathological empty results don't grow the log per call;
+        #  * a LEGACY id written for an old dashed tag ('rc-a-g7-v3'
+        #    for tag 'a-g7') that our append would replay-skip against,
+        #    permanently serving an empty result — bump the generation
+        #    past every committed id so the recompute actually LANDS.
+        if result.isEmpty():
+            return result.drop("_cache_tag", "_source_version")
+        g = n_vac + 1
+        while f"rc-{tag}-g{g}-v{v}" in txn_ids:
+            g += 1
+        txn = f"rc-{tag}-g{g}-v{v}"
+    cache.append(result, txn_id=txn)
     return read_slice()
 
 
@@ -150,7 +182,8 @@ def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:
     ``cached_result`` calls know the dropped versions are gone and
     recompute instead of serving an empty result. Returns the
     surviving row count for ``tag``."""
-    versions = sorted(_cache_state(cache, _check_tag(tag))[0])
+    versions, n_vac, txn_ids = _cache_state(cache, _check_tag(tag))
+    versions = sorted(versions)
     if not versions:
         return 0
     keep = versions[-keep_versions:] if keep_versions else []
@@ -167,9 +200,23 @@ def vacuum_cache(cache: TxTable, tag: str, keep_versions: int = 1) -> int:
             & F.col("_source_version").isin([int(k) for k in keep])
         )
     )
-    cache.overwrite(survivors, txn_id=f"rcvac-{tag}-below-{floor}")
+    # The vacuum ordinal makes REPEATED vacuums unique even when they
+    # land on the same floor (drop-all, recompute the sole version,
+    # drop-all again computes the same floor) — without it the second
+    # overwrite would replay-skip and the rows the caller asked to
+    # drop would silently survive. The while-loop additionally skips
+    # past any colliding id a legacy log already contains.
+    txn = f"rcvac-{tag}-n{n_vac}-below-{floor}"
+    k = n_vac
+    while txn in txn_ids:
+        k += 1
+        txn = f"rcvac-{tag}-n{k}-below-{floor}"
+    cache.overwrite(survivors, txn_id=txn)
+    # merged read for the count too: if legacy pre-_cache_tag files
+    # are still live (nothing guarantees this vacuum was the first),
+    # a plain read() would raise on the missing _cache_tag column.
     return (
-        cache.read()
+        cache.read(merge_schema=True)
         .filter(F.col("_cache_tag") == tag)
         .count()
     )

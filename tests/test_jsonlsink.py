@@ -60,6 +60,33 @@ def test_overwrite_replaces_export(registered, tmp_path):
     assert verify_export(out) == []
 
 
+def test_overwrite_spares_unmanifested_shards(registered, tmp_path):
+    """ADVICE r4: overwrite's reclaim sweep must delete ONLY the
+    shards the previous manifest listed — a `.jsonl` the manifest
+    doesn't know about is indistinguishable from a concurrent append
+    job's not-yet-committed shard, and deleting it would corrupt that
+    job's commit."""
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 100).repartition(2).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    prev = {s["file"] for s in read_manifest(out)["shards"]}
+    # simulate a concurrent append's in-flight (uncommitted) shard
+    inflight = os.path.join(out, "shard-deadbeef0001.jsonl")
+    with open(inflight, "w") as fh:
+        fh.write('{"id": 999}\n')
+    spark.range(0, 10).repartition(1).write.format("jsonlshards").mode(
+        "overwrite"
+    ).option("path", out).save()
+    # previous generation reclaimed, in-flight shard untouched
+    left = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert not (prev & left)
+    assert "shard-deadbeef0001.jsonl" in left
+    assert read_manifest(out)["total_rows"] == 10
+    assert verify_export(out) == []  # manifest consistent regardless
+
+
 def test_append_merges_into_existing_manifest(registered, tmp_path):
     spark = registered
     out = str(tmp_path / "corpus")

@@ -187,6 +187,77 @@ def test_legacy_pre_tag_cache_table_upgrades_cleanly(spark, tables):
     assert cache.read().count() == 1
 
 
+def test_legacy_gen_collision_bumps_generation(spark, tables):
+    """ADVICE r4: a legacy dashed-tag id that EXACTLY matches the id
+    the recompute would use ('rc-a-g0-v0' for tag 'a', gen == n_vac
+    == 0, v0) must not replay-skip the recompute's append — the
+    generation bumps past every committed id so the rows land and the
+    tag is never permanently stuck serving an empty result."""
+    src, cache = tables
+    legacy = (
+        src.read()
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .withColumn("_cache_tag", F.lit("a-g0"))
+        .withColumn("_source_version", F.lit(0).cast("long"))
+    )
+    cache.append(legacy, txn_id="rc-a-g0-v0")
+    calls: list[int] = []
+    out = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 1
+    assert out[0].n == 2 and out[0].total == 30.0  # NOT empty
+    # the bumped-generation claim is durable: next call serves cached
+    out2 = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 1 and out2 == out
+
+
+def test_empty_result_cached_without_log_growth(spark, tables):
+    """A genuinely empty result recomputes per call (the non-empty
+    guard can't distinguish it from a misclaim) but must NOT commit a
+    new manifest per call — the collision path detects its own prior
+    claim and serves the empty recompute directly."""
+    src, cache = tables
+
+    calls: list[int] = []
+
+    def empty(df):
+        calls.append(1)
+        return df.filter(F.lit(False)).select(
+            F.col("k").alias("n"), F.col("v").alias("total")
+        )
+
+    a = cached_result(src, cache, empty, "e").collect()
+    v_after_first = cache.version()
+    b = cached_result(src, cache, empty, "e").collect()
+    c = cached_result(src, cache, empty, "e").collect()
+    assert a == [] and b == [] and c == []
+    assert cache.version() == v_after_first  # no per-call commits
+
+
+def test_repeated_vacuum_same_floor_actually_drops(spark, tables):
+    """ADVICE r4 (medium): vacuum(keep=0) → recompute the sole version
+    → vacuum(keep=0) again lands on the SAME floor; without a vacuum
+    ordinal in the txn id the second overwrite replay-skips and the
+    rows survive while the call reports success."""
+    src, cache = tables
+    calls: list[int] = []
+    cached_result(src, cache, _agg(calls), "a")
+    assert vacuum_cache(cache, "a", keep_versions=0) == 0
+    cached_result(src, cache, _agg(calls), "a")  # re-add same version
+    assert len(calls) == 2
+    # second vacuum computes the same floor; must actually drop
+    assert vacuum_cache(cache, "a", keep_versions=0) == 0
+    assert (
+        cache.read(merge_schema=True)
+        .filter(F.col("_cache_tag") == "a")
+        .count()
+        == 0
+    )
+    # and the tag still recomputes correctly afterwards
+    out = cached_result(src, cache, _agg(calls), "a").collect()
+    assert len(calls) == 3 and out[0].total == 30.0
+
+
 def test_legacy_dashed_tag_misclaim_recomputes_not_empty(spark, tables):
     """A legacy-format commit for old dashed tag 'a-g7' ('rc-a-g7-v0')
     grammatically parses as a current-format claim for tag 'a' at v0.
