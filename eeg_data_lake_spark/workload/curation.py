@@ -1594,11 +1594,50 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle 3 joins the interval arrays back to the documents, and the
     entire removal + reassembly is then ARRAY expressions (filter +
     exists over the merged intervals — m is tiny after merging), so no
-    per-token rows exist anywhere in the plan. At 100 TB swap the gram
-    string key for xxhash64(gram) to cut shuffle-1 bytes ~8x (kept as
-    the string here so the DuckDB oracle shares the key, the r27
-    convention); a hot boilerplate gram's posting list is count-only —
-    no pair blowup anywhere."""
+    per-token rows exist anywhere in the plan. This string-key mode
+    shares its shuffle key with the DuckDB oracle (the r27
+    convention); z19 is the same plan with ``xxhash64(gram)`` as the
+    shuffle-1 key — the 100 TB mode — measured at sf0.1:
+    2.40x fewer shuffle-1 bytes after lz4 (6.15 MB -> 2.56 MB for the
+    same 224,694 records; the raw text/long ratio is ~8x, shuffle
+    compression narrows it — numbers in BASELINE.md); a hot
+    boilerplate gram's posting list is count-only — no pair blowup
+    anywhere."""
+    return _exact_substring_plan(spark, sf_dir, hashed_grams=False)
+
+
+@register(
+    "z19_exact_substring_hashed",
+    oracle=_ESD_ORACLE,
+    tags=("curation", "dedup", "exact-substring"),
+)
+def z19_exact_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z18's ExactSubstr dedup with ``xxhash64(gram)`` as the
+    shuffle-1 key — the scale mode z18's docstring names: the
+    count-duplicated-grams exchange carries an 8-byte long instead of
+    the L-token gram string — measured at sf0.1: shuffle 1 drops
+    6.15 MB -> 2.56 MB (2.40x, post-lz4; raw ~8x) and total shuffle
+    6.57 -> 2.99 MB at identical output (BASELINE.md; output equality
+    with z18 pinned in tests/test_exact_substring_dedup.py). Exactness caveat,
+    stated not hidden: a 64-bit collision between two DIFFERENT grams
+    would mark both duplicated (a few extra tokens removed, never an
+    under-removal); expected collisions ~ n_grams^2 / 2^65 — below one
+    even at 10^9 distinct grams, so the same string-keyed DuckDB
+    oracle backs this variant too. Reference capability upgraded:
+    /root/reference/bronze-to-silver.py:74-76 (single-node dedup
+    rewrite loop)."""
+    return _exact_substring_plan(spark, sf_dir, hashed_grams=True)
+
+
+def _exact_substring_plan(
+    spark: SparkSession, sf_dir: str, hashed_grams: bool
+) -> DataFrame:
+    """Shared ExactSubstr plan; ``hashed_grams`` swaps the shuffle-1
+    key from the gram string (oracle-shared, z18) to xxhash64 of it
+    (z19). The hash is computed NARROWLY before the exchange, so
+    column pruning drops the string and only (doc_id, p, gram-key)
+    reach shuffle 1; everything downstream of the duplicate-gram join
+    is identical between the modes."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     docs = d.select("doc_id", words.alias("w"))
@@ -1615,6 +1654,8 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("p", F.col("p").cast("long"))
     )
+    if hashed_grams:
+        grams = grams.select("doc_id", "p", F.xxhash64("g").alias("g"))
     dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
     w_ord = Window.partitionBy("doc_id").orderBy("p")

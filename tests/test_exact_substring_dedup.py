@@ -11,6 +11,7 @@ import pytest
 from eeg_data_lake_spark.workload.curation import (
     _ESD_L,
     z18_exact_substring_dedup,
+    z19_exact_substring_hashed,
 )
 from eeg_data_lake_spark.workload.registry import REGISTRY
 from tests.oracle_utils import compare, run_oracle
@@ -83,6 +84,39 @@ def test_planted_matches_oracle(spark, planted_dir):
         "z18_planted",
     )
     assert problems == [], problems
+
+
+def test_hashed_variant_equals_string_variant(spark, planted_dir, sf_dir):
+    """z19 (xxhash64 gram keys) must produce row-for-row the SAME
+    output as z18 (string gram keys) — the hash only changes what
+    bytes travel through shuffle 1, never which grams count as
+    duplicated (no collisions at these corpus sizes). Pinned on the
+    planted corpus (known removals) AND the real sf documents table."""
+    for d in (planted_dir, sf_dir):
+        a = sorted(z18_exact_substring_dedup(spark, d).collect())
+        b = sorted(z19_exact_substring_hashed(spark, d).collect())
+        assert a == b, f"variants diverge on {d}"
+
+
+def test_hashed_variant_prunes_gram_strings_from_shuffle(spark, sf_dir):
+    """The point of z19: the duplicate-count exchange must carry the
+    8-byte hash, not the gram string. Column pruning is visible in the
+    optimized plan — the aggregate subtree below the first exchange
+    keys on xxhash64, and z18's plan (same shape) keys on the string."""
+    plan = (
+        z19_exact_substring_hashed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    base = (
+        z18_exact_substring_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "xxhash64" not in base  # string-key mode untouched
 
 
 def test_overlapping_duplicate_windows_merge(spark, tmp_path):
