@@ -1,0 +1,147 @@
+"""Incremental streaming ExactSubstr ingestion: the online form of
+batch z18/z19 (workload/curation.py), mirroring streaming/dedup.py's
+MinHash-LSH ingest for the exact-substring family.
+
+Documents arrive continuously; each micro-batch appends to a
+transaction-logged corpus table AND folds its L-gram occurrence counts
+into a companion gram-index table, exactly-once across driver
+restarts. The removal pass (``exact_substring_removal``) then computes
+the Lee et al. 2022 answer — delete every token inside a substring of
+>= L tokens appearing more than once ANYWHERE in the corpus ingested
+so far — against the incrementally-maintained index, and equals batch
+z18 over the union of all batches (pinned in
+tests/test_streaming_exactsubstr.py).
+
+Why removal is a separate pass, not per-batch: duplication is a
+GLOBAL property that arrives late — a gram seen once in batch 1 and
+again in batch 9 makes batch 1's tokens removable only at batch 9, so
+any eagerly-emitted per-batch removal would be wrong the moment a
+later batch duplicates old text. The incremental piece of the
+computation is exactly the expensive global piece — the corpus-wide
+gram count, O(batch) new work per batch instead of an O(corpus)
+recount — while the removal pass is the narrow per-doc tail (recompute
+grams narrowly, probe the index, array-expression removal; no
+token-level rows, same ``esd_remove`` the batch queries use).
+
+Index state is BOUNDED by construction without any rewrite: the table
+is append-only with counts saturating at 2 (duplicated means ">= 2" —
+the 3rd..Nth occurrences are irrelevant), and a batch's counts are
+anti-joined against the already-saturated gram set before appending,
+so a gram ever contributes at most two rows: (first-seen, c=1|2) and
+at most one (promoted-to-duplicated, c=1). Keys are xxhash64 grams
+(the z19 scale mode): 8 bytes of state per gram, never the text.
+
+Crash safety follows streaming/dedup.py's two-table discipline:
+corpus append FIRST, gram-index append second, each under its own
+batch-keyed txn_id. A crash between them replays the batch — the
+corpus append no-ops on its txn id and the index append completes
+with identical content (the saturated-set it anti-joins against
+cannot have advanced, because index commits are strictly ordered by
+batch and batch N's was the one that crashed). Until the replay the
+index lags the corpus, which only makes the removal pass
+under-remove — never over-remove — and the replay heals it.
+
+Reference capability upgraded: the reference's batch idempotent
+rewrite loop (/root/reference/bronze-to-silver.py:74-76) re-scans
+everything per run; this maintains the global dedup state online.
+
+At 100 TB: the per-batch index fold shuffles only the batch's
+distinct hashed grams (map-side combined); the saturated-set probe is
+an aggregation over the index — O(distinct grams), not corpus rows —
+and would live behind the index table's compaction (maybe_compact
+collapses the <= 2 rows per gram) plus hash-bucketing so the
+anti-join co-locates without a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.workload.curation import esd_grams, esd_remove
+
+
+def gram_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus table's companion gram index: (g xxhash64-long,
+    c int) rows whose per-gram sum saturates at 2. The removal pass
+    probes THIS table, so its cost scales with distinct grams, never
+    with corpus rows re-scanned."""
+    return TxTable(spark, table.path + "_grams")
+
+
+def _tokenized(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+
+
+def ingest_batch_writer(table: TxTable, sink_id: str):
+    """foreachBatch function: append the raw batch to the corpus and
+    fold its saturating gram counts into the index, exactly-once."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = gram_index_table(spark, table)
+        table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
+        counts = (
+            esd_grams(_tokenized(batch_df), hashed=True)
+            .groupBy("g")
+            .agg(F.least(F.count("*"), F.lit(2)).cast("int").alias("c"))
+        )
+        if idx.version() >= 0:
+            saturated = (
+                idx.read()
+                .groupBy("g")
+                .agg(F.sum("c").alias("t"))
+                .filter(F.col("t") >= 2)
+                .select("g")
+            )
+            counts = counts.join(saturated, "g", "left_anti")
+        idx.append(counts, txn_id=f"{sink_id}:grams-{batch_id}")
+
+    return process
+
+
+def stream_exactsubstr_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a file-source document stream into the corpus + gram
+    index (AvailableNow: terminates when caught up; re-invocations
+    resume from the checkpoint and replay-committed batches no-op)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(ingest_batch_writer(table, sink_id))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def exact_substring_removal(table: TxTable) -> DataFrame:
+    """The z18-shaped removal over everything ingested so far, using
+    the incrementally-maintained gram index instead of a corpus-wide
+    recount: dup set = index grams whose saturating count-sum >= 2;
+    positions are recomputed narrowly per doc (hashed keys, z19 mode)
+    and removal is the shared array-expression tail. Output schema ==
+    z18's: (doc_id, n_tokens, n_kept, n_removed, kept_md5)."""
+    idx = gram_index_table(table.spark, table)
+    docs = _tokenized(table.read())
+    dup = (
+        idx.read()
+        .groupBy("g")
+        .agg(F.sum("c").alias("t"))
+        .filter(F.col("t") >= 2)
+        .select("g")
+    )
+    dpos = (
+        esd_grams(docs, hashed=True).join(dup, "g").select("doc_id", "p")
+    )
+    return esd_remove(docs, dpos)

@@ -1639,8 +1639,19 @@ def _exact_substring_plan(
     reach shuffle 1; everything downstream of the duplicate-gram join
     is identical between the modes."""
     d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    docs = d.select("doc_id", words.alias("w"))
+    docs = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams = esd_grams(docs, hashed=hashed_grams)
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
+    return esd_remove(docs, dpos)
+
+
+def esd_grams(docs: DataFrame, hashed: bool) -> DataFrame:
+    """Every overlapping L-gram of ``docs`` (``doc_id``, ``w`` token
+    array) as (doc_id, p, g) rows — narrow codegen, no shuffle. With
+    ``hashed`` the gram key is xxhash64 of the joined text (the z19 /
+    streaming-index key); the hash is computed before any exchange so
+    the string never travels."""
     grams = (
         docs.filter(F.size("w") >= _ESD_L)
         .select(
@@ -1654,10 +1665,17 @@ def _exact_substring_plan(
         )
         .withColumn("p", F.col("p").cast("long"))
     )
-    if hashed_grams:
+    if hashed:
         grams = grams.select("doc_id", "p", F.xxhash64("g").alias("g"))
-    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
+    return grams
+
+
+def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
+    """The removal tail shared by batch z18/z19 and the streaming
+    incremental path: duplicated gram positions ``dpos`` (doc_id, p)
+    → gaps-and-islands interval merge → per-doc interval arrays →
+    array-expression token removal over ``docs`` (doc_id, w). No
+    token-level rows anywhere."""
     w_ord = Window.partitionBy("doc_id").orderBy("p")
     prev_max = F.max(F.col("p") + _ESD_L).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
