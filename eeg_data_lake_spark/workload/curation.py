@@ -1670,12 +1670,11 @@ def esd_grams(docs: DataFrame, hashed: bool) -> DataFrame:
     return grams
 
 
-def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
-    """The removal tail shared by batch z18/z19 and the streaming
-    incremental path: duplicated gram positions ``dpos`` (doc_id, p)
-    → gaps-and-islands interval merge → per-doc interval arrays →
-    array-expression token removal over ``docs`` (doc_id, w). No
-    token-level rows anywhere."""
+def esd_intervals(dpos: DataFrame) -> DataFrame:
+    """Duplicated gram positions (doc_id, p) → ONE (doc_id, iv) row
+    per affected doc, iv the array of merged removal intervals [s, e):
+    gaps-and-islands over the doc_id partitioning, reused by both the
+    grouping and the array collect (one shuffle)."""
     w_ord = Window.partitionBy("doc_id").orderBy("p")
     prev_max = F.max(F.col("p") + _ESD_L).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -1687,15 +1686,21 @@ def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
     merged = grp.groupBy("doc_id", "gid").agg(
         F.min("p").alias("s"), (F.max("p") + _ESD_L).alias("e")
     )
-    # per-doc merged-interval array (reuses the doc_id partitioning)
-    ivs = merged.groupBy("doc_id").agg(
+    return merged.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("iv")
     )
+
+
+def esd_kept_tokens() -> F.Column:
+    """Array of surviving (wd, t) token structs of column ``w`` under
+    the merged-interval column ``iv`` — the shared removal expression
+    (NULL iv means nothing to remove and must be handled by the
+    caller, as esd_remove/z20 do)."""
     iv = F.col("iv")
     covered = lambda t: F.exists(  # noqa: E731
         iv, lambda r: (t >= r["s"]) & (t < r["e"])
     )
-    kept_w = F.filter(
+    return F.filter(
         F.zip_with(
             F.col("w"),
             F.sequence(F.lit(0), F.size("w") - 1).cast("array<long>"),
@@ -1703,6 +1708,17 @@ def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
         ),
         lambda s: ~covered(s["t"]),
     )
+
+
+def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
+    """The removal tail shared by batch z18/z19 and the streaming
+    incremental path: duplicated gram positions ``dpos`` (doc_id, p)
+    → gaps-and-islands interval merge → per-doc interval arrays →
+    array-expression token removal over ``docs`` (doc_id, w). No
+    token-level rows anywhere."""
+    ivs = esd_intervals(dpos)
+    iv = F.col("iv")
+    kept_w = esd_kept_tokens()
     # NULL text: split is NULL, size is NULL (ANSI) — n_tokens/
     # n_removed/kept_md5 stay NULL like the oracle's, but n_kept must
     # be the explicit 0 the oracle's coalesce produces
@@ -1735,4 +1751,194 @@ def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
             kept_md5.alias("kept_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------
+# z20: the q73 curation pipeline with the ExactSubstr stage composed in
+# --------------------------------------------------------------------
+
+_Z20_ORACLE = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(lower(trim(text)))
+),
+dd AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN keep USING (doc_id)
+),
+words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM dd),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         array_to_string(w[(i+1):(i+{{L}})], ' ') AS g
+  FROM words, UNNEST(range(len(w) - {{L}} + 1)) AS tt(i)
+  WHERE len(w) >= {{L}}
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, p FROM grams JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, p,
+         max(p + {{L}}) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM dpos
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev_max IS NULL OR p > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS gid
+  FROM isl
+),
+mrg AS (
+  SELECT doc_id, gid, min(p) AS s, max(p) + {{L}} AS e
+  FROM grp GROUP BY doc_id, gid
+),
+removed AS (SELECT doc_id, unnest(range(s, e)) AS t FROM mrg),
+tok AS (
+  SELECT doc_id, unnest(w) AS wd,
+         CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS t
+  FROM words
+),
+keptt AS (
+  SELECT k.doc_id, k.wd, k.t
+  FROM tok k LEFT JOIN removed r ON r.doc_id = k.doc_id AND r.t = k.t
+  WHERE r.t IS NULL
+),
+scrub AS (
+  SELECT w.doc_id, w.lang,
+         CAST(coalesce(s.n_kept, 0) AS BIGINT)            AS n_tok,
+         CAST(len(w.w) - coalesce(s.n_kept, 0) AS BIGINT) AS n_rm,
+         coalesce(s.txt, '')                              AS stext
+  FROM words w
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(wd, ' ' ORDER BY t) AS txt
+    FROM keptt GROUP BY doc_id
+  ) s USING (doc_id)
+  WHERE w.w IS NOT NULL
+),
+gated AS (
+  SELECT * FROM scrub WHERE len(stext) >= 64 AND n_tok >= 12
+),
+sh AS (
+  SELECT doc_id, {{shingle}} AS sl
+  FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+),
+inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT i.doc_id
+  FROM inv i JOIN bench b ON i.shingle = b.shingle
+  WHERE i.doc_id % 50 <> 0
+),
+clean AS (
+  SELECT * FROM gated
+  WHERE doc_id % 50 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT {{split}} AS split,
+       lang,
+       count(*)                        AS n_docs,
+       CAST(sum(n_tok) AS BIGINT)      AS n_tokens,
+       CAST(sum(n_rm) AS BIGINT)       AS n_removed
+FROM clean
+GROUP BY split, lang
+""".format(L=_ESD_L, shingle=_SHINGLE_SQL, split=_SPLIT_EXPR_SQL)
+
+
+@register(
+    "z20_curation_pipeline_esd",
+    oracle=_Z20_ORACLE,
+    tags=("curation", "pipeline", "dedup", "exact-substring"),
+)
+def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73's end-to-end curation chain with the STRONGEST dedup stage
+    composed in: exact dedup → ExactSubstr scrub (z18/z19 semantics
+    over the deduped corpus: delete every token inside a >=L-token
+    substring duplicated anywhere in it, reassemble the survivors) →
+    quality gate applied to the SCRUBBED text → benchmark
+    decontamination → deterministic split → per-(split, lang) doc /
+    kept-token / removed-token counts.
+
+    Stage choices, stated: the quality gate runs on the scrubbed text
+    (a doc hollowed out by boilerplate removal should fail the length
+    floor — gating pre-scrub would admit shells), while contamination
+    is probed on the ORIGINAL text (conservative: a doc that ever
+    overlapped the eval set is dropped even if scrubbing removed the
+    overlap — decontamination must not depend on what another stage
+    deleted).
+
+    Plan: one md5-window shuffle for exact dedup; the ESD stage adds
+    its 3 exchanges (hashed xxhash64 gram keys — the z19 scale mode,
+    output equality with string keys pinned by z19's test) with
+    removal as pure array expressions; the contamination probe keeps
+    q73's broadcast shape (bench shingle hashes broadcast, corpus
+    never shuffles); final rollup moves (split × lang) groups. At
+    100 TB this composes the measured pieces: z19's 2.4x-lighter
+    shuffle 1 dominates, nothing is O(corpus^2).
+    Reference parity anchor: /root/reference/bronze-to-silver.py
+    (single-node pandas dedup loop) — this is its corpus-scale form."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        d.withColumn("fingerprint", fp)
+        .withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    docs = deduped.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
+    )
+    grams = esd_grams(docs.select("doc_id", "w"), hashed=True)
+    dup = (
+        grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
+    iv = F.col("iv")
+    kw = F.col("kept_w")
+    scrubbed = (
+        docs.join(esd_intervals(dpos), "doc_id", "left")
+        .withColumn("kept_w", esd_kept_tokens())
+        .select(
+            "doc_id",
+            "lang",
+            F.when(iv.isNull(), F.size("w"))
+            .otherwise(F.size(kw))
+            .cast("long")
+            .alias("n_tok"),
+            F.when(iv.isNull(), F.lit(0))
+            .otherwise(F.size("w") - F.size(kw))
+            .cast("long")
+            .alias("n_rm"),
+            F.when(iv.isNull(), F.array_join(F.col("w"), " "))
+            .otherwise(
+                F.array_join(F.transform(kw, lambda s: s["wd"]), " ")
+            )
+            .alias("stext"),
+        )
+    )
+    gated = scrubbed.filter(
+        (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
+    )
+    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
+    contaminated = (
+        inv.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gated.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return (
+        clean.withColumn("split", _split_col())
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_rm").cast("long").alias("n_removed"),
+        )
     )
