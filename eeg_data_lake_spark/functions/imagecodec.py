@@ -8,9 +8,11 @@ two real container-runnable formats:
 - **PNG** (``encode_png`` / ``decode_png``): full chunk parsing with
   CRC-32 verification, zlib inflate, and all five scanline filters
   (None/Sub/Up/Average/Paeth) un-applied exactly per the PNG spec;
-  grayscale (color type 0) and truecolor RGB (color type 2), bit
-  depth 8, non-interlaced. The encoder can emit any fixed filter type
-  so tests exercise every unfilter branch.
+  grayscale (color type 0), truecolor RGB (color type 2) and
+  palette-indexed (color type 3, PLTE chunk — how real-world web/icon
+  PNG corpora are frequently encoded), bit depth 8, non-interlaced.
+  The encoder can emit any fixed filter type so tests exercise every
+  unfilter branch, and emits palette images via ``palette=``.
 - **PPM/PGM** (``encode_ppm`` / ``decode_ppm``): the binary P6/P5
   netpbm formats, with spec-correct comment and whitespace handling.
 
@@ -87,13 +89,33 @@ def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> byte
     return (out % 256).astype(np.uint8).tobytes()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
     """Minimal spec-conformant PNG writer: uint8 (h, w) grayscale or
     (h, w, 3) RGB, bit depth 8, non-interlaced, every scanline
     filtered with ``filter_type`` (0–4) — varying it exercises every
-    decoder unfilter branch."""
+    decoder unfilter branch. With ``palette`` (uint8 (n, 3), n <= 256)
+    the image must be (h, w) palette INDICES and the file is written
+    as color type 3 with a PLTE chunk."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
+    if palette is not None:
+        palette = np.ascontiguousarray(palette, dtype=np.uint8)
+        if palette.ndim != 2 or palette.shape[1] != 3 or not (
+            1 <= palette.shape[0] <= 256
+        ):
+            raise ValueError(
+                f"palette must be (1..256, 3) uint8, got {palette.shape}"
+            )
+        if img.ndim != 2:
+            raise ValueError("palette PNG takes (h, w) index array")
+        if img.max(initial=0) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        color_type, channels = 3, 1
+        h, w = img.shape
+    elif img.ndim == 2:
         color_type, channels = 0, 1
         h, w = img.shape
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -109,22 +131,26 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         raw += _filter_row(filter_type, flat[y], prev, channels)
         prev = flat[y]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        PNG_MAGIC
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _chunk(b"IEND", b"")
+    plte = (
+        [_chunk(b"PLTE", palette.tobytes())] if palette is not None else []
+    )
+    return b"".join(
+        [PNG_MAGIC, _chunk(b"IHDR", ihdr)]
+        + plte
+        + [_chunk(b"IDAT", zlib.compress(bytes(raw))), _chunk(b"IEND", b"")]
     )
 
 
 def decode_png(raw: bytes) -> np.ndarray:
     """Decode a PNG byte string to uint8 (h, w) or (h, w, 3): chunk
     walk with CRC-32 verification, IDAT concat + inflate, all five
-    filters reversed. Raises ValueError on corruption or unsupported
-    features (non-8-bit depth, palette/alpha, interlace)."""
+    filters reversed; palette images (color type 3) are expanded
+    through their PLTE to (h, w, 3). Raises ValueError on corruption
+    or unsupported features (non-8-bit depth, alpha, interlace,
+    malformed/missing/late PLTE, out-of-range palette index)."""
     if raw[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos < len(raw):
         if pos + 8 > len(raw):
             raise ValueError("truncated PNG chunk header")
@@ -140,6 +166,17 @@ def decode_png(raw: bytes) -> np.ndarray:
             if len(data) != 13:
                 raise ValueError(f"bad IHDR length {len(data)} (want 13)")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if idat:
+                raise ValueError("PLTE after IDAT violates chunk order")
+            if plte is not None:
+                raise ValueError("duplicate PLTE chunk")
+            if length == 0 or length % 3 != 0 or length > 768:
+                raise ValueError(
+                    f"malformed PLTE length {length} "
+                    "(need a multiple of 3, 3..768)"
+                )
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -150,12 +187,14 @@ def decode_png(raw: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG (need 8-bit, non-interlaced)")
-    if color_type == 0:
+    if color_type in (0, 3):
         channels = 1
     elif color_type == 2:
         channels = 3
     else:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if w < 1 or h < 1:
         raise ValueError("zero-dimension PNG refused")
     stride = w * channels
@@ -226,6 +265,13 @@ def decode_png(raw: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    if color_type == 3:
+        if int(out.max(initial=0)) >= plte.shape[0]:
+            raise ValueError(
+                f"palette index {int(out.max())} out of range "
+                f"(PLTE has {plte.shape[0]} entries)"
+            )
+        return plte[out]  # (h, w) indices -> (h, w, 3) RGB
     return out if channels == 1 else out.reshape(h, w, 3)
 
 

@@ -68,15 +68,24 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, payload) with a deterministic REAL grayscale PNG per id:
-    width = 8 + id % 9, height = 8 + (id·7) % 9, pixel[i][j] =
-    (id·31 + i·17 + j·7) % 256, scanline filter = id % 5 — so a table
-    scan exercises every PNG filter type through the production decode
-    path. The pixel generator is deliberately SQL-expressible: a DuckDB
-    oracle can re-derive exact pixel sums from the formula, turning the
-    whole encode→deflate→inflate→unfilter round trip into a
-    hash-checkable query (z16). Narrow mapInPandas; real media
+    """(id, payload) with a deterministic REAL PNG per id: width =
+    8 + id % 9, height = 8 + (id·7) % 9, pixel[i][j] = (id·31 + i·17 +
+    j·7) % 256, scanline filter = id % 5 — so a table scan exercises
+    every PNG filter type through the production decode path. Ids with
+    id % 3 == 2 are PALETTE-encoded (color type 3, the common
+    real-world web/icon encoding): the same pixel grid becomes palette
+    INDICES into palette[k] = (perm(k),)*3 with perm(k) = (k·37 + 11)
+    % 256 — a gray but NON-identity palette, so a decoder that skipped
+    the PLTE expansion would return wrong pixels, while luma stays an
+    exact integer. The whole generator is deliberately
+    SQL-expressible: a DuckDB oracle re-derives exact pixel sums from
+    the formulas, turning encode→deflate→inflate→unfilter→PLTE-expand
+    into a hash-checkable query (z16). Narrow mapInPandas; real media
     pipelines read parquet binary columns instead."""
+    perm = ((np.arange(256, dtype=np.int64) * 37 + 11) % 256).astype(
+        np.uint8
+    )
+    pal = np.stack([perm, perm, perm], axis=1)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,7 +97,10 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = np.arange(h, dtype=np.int64)[:, None]
                 j = np.arange(w, dtype=np.int64)[None, :]
                 px = ((d * 31 + i * 17 + j * 7) % 256).astype(np.uint8)
-                out.append((d, encode_png(px, filter_type=d % 5)))
+                palette = pal if d % 3 == 2 else None
+                out.append(
+                    (d, encode_png(px, filter_type=d % 5, palette=palette))
+                )
             yield pd.DataFrame(out, columns=[id_col, "payload"])
 
     return df.select(id_col).mapInPandas(fn, f"{id_col} long, payload binary")
@@ -109,8 +121,12 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int]:
 def _decode_full(payload: bytes) -> tuple[str, int, int, np.ndarray]:
     """(fmt, width, height, float64 gray grid) — the ONE decode seam
     every image operator goes through. PNG/PPM/PGM payloads decode for
-    REAL (imagecodec.py: zlib inflate + CRC + filter reversal, nothing
-    stubbed); unrecognized payloads go to PIL when available, else the
+    REAL (imagecodec.py: zlib inflate + CRC + filter reversal + PLTE
+    expansion, nothing stubbed); unrecognized payloads go to PIL when
+    available — which it is NOT in this container, so the stdlib codec
+    is the only decode path any test or query here ever exercises and
+    the PIL branch exists purely as the documented swap seam for
+    formats the pure-Python codec doesn't cover (JPEG/WebP) — else the
     deterministic ``_fake_decode`` stand-in. A payload that SNIFFS as
     a real format but fails to decode (corrupt stream, bad CRC,
     zero-dimension header) also drops to the fallback rather than

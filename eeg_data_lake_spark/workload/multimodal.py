@@ -85,7 +85,11 @@ def q97_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
       FROM documents
     ), px AS (
       SELECT d.doc_id, d.w, d.h, ii.i, jj.j,
-             (d.doc_id * 31 + ii.i * 17 + jj.j * 7) % 256 AS p
+             CASE WHEN d.doc_id % 3 = 2
+                  THEN (((d.doc_id * 31 + ii.i * 17 + jj.j * 7) % 256)
+                        * 37 + 11) % 256
+                  ELSE (d.doc_id * 31 + ii.i * 17 + jj.j * 7) % 256
+             END AS p
       FROM dims d,
            (SELECT CAST(unnest(range(17)) AS BIGINT) AS i) ii,
            (SELECT CAST(unnest(range(17)) AS BIGINT) AS j) jj
@@ -105,15 +109,19 @@ def q97_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def z16_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec, fully oracle-checked — the image twin of the
-    audio r45. Each document gets a deterministic grayscale PNG whose
-    pixel formula is SQL-expressible (attach_image_payload: pixel =
+    audio r45. Each document gets a deterministic PNG whose pixel
+    formula is SQL-expressible (attach_image_payload: pixel =
     (id·31 + i·17 + j·7) % 256, scanline filter = id % 5 so every PNG
-    filter type is exercised); Spark encodes it, then decodes it back
-    through the production seam (zlib inflate + CRC verify + unfilter
-    in ``functions/imagecodec.py``) and emits exact pixel evidence
-    (px_sum, corner_px, mean_px). The DuckDB oracle re-derives the
-    same numbers from the formula WITHOUT any codec — a hash match
-    proves the encode→deflate→inflate→unfilter loop is lossless.
+    filter type is exercised; ids with id % 3 == 2 are PALETTE images
+    — color type 3, the same grid as indices into the non-identity
+    gray palette perm(k) = (k·37 + 11) % 256); Spark encodes it, then
+    decodes it back through the production seam (zlib inflate + CRC
+    verify + unfilter + PLTE expansion in ``functions/imagecodec.py``)
+    and emits exact pixel evidence (px_sum, corner_px, mean_px). The
+    DuckDB oracle re-derives the same numbers from the formulas
+    WITHOUT any codec — a hash match proves the
+    encode→deflate→inflate→unfilter(→palette) loop is lossless, and a
+    decoder that skipped the PLTE would fail the palette slice.
     Narrow plan: one mapInPandas chain, no shuffle; at 100 TB the
     payloads stream batch-by-batch and only scalar features move.
 

@@ -153,20 +153,99 @@ def test_png_truncation_detected():
         decode_png(b"notapng")
 
 
-def test_png_unsupported_features_refused():
-    # palette color type (3) must be refused, not mis-decoded
+def _ihdr_png(color_type: int) -> bytes:
     import struct
     from binascii import crc32
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, color_type, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
         + ihdr
         + struct.pack(">I", crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
+    return PNG_MAGIC + chunk
+
+
+def test_png_unsupported_features_refused():
+    # gray+alpha (4) / RGBA (6) must be refused, not mis-decoded
     with pytest.raises(ValueError, match="color type"):
-        decode_png(PNG_MAGIC + chunk)
+        decode_png(_ihdr_png(4))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(_ihdr_png(6))
+
+
+def _pal(n: int = 256) -> np.ndarray:
+    perm = ((np.arange(n, dtype=np.int64) * 37 + 11) % 256).astype(np.uint8)
+    return np.stack([perm, perm, perm], axis=1)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_palette_roundtrip_every_filter(filter_type):
+    idxs = _img(filter_type + 40, 9, 12, 1)
+    raw = encode_png(idxs, filter_type=filter_type, palette=_pal())
+    out = decode_png(raw)
+    assert out.shape == (9, 12, 3)
+    assert (out == _pal()[idxs]).all()
+
+
+def test_png_palette_small_palette_and_bounds():
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    idxs = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    out = decode_png(encode_png(idxs, palette=pal))
+    assert (out == pal[idxs]).all()
+    # encoder refuses an index past the palette end
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png(np.array([[0, 2]], dtype=np.uint8), palette=pal)
+    # and a non-(n,3) or oversized palette
+    with pytest.raises(ValueError, match="palette must be"):
+        encode_png(idxs, palette=np.zeros((2, 4), np.uint8))
+    with pytest.raises(ValueError, match="palette must be"):
+        encode_png(idxs, palette=np.zeros((257, 3), np.uint8))
+    with pytest.raises(ValueError, match="index array"):
+        encode_png(np.zeros((2, 2, 3), np.uint8), palette=pal)
+
+
+def test_png_malformed_plte_rejected():
+    import struct
+    from binascii import crc32
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    idat = zlib.compress(bytes([0, 0, 1]))  # filter 0, indices 0,1
+    head = PNG_MAGIC + chunk(b"IHDR", ihdr)
+    tail = chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    # missing PLTE entirely
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(head + tail)
+    # length not a multiple of 3 / empty / oversized
+    for bad in (b"\x01\x02", b"", b"\x00" * 771):
+        with pytest.raises(ValueError, match="malformed PLTE"):
+            decode_png(head + chunk(b"PLTE", bad) + tail)
+    # PLTE after IDAT violates chunk ordering
+    good = chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+    with pytest.raises(ValueError, match="PLTE after IDAT"):
+        decode_png(head + chunk(b"IDAT", idat) + good + chunk(b"IEND", b""))
+    # duplicate PLTE
+    with pytest.raises(ValueError, match="duplicate PLTE"):
+        decode_png(head + good + good + tail)
+    # index beyond the palette (2 entries, index 2 planted)
+    short = chunk(b"PLTE", bytes([1, 2, 3, 4, 5, 6]))
+    idat_oob = chunk(b"IDAT", zlib.compress(bytes([0, 0, 2])))
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(head + short + idat_oob + chunk(b"IEND", b""))
+    # the well-formed twin of all of the above decodes
+    ok = decode_png(head + good + tail)
+    assert (ok == np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)).all()
 
 
 def test_to_gray_luma_exact():
@@ -204,6 +283,10 @@ def test_decode_seam_runs_real_codec_end_to_end(spark, sf_dir):
         i = np.arange(h, dtype=np.int64)[:, None]
         j = np.arange(w, dtype=np.int64)[None, :]
         px = (did * 31 + i * 17 + j * 7) % 256
+        if did % 3 == 2:
+            # palette slice: pixels are indices through the gray
+            # non-identity palette perm(k) = (k*37 + 11) % 256
+            px = (px * 37 + 11) % 256
         assert r.px_sum == int(px.sum())
         assert r.corner_px == int(px[-1, -1])
 
