@@ -212,16 +212,32 @@ def with_text_embedding(
     text_col: str = "text",
     out_col: str = "embedding",
     dim: int = EMBED_DIM,
+    make_model=None,
+    encode_batch=None,
 ) -> DataFrame:
     """Attach an ``array<float>`` embedding column computed with
-    predict_batch_udf (batched, projection-matrix-per-worker)."""
+    predict_batch_udf (batched, model-loaded-once-per-worker).
+
+    ``make_model`` / ``encode_batch`` ARE the documented swap seam,
+    made explicit: ``make_model()`` runs once per Python worker (the
+    model load — defaults to the JL projection; a neural encoder's
+    weights would load here) and ``encode_batch(texts, dim, model)``
+    encodes one Arrow batch to (n, dim) float32 (defaults to
+    ``_encode_batch``). Everything else — Arrow batching, batch_size,
+    array<float> schema, the narrow no-shuffle plan — is shared
+    verbatim between encoders; tests/test_embed_swap.py injects a
+    fixed-weight 2-layer numpy MLP through this seam to prove the
+    one-function swap is real."""
     from pyspark.ml.functions import predict_batch_udf
 
+    load = make_model if make_model is not None else (
+        lambda: _make_projection(dim)
+    )
+    enc = encode_batch if encode_batch is not None else _encode_batch
+
     def make_predict_fn():
-        # runs once per Python worker: the model load — here the JL
-        # projection; a neural encoder's weights would load here
-        proj = _make_projection(dim)
-        return lambda batch: _encode_batch(batch, dim, proj)
+        model = load()
+        return lambda batch: enc(batch, dim, model)
 
     embed = predict_batch_udf(
         make_predict_fn,
