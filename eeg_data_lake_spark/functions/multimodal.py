@@ -481,3 +481,111 @@ def phash_column(
         yield pd.DataFrame(out, columns=["doc_id", "phash"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, "doc_id long, phash long")
+
+
+# --------------------------------------------------------------------
+# decode-status / quarantine integration (r4 verdict task 6)
+# --------------------------------------------------------------------
+
+def with_decode_status(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """``decode_ok boolean`` + ``decode_err string`` columns from the
+    STRICT codec (``imagecodec.decode_image`` — unlike the
+    fallback-happy ``_decode_full``, every ValueError the codec raises
+    surfaces here: bad signature, CRC mismatch, truncation, malformed
+    PLTE, and the decode-bomb guard's declared-gigapixel refusal).
+    This is the bridge between the per-row Python codec and the
+    JVM-side expectations layer: feed the boolean to
+    ``operators/expectations.enforce(mode='quarantine')`` and corrupt
+    payloads land in the quarantine table tagged with the failed rule
+    and the codec's own error text, instead of being silently skipped.
+    Narrow Arrow-batched map — no shuffle."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("decode_ok", T.BooleanType()),
+            T.StructField("decode_err", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, err = [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    decode_image(raw)
+                    ok.append(True)
+                    err.append(None)
+                except ValueError as exc:
+                    ok.append(False)
+                    err.append(str(exc))
+            pdf = pdf.copy()
+            pdf["decode_ok"] = ok
+            pdf["decode_err"] = err
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+def plant_payload_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministically corrupt a SQL-expressible slice of payloads —
+    the planted-fault fixture for quarantine tests/oracles:
+
+    - ``id % 7 == 3`` → one IDAT byte XOR 0xFF (CRC mismatch class);
+    - ``id % 7 == 5`` → the payload becomes a DECODE BOMB: a valid
+      header declaring a 100000x100000 image whose allocation the
+      codec's MAX_DECODE_PIXEL_BYTES guard must refuse;
+    - everything else untouched.
+
+    Because membership in each class is pure doc_id arithmetic, a
+    DuckDB oracle can re-derive the expected quarantine counts with no
+    codec at all (z21)."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from eeg_data_lake_spark.functions.imagecodec import PNG_MAGIC
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 100000, 100000, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                raw = bytes(payload) if payload is not None else b""
+                if d % 7 == 3 and len(raw) > 45:
+                    # flip one byte inside the first IDAT's data
+                    # (offset 44: past magic 8 + IHDR 25 + IDAT len/
+                    # type 8) — XOR guarantees a change, so the chunk
+                    # CRC check must fire
+                    raw = raw[:44] + bytes([raw[44] ^ 0xFF]) + raw[45:]
+                elif d % 7 == 5:
+                    raw = bomb
+                out.append((d, raw))
+            yield pd.DataFrame(out, columns=[id_col, payload_col])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, {payload_col} binary"
+    )

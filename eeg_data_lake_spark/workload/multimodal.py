@@ -486,3 +486,69 @@ def z17_image_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_image_payload(t(spark, sf_dir, "documents"))
     ).select("doc_id", as_double(F.col("embedding")).alias("e"))
     return embedding_topk(d)
+
+
+@register(
+    "z21_multimodal_quarantine",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN 'quarantined:image_decodes:crc'
+                  WHEN doc_id % 7 = 5 THEN 'quarantined:image_decodes:bomb'
+                  ELSE 'passed' END AS bucket
+      FROM documents
+    )
+    SELECT bucket, count(*) AS n FROM c GROUP BY bucket
+    """,
+    tags=("multimodal", "quality", "quarantine", "pandas-udf"),
+)
+def z21_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine-integrated multimodal curation (r4 verdict task 6):
+    corrupt image payloads must land in the quarantine table tagged
+    with the failed rule — never be silently skipped. The fixture
+    plants two fault classes into the z16 PNG corpus by pure doc_id
+    arithmetic (plant_payload_corruption: id % 7 == 3 flips an IDAT
+    byte → CRC mismatch; id % 7 == 5 swaps in a decode bomb whose
+    declared 1e10-byte grid the MAX_DECODE_PIXEL_BYTES guard refuses);
+    ``with_decode_status`` surfaces the STRICT codec's ValueError per
+    row, and ``operators/expectations.enforce(mode='quarantine')``
+    splits pass/quarantine with ``_failed_rules`` tags. The output
+    buckets embed the rule tag AND the error class, so the DuckDB
+    oracle (which re-derives membership from the arithmetic, no codec)
+    hash-verifies that each planted fault was caught, attributed to
+    the right rule, and classified by the right codec error.
+
+    Plan: two narrow mapInPandas stages (plant, decode-status) fused
+    over the scan partitioning, the enforce filters are codegen'd
+    boolean expressions, and the only exchange is the final 3-group
+    count — at 100 TB the quarantine path costs one decode attempt per
+    payload, which the feature-extraction pass was paying anyway."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_image_payload,
+        plant_payload_corruption,
+        with_decode_status,
+    )
+    from eeg_data_lake_spark.operators.expectations import enforce
+
+    d = attach_image_payload(t(spark, sf_dir, "documents"))
+    planted = plant_payload_corruption(d)
+    st = with_decode_status(planted)
+    passed, quar = enforce(
+        st, {"image_decodes": F.col("decode_ok")}, mode="quarantine"
+    )
+    p = passed.select(F.lit("passed").alias("bucket"))
+    q = quar.select(
+        F.concat(
+            F.lit("quarantined:"),
+            F.col("_failed_rules")[0],
+            F.lit(":"),
+            F.when(F.col("decode_err").startswith("CRC mismatch"), "crc")
+            .when(F.col("decode_err").contains("declares"), "bomb")
+            .otherwise("other"),
+        ).alias("bucket")
+    )
+    return (
+        p.unionByName(q)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )

@@ -430,3 +430,51 @@ def test_null_text_embeds_as_sentinel_not_literal_none(spark):
     assert np.allclose(got[0], got[1])       # NULL == empty == sentinel
     assert not np.allclose(got[0], got[2])   # literal 'none' is distinct
     assert np.allclose(got[2], got[3])       # case-folded real text
+
+
+def test_quarantine_catches_planted_corruption(spark, sf_dir):
+    """z21's machinery end-to-end at row granularity: planted CRC and
+    decode-bomb payloads land in the quarantine side with the failed
+    rule tag and the codec's own error text; every clean payload
+    passes; nothing is silently skipped (pass + quarantine == input)."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_image_payload,
+        plant_payload_corruption,
+        with_decode_status,
+    )
+    from eeg_data_lake_spark.operators.expectations import enforce
+    from eeg_data_lake_spark.workload.registry import t
+
+    d = attach_image_payload(t(spark, sf_dir, "documents").limit(70))
+    st = with_decode_status(plant_payload_corruption(d))
+    passed, quar = enforce(
+        st, {"image_decodes": F.col("decode_ok")}, mode="quarantine"
+    )
+    qrows = quar.collect()
+    prows = passed.collect()
+    assert len(qrows) + len(prows) == 70
+    for r in qrows:
+        assert r._failed_rules == ["image_decodes"]
+        if r.doc_id % 7 == 3:
+            assert r.decode_err.startswith("CRC mismatch")
+        elif r.doc_id % 7 == 5:
+            assert "declares" in r.decode_err  # bomb guard fired
+        else:
+            raise AssertionError(f"unplanted doc {r.doc_id} quarantined")
+    assert {r.doc_id % 7 for r in qrows} == {3, 5}
+    for r in prows:
+        assert r.doc_id % 7 not in (3, 5)
+        assert r.decode_ok and r.decode_err is None
+
+
+def test_registry_z21_matches_oracle(spark, sf_dir):
+    from eeg_data_lake_spark.workload.registry import REGISTRY
+    from tests.oracle_utils import compare, run_oracle
+
+    e = REGISTRY["z21_multimodal_quarantine"]
+    problems = compare(
+        e.spark_fn(spark, sf_dir), run_oracle(e.oracle, sf_dir), "z21"
+    )
+    assert problems == [], problems
