@@ -92,6 +92,9 @@ HEADLINE = [
     "r68_holt_forecast",          # ordered struct fold (recursive state)
     "q98_text_embedding_topk",    # real hashed-ngram encoder + retrieval
     "z18_exact_substring_dedup",  # ExactSubstr span removal (Lee+ 2022)
+    "z19_exact_substring_hashed",  # ExactSubstr, xxhash64 shuffle keys
+    "z20_curation_pipeline_esd",   # end-to-end curation incl. ESD stage
+    "z21_multimodal_quarantine",   # codec faults -> expectations quarantine
 ]
 
 

@@ -51,6 +51,9 @@ QUERIES = [
     "r68_holt_forecast",          # collect_list fold over 10x-longer series
     "q98_text_embedding_topk",    # per-row encoder cost (narrow map)
     "z18_exact_substring_dedup",  # overlapping-gram dedup on dup-heavy 10x
+    "z19_exact_substring_hashed", # same plan, xxhash64 shuffle-1 keys
+    "z20_curation_pipeline_esd",  # full curation chain incl. ESD stage
+    "z21_multimodal_quarantine",  # per-row strict decode + enforce split
 ]
 
 #: key column to offset per table so replicas don't collide
