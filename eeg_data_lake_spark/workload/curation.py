@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eeg_data_lake_spark.workload.dedup import _SHINGLE_SQL, shingled
+from eeg_data_lake_spark.workload.dedup import (
+    _SHINGLE_SQL,
+    shingled,
+    shingled_cached,
+)
 from eeg_data_lake_spark.workload.registry import register, t
 
 #: md5 first-hex-digit thresholds: 0-b → train (12/16), c-d → val
@@ -158,8 +162,14 @@ def q69_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB. Shingles travel as xxhash64 keys (8 bytes, not strings);
     the count compares equal because both sides hash the same distinct
     shingle strings."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    # persisted shingle inventory (shared with q33 in-session): an
+    # explode directly over the shingle-transform projection re-
+    # evaluates the gram expression per OUTPUT row (measured 6.2 s
+    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
+    # the persist pins ``sl`` as a materialized column first
+    sh = shingled_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sl").alias("shingle")
+    )
     inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     bench = (
         inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
@@ -499,7 +509,14 @@ def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 64) & (F.size(F.split(F.col("text"), " ")) >= 12)
     )
 
-    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    # persisted shingle inventory (shared with q33 in-session): an
+    # explode directly over the shingle-transform projection re-
+    # evaluates the gram expression per OUTPUT row (measured 6.2 s
+    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
+    # the persist pins ``sl`` as a materialized column first
+    sh = shingled_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sl").alias("shingle")
+    )
     inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
     contaminated = (
@@ -683,8 +700,9 @@ def r06_span_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup re-shuffles on doc_id. The window sees |distinct (doc,
     span)| rows and the span key is near-uniform (xxhash-able text),
     so there is no skew; nothing is ever O(corpus²)."""
-    d = t(spark, sf_dir, "documents")
-    sh = shingled(d)
+    # persisted shingle inventory (shared with q33 in-session) — see
+    # q69 for why exploding straight over the transform is pathological
+    sh = shingled_cached(spark, sf_dir)
     # no distinct needed: shingled() already array_distinct's each
     # document's span list, so the explode emits each (doc, span) once
     # — a .distinct() here would be a full extra shuffle for nothing
@@ -1868,33 +1886,56 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap — decontamination must not depend on what another stage
     deleted).
 
-    Plan: one md5-window shuffle for exact dedup; the ESD stage adds
-    its 3 exchanges (hashed xxhash64 gram keys — the z19 scale mode,
-    output equality with string keys pinned by z19's test) with
-    removal as pure array expressions; the contamination probe keeps
-    q73's broadcast shape (bench shingle hashes broadcast, corpus
-    never shuffles); final rollup moves (split × lang) groups. At
-    100 TB this composes the measured pieces: z19's 2.4x-lighter
-    shuffle 1 dominates, nothing is O(corpus^2).
+    Plan, and why each stage has this shape (each choice measured at
+    sf0.1 against its alternative):
+
+    - Exact dedup is ``groupBy(md5).agg(min(doc_id))`` + semi-join,
+      NOT the row_number window q32 uses standalone: the fingerprint
+      shuffle then carries (32B md5, 8B id) per row instead of the
+      full text, and the keep-set probe broadcasts locally (at 100 TB
+      Spark falls back to one text shuffle by doc_id — the window
+      variant ALSO moves the text once, so the agg form is never
+      worse and is ~8x lighter on shuffle bytes here).
+    - Duplicated-gram detection is a count window over ``g``, NOT
+      z18's groupBy + join-back: one exchange of the gram rows
+      instead of an agg exchange plus a dup-set broadcast back, ONE
+      evaluation of the tokenize+gram subtree instead of two (column
+      pruning differentiates the agg and probe subtrees, so
+      ReusedExchange never fires on the z18 shape — measured 10
+      parquet scans in the naive composition, 3 here), and no
+      broadcast whose size is data-dependent (the dup-gram set is
+      unbounded at 100 TB; a count window has no such cliff). Gram
+      keys are hashed xxhash64 — the z19 scale mode, output equality
+      with string keys pinned by z19's test.
+    - The contamination probe keeps q73's broadcast shape (bench
+      shingle hashes broadcast, corpus never shuffles) and probes the
+      ORIGINAL corpus, so its two scans stay independent of the
+      dedup path; final rollup moves (split x lang) groups.
+      Nothing is O(corpus^2), and nothing corpus-sized is persisted
+      or broadcast (a MEMORY_AND_DISK persist of the deduped
+      tokenized corpus was measured 1.15x SLOWER end-to-end at sf0.1
+      than the two cheap re-evaluations it saves).
     Reference parity anchor: /root/reference/bronze-to-silver.py
     (single-node pandas dedup loop) — this is its corpus-scale form."""
     d = t(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
-    deduped = (
-        d.withColumn("fingerprint", fp)
-        .withColumn("__rn", F.row_number().over(w_fp))
-        .filter(F.col("__rn") == 1)
-        .select("doc_id", "text", "lang")
+    keep = (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    docs = deduped.filter(F.col("text").isNotNull()).select(
-        "doc_id", "lang", F.split(F.col("text"), " ").alias("w")
+    docs = (
+        d.join(keep, "doc_id", "left_semi")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
     )
     grams = esd_grams(docs.select("doc_id", "w"), hashed=True)
-    dup = (
-        grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    w_g = Window.partitionBy("g")
+    dpos = (
+        grams.withColumn("c", F.count("*").over(w_g))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "p")
     )
-    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
     iv = F.col("iv")
     kw = F.col("kept_w")
     scrubbed = (
@@ -1921,7 +1962,14 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scrubbed.filter(
         (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
     )
-    sh = shingled(d).select("doc_id", F.explode("sl").alias("shingle"))
+    # persisted shingle inventory (shared with q33 in-session): an
+    # explode directly over the shingle-transform projection re-
+    # evaluates the gram expression per OUTPUT row (measured 6.2 s
+    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
+    # the persist pins ``sl`` as a materialized column first
+    sh = shingled_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sl").alias("shingle")
+    )
     inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
     contaminated = (
