@@ -1,0 +1,184 @@
+"""Incremental streaming SimHash near-dup ingestion: the online form
+of batch r40/r41 (workload/dedup.py), completing the incremental dedup
+family — MinHash-LSH (streaming/dedup.py), ExactSubstr
+(streaming/exactsubstr.py), and now Hamming-distance SimHash.
+
+Documents arrive continuously; each micro-batch is near-dup-filtered
+against itself AND everything already accepted, by SimHash Hamming
+distance, then appended exactly-once to a transaction-logged corpus
+table alongside a companion Manku block index:
+
+1. **Fingerprint** the batch with ``with_simhash`` — the IDENTICAL
+   md5-derived bit expressions batch r40 oracle-checks, so online and
+   batch fingerprints agree bit for bit by construction.
+2. **Within-batch clustering**: Hamming-verified block-collision
+   pairs (``simhash_pairs`` — the exact r41 operator, batch-sized),
+   connected components, keep the min-doc_id representative.
+3. **Cross-batch novelty**: probe the accepted corpus's BLOCK INDEX —
+   4 rows per accepted doc, (j, block, fp_hi, fp_lo) — with the
+   batch representatives' own block rows: an equi-join on (j, block)
+   followed by an inline exact-Hamming verify against the carried
+   fingerprint halves. By the Manku pigeonhole argument this finds
+   every accepted doc within the Hamming radius, and ONLY block-
+   colliding candidates are ever compared — the probe never rescans
+   corpus rows or text, and needs no join back to the corpus because
+   the index rows carry the fingerprints.
+4. **Exactly-once append**: corpus commit FIRST, block-index commit
+   second, each under its own batch-keyed txn_id (the
+   streaming/dedup.py two-table discipline: a crash between them
+   replays the batch — the corpus append no-ops on its txn id, the
+   index append then completes with identical content; a lagging
+   index only under-rejects rows whose corpus commit itself then
+   no-ops, so the corpus can never double-admit).
+
+Degenerate docs: <3 tokens (or NULL text) have no shingles → the zero
+fingerprint, so ALL of them mutually collide at Hamming 0 and greedily
+collapse to one representative — the same policy batch r41's oracle
+implies (every zero-fp pair is emitted). Filter empty docs upstream
+(the r10 expectations layer) when that is not wanted; the dedup itself
+stays faithful to the batch semantics.
+
+Scale: per batch the cost is the narrow fingerprint map (in-row
+aggregate HOFs, no explode), a batch-vs-batch block join, CC over
+Hamming-verified edges (shallow), and one batch-vs-index equi-join on
+(j, block) — 4·|batch| probe rows against an index of 4·|accepted|
+compact rows (two 16-bit keys + two 32-bit halves; never text). Hot
+blocks (e.g. the all-zeros block of degenerate docs) are the skew
+point, same as batch r41 — cap block buckets like MAX_SHINGLE_DF at
+100 TB, or bucket the index table by (j, block) so the probe
+co-locates without a shuffle.
+
+Reference capability upgraded: the reference's batch idempotent
+rewrite loop (/root/reference/bronze-to-silver.py:74-76) re-runs the
+whole dedup per ingest; this maintains the near-dup state online.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.graph import connected_components
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.workload.dedup import (
+    hamming64,
+    simhash_block_rows,
+    simhash_pairs,
+    with_simhash,
+)
+
+FP_COLS = ("fp_hi", "fp_lo")
+
+
+def block_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus table's companion Manku block index: 4 rows per
+    accepted document — (doc_id, fp_hi, fp_lo, j, block) — maintained
+    incrementally on ingest. The novelty probe equi-joins THIS table
+    on (j, block) and Hamming-verifies against the carried fingerprint
+    halves, so probe cost is O(colliding buckets), never corpus rows."""
+    return TxTable(spark, table.path + "_simhash")
+
+
+def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Within-batch dedup: min-doc_id representative of every
+    Hamming-verified block-collision connected component (singletons
+    survive as-is). ``fps`` must carry doc_id + FP_COLS."""
+    pairs = simhash_pairs(
+        fps.select("doc_id", *FP_COLS), max_hamming=max_hamming
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(pairs, "src", "dst")
+    reps = comp.groupBy("component").agg(F.min("node").alias("keep"))
+    losers = (
+        comp.join(reps, "component")
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return fps.join(losers, "doc_id", "left_anti")
+
+
+def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
+    """foreachBatch function: SimHash-near-dup-filter the micro-batch
+    against itself and the accepted corpus, then append exactly-once
+    (corpus first, block index second — see module docstring for the
+    crash-safety argument)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = block_index_table(spark, table)
+        fps = with_simhash(batch_df)
+        novel = _batch_representatives(fps, max_hamming)
+        if idx.version() >= 0:
+            index = idx.read().persist()
+            try:
+                probe = simhash_block_rows(
+                    novel.select("doc_id", *FP_COLS)
+                ).select("doc_id", "j", "block", *FP_COLS)
+                hits = (
+                    probe.alias("a")
+                    .join(
+                        index.alias("b"),
+                        (F.col("a.j") == F.col("b.j"))
+                        & (F.col("a.block") == F.col("b.block")),
+                    )
+                    .filter(
+                        hamming64(
+                            F.col("a.fp_hi"),
+                            F.col("a.fp_lo"),
+                            F.col("b.fp_hi"),
+                            F.col("b.fp_lo"),
+                        )
+                        <= max_hamming
+                    )
+                    .select(F.col("a.doc_id").alias("doc_id"))
+                    .distinct()
+                )
+                novel = novel.join(hits, "doc_id", "left_anti").persist()
+                table.append(
+                    novel.drop("n_shingles", *FP_COLS),
+                    txn_id=f"{sink_id}:batch-{batch_id}",
+                )
+            finally:
+                index.unpersist()
+        else:
+            novel = novel.persist()
+            table.append(
+                novel.drop("n_shingles", *FP_COLS),
+                txn_id=f"{sink_id}:batch-{batch_id}",
+            )
+        idx.append(
+            simhash_block_rows(novel.select("doc_id", *FP_COLS)).select(
+                "doc_id", "fp_hi", "fp_lo", "j", "block"
+            ),
+            txn_id=f"{sink_id}:blocks-{batch_id}",
+        )
+        novel.unpersist()
+
+    return process
+
+
+def stream_simhash_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    max_files_per_trigger: int = 1,
+    max_hamming: int = 3,
+) -> None:
+    """Drain a file-source document stream into the SimHash-
+    deduplicated accepted-corpus table (AvailableNow: terminates when
+    caught up; re-invocations resume from the checkpoint and
+    replay-committed batches are no-ops)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(
+            simhash_batch_writer(table, sink_id, max_hamming=max_hamming)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -717,6 +717,80 @@ _POW2_DESC = [1 << (31 - j) for j in range(32)]
 _POW2_SQL = "[" + ", ".join(str(p) for p in _POW2_DESC) + "]"
 
 
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``df`` + ``n_shingles``/``fp_hi``/``fp_lo``: the r40 md5-derived
+    SimHash (two exact-bigint 32-bit halves, integer-only bit
+    arithmetic), as a NARROW projection over the shingle array — no
+    explode, no shuffle. Shared by batch r40/r41 and the streaming
+    incremental ingest (streaming/simhash.py) so online and batch
+    fingerprints agree bit for bit by construction. Docs with <3
+    tokens (or NULL text) have no shingles → fingerprint 0 on both
+    engines — the r40-oracle-implied degenerate policy."""
+    pow2 = F.array(*[F.lit(p) for p in _POW2_DESC])
+
+    def half(start: int):
+        # 32 per-bit {+1,-1} votes for md5(s)[start:start+8]
+        def bits_of(s):
+            h = F.conv(F.substring(F.md5(s), start, 8), 16, 10).cast("bigint")
+            # (h / p) is double division, but floor-recovery is exact
+            # here: h < 2^32 ≤ 2^53 and the fractional part 1/p ≥ 2^-31
+            # is orders above double eps at this magnitude, so the cast
+            # truncation equals DuckDB's integer `//` bit for bit
+            return F.transform(
+                pow2,
+                lambda p: F.when((h / p).cast("bigint") % 2 == 1, 1).otherwise(-1),
+            )
+
+        return bits_of
+
+    def counters(bits_of):
+        return F.aggregate(
+            F.col("sl"),
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, s: F.zip_with(acc, bits_of(s), lambda a, b: a + b),
+        )
+
+    def assemble(cnt):
+        return F.aggregate(
+            F.zip_with(cnt, pow2, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    sh = shingled(df, text_col=text_col)
+    return sh.select(
+        *df.columns,
+        F.size("sl").alias("n_shingles"),
+        assemble(counters(half(1))).alias("fp_hi"),
+        assemble(counters(half(9))).alias("fp_lo"),
+    )
+
+
+def simhash_block_rows(fps: DataFrame) -> DataFrame:
+    """Manku multi-index rows for a fingerprint frame: 4 rows per doc,
+    one per 16-bit block position ``j``, fingerprint halves carried
+    along so a block-collision probe can verify exact Hamming distance
+    without a second join back to the fingerprints. Narrow flatmap."""
+    return fps.select(
+        *fps.columns,
+        F.posexplode(
+            F.array(
+                F.shiftright("fp_hi", 16),
+                F.col("fp_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("fp_lo", 16),
+                F.col("fp_lo").bitwiseAND(F.lit(65535)),
+            )
+        ).alias("j", "block"),
+    )
+
+
+def hamming64(hi_a, lo_a, hi_b, lo_b) -> F.Column:
+    """Exact Hamming distance between two (hi, lo) 32-bit-half pairs."""
+    return (
+        F.bit_count(hi_a.bitwiseXOR(hi_b)) + F.bit_count(lo_a.bitwiseXOR(lo_b))
+    ).cast("long")
+
+
 @register(
     "r40_simhash_md5",
     oracle=f"""
@@ -760,43 +834,10 @@ def r40_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulator, so the query is one narrow projection; no explode, no
     shuffle at all (the oracle spells the double unnest; the plan
     never does). Docs with <3 tokens have no shingles → fingerprint 0,
-    same on both sides."""
-    d = shingled(t(spark, sf_dir, "documents"))
-    pow2 = F.array(*[F.lit(p) for p in _POW2_DESC])
-
-    def half(start: int):
-        # 32 per-bit {+1,-1} votes for md5(s)[start:start+8]
-        def bits_of(s):
-            h = F.conv(F.substring(F.md5(s), start, 8), 16, 10).cast("bigint")
-            # (h / p) is double division, but floor-recovery is exact
-            # here: h < 2^32 ≤ 2^53 and the fractional part 1/p ≥ 2^-31
-            # is orders above double eps at this magnitude, so the cast
-            # truncation equals DuckDB's integer `//` bit for bit
-            return F.transform(
-                pow2, lambda p: F.when((h / p).cast("bigint") % 2 == 1, 1).otherwise(-1)
-            )
-
-        return bits_of
-
-    def counters(bits_of):
-        return F.aggregate(
-            F.col("sl"),
-            F.array_repeat(F.lit(0), 32),
-            lambda acc, s: F.zip_with(acc, bits_of(s), lambda a, b: a + b),
-        )
-
-    def assemble(cnt):
-        return F.aggregate(
-            F.zip_with(cnt, pow2, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0))),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
-        )
-
-    return d.select(
-        "doc_id",
-        F.size("sl").alias("n_shingles"),
-        assemble(counters(half(1))).alias("fp_hi"),
-        assemble(counters(half(9))).alias("fp_lo"),
+    same on both sides. The fingerprint expressions live in
+    ``with_simhash`` (shared with the streaming incremental ingest)."""
+    return with_simhash(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_shingles", "fp_hi", "fp_lo"
     )
 
 
@@ -854,17 +895,16 @@ def r41_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, so the bits themselves are oracle-checked upstream."""
     fps = r40_simhash_md5(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo")
     fps = fps.localCheckpoint(eager=True)  # reused by index + verify
-    blocks = fps.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                F.shiftright("fp_hi", 16),
-                F.col("fp_hi").bitwiseAND(F.lit(65535)),
-                F.shiftright("fp_lo", 16),
-                F.col("fp_lo").bitwiseAND(F.lit(65535)),
-            )
-        ).alias("j", "block"),
-    )
+    return simhash_pairs(fps, max_hamming=3)
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs (doc_a < doc_b) among a
+    fingerprint frame via the r41 Manku block join: 4-way block
+    candidate generation, exact Hamming verify. Shared by batch r41
+    and the streaming within-batch clustering (streaming/simhash.py).
+    """
+    blocks = simhash_block_rows(fps).select("doc_id", "j", "block")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -889,14 +929,13 @@ def r41_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_hi").alias("hb"),
         F.col("fp_lo").alias("lb"),
     )
-    hamming = (
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
-    ).cast("long")
     return (
         cand.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .withColumn(
+            "hamming",
+            hamming64(F.col("ha"), F.col("la"), F.col("hb"), F.col("lb")),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -849,3 +849,66 @@ def r55_table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "z22_streaming_simhash_ingest",
+    tags=("streaming", "dedup", "simhash", "incremental"),
+)
+def z22_streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming SimHash near-dup ingest end-to-end: the
+    documents table arrives as three micro-batches (doc_id % 3 slices,
+    one file per trigger); each batch is Hamming-deduplicated against
+    itself (r41's Manku block join + connected components) and against
+    everything already accepted (block-index probe with inline Hamming
+    verify), then appended exactly-once to a transaction-logged corpus
+    with its companion block index (streaming/simhash.py — the online
+    form of batch r40/r41, completing the incremental dedup family
+    with MinHash-LSH q51/streaming/dedup.py and ExactSubstr
+    streaming/exactsubstr.py).
+
+    Rows-only by design: the greedy batch-order accept plus connected
+    components is not SQL-expressible; equality against an EXHAUSTIVE
+    all-pairs python reference, the two-table crash-replay discipline,
+    and the mutual-Hamming->radius invariant of the accepted set are
+    pinned in tests/test_streaming_simhash.py. Fingerprint bits
+    themselves are oracle-checked by r40.
+
+    Returns the accepted corpus (doc_id, lang) with per-doc SimHash
+    halves — deterministic for a given sf_dir: batch files are written
+    in slice order and AvailableNow processes them in file order."""
+    import os
+    import tempfile
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.simhash import stream_simhash_ingest
+    from eeg_data_lake_spark.workload.dedup import with_simhash
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    d = tempfile.mkdtemp(prefix="simhash_q_")
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(d, f"stage_{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+    tbl = TxTable(spark, os.path.join(d, "accepted"))
+    stream_simhash_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string, lang string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z22",
+    )
+    return (
+        with_simhash(tbl.read())
+        .select("doc_id", "lang", "fp_hi", "fp_lo")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,213 @@
+"""Incremental streaming SimHash near-dup ingestion vs an EXHAUSTIVE
+python reference: batch-by-batch greedy Hamming dedup semantics,
+cross-batch novelty against the accepted corpus's block index, and
+exactly-once replay.
+
+The reference does all-pairs Hamming union-find (no Manku pigeonhole
+shortcut), so equality also re-proves the block join misses no pair
+within the radius on real data — the same guarantee the batch r41
+oracle pins, here for the online path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.simhash import (
+    block_index_table,
+    simhash_batch_writer,
+    stream_simhash_ingest,
+)
+from eeg_data_lake_spark.workload.dedup import simhash_block_rows, with_simhash
+
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _ham(a: tuple[int, int], b: tuple[int, int]) -> int:
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def _reference_accept(batch_fp_rows, max_hamming: int = 3) -> set[int]:
+    """Greedy per-batch dedup, exhaustively: union-find on ALL pairs
+    within the Hamming radius inside the batch, min-doc_id
+    representative per component, reject representatives within the
+    radius of ANY previously accepted fingerprint."""
+    accepted_ids: set[int] = set()
+    accepted_fps: list[tuple[int, int]] = []
+    for rows in batch_fp_rows:
+        fp = {r.doc_id: (r.fp_hi, r.fp_lo) for r in rows}
+        parent = {i: i for i in fp}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ids = sorted(fp)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if _ham(fp[a], fp[b]) <= max_hamming:
+                    parent[find(b)] = find(a)
+        reps: dict[int, int] = {}
+        for i in ids:
+            r = find(i)
+            reps[r] = min(reps.get(r, i), i)
+        for rid in sorted(reps.values()):
+            if any(_ham(fp[rid], acc) <= max_hamming for acc in accepted_fps):
+                continue
+            accepted_ids.add(rid)
+            accepted_fps.append(fp[rid])
+    return accepted_ids
+
+
+@pytest.fixture()
+def batches(spark, sf_dir, tmp_path):
+    """Two micro-batch files with planted within- and cross-batch
+    exact copies (Hamming 0 — the guaranteed-in-radius case; any
+    mutated-text pairs that land in 1..3 are covered by the
+    reference-equality assertion rather than planted)."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    b0 = docs.filter(F.col("doc_id") < 40)
+    b1_fresh = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+    cross = (
+        docs.filter(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    within = (
+        docs.filter(F.col("doc_id") == 40)
+        .withColumn("doc_id", F.col("doc_id") + 2000)
+    )
+    b1 = b1_fresh.unionByName(cross).unionByName(within)
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, frame in enumerate((b0, b1)):
+        stage = tmp_path / f"stage_{i}"
+        frame.coalesce(1).write.parquet(str(stage))
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(str(stage / part), str(src / f"batch_{i}.parquet"))
+    return str(src), [b0, b1]
+
+
+def test_stream_simhash_matches_reference_and_is_exactly_once(
+    spark, batches, tmp_path
+):
+    src, frames = batches
+    table = TxTable(spark, str(tmp_path / "accepted"))
+    ckpt = str(tmp_path / "ckpt")
+    stream_simhash_ingest(
+        spark, src, SCHEMA, table, ckpt, sink_id="simhash-ingest"
+    )
+    assert table.version() == 1  # one commit per micro-batch
+
+    fp_rows = [
+        with_simhash(df).select("doc_id", "fp_hi", "fp_lo").collect()
+        for df in frames
+    ]
+    want = _reference_accept(fp_rows)
+    got = {r.doc_id for r in table.read().collect()}
+    assert got == want
+
+    # the planted exact copies exercised both rejection paths (their
+    # originals are accepted on this data, so Hamming 0 must reject)
+    originals = {r.doc_id for r in frames[0].collect() if r.doc_id < 5}
+    assert originals <= got
+    assert not any(1000 <= i < 1005 for i in got)  # cross-batch copies
+    assert 2040 not in got and 40 in got  # within-batch copy of doc 40
+
+    # greedy-accept invariant: the accepted set is mutually > radius
+    fps = {
+        r.doc_id: (r.fp_hi, r.fp_lo)
+        for rows in fp_rows
+        for r in rows
+        if r.doc_id in got
+    }
+    ids = sorted(fps)
+    assert all(
+        _ham(fps[a], fps[b]) > 3
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    )
+
+    # replay: rerunning the drained stream (same checkpoint) is a no-op
+    stream_simhash_ingest(
+        spark, src, SCHEMA, table, ckpt, sink_id="simhash-ingest"
+    )
+    assert table.version() == 1
+    assert {r.doc_id for r in table.read().collect()} == want
+
+
+def test_block_index_tracks_corpus_and_replays_safely(spark, tmp_path):
+    """The companion block index must equal the block rows of the
+    accepted corpus after multi-batch ingest, and the two-table commit
+    must converge under batch replay (crash between the two appends)."""
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    process = simhash_batch_writer(table, "t")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (4, "iota kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    process(b0, 0)
+    process(b1, 1)
+    process(b1, 1)  # full replay of a committed batch: must be a no-op
+
+    accepted = {r.doc_id for r in table.read().collect()}
+    assert accepted == {1, 2, 4}  # doc 3 (exact copy) deduped vs doc 1
+
+    idx = block_index_table(spark, table)
+    got = {
+        (r.doc_id, r.j, r.block, r.fp_hi, r.fp_lo)
+        for r in idx.read().collect()
+    }
+    want_fps = with_simhash(table.read().select("doc_id", "text"))
+    want = {
+        (r.doc_id, r.j, r.block, r.fp_hi, r.fp_lo)
+        for r in simhash_block_rows(
+            want_fps.select("doc_id", "fp_hi", "fp_lo")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 3 * 4  # exactly 4 block rows per accepted doc
+
+    # crash window: corpus committed, index append lost → replay fills
+    # the index without duplicating corpus rows
+    v_corpus, v_idx = table.version(), idx.version()
+    process(b1, 1)
+    assert table.version() == v_corpus
+    assert idx.version() == v_idx  # txn-keyed: replay is a no-op too
+
+
+def test_degenerate_short_docs_collapse_to_one(spark):
+    """<3-token docs have no shingles → the zero fingerprint: ALL of
+    them mutually collide at Hamming 0 and the batch keeps exactly one
+    representative — the r41-oracle-implied policy (documented; filter
+    empties upstream via expectations when unwanted)."""
+    from eeg_data_lake_spark.streaming.simhash import _batch_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there"),  # 2 tokens — no shingles → fp 0
+            (2, "bye now"),  # distinct text, also fp 0
+            (3, "a much longer document with plenty of tokens in it"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = with_simhash(docs)
+    assert {
+        (r.doc_id, r.fp_hi, r.fp_lo)
+        for r in fps.select("doc_id", "fp_hi", "fp_lo").collect()
+        if r.doc_id in (1, 2)
+    } == {(1, 0, 0), (2, 0, 0)}
+    survivors = {r.doc_id for r in _batch_representatives(fps, 3).collect()}
+    assert 1 in survivors and 2 not in survivors and 3 in survivors
