@@ -883,16 +883,26 @@ def r27_crossdoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     nseg = F.ceil(F.size(words) / F.lit(float(_SEG_W))).cast("int")
-    seg_arr = F.when(
-        nseg > 0,
-        F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.array_join(F.slice(words, i * _SEG_W + 1, _SEG_W), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # explode POSITIONS and assemble each segment per output row from
+    # the materialized token array (esd_grams' shape — exploding over
+    # a transform that builds all segment strings re-evaluates the
+    # generator per output row, the q33/q69 shingle pathology); the
+    # when() guard keeps NULL-text/empty docs out of sequence()'s
+    # negative-stop step inference
+    idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     segs = d.select(
-        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
-    ).withColumn("pos", F.col("pos").cast("long"))
+        "doc_id",
+        words.alias("__w"),
+        F.posexplode(idx).alias("pos", "i"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice("__w", F.col("i") * _SEG_W + 1, _SEG_W), " "
+        ).alias("seg"),
+    )
     freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
     tagged = segs.join(freq, "seg")
     kept_struct = F.when(
@@ -1669,19 +1679,27 @@ def esd_grams(docs: DataFrame, hashed: bool) -> DataFrame:
     array) as (doc_id, p, g) rows — narrow codegen, no shuffle. With
     ``hashed`` the gram key is xxhash64 of the joined text (the z19 /
     streaming-index key); the hash is computed before any exchange so
-    the string never travels."""
-    grams = (
-        docs.filter(F.size("w") >= _ESD_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - _ESD_L),
-                    lambda i: F.array_join(F.slice("w", i + 1, _ESD_L), " "),
-                )
-            ).alias("p", "g"),
-        )
-        .withColumn("p", F.col("p").cast("long"))
+    the string never travels.
+
+    Shape matters: the explode emits POSITIONS (a cheap int sequence)
+    and each gram string is assembled per OUTPUT row from the
+    materialized token array — one O(L) slice+join per gram, O(n·L)
+    per doc. Exploding directly over a transform that builds all gram
+    strings re-evaluates the generator per output row (the q33/q69
+    shingle pathology — measured 3.7× slower here: 0.74 s vs 0.20 s
+    for 236 k grams at sf0.1), and a persist of the gram arrays would
+    be an L×-corpus-sized materialization at 100 TB; the per-row form
+    needs neither."""
+    grams = docs.filter(F.size("w") >= _ESD_L).select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.size("w") - _ESD_L)).alias(
+            "p", "i"
+        ),
+        "w",
+    ).select(
+        "doc_id",
+        F.col("p").cast("long").alias("p"),
+        F.array_join(F.slice("w", F.col("i") + 1, _ESD_L), " ").alias("g"),
     )
     if hashed:
         grams = grams.select("doc_id", "p", F.xxhash64("g").alias("g"))
