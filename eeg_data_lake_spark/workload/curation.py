@@ -1917,24 +1917,29 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Duplicated-gram detection is a count window over ``g``, NOT
       z18's groupBy + join-back: one exchange of the gram rows
       instead of an agg exchange plus a dup-set broadcast back, ONE
-      evaluation of the tokenize+gram subtree instead of two (column
-      pruning differentiates the agg and probe subtrees, so
-      ReusedExchange never fires on the z18 shape — measured 10
-      parquet scans in the naive composition, 3 here), and no
-      broadcast whose size is data-dependent (the dup-gram set is
-      unbounded at 100 TB; a count window has no such cliff). Gram
-      keys are hashed xxhash64 — the z19 scale mode, output equality
-      with string keys pinned by z19's test.
+      consumer of the gram subtree instead of two, and no broadcast
+      whose size is data-dependent (the dup-gram set is unbounded at
+      100 TB; a count window has no such cliff). Gram keys are hashed
+      xxhash64 — the z19 scale mode, output equality with string keys
+      pinned by z19's test.
+    - The deduped tokenized corpus is PERSISTED (MEMORY_AND_DISK):
+      it still has two consumers — the gram path and the scrub join —
+      and their differing column pruning defeats ReusedExchange, so
+      without the pin each consumer re-runs the scan + dedup
+      semi-join (measured 11 parquet scans of `documents`; 3 with it,
+      pinned in tests/test_plans.py). At 100 TB recomputing the
+      dedup join per consumer re-shuffles the corpus text, so the one
+      materialization is the cheaper side — the same multi-consumer
+      reuse q33 applies to its shingles.
     - The contamination probe keeps q73's broadcast shape (bench
       shingle hashes broadcast, corpus never shuffles) and probes the
       ORIGINAL corpus, so its two scans stay independent of the
       dedup path; final rollup moves (split x lang) groups.
-      Nothing is O(corpus^2), and nothing corpus-sized is persisted
-      or broadcast (a MEMORY_AND_DISK persist of the deduped
-      tokenized corpus was measured 1.15x SLOWER end-to-end at sf0.1
-      than the two cheap re-evaluations it saves).
+      Nothing is O(corpus^2).
     Reference parity anchor: /root/reference/bronze-to-silver.py
     (single-node pandas dedup loop) — this is its corpus-scale form."""
+    from pyspark import StorageLevel
+
     d = t(spark, sf_dir, "documents")
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     keep = (
@@ -1946,6 +1951,7 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(keep, "doc_id", "left_semi")
         .filter(F.col("text").isNotNull())
         .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     grams = esd_grams(docs.select("doc_id", "w"), hashed=True)
     w_g = Window.partitionBy("g")

@@ -533,3 +533,53 @@ def test_r78_attribution_is_joinless_single_pass(spark, sf_dir):
     df = q("r78_first_touch_attribution", spark, sf_dir)
     assert count_exchanges(df) <= 3
     assert join_strategies(df) == []
+
+
+def test_z18_z19_gram_path_shape(spark, sf_dir):
+    """ExactSubstr plan invariants: grams are assembled per OUTPUT row
+    from an exploded position sequence (never a transform the Generate
+    would re-evaluate per row — the shingle pathology), the gram
+    string never reaches an exchange in the hashed mode, and the plan
+    stays at its 3 data shuffles (gram count, interval window, final
+    sort) with no cartesian."""
+    import re
+
+    for name in ("z18_exact_substring_dedup", "z19_exact_substring_hashed"):
+        df = q(name, spark, sf_dir)
+        plan = explain_string(df)
+        assert not has_cartesian_or_bnlj(df), name
+        # posexplode(sequence(...)) — positions, not prebuilt strings
+        assert "posexplode(sequence" in plan, name
+        assert "array_join" in plan, name
+        assert count_exchanges(df) <= 4, (name, count_exchanges(df))
+
+
+def test_z20_pipeline_scans_documents_exactly_three_times(spark, sf_dir):
+    """z20's composition invariant: ONE scan feeds the dedup+ESD+gate
+    chain (persisted deduped corpus + count-window dup-gram detection
+    keep every downstream consumer on the pinned subtree), and the
+    contamination probe's two sides (bench + probe over ORIGINAL
+    text) account for the rest. Without the persist the dedup
+    semi-join recomputes per consumer — measured 11 scans, i.e.
+    re-reading and re-shuffling a 100 TB corpus several extra times."""
+    df = q("z20_curation_pipeline_esd", spark, sf_dir)
+    plan = explain_string(df)
+    import re
+
+    # count distinct scan NODES (formatted mode repeats each node in
+    # the tree, its detail section, and cached-relation child plans)
+    n_scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+    assert n_scans == 3, n_scans
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_r27_segments_assembled_per_row(spark, sf_dir):
+    """r27 emits positions and slices each segment per output row —
+    same invariant as the gram path; two data shuffles (segment DF
+    agg + doc rollup) plus the join back."""
+    import re
+
+    df = q("r27_crossdoc_segment_dedup", spark, sf_dir)
+    plan = explain_string(df)
+    assert "posexplode" in plan and "array_join" in plan
+    assert not has_cartesian_or_bnlj(df)
