@@ -211,3 +211,54 @@ def test_degenerate_short_docs_collapse_to_one(spark):
     } == {(1, 0, 0), (2, 0, 0)}
     survivors = {r.doc_id for r in _batch_representatives(fps, 3).collect()}
     assert 1 in survivors and 2 not in survivors and 3 in survivors
+
+
+def test_cross_batch_near_duplicate_rejected(spark, tmp_path):
+    """The index probe must reject a NEAR duplicate (Hamming 1..3,
+    not byte-identical) arriving in a later batch: plants a one-token
+    mutation of an accepted doc whose fingerprint provably lands
+    within the radius (searched at test time among token dropouts —
+    single-token edits of a long doc flip few majority votes), and a
+    far mutation that must survive."""
+    base_tokens = [f"tok{i}" for i in range(60)]
+    base = " ".join(base_tokens)
+    # candidate near-dups: drop one token each
+    cands = [
+        (100 + k, " ".join(base_tokens[:k] + base_tokens[k + 1 :]))
+        for k in range(40)
+    ]
+    fps = {
+        r.doc_id: (r.fp_hi, r.fp_lo)
+        for r in with_simhash(
+            spark.createDataFrame(
+                [(0, base)] + cands, "doc_id long, text string"
+            )
+        ).collect()
+    }
+    near = next(
+        (
+            i
+            for i, _ in cands
+            if 1 <= _ham(fps[0], fps[i]) <= 3
+        ),
+        None,
+    )
+    assert near is not None, "no dropout landed at Hamming 1..3"
+    near_text = dict(cands)[near]
+    far_text = " ".join(f"other{i}" for i in range(60))
+
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    process = simhash_batch_writer(table, "near")
+    process(
+        spark.createDataFrame([(0, base)], "doc_id long, text string"), 0
+    )
+    process(
+        spark.createDataFrame(
+            [(near, near_text), (999, far_text)],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    accepted = {r.doc_id for r in table.read().collect()}
+    assert near not in accepted  # near-dup caught by block probe + verify
+    assert accepted == {0, 999}
