@@ -1611,11 +1611,14 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments by document frequency).
 
     Plan (3 shuffles, no token-level rows ever): gram construction is
-    narrow codegen (split/transform/slice); shuffle 1 counts gram
-    occurrences (partial-agg combines repeats map-side, so only
-    distinct grams travel); the duplicate-gram set is small and joins
-    back to positions as an AQE broadcast (grams are recomputed
-    narrowly — cheaper than shuffling them); interval union is the
+    narrow codegen (positions exploded, each gram assembled per output
+    row — see esd_grams); shuffle 1 is a count window over the gram
+    key that marks duplicated positions in ONE exchange and ONE pass
+    over the gram subtree — NOT a groupBy + dup-set join-back, whose
+    broadcast grows with the corpus's duplication level (unbounded on
+    a dup-heavy crawl — a cliff) and whose probe side re-evaluates the
+    gram subtree; measured faster at sf0.1 (1.17 vs 1.73 s) AND on the
+    10x dup-heavy probe (1.79 vs 2.01 s). Interval union is the
     classic gaps-and-islands pair of windows over (doc_id, p) —
     shuffle 2, whose doc_id partitioning is reused by both the
     merged-interval agg and the per-doc interval-array collect;
@@ -1625,11 +1628,11 @@ def z18_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token rows exist anywhere in the plan. This string-key mode
     shares its shuffle key with the DuckDB oracle (the r27
     convention); z19 is the same plan with ``xxhash64(gram)`` as the
-    shuffle-1 key — the 100 TB mode — measured at sf0.1:
-    2.40x fewer shuffle-1 bytes after lz4 (6.15 MB -> 2.56 MB for the
-    same 224,694 records; the raw text/long ratio is ~8x, shuffle
+    shuffle-1 key — the 100 TB mode — measured at sf0.1: 2.06x fewer
+    shuffle-1 bytes after lz4 (8.79 -> 4.27 MB for the same 235,704
+    (doc_id, p, key) rows; the raw string/long ratio is ~8x, shuffle
     compression narrows it — numbers in BASELINE.md); a hot
-    boilerplate gram's posting list is count-only — no pair blowup
+    boilerplate gram costs a long count partition — no pair blowup
     anywhere."""
     return _exact_substring_plan(spark, sf_dir, hashed_grams=False)
 
@@ -1669,8 +1672,13 @@ def _exact_substring_plan(
     d = t(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     grams = esd_grams(docs, hashed=hashed_grams)
-    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
-    dpos = grams.join(dup.select("g"), "g").select("doc_id", "p")
+    dpos = (
+        grams.withColumn(
+            "c", F.count("*").over(Window.partitionBy("g"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "p")
+    )
     return esd_remove(docs, dpos)
 
 
