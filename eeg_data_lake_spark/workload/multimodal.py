@@ -552,3 +552,54 @@ def z21_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "z23_cdc_chunk_dedup",
+    tags=("multimodal", "dedup", "binary", "cdc"),
+)
+def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-level dedup by CONTENT-DEFINED chunking (gear-hash CDC,
+    functions/chunking.py): every binary payload splits at
+    content-determined boundaries (min 64 / avg 256 / max 1024 bytes),
+    chunks dedup corpus-wide by md5, and the per-document report says
+    how many of its chunks (and bytes) already exist elsewhere —
+    the storage/transfer dedup primitive for a multimodal lake, robust
+    to byte insertions where fixed-size chunking loses all alignment.
+
+    Rows-only by design: the gear rolling hash is not SQL-expressible
+    (the sliding 64-byte mod-2^64 recurrence); semantics are pinned by
+    property tests instead — chunks exactly partition each payload,
+    size bounds hold, boundaries resynchronize after an insertion, and
+    the Spark plumbing matches the pure-python chunker row for row
+    (tests/test_cdc_chunking.py).
+
+    Plan: the chunker is a narrow Arrow-batched mapInPandas (per-row
+    CPU, the r45/q97 codec shape — measured flat at 10x); the ONLY
+    exchange is the chunk-hash count window (the z18 count-window
+    shape: no data-dependent dup-set broadcast), plus the per-doc
+    rollup and presentation sort. Dedup state is (md5, length) per
+    chunk — never payload bytes."""
+    from pyspark.sql import Window
+
+    from eeg_data_lake_spark.functions.chunking import chunk_rows
+
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    ch = chunk_rows(d)
+    w = Window.partitionBy("chunk_md5")
+    tagged = ch.withColumn("n_occ", F.count("*").over(w))
+    dup = F.col("n_occ") >= 2
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("length").cast("long").alias("n_bytes"),
+            F.count(F.when(dup, 1)).alias("dup_chunks"),
+            F.coalesce(
+                F.sum(F.when(dup, F.col("length"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dup_bytes"),
+        )
+        .orderBy("doc_id")
+    )

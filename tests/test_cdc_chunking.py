@@ -1,0 +1,137 @@
+"""Content-defined chunking semantics: exact payload partition, size
+bounds, boundary resynchronization after edits (THE property that
+distinguishes CDC from fixed-size chunking), Spark-vs-pure-python row
+parity, and the z23 corpus dedup report recomputed independently."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.functions.chunking import (
+    cdc_cut_points,
+    chunk_rows,
+    gear_hashes,
+    gear_table,
+)
+
+
+def _payload(n: int, seed: int = 7) -> bytes:
+    """Deterministic pseudo-random bytes without RNG state: md5 chain."""
+    out = bytearray()
+    block = seed.to_bytes(8, "little")
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def test_gear_hash_is_sliding_window():
+    """h[i] must depend on exactly the last 64 bytes: changing a byte
+    65 positions back leaves the hash unchanged; changing one inside
+    the window changes it."""
+    data = bytearray(_payload(300))
+    h0 = gear_hashes(bytes(data))
+    i = 200
+    far = bytearray(data)
+    far[i - 70] ^= 0xFF
+    assert gear_hashes(bytes(far))[i] == h0[i]
+    near = bytearray(data)
+    near[i - 10] ^= 0xFF
+    assert gear_hashes(bytes(near))[i] != h0[i]
+
+
+def test_table_is_deterministic():
+    t1, t2 = gear_table(), gear_table()
+    assert (t1 == t2).all() and len(set(t1.tolist())) == 256
+
+
+@pytest.mark.parametrize("n", [0, 1, 63, 64, 100, 1024, 5000])
+def test_cuts_partition_payload_with_size_bounds(n):
+    data = _payload(n)
+    cuts = cdc_cut_points(data)
+    assert cuts[0] == 0 and (cuts[-1] == n or n == 0)
+    assert cuts == sorted(set(cuts))
+    sizes = [b - a for a, b in zip(cuts, cuts[1:])]
+    assert sum(sizes) == n
+    for s in sizes[:-1]:
+        assert 64 <= s <= 1024
+    if sizes:
+        assert 1 <= sizes[-1] <= 1024
+
+
+def test_insertion_resynchronizes_boundaries():
+    """Prepend 17 bytes to a 5 KB payload: fixed-size chunking would
+    misalign every chunk; CDC must recover — the chunk-hash multisets
+    overlap almost entirely (everything beyond the first affected
+    region is byte-identical AND boundary-identical)."""
+    base = _payload(5000)
+    edited = _payload(17, seed=99) + base
+
+    def hashes(data):
+        cuts = cdc_cut_points(data)
+        return [
+            hashlib.md5(data[a:b]).hexdigest()
+            for a, b in zip(cuts, cuts[1:])
+        ]
+
+    h_base, h_edit = hashes(base), hashes(edited)
+    shared = len(set(h_base) & set(h_edit))
+    # all but the first couple of chunks must survive the edit
+    assert shared >= len(h_base) - 3, (shared, len(h_base))
+    # sanity: there IS more than one chunk, so the test means something
+    assert len(h_base) >= 5
+
+
+def test_spark_rows_match_pure_python(spark):
+    docs = [(i, _payload(200 + 137 * i, seed=i)) for i in range(8)]
+    docs.append((100, None))  # NULL payload -> zero rows
+    docs.append((101, b""))  # empty payload -> zero rows
+    df = spark.createDataFrame(docs, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.chunk_idx, r.offset, r.length, r.chunk_md5)
+        for r in chunk_rows(df).collect()
+    }
+    want = set()
+    for did, payload in docs:
+        data = payload or b""
+        cuts = cdc_cut_points(data)
+        for j, (a, b) in enumerate(zip(cuts, cuts[1:])):
+            want.add(
+                (did, j, a, b - a, hashlib.md5(data[a:b]).hexdigest())
+            )
+    assert got == want
+
+
+def test_z23_dedup_report_matches_recount(spark, sf_dir):
+    from collections import Counter
+
+    from eeg_data_lake_spark.workload import REGISTRY
+
+    rows = REGISTRY["z23_cdc_chunk_dedup"].spark_fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    chunks = {}
+    for r in docs:
+        data = (r.text or "").encode("utf-8")
+        if not data:
+            continue
+        cuts = cdc_cut_points(data)
+        chunks[r.doc_id] = [
+            (hashlib.md5(data[a:b]).hexdigest(), b - a)
+            for a, b in zip(cuts, cuts[1:])
+        ]
+    occ = Counter(h for cl in chunks.values() for h, _ in cl)
+    assert len(rows) == len(chunks)
+    for r in rows:
+        cl = chunks[r.doc_id]
+        assert r.n_chunks == len(cl)
+        assert r.n_bytes == sum(ln for _, ln in cl)
+        assert r.dup_chunks == sum(1 for h, _ in cl if occ[h] >= 2)
+        assert r.dup_bytes == sum(ln for h, ln in cl if occ[h] >= 2)
+    # the corpus actually contains cross-doc duplicate chunks (the
+    # testdata's documents share boilerplate), so dedup is exercised
+    assert any(r.dup_chunks > 0 for r in rows)
