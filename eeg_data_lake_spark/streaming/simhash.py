@@ -105,7 +105,12 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = block_index_table(spark, table)
-        fps = with_simhash(batch_df)
+        # persisted: the fingerprint map is consumed four times per
+        # batch (both sides of the candidate pair join, the loser
+        # anti-join, the index append) and is the batch's dominant
+        # narrow cost — the r41 localCheckpoint reuse, scoped to the
+        # batch lifetime
+        fps = with_simhash(batch_df).persist()
         novel = _batch_representatives(fps, max_hamming)
         if idx.version() >= 0:
             index = idx.read().persist()
@@ -152,6 +157,7 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
             txn_id=f"{sink_id}:blocks-{batch_id}",
         )
         novel.unpersist()
+        fps.unpersist()
 
     return process
 

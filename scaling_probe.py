@@ -54,6 +54,7 @@ QUERIES = [
     "z19_exact_substring_hashed", # same plan, xxhash64 shuffle-1 keys
     "z20_curation_pipeline_esd",  # full curation chain incl. ESD stage
     "z21_multimodal_quarantine",  # per-row strict decode + enforce split
+    "z23_cdc_chunk_dedup",        # gear-CDC chunker: narrow per-row CPU + one count window
 ]
 
 #: key column to offset per table so replicas don't collide
