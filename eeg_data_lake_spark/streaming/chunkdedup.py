@@ -1,0 +1,149 @@
+"""Incremental streaming CDC chunk-store ingestion: the online form of
+batch z23 (functions/chunking.py), completing the incremental dedup
+family on the BINARY path — MinHash-LSH (streaming/dedup.py),
+ExactSubstr (streaming/exactsubstr.py), SimHash (streaming/simhash.py),
+and now content-defined chunk storage dedup.
+
+Semantics differ from the near-dup ingests on purpose: blobs are never
+REJECTED — every document lands in the corpus — but chunk content is
+stored ONCE. Each micro-batch is CDC-chunked (gear hash, boundaries
+robust to edits), its chunk hashes are anti-joined against the
+lake-wide chunk index, and only the NOVEL chunks append to the index;
+re-ingesting near-identical blobs (new versions, crawl re-snapshots)
+therefore costs only the edited regions — the dedup-storage primitive
+object stores and backup systems run, here as lake tables.
+
+Two-table exactly-once discipline (streaming/dedup.py's): corpus
+append FIRST, chunk-index append second, each under its own
+batch-keyed txn id. A crash between them replays the batch — the
+corpus append no-ops on its txn id, and the index append recomputes
+the identical novel set (index commits are strictly ordered by batch,
+so the index state it anti-joins against cannot have advanced) and
+completes. Until the replay the index lags the corpus, which only
+means some chunks would be re-stored as "novel" by a LATER batch —
+over-storage, never data loss — and the replay heals it before any
+later batch can commit.
+
+At 100 TB: per batch the chunker is a narrow Arrow-batched map
+(per-row CPU — the flat 10x curve measured for z23/r45/q98); the
+novelty anti-join probes the index on the 16-byte chunk hash —
+O(batch chunks) against an index with one row per UNIQUE chunk, never
+payload bytes; hash-bucket the index table on chunk_md5 so the probe
+co-locates without a shuffle.
+
+Reference capability upgraded: the reference dedups whole files by
+md5 in a batch rewrite loop (/root/reference/bronze-to-silver.py:74-76);
+this dedups *within* blobs, across blobs, and online.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.functions.chunking import chunk_rows
+from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+def chunk_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus table's companion chunk store index: ONE row per
+    unique chunk ever ingested — (chunk_md5, length, first_doc_id,
+    first_batch) — append-only (a chunk's identity never changes;
+    provenance records the first writer)."""
+    return TxTable(spark, table.path + "_chunks")
+
+
+def chunk_batch_writer(
+    table: TxTable,
+    sink_id: str,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+):
+    """foreachBatch function: append the batch to the corpus, then
+    append only the chunks the lake has never stored (see module
+    docstring for the crash-safety argument)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = chunk_index_table(spark, table)
+        chunks = chunk_rows(
+            batch_df, min_size=min_size, avg_size=avg_size, max_size=max_size
+        ).persist()
+        # within-batch dedup + provenance: one row per distinct chunk,
+        # attributed to its smallest (doc_id, chunk_idx) occurrence
+        batch_chunks = chunks.groupBy("chunk_md5").agg(
+            F.min("length").alias("length"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        if idx.version() >= 0:
+            known = idx.read().select("chunk_md5")
+            novel = batch_chunks.join(known, "chunk_md5", "left_anti")
+        else:
+            novel = batch_chunks
+        table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
+        idx.append(
+            novel.select(
+                "chunk_md5",
+                "length",
+                "first_doc_id",
+                F.lit(batch_id).cast("long").alias("first_batch"),
+            ),
+            txn_id=f"{sink_id}:chunks-{batch_id}",
+        )
+        chunks.unpersist()
+
+    return process
+
+
+def stream_chunk_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a file-source blob stream into the corpus + chunk store
+    (AvailableNow; re-invocations resume from the checkpoint and
+    replayed batches are no-ops)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(chunk_batch_writer(table, sink_id))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_report(table: TxTable) -> DataFrame:
+    """One-row storage accounting for the ingested lake: documents and
+    logical bytes in the corpus vs unique chunks and stored bytes in
+    the chunk store — the dedup ratio a storage planner reads."""
+    spark = table.spark
+    idx = chunk_index_table(spark, table)
+    corpus = table.read().agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.length("payload")), F.lit(0))
+        .cast("long")
+        .alias("logical_bytes"),
+    )
+    store = idx.read().agg(
+        F.count("*").alias("n_unique_chunks"),
+        F.coalesce(F.sum("length"), F.lit(0)).cast("long").alias("stored_bytes"),
+    )
+    return corpus.crossJoin(store).select(
+        "n_docs",
+        "logical_bytes",
+        "n_unique_chunks",
+        "stored_bytes",
+        F.round(
+            F.col("logical_bytes")
+            / F.greatest(F.col("stored_bytes"), F.lit(1)),
+            4,
+        ).alias("dedup_ratio"),
+    )

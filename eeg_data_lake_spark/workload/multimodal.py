@@ -603,3 +603,59 @@ def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "z24_streaming_chunk_ingest",
+    tags=("streaming", "multimodal", "dedup", "binary", "cdc"),
+)
+def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC chunk-store ingestion end-to-end (the online
+    z23, streaming/chunkdedup.py): the documents corpus arrives as
+    three micro-batches of binary payloads; every blob lands in the
+    corpus, but chunk content is stored ONCE — each batch's chunk
+    hashes anti-join the lake-wide chunk index and only novel chunks
+    append, exactly-once across replays (corpus-first/index-second
+    txn discipline).
+
+    Rows-only by design (the gear rolling hash is not
+    SQL-expressible); the pinned guarantees live in
+    tests/test_streaming_chunkdedup.py: the index equals the batch
+    z23 chunking of the full corpus (one row per unique chunk, union
+    over batches), replay converges, and re-ingesting edited copies
+    of already-stored blobs adds only the edited regions' chunks.
+
+    Returns the one-row storage report: docs + logical bytes vs
+    unique chunks + stored bytes and the dedup ratio."""
+    import os
+    import tempfile
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        dedup_report,
+        stream_chunk_ingest,
+    )
+
+    blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    d = tempfile.mkdtemp(prefix="chunk_q_")
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(d, f"stage_{i}")
+        blobs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_chunk_ingest(
+        spark,
+        src,
+        "doc_id bigint, payload binary",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z24",
+    )
+    return dedup_report(tbl)

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "r63_survival_life_table",     # cohort size row
     "r64_hybrid_search_rrf",       # corpus stats (avgdl, N) row
     "r65_rfm_segmentation",        # global quintile boundaries row
+    "z24_streaming_chunk_ingest",  # 1-row corpus agg × 1-row store agg
 }
 
 
