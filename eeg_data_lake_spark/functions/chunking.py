@@ -111,18 +111,25 @@ def chunk_rows(
     min_size: int = 64,
     avg_size: int = 256,
     max_size: int = 1024,
+    with_data: bool = False,
 ) -> DataFrame:
     """One row per CDC chunk: (id, chunk_idx, offset, length,
-    chunk_md5). Arrow-batched mapInPandas, narrow — the chunker never
-    shuffles; NULL/empty payloads yield zero rows (route them through
-    the expectations layer when they must be accounted for, the z21
-    pattern)."""
+    chunk_md5[, data]). Arrow-batched mapInPandas, narrow — the
+    chunker never shuffles; NULL/empty payloads yield zero rows (route
+    them through the expectations layer when they must be accounted
+    for, the z21 pattern). ``with_data=True`` carries the chunk BYTES
+    in the rows — only for content-addressed storage ingest
+    (sources/chunkstore.py), where the bytes must land in the store;
+    metadata-only callers (z23/z24 dedup accounting) keep the default
+    and never materialize payload bytes per chunk row."""
     import pandas as pd
 
     schema = (
         f"{id_col} long, chunk_idx int, offset long, "
         "length long, chunk_md5 string"
     )
+    if with_data:
+        schema += ", data binary"
 
     def fn(it):
         for pdf in it:
@@ -132,18 +139,17 @@ def chunk_rows(
                 cuts = cdc_cut_points(data, min_size, avg_size, max_size)
                 for j in range(len(cuts) - 1):
                     s, e = cuts[j], cuts[j + 1]
-                    out.append(
-                        (
-                            did,
-                            j,
-                            s,
-                            e - s,
-                            hashlib.md5(data[s:e]).hexdigest(),
-                        )
+                    row = (
+                        did,
+                        j,
+                        s,
+                        e - s,
+                        hashlib.md5(data[s:e]).hexdigest(),
                     )
-            yield pd.DataFrame(
-                out,
-                columns=[id_col, "chunk_idx", "offset", "length", "chunk_md5"],
-            )
+                    out.append(row + (data[s:e],) if with_data else row)
+            cols = [id_col, "chunk_idx", "offset", "length", "chunk_md5"]
+            if with_data:
+                cols.append("data")
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema)

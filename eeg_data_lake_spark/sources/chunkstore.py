@@ -1,0 +1,269 @@
+"""Content-addressed chunk store: CDC-deduplicated blob STORAGE with
+manifest-based reconstruction and reference-counted garbage collection.
+
+z23 measures chunk-level redundancy and z24 ingests the chunk INDEX
+online; this module is the third piece — the lifecycle half — where
+the chunk store actually HOLDS the bytes and the corpus holds only
+per-document manifests (ordered chunk-hash lists). That is the layout
+content-addressed object stores (Git, restic/borg, Venti, commercial
+backup dedup) converge on, here as two transaction-logged lake tables:
+
+- ``chunks``  — one row per unique chunk ever stored:
+  (chunk_md5, length, data). Append-only between GCs; a chunk's
+  identity is its content hash, so rows are immutable.
+- ``manifests`` — one row per LIVE document version:
+  (doc_id, chunk_md5s array<string>, n_bytes). ``put`` MERGEs on
+  doc_id, so re-putting a document supersedes its old manifest and the
+  old version's no-longer-referenced chunks become garbage that
+  ``gc()`` reclaims — deletion and version churn translate into
+  storage reclaim, which plain z24 (index of hashes, corpus of full
+  payloads) cannot express.
+
+Crash-safety ordering (the inverse of z24's, deliberately): chunks
+commit FIRST, manifests second, each under its own caller-keyed txn
+id. A crash between them leaves orphan chunks — over-storage that gc()
+reclaims — but never a manifest referencing bytes that were not yet
+durable; replaying the put no-ops the chunk append and completes the
+manifest MERGE. The reader-facing invariant is "a live manifest's
+chunks always resolve", and ``reconstruct`` still surfaces violations
+(e.g. a gc raced with a concurrent put) as ``missing_chunks > 0``
+rather than silently returning truncated payloads.
+
+At 100 TB: ``put`` is the narrow CDC chunker (per-row CPU, measured
+flat at 10x for z23) plus one anti-join probing the store on the
+16-byte hash — O(batch chunks) vs one row per unique chunk, never
+stored bytes; bucket ``chunks`` by chunk_md5 (sources/bucketed.py) so
+the probe and the reconstruction join co-locate without shuffling the
+store. ``gc``'s referenced-set is an explode of manifest HASH arrays
+(32 bytes per reference, never data) and its rewrite is the same
+survivors-into-fresh-files shape as txlog OPTIMIZE; at scale restrict
+the rewrite to store partitions whose dead-byte fraction clears a
+threshold (the auto-compaction policy knob in sources/txlog.py).
+``reconstruct`` shuffles each referenced chunk's bytes exactly once —
+inherent: that IS the read amplification a content-addressed store
+pays, and why hot blobs get a read-through cache in production.
+
+Reference capability upgraded: the reference stores every file whole
+and dedups by file md5 in a batch rewrite loop
+(/root/reference/bronze-to-silver.py:74-76); this stores shared
+regions once, survives edits (CDC resynchronization), reclaims space
+on delete, and proves byte-identical reconstruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.functions.chunking import chunk_rows
+from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+class ChunkStore:
+    """Two txlog tables under ``path``: ``<path>/chunks`` (content) and
+    ``<path>/manifests`` (live document versions)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.chunks = TxTable(spark, f"{path}/chunks")
+        self.manifests = TxTable(spark, f"{path}/manifests")
+
+    # ---------------------------------------------------------- write
+
+    def put(
+        self,
+        blobs: DataFrame,
+        txn_id: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        min_size: int = 64,
+        avg_size: int = 256,
+        max_size: int = 1024,
+    ) -> None:
+        """Store a batch of (id, payload) blobs: novel chunk content
+        appends to the store, manifests MERGE on id (re-put = new
+        version). Ids must be unique within a batch — two versions of
+        one document go in two puts. NULL payloads store as empty
+        documents. Replaying the same ``txn_id`` is a no-op on both
+        tables."""
+        rows = chunk_rows(
+            blobs,
+            id_col=id_col,
+            payload_col=payload_col,
+            min_size=min_size,
+            avg_size=avg_size,
+            max_size=max_size,
+            with_data=True,
+        ).persist()
+        try:
+            # one row per distinct chunk in the batch; any occurrence's
+            # bytes serve (equal by content-hash identity)
+            batch_chunks = rows.groupBy("chunk_md5").agg(
+                F.min("length").alias("length"),
+                F.first("data").alias("data"),
+            )
+            if self.chunks.version() >= 0:
+                known = self.chunks.read().select("chunk_md5")
+                novel = batch_chunks.join(known, "chunk_md5", "left_anti")
+            else:
+                novel = batch_chunks
+            self.chunks.append(
+                novel.select("chunk_md5", "length", "data"),
+                txn_id=f"{txn_id}:chunks",
+            )
+
+            per_doc = rows.groupBy(id_col).agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_md5"))
+                    ),
+                    lambda x: x["chunk_md5"],
+                ).alias("chunk_md5s"),
+                F.sum("length").alias("n_bytes"),
+            )
+            # zero-chunk (empty/NULL payload) docs still get a manifest
+            manifests = (
+                blobs.select(F.col(id_col).alias("doc_id"))
+                .distinct()
+                .join(
+                    per_doc.withColumnRenamed(id_col, "doc_id"),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce(
+                        "chunk_md5s", F.array().cast("array<string>")
+                    ).alias("chunk_md5s"),
+                    F.coalesce("n_bytes", F.lit(0)).cast("long").alias(
+                        "n_bytes"
+                    ),
+                )
+            )
+            self.manifests.upsert(
+                manifests, ["doc_id"], txn_id=f"{txn_id}:manifests"
+            )
+        finally:
+            rows.unpersist()
+
+    def delete_docs(self, predicate, txn_id: str) -> None:
+        """Drop the manifests matching ``predicate`` (a Column over the
+        manifest schema). Chunk content is NOT touched — that is
+        ``gc()``'s job, so deletes stay cheap and time travel keeps
+        working until the space is actually needed."""
+        self.manifests.overwrite(
+            self.manifests.read().filter(~predicate), txn_id=txn_id
+        )
+
+    def gc(self, txn_id: str) -> DataFrame:
+        """Reclaim chunks no live manifest references. Returns the
+        one-row reclaim report (chunks/bytes before, dropped,
+        after). The referenced-set is hashes only; the rewrite is the
+        txlog survivors-into-fresh-files overwrite, conflict-checked
+        against concurrent commits."""
+        referenced = self.manifests.read().select(
+            F.explode("chunk_md5s").alias("chunk_md5")
+        ).distinct()
+        store = self.chunks.read().persist()
+        try:
+            live = store.join(referenced, "chunk_md5", "left_semi")
+            n_all, b_all = store.agg(
+                F.count("*"), F.coalesce(F.sum("length"), F.lit(0))
+            ).collect()[0]
+            n_live, b_live = live.agg(
+                F.count("*"), F.coalesce(F.sum("length"), F.lit(0))
+            ).collect()[0]
+            self.chunks.overwrite(live, txn_id=txn_id)
+        finally:
+            store.unpersist()
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(n_all),
+                    int(n_all - n_live),
+                    int(b_all - b_live),
+                    int(n_live),
+                    int(b_live),
+                )
+            ],
+            "chunks_before long, chunks_dropped long, bytes_reclaimed long,"
+            " chunks_after long, stored_bytes long",
+        )
+
+    # ----------------------------------------------------------- read
+
+    def reconstruct(self, doc_ids: DataFrame | None = None) -> DataFrame:
+        """Reassemble (doc_id, payload, n_bytes, missing_chunks) for
+        every live document (or the ids in ``doc_ids``). Payloads are
+        byte-identical to what was put — ordered manifest hashes join
+        the store and concatenate. ``missing_chunks`` counts manifest
+        references the store could not resolve (0 in a healthy store);
+        such payloads are NULL, never silently truncated."""
+        m = self.manifests.read()
+        if doc_ids is not None:
+            m = m.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
+        ex = m.select(
+            "doc_id",
+            "n_bytes",
+            F.posexplode_outer("chunk_md5s").alias("pos", "chunk_md5"),
+        )
+        joined = ex.join(
+            self.chunks.read().select("chunk_md5", "data"),
+            "chunk_md5",
+            "left",
+        )
+        parts = joined.groupBy("doc_id").agg(
+            F.first("n_bytes").alias("n_bytes"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "data"))
+            ).alias("parts"),
+        )
+        missing = F.size(
+            F.filter(
+                "parts", lambda x: x["pos"].isNotNull() & x["data"].isNull()
+            )
+        )
+        return parts.select(
+            "doc_id",
+            F.when(
+                missing > 0, F.lit(None).cast("binary")
+            ).otherwise(
+                F.aggregate(
+                    "parts",
+                    F.lit(b"").cast("binary"),
+                    lambda acc, x: F.concat(
+                        acc, F.coalesce(x["data"], F.lit(b"").cast("binary"))
+                    ),
+                )
+            ).alias("payload"),
+            "n_bytes",
+            missing.alias("missing_chunks"),
+        )
+
+    def storage_report(self) -> DataFrame:
+        """One-row accounting: live docs + logical bytes (manifests)
+        vs unique chunks + stored bytes (store) and the dedup ratio."""
+        logical = self.manifests.read().agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).cast("long").alias(
+                "logical_bytes"
+            ),
+        )
+        physical = self.chunks.read().agg(
+            F.count("*").alias("n_unique_chunks"),
+            F.coalesce(F.sum("length"), F.lit(0)).cast("long").alias(
+                "stored_bytes"
+            ),
+        )
+        return logical.crossJoin(physical).select(
+            "n_docs",
+            "logical_bytes",
+            "n_unique_chunks",
+            "stored_bytes",
+            F.round(
+                F.col("logical_bytes")
+                / F.greatest(F.col("stored_bytes"), F.lit(1)),
+                4,
+            ).alias("dedup_ratio"),
+        )

@@ -659,3 +659,77 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink_id="z24",
     )
     return dedup_report(tbl)
+
+
+@register(
+    "z25_chunkstore_lifecycle",
+    tags=("multimodal", "dedup", "binary", "cdc", "lifecycle"),
+)
+def z25_chunkstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk-store lifecycle end-to-end
+    (sources/chunkstore.py): put the documents corpus as CDC-chunked
+    manifests + a deduplicated content store, DELETE the odd-doc_id
+    half (retention), garbage-collect the chunks only deleted docs
+    referenced, then prove the surviving half still reconstructs
+    BYTE-IDENTICALLY from the post-GC store — deletion translating
+    into reclaimed storage without corrupting a single live blob,
+    which the reference's store-files-whole layout cannot express
+    (/root/reference/bronze-to-silver.py:74-76 dedups whole files
+    only).
+
+    Rows-only by design (gear CDC is not SQL-expressible); the
+    reclaim arithmetic, round-trip equality, and replay idempotence
+    are pinned in tests/test_chunkstore.py. The returned one-row
+    report is self-verifying: reconstruct_mismatches counts live docs
+    whose reassembled bytes differ from the original payload (md5
+    compare, 0 in a correct store) and missing_refs counts manifest
+    references GC wrongly reclaimed (0).
+
+    Columns: docs_put, docs_live, chunks_before, chunks_dropped,
+    bytes_reclaimed, chunks_after, reconstruct_mismatches,
+    missing_refs."""
+    import tempfile
+
+    from eeg_data_lake_spark.sources.chunkstore import ChunkStore
+
+    blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunkstore_q_"))
+    store.put(blobs, txn_id="z25-put")
+    store.delete_docs(F.col("doc_id") % 2 == 1, txn_id="z25-delete")
+    gc_report = store.gc(txn_id="z25-gc")
+
+    rec = store.reconstruct().select(
+        "doc_id",
+        F.col("payload").alias("rec_payload"),
+        "missing_chunks",
+    )
+    live = blobs.filter(F.col("doc_id") % 2 == 0)
+    checks = live.join(rec, "doc_id", "left").agg(
+        F.count("*").alias("docs_live"),
+        F.sum(
+            (
+                F.md5(F.col("payload"))
+                != F.md5(F.coalesce("rec_payload", F.lit(b"")))
+            ).cast("long")
+        ).alias("reconstruct_mismatches"),
+        F.sum(F.coalesce("missing_chunks", F.lit(1)).cast("long")).alias(
+            "missing_refs"
+        ),
+    )
+    docs_put = blobs.agg(F.count("*").alias("docs_put"))
+    return (
+        docs_put.crossJoin(checks)
+        .crossJoin(gc_report)
+        .select(
+            "docs_put",
+            "docs_live",
+            "chunks_before",
+            "chunks_dropped",
+            "bytes_reclaimed",
+            "chunks_after",
+            "reconstruct_mismatches",
+            "missing_refs",
+        )
+    )

@@ -55,6 +55,8 @@ QUERIES = [
     "z20_curation_pipeline_esd",  # full curation chain incl. ESD stage
     "z21_multimodal_quarantine",  # per-row strict decode + enforce split
     "z23_cdc_chunk_dedup",        # gear-CDC chunker: narrow per-row CPU + one count window
+    "z24_streaming_chunk_ingest", # online chunk-index ingest: 3 micro-batches + txlog commits
+    "z25_chunkstore_lifecycle",   # content-addressed store: put + delete + gc + reconstruct
 ]
 
 #: key column to offset per table so replicas don't collide

@@ -1,0 +1,172 @@
+"""Content-addressed chunk store: byte-identical reconstruction,
+single-instancing of shared chunks, version supersession, GC reclaim
+arithmetic, replay idempotence, and missing-chunk surfacing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.functions.chunking import cdc_cut_points
+from eeg_data_lake_spark.sources.chunkstore import ChunkStore
+
+
+def _blobdf(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, payload binary")
+
+
+def _payload(n, seed=7):
+    out, block = bytearray(), seed.to_bytes(8, "little")
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def _unique_chunks(payloads) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for data in payloads:
+        cuts = cdc_cut_points(data)
+        for a, b in zip(cuts, cuts[1:]):
+            out.setdefault(hashlib.md5(data[a:b]).hexdigest(), b - a)
+    return out
+
+
+@pytest.fixture()
+def corpus():
+    shared = _payload(3000, seed=1)
+    return {
+        1: shared + _payload(500, seed=2),
+        2: _payload(400, seed=3) + shared,  # shares a long region with 1
+        3: _payload(900, seed=4),
+        4: b"",  # empty doc must round-trip
+        5: None,  # NULL payload stores as empty
+    }
+
+
+def test_put_reconstruct_roundtrip_and_single_instancing(
+    spark, tmp_path, corpus
+):
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, list(corpus.items())), txn_id="p0")
+
+    got = {
+        r.doc_id: (bytes(r.payload), r.missing_chunks, r.n_bytes)
+        for r in store.reconstruct().collect()
+    }
+    assert set(got) == set(corpus)
+    for did, data in corpus.items():
+        want = data or b""
+        assert got[did][0] == want, did  # byte-identical
+        assert got[did][1] == 0  # nothing missing
+        assert got[did][2] == len(want)
+
+    # the store holds exactly one row per unique chunk across docs —
+    # the shared region between docs 1 and 2 is stored once
+    want_chunks = _unique_chunks(v or b"" for v in corpus.values())
+    rows = store.chunks.read().collect()
+    assert {r.chunk_md5: r.length for r in rows} == want_chunks
+    for r in rows:  # stored bytes really are the chunk content
+        assert hashlib.md5(bytes(r.data)).hexdigest() == r.chunk_md5
+
+    rep = store.storage_report().collect()[0]
+    assert rep.n_docs == len(corpus)
+    assert rep.stored_bytes == sum(want_chunks.values())
+    assert rep.logical_bytes == sum(len(v or b"") for v in corpus.values())
+    assert rep.stored_bytes < rep.logical_bytes  # dedup did work
+
+
+def test_put_replay_is_noop(spark, tmp_path, corpus):
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    blobs = _blobdf(spark, list(corpus.items()))
+    store.put(blobs, txn_id="p0")
+    versions = (store.chunks.version(), store.manifests.version())
+    store.put(blobs, txn_id="p0")  # crash-replay of the same batch
+    assert (store.chunks.version(), store.manifests.version()) == versions
+
+
+def test_reput_supersedes_and_gc_reclaims_old_version(spark, tmp_path):
+    base = _payload(4000, seed=11)
+    edited = _payload(64, seed=12) + base[1000:]  # drops a 1000-byte prefix
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, [(1, base)]), txn_id="v1")
+    store.put(_blobdf(spark, [(1, edited)]), txn_id="v2")
+
+    # one live manifest; reconstruct returns the NEW bytes
+    assert store.manifests.read().count() == 1
+    rec = store.reconstruct().collect()[0]
+    assert bytes(rec.payload) == edited and rec.missing_chunks == 0
+
+    # v1-only chunks are garbage; gc's report must match the set math
+    live_set = _unique_chunks([edited])
+    all_set = _unique_chunks([base, edited])
+    report = store.gc(txn_id="gc1").collect()[0]
+    assert report.chunks_before == len(all_set)
+    assert report.chunks_after == len(live_set)
+    assert report.chunks_dropped == len(all_set) - len(live_set)
+    assert report.bytes_reclaimed == sum(all_set.values()) - sum(
+        live_set.values()
+    )
+    assert {
+        r.chunk_md5 for r in store.chunks.read().collect()
+    } == set(live_set)
+
+    # the live doc still reconstructs from the compacted store
+    rec = store.reconstruct().collect()[0]
+    assert bytes(rec.payload) == edited and rec.missing_chunks == 0
+
+
+def test_delete_then_gc_preserves_survivors(spark, tmp_path, corpus):
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, list(corpus.items())), txn_id="p0")
+    store.delete_docs(F.col("doc_id").isin(1, 3), txn_id="d0")
+
+    survivors = {k: v for k, v in corpus.items() if k not in (1, 3)}
+    want_live = _unique_chunks(v or b"" for v in survivors.values())
+    report = store.gc(txn_id="gc0").collect()[0]
+    assert report.chunks_after == len(want_live)
+    assert report.chunks_dropped > 0  # doc 3's unique chunks died
+    got = {
+        r.doc_id: (bytes(r.payload), r.missing_chunks)
+        for r in store.reconstruct().collect()
+    }
+    assert set(got) == set(survivors)
+    for did, data in survivors.items():
+        assert got[did] == (data or b"", 0)
+
+    # gc replay: the overwrite no-ops, nothing double-reclaimed
+    v = store.chunks.version()
+    again = store.gc(txn_id="gc0").collect()[0]
+    assert store.chunks.version() == v
+    assert again.chunks_dropped == 0
+
+
+def test_missing_chunks_surface_not_truncate(spark, tmp_path):
+    data = _payload(3000, seed=21)
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, [(1, data)]), txn_id="p0")
+    # simulate a lost store row (e.g. a gc racing a concurrent put)
+    damaged = store.chunks.read().orderBy("chunk_md5").limit(
+        store.chunks.read().count() - 1
+    )
+    store.chunks.overwrite(damaged, txn_id="damage")
+    rec = store.reconstruct().collect()[0]
+    assert rec.missing_chunks == 1
+    assert rec.payload is None  # NULL, never a silently truncated blob
+
+
+def test_z25_report_is_self_verifying(spark, sf_dir):
+    from eeg_data_lake_spark.workload import REGISTRY
+
+    rows = REGISTRY["z25_chunkstore_lifecycle"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.docs_put > 0 and r.docs_live < r.docs_put
+    assert r.chunks_after == r.chunks_before - r.chunks_dropped
+    assert r.chunks_dropped > 0 and r.bytes_reclaimed > 0
+    assert r.reconstruct_mismatches == 0
+    assert r.missing_refs == 0

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "r64_hybrid_search_rrf",       # corpus stats (avgdl, N) row
     "r65_rfm_segmentation",        # global quintile boundaries row
     "z24_streaming_chunk_ingest",  # 1-row corpus agg × 1-row store agg
+    "z25_chunkstore_lifecycle",    # 1-row put/check/gc report aggs
 }
 
 
