@@ -32,9 +32,18 @@ rather than silently returning truncated payloads.
 At 100 TB: ``put`` is the narrow CDC chunker (per-row CPU, measured
 flat at 10x for z23) plus one anti-join probing the store on the
 16-byte hash — O(batch chunks) vs one row per unique chunk, never
-stored bytes; bucket ``chunks`` by chunk_md5 (sources/bucketed.py) so
-the probe and the reconstruction join co-locate without shuffling the
-store. ``gc``'s referenced-set is an explode of manifest HASH arrays
+stored bytes. That probe and the reconstruction join are the two
+places the STORE side would shuffle, and ``bucketize()`` removes
+both: it materializes the store as a catalog table bucketed+sorted on
+chunk_md5 (sources/bucketed.py), and ``put(bucketed=...)`` /
+``reconstruct(bucketed=...)`` then plan a sort-merge join whose
+store-side scan has NO exchange and NO sort — only the (small) batch
+/ manifest side moves (pinned in tests/test_chunkstore_bucketed.py).
+The projection is versioned by store version and the readers REFUSE a
+stale one (a stale probe would re-append known chunks; a stale
+reconstruct would miss the newest), so the production cadence is
+bucketize-after-compaction, exactly when a real store rewrites files
+anyway. ``gc``'s referenced-set is an explode of manifest HASH arrays
 (32 bytes per reference, never data) and its rewrite is the same
 survivors-into-fresh-files shape as txlog OPTIMIZE; at scale restrict
 the rewrite to store partitions whose dead-byte fraction clears a
@@ -56,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.functions.chunking import chunk_rows
+from eeg_data_lake_spark.sources.bucketed import write_bucketed
 from eeg_data_lake_spark.sources.txlog import TxTable
 
 
@@ -80,13 +90,18 @@ class ChunkStore:
         min_size: int = 64,
         avg_size: int = 256,
         max_size: int = 1024,
+        bucketed: str | None = None,
     ) -> None:
         """Store a batch of (id, payload) blobs: novel chunk content
         appends to the store, manifests MERGE on id (re-put = new
         version). Ids must be unique within a batch — two versions of
         one document go in two puts. NULL payloads store as empty
         documents. Replaying the same ``txn_id`` is a no-op on both
-        tables."""
+        tables. ``bucketed`` names a ``bucketize()`` base: the known-
+        chunk probe then reads the co-located projection (store-side
+        scan shuffle-free) instead of the txlog parquet — it must be
+        CURRENT (this put bumps the store version, so re-bucketize
+        before the next bucketed put)."""
         rows = chunk_rows(
             blobs,
             id_col=id_col,
@@ -103,8 +118,8 @@ class ChunkStore:
                 F.min("length").alias("length"),
                 F.first("data").alias("data"),
             )
-            if self.chunks.version() >= 0:
-                known = self.chunks.read().select("chunk_md5")
+            known = self._known_hashes(bucketed)
+            if known is not None:
                 novel = batch_chunks.join(known, "chunk_md5", "left_anti")
             else:
                 novel = batch_chunks
@@ -146,6 +161,63 @@ class ChunkStore:
             )
         finally:
             rows.unpersist()
+
+    # ------------------------------------------------- bucketed index
+
+    def bucketize(self, base: str, n_buckets: int = 32) -> str:
+        """Materialize the store's CURRENT version as a catalog table
+        bucketed (and sorted) on chunk_md5 — the read-optimized
+        projection: joins against it read bucket i vs bucket i with no
+        store-side exchange or sort. The table name carries the store
+        version (``{base}_v{N}``) so readers can detect staleness
+        structurally; superseded projections of the same base are
+        dropped. ``base`` must be a lowercase SQL identifier. Returns
+        the versioned table name. At scale this is the compaction-time
+        rewrite (txlog OPTIMIZE with a bucket spec): the store's files
+        get rewritten anyway, so the bucket shuffle is paid once where
+        a rewrite was already due."""
+        import re
+
+        version = self.chunks.version()
+        if version < 0:
+            raise ValueError("nothing to bucketize: empty store")
+        name = f"{base}_v{version}"
+        write_bucketed(
+            self.chunks.read().select("chunk_md5", "length", "data"),
+            name,
+            ["chunk_md5"],
+            n_buckets,
+        )
+        for tbl in self.spark.catalog.listTables():
+            if (
+                tbl.name != name
+                and re.fullmatch(rf"{re.escape(base)}_v\d+", tbl.name)
+            ):
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        return name
+
+    def _bucketed_store(self, base: str) -> DataFrame:
+        """The projection for the store's CURRENT version, merge-hinted
+        (the store is the big side at scale — it must sort-merge from
+        its buckets, never broadcast). Raises if the projection is
+        missing or stale: a stale probe would re-append known chunks
+        and a stale reconstruct would miss the newest writes."""
+        name = f"{base}_v{self.chunks.version()}"
+        if not self.spark.catalog.tableExists(name):
+            raise ValueError(
+                f"bucketed projection {name!r} missing or stale — call "
+                f"bucketize({base!r}) after every store write/gc"
+            )
+        return self.spark.table(name).hint("merge")
+
+    def _known_hashes(self, bucketed: str | None) -> DataFrame | None:
+        """Store-side relation for put's novel-chunk probe (None for an
+        empty store: everything in the first batch is novel)."""
+        if bucketed is not None:
+            return self._bucketed_store(bucketed).select("chunk_md5")
+        if self.chunks.version() >= 0:
+            return self.chunks.read().select("chunk_md5")
+        return None
 
     def delete_docs(self, predicate, txn_id: str) -> None:
         """Drop the manifests matching ``predicate`` (a Column over the
@@ -193,13 +265,21 @@ class ChunkStore:
 
     # ----------------------------------------------------------- read
 
-    def reconstruct(self, doc_ids: DataFrame | None = None) -> DataFrame:
+    def reconstruct(
+        self,
+        doc_ids: DataFrame | None = None,
+        bucketed: str | None = None,
+    ) -> DataFrame:
         """Reassemble (doc_id, payload, n_bytes, missing_chunks) for
         every live document (or the ids in ``doc_ids``). Payloads are
         byte-identical to what was put — ordered manifest hashes join
         the store and concatenate. ``missing_chunks`` counts manifest
         references the store could not resolve (0 in a healthy store);
-        such payloads are NULL, never silently truncated."""
+        such payloads are NULL, never silently truncated. ``bucketed``
+        names a CURRENT ``bucketize()`` base: the chunk-resolution join
+        then reads the co-located projection and only the exploded
+        manifest side shuffles — the store's bytes stay where the
+        bucket writer put them."""
         m = self.manifests.read()
         if doc_ids is not None:
             m = m.join(doc_ids.select("doc_id"), "doc_id", "left_semi")
@@ -208,8 +288,13 @@ class ChunkStore:
             "n_bytes",
             F.posexplode_outer("chunk_md5s").alias("pos", "chunk_md5"),
         )
+        store = (
+            self._bucketed_store(bucketed)
+            if bucketed is not None
+            else self.chunks.read()
+        )
         joined = ex.join(
-            self.chunks.read().select("chunk_md5", "data"),
+            store.select("chunk_md5", "data"),
             "chunk_md5",
             "left",
         )
