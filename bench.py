@@ -95,6 +95,8 @@ HEADLINE = [
     "z19_exact_substring_hashed",  # ExactSubstr, xxhash64 shuffle keys
     "z20_curation_pipeline_esd",   # end-to-end curation incl. ESD stage
     "z21_multimodal_quarantine",   # codec faults -> expectations quarantine
+    "z23_cdc_chunk_dedup",         # gear-hash CDC chunker + dedup accounting
+    "z25_chunkstore_lifecycle",    # content-addressed store put/delete/gc/rebuild
 ]
 
 

@@ -233,22 +233,34 @@ class ChunkStore:
         one-row reclaim report (chunks/bytes before, dropped,
         after). The referenced-set is hashes only; the rewrite is the
         txlog survivors-into-fresh-files overwrite, conflict-checked
-        against concurrent commits."""
+        against concurrent commits.
+
+        Two passes over the store, NEVER a persist of it: the stats
+        pass joins only (chunk_md5, length) — 24-byte rows, no payload
+        bytes on the wire — and the rewrite pass is the overwrite,
+        which must move the surviving bytes regardless. Caching the
+        store to share one pass (the small-data instinct) would pin
+        the entire content store in executor memory at 100 TB."""
         referenced = self.manifests.read().select(
             F.explode("chunk_md5s").alias("chunk_md5")
         ).distinct()
-        store = self.chunks.read().persist()
-        try:
-            live = store.join(referenced, "chunk_md5", "left_semi")
-            n_all, b_all = store.agg(
-                F.count("*"), F.coalesce(F.sum("length"), F.lit(0))
-            ).collect()[0]
-            n_live, b_live = live.agg(
-                F.count("*"), F.coalesce(F.sum("length"), F.lit(0))
-            ).collect()[0]
-            self.chunks.overwrite(live, txn_id=txn_id)
-        finally:
-            store.unpersist()
+        n_all, b_all, n_live, b_live = (
+            self.chunks.read()
+            .select("chunk_md5", "length")
+            .join(referenced.withColumn("_live", F.lit(True)),
+                  "chunk_md5", "left")
+            .agg(
+                F.count("*"),
+                F.coalesce(F.sum("length"), F.lit(0)),
+                F.count(F.when(F.col("_live"), 1)),
+                F.coalesce(
+                    F.sum(F.when(F.col("_live"), F.col("length"))), F.lit(0)
+                ),
+            )
+            .collect()[0]
+        )
+        live = self.chunks.read().join(referenced, "chunk_md5", "left_semi")
+        self.chunks.overwrite(live, txn_id=txn_id)
         return self.spark.createDataFrame(
             [
                 (
