@@ -23,8 +23,11 @@ Crash-safety ordering (the inverse of z24's, deliberately): chunks
 commit FIRST, manifests second, each under its own caller-keyed txn
 id. A crash between them leaves orphan chunks — over-storage that gc()
 reclaims — but never a manifest referencing bytes that were not yet
-durable; replaying the put no-ops the chunk append and completes the
-manifest MERGE. The reader-facing invariant is "a live manifest's
+durable; replaying the put detects the already-committed chunk leg
+(``has_txn``), skips the probe entirely (bucketed probes included —
+the committed leg bumped the store version, so a pre-crash projection
+would otherwise be refused as stale), and completes the manifest
+MERGE. The reader-facing invariant is "a live manifest's
 chunks always resolve", and ``reconstruct`` still surfaces violations
 (e.g. a gc raced with a concurrent put) as ``missing_chunks > 0``
 rather than silently returning truncated payloads.
@@ -67,6 +70,28 @@ from pyspark.sql import functions as F
 from eeg_data_lake_spark.functions.chunking import chunk_rows
 from eeg_data_lake_spark.sources.bucketed import write_bucketed
 from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+def storage_accounting(
+    logical: DataFrame, physical: DataFrame
+) -> DataFrame:
+    """The shared one-row dedup-accounting report: a (n_docs,
+    logical_bytes) aggregate × a (n_unique_chunks, stored_bytes)
+    aggregate → columns + the dedup ratio. One definition serves both
+    the batch store (``ChunkStore.storage_report``) and the streaming
+    ingest (``streaming/chunkdedup.dedup_report``) so the ratio/guard
+    semantics can't drift between them."""
+    return logical.crossJoin(physical).select(
+        "n_docs",
+        "logical_bytes",
+        "n_unique_chunks",
+        "stored_bytes",
+        F.round(
+            F.col("logical_bytes")
+            / F.greatest(F.col("stored_bytes"), F.lit(1)),
+            4,
+        ).alias("dedup_ratio"),
+    )
 
 
 class ChunkStore:
@@ -112,21 +137,32 @@ class ChunkStore:
             with_data=True,
         ).persist()
         try:
-            # one row per distinct chunk in the batch; any occurrence's
-            # bytes serve (equal by content-hash identity)
-            batch_chunks = rows.groupBy("chunk_md5").agg(
-                F.min("length").alias("length"),
-                F.first("data").alias("data"),
-            )
-            known = self._known_hashes(bucketed)
-            if known is not None:
-                novel = batch_chunks.join(known, "chunk_md5", "left_anti")
-            else:
-                novel = batch_chunks
-            self.chunks.append(
-                novel.select("chunk_md5", "length", "data"),
-                txn_id=f"{txn_id}:chunks",
-            )
+            # Crash-replay: if the chunks leg already committed (the
+            # crash hit between the two commits), skip the probe and
+            # the no-op re-append entirely and just complete the
+            # manifest MERGE. This is also what keeps bucketed puts
+            # replayable — the committed leg bumped the store version,
+            # so probing a projection snapshotted before the crash
+            # would (correctly) be refused as stale.
+            if not self.chunks.has_txn(f"{txn_id}:chunks"):
+                # one row per distinct chunk in the batch; any
+                # occurrence's bytes serve (equal by content-hash
+                # identity)
+                batch_chunks = rows.groupBy("chunk_md5").agg(
+                    F.min("length").alias("length"),
+                    F.first("data").alias("data"),
+                )
+                known = self._known_hashes(bucketed)
+                if known is not None:
+                    novel = batch_chunks.join(
+                        known, "chunk_md5", "left_anti"
+                    )
+                else:
+                    novel = batch_chunks
+                self.chunks.append(
+                    novel.select("chunk_md5", "length", "data"),
+                    txn_id=f"{txn_id}:chunks",
+                )
 
             per_doc = rows.groupBy(id_col).agg(
                 F.transform(
@@ -223,9 +259,13 @@ class ChunkStore:
         """Drop the manifests matching ``predicate`` (a Column over the
         manifest schema). Chunk content is NOT touched — that is
         ``gc()``'s job, so deletes stay cheap and time travel keeps
-        working until the space is actually needed."""
+        working until the space is actually needed. NULL-valued
+        predicates count as non-matching (the row SURVIVES): a bare
+        ``~predicate`` would silently delete every row the predicate
+        can't decide, the classic three-valued-logic inversion."""
+        keep = ~F.coalesce(predicate, F.lit(False))
         self.manifests.overwrite(
-            self.manifests.read().filter(~predicate), txn_id=txn_id
+            self.manifests.read().filter(keep), txn_id=txn_id
         )
 
     def gc(self, txn_id: str) -> DataFrame:
@@ -353,14 +393,4 @@ class ChunkStore:
                 "stored_bytes"
             ),
         )
-        return logical.crossJoin(physical).select(
-            "n_docs",
-            "logical_bytes",
-            "n_unique_chunks",
-            "stored_bytes",
-            F.round(
-                F.col("logical_bytes")
-                / F.greatest(F.col("stored_bytes"), F.lit(1)),
-                4,
-            ).alias("dedup_ratio"),
-        )
+        return storage_accounting(logical, physical)

@@ -98,6 +98,15 @@ class JsonlShardWriter(DataSourceWriter):
         touches a `.jsonl` it can't account for (an uncommitted shard
         a concurrent append job is still writing survives).
 
+        Crash-safe reclaim: the doomed-shard list is fsync'd to a
+        ``.reclaim-*`` sidecar BEFORE the swap, so an overwrite that
+        dies between its swap and its unlinks leaves a durable record
+        instead of a permanently orphaned generation — the next commit
+        (append or overwrite) drains leftover sidecars, skipping any
+        name the CURRENT manifest still references (a sidecar whose
+        writer died before its swap lists live shards; they stay, and
+        whichever overwrite eventually supersedes them re-lists them).
+
         Concurrency contract: appends may run concurrently with each
         other (last commit's manifest merge wins the race benignly —
         shards are never deleted on the append path), but OVERWRITE
@@ -116,20 +125,26 @@ class JsonlShardWriter(DataSourceWriter):
             for m in messages
         ]
         new_names = {s["file"] for s in new}
-        # capture the outgoing generation BEFORE the swap: it is the
-        # only set of files overwrite is entitled to delete
+        # one manifest read serves both the append merge and the
+        # overwrite's capture of the outgoing generation (the only set
+        # of files overwrite is entitled to delete)
         try:
-            prev_names = {
-                s["file"] for s in read_manifest(self.path)["shards"]
-            }
+            prev_shards = read_manifest(self.path)["shards"]
         except FileNotFoundError:
-            prev_names = set()
-        shards = new
-        if not self.overwrite:
-            try:
-                shards = read_manifest(self.path)["shards"] + new
-            except FileNotFoundError:
-                pass
+            prev_shards = []
+        shards = new if self.overwrite else prev_shards + new
+        if self.overwrite:
+            doomed = sorted(
+                {s["file"] for s in prev_shards} - new_names
+            )
+            if doomed:
+                rp = os.path.join(
+                    self.path, f".reclaim-{uuid.uuid4().hex[:8]}"
+                )
+                with open(rp, "w") as fh:
+                    json.dump(doomed, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(
@@ -142,18 +157,11 @@ class JsonlShardWriter(DataSourceWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(self.path, MANIFEST))
-        if self.overwrite:
-            # old generation is unreferenced as of the swap above;
-            # reclaim ONLY the shards the previous manifest listed —
-            # an unlisted .jsonl is either a crashed job's orphan
-            # (harmless, abort() normally removes these) or a
-            # concurrent append's not-yet-committed shard (deleting it
-            # would corrupt that job), and we can't tell them apart
-            for f in prev_names - new_names:
-                try:
-                    os.unlink(os.path.join(self.path, f))
-                except FileNotFoundError:
-                    pass
+        # drain this commit's sidecar plus any leftovers from crashed
+        # overwrites; unlisted .jsonl files are never touched (a
+        # crashed job's orphan is harmless; a concurrent append's
+        # not-yet-committed shard must survive)
+        _drain_reclaims(self.path, live={s["file"] for s in shards})
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -177,6 +185,34 @@ class JsonlShardsDataSource(DataSource):
         # good export fully intact — same manifest-last discipline as
         # append mode and publish.py's pointer swap.
         return JsonlShardWriter(self.options, overwrite=overwrite)
+
+
+def _drain_reclaims(path: str, live: set[str]) -> None:
+    """Process every ``.reclaim-*`` sidecar under ``path``: unlink the
+    listed shards that no longer appear in the current manifest
+    (``live``), then remove the sidecar. A torn sidecar (its writer
+    died mid-write, necessarily BEFORE its swap — the sidecar is
+    written and fsync'd first) lists only still-live shards, so it is
+    simply discarded."""
+    import glob
+
+    for rp in glob.glob(os.path.join(path, ".reclaim-*")):
+        try:
+            with open(rp) as fh:
+                names = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            names = []
+        for f in names:
+            if f in live:
+                continue
+            try:
+                os.unlink(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+        try:
+            os.unlink(rp)
+        except FileNotFoundError:
+            pass
 
 
 def read_manifest(path: str) -> dict:

@@ -297,6 +297,14 @@ class TxTable:
     def version(self) -> int:
         return self._replay().version
 
+    def has_txn(self, txn_id: str) -> bool:
+        """Whether a commit carrying ``txn_id`` is already in the log —
+        lets multi-table writers (e.g. chunkstore put: chunks first,
+        manifests second) detect on crash-replay which legs already
+        landed and skip their probe/compute work instead of re-running
+        it into a replay-skipped commit."""
+        return txn_id in self._replay().txn_ids
+
     # ---------------------------------------------------------- commit
 
     def _write_data(self, df: DataFrame) -> list[str]:

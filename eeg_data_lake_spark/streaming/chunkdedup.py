@@ -70,28 +70,33 @@ def chunk_batch_writer(
         chunks = chunk_rows(
             batch_df, min_size=min_size, avg_size=avg_size, max_size=max_size
         ).persist()
-        # within-batch dedup + provenance: one row per distinct chunk,
-        # attributed to its smallest (doc_id, chunk_idx) occurrence
-        batch_chunks = chunks.groupBy("chunk_md5").agg(
-            F.min("length").alias("length"),
-            F.min("doc_id").alias("first_doc_id"),
-        )
-        if idx.version() >= 0:
-            known = idx.read().select("chunk_md5")
-            novel = batch_chunks.join(known, "chunk_md5", "left_anti")
-        else:
-            novel = batch_chunks
-        table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
-        idx.append(
-            novel.select(
-                "chunk_md5",
-                "length",
-                "first_doc_id",
-                F.lit(batch_id).cast("long").alias("first_batch"),
-            ),
-            txn_id=f"{sink_id}:chunks-{batch_id}",
-        )
-        chunks.unpersist()
+        try:
+            # within-batch dedup + provenance: one row per distinct
+            # chunk, attributed to its smallest (doc_id, chunk_idx)
+            # occurrence
+            batch_chunks = chunks.groupBy("chunk_md5").agg(
+                F.min("length").alias("length"),
+                F.min("doc_id").alias("first_doc_id"),
+            )
+            if idx.version() >= 0:
+                known = idx.read().select("chunk_md5")
+                novel = batch_chunks.join(known, "chunk_md5", "left_anti")
+            else:
+                novel = batch_chunks
+            table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
+            idx.append(
+                novel.select(
+                    "chunk_md5",
+                    "length",
+                    "first_doc_id",
+                    F.lit(batch_id).cast("long").alias("first_batch"),
+                ),
+                txn_id=f"{sink_id}:chunks-{batch_id}",
+            )
+        finally:
+            # a failed/retried micro-batch must not strand the persisted
+            # chunk rows in executor memory for the session lifetime
+            chunks.unpersist()
 
     return process
 
@@ -136,14 +141,6 @@ def dedup_report(table: TxTable) -> DataFrame:
         F.count("*").alias("n_unique_chunks"),
         F.coalesce(F.sum("length"), F.lit(0)).cast("long").alias("stored_bytes"),
     )
-    return corpus.crossJoin(store).select(
-        "n_docs",
-        "logical_bytes",
-        "n_unique_chunks",
-        "stored_bytes",
-        F.round(
-            F.col("logical_bytes")
-            / F.greatest(F.col("stored_bytes"), F.lit(1)),
-            4,
-        ).alias("dedup_ratio"),
-    )
+    from eeg_data_lake_spark.sources.chunkstore import storage_accounting
+
+    return storage_accounting(corpus, store)

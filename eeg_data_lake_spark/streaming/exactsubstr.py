@@ -59,7 +59,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.sources.txlog import TxTable
-from eeg_data_lake_spark.workload.curation import esd_grams, esd_remove
+from eeg_data_lake_spark.workload.curation import (
+    ESD_DUP_THRESHOLD,
+    esd_grams,
+    esd_remove,
+)
 
 
 def gram_index_table(spark: SparkSession, table: TxTable) -> TxTable:
@@ -85,14 +89,18 @@ def ingest_batch_writer(table: TxTable, sink_id: str):
         counts = (
             esd_grams(_tokenized(batch_df), hashed=True)
             .groupBy("g")
-            .agg(F.least(F.count("*"), F.lit(2)).cast("int").alias("c"))
+            .agg(
+                F.least(F.count("*"), F.lit(ESD_DUP_THRESHOLD))
+                .cast("int")
+                .alias("c")
+            )
         )
         if idx.version() >= 0:
             saturated = (
                 idx.read()
                 .groupBy("g")
                 .agg(F.sum("c").alias("t"))
-                .filter(F.col("t") >= 2)
+                .filter(F.col("t") >= ESD_DUP_THRESHOLD)
                 .select("g")
             )
             counts = counts.join(saturated, "g", "left_anti")
@@ -138,7 +146,7 @@ def exact_substring_removal(table: TxTable) -> DataFrame:
         idx.read()
         .groupBy("g")
         .agg(F.sum("c").alias("t"))
-        .filter(F.col("t") >= 2)
+        .filter(F.col("t") >= ESD_DUP_THRESHOLD)
         .select("g")
     )
     dpos = (

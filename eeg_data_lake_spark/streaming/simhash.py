@@ -111,10 +111,11 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
         # narrow cost — the r41 localCheckpoint reuse, scoped to the
         # batch lifetime
         fps = with_simhash(batch_df).persist()
-        novel = _batch_representatives(fps, max_hamming)
-        if idx.version() >= 0:
-            index = idx.read().persist()
-            try:
+        novel = index = None
+        try:
+            novel = _batch_representatives(fps, max_hamming)
+            if idx.version() >= 0:
+                index = idx.read().persist()
                 probe = simhash_block_rows(
                     novel.select("doc_id", *FP_COLS)
                 ).select("doc_id", "j", "block", *FP_COLS)
@@ -138,26 +139,27 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
                     .distinct()
                 )
                 novel = novel.join(hits, "doc_id", "left_anti").persist()
-                table.append(
-                    novel.drop("n_shingles", *FP_COLS),
-                    txn_id=f"{sink_id}:batch-{batch_id}",
-                )
-            finally:
-                index.unpersist()
-        else:
-            novel = novel.persist()
+            else:
+                novel = novel.persist()
             table.append(
                 novel.drop("n_shingles", *FP_COLS),
                 txn_id=f"{sink_id}:batch-{batch_id}",
             )
-        idx.append(
-            simhash_block_rows(novel.select("doc_id", *FP_COLS)).select(
-                "doc_id", "fp_hi", "fp_lo", "j", "block"
-            ),
-            txn_id=f"{sink_id}:blocks-{batch_id}",
-        )
-        novel.unpersist()
-        fps.unpersist()
+            idx.append(
+                simhash_block_rows(novel.select("doc_id", *FP_COLS)).select(
+                    "doc_id", "fp_hi", "fp_lo", "j", "block"
+                ),
+                txn_id=f"{sink_id}:blocks-{batch_id}",
+            )
+        finally:
+            # a failed/retried micro-batch must not strand the persisted
+            # fingerprint/index/novel frames in executor memory for the
+            # session lifetime
+            if novel is not None:
+                novel.unpersist()
+            if index is not None:
+                index.unpersist()
+            fps.unpersist()
 
     return process
 

@@ -1671,15 +1671,31 @@ def _exact_substring_plan(
     is identical between the modes."""
     d = t(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
-    grams = esd_grams(docs, hashed=hashed_grams)
-    dpos = (
+    dpos = esd_dup_positions(esd_grams(docs, hashed=hashed_grams))
+    return esd_remove(docs, dpos)
+
+
+#: corpus-wide occurrence count at which an L-gram counts as duplicated
+#: text (Lee et al. 2022's "appears more than once"); shared with the
+#: streaming index twin (streaming/exactsubstr.py) so batch and
+#: incremental ESD can't drift apart on the criterion.
+ESD_DUP_THRESHOLD = 2
+
+
+def esd_dup_positions(grams: DataFrame) -> DataFrame:
+    """(doc_id, p) of every gram occurring ESD_DUP_THRESHOLD+ times
+    corpus-wide: ONE count window over the gram key — one exchange and
+    one pass over the gram subtree (vs the earlier groupBy + dup-set
+    broadcast-back, which re-evaluated the gram subtree on the probe
+    side and broadcast a set that grows with the corpus's duplication
+    level)."""
+    return (
         grams.withColumn(
             "c", F.count("*").over(Window.partitionBy("g"))
         )
-        .filter(F.col("c") >= 2)
+        .filter(F.col("c") >= ESD_DUP_THRESHOLD)
         .select("doc_id", "p")
     )
-    return esd_remove(docs, dpos)
 
 
 def esd_grams(docs: DataFrame, hashed: bool) -> DataFrame:
@@ -1961,12 +1977,8 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    grams = esd_grams(docs.select("doc_id", "w"), hashed=True)
-    w_g = Window.partitionBy("g")
-    dpos = (
-        grams.withColumn("c", F.count("*").over(w_g))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "p")
+    dpos = esd_dup_positions(
+        esd_grams(docs.select("doc_id", "w"), hashed=True)
     )
     iv = F.col("iv")
     kw = F.col("kept_w")

@@ -170,3 +170,81 @@ def test_z25_report_is_self_verifying(spark, sf_dir):
     assert r.chunks_dropped > 0 and r.bytes_reclaimed > 0
     assert r.reconstruct_mismatches == 0
     assert r.missing_refs == 0
+
+
+def test_put_replay_completes_after_mid_put_crash(spark, tmp_path, corpus):
+    """Crash between the chunks commit and the manifests MERGE: the
+    replay must detect the committed chunk leg (has_txn), skip the
+    probe, and complete the manifest write — with no duplicate chunk
+    rows."""
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    blobs = _blobdf(spark, list(corpus.items()))
+    real_upsert = store.manifests.upsert
+    store.manifests.upsert = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash")
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.put(blobs, txn_id="p0")
+    store.manifests.upsert = real_upsert
+    assert store.chunks.version() >= 0  # first leg landed
+    assert store.manifests.version() == -1  # second leg did not
+
+    store.put(blobs, txn_id="p0")  # replay heals
+    assert store.chunks.read().count() == len(
+        _unique_chunks(v or b"" for v in corpus.values())
+    )
+    got = {
+        r.doc_id: bytes(r.payload) for r in store.reconstruct().collect()
+    }
+    assert got == {k: (v or b"") for k, v in corpus.items()}
+
+
+def test_bucketed_put_replay_survives_mid_put_crash(spark, tmp_path):
+    """The bucketed flavor of the crash-replay: the committed chunk leg
+    bumped the store version past the projection snapshot, so a replay
+    that re-probed would refuse the projection as stale — it must skip
+    the probe instead and complete the MERGE."""
+    import uuid
+
+    base = f"cs_replay_{uuid.uuid4().hex[:8]}"
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, [(1, _payload(2000, 1))]), txn_id="p0")
+    store.bucketize(base, n_buckets=4)
+    try:
+        blobs = _blobdf(spark, [(2, _payload(700, 2))])
+        real_upsert = store.manifests.upsert
+        store.manifests.upsert = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash")
+        )
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.put(blobs, txn_id="p1", bucketed=base)
+        store.manifests.upsert = real_upsert
+
+        store.put(blobs, txn_id="p1", bucketed=base)  # must not raise
+        got = {
+            r.doc_id: r.missing_chunks
+            for r in store.reconstruct().collect()
+        }
+        assert got == {1: 0, 2: 0}
+    finally:
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith(base):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+
+
+def test_delete_docs_null_predicate_rows_survive(spark, tmp_path, corpus):
+    """Three-valued logic: a predicate that evaluates to NULL (here:
+    first chunk hash of an EMPTY manifest) must count as non-matching —
+    the row survives the delete instead of being silently dropped."""
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, list(corpus.items())), txn_id="p0")
+    first_hash_of_doc3 = store.manifests.read().filter(
+        F.col("doc_id") == 3
+    ).select(F.get("chunk_md5s", 0)).collect()[0][0]
+    # NULL for docs 4 (empty) and 5 (NULL payload): empty hash arrays
+    store.delete_docs(
+        F.get("chunk_md5s", 0) == F.lit(first_hash_of_doc3), txn_id="d0"
+    )
+    assert {r.doc_id for r in store.manifests.read().collect()} == {
+        1, 2, 4, 5
+    }

@@ -168,3 +168,55 @@ def test_nested_struct_rows_serialize(registered, tmp_path):
     back = spark.read.json(os.path.join(out, "*.jsonl"))
     r = back.filter(F.col("id") == 3).collect()[0]
     assert r.meta.lang == "en" and r.meta.n == 3
+
+
+def test_crashed_overwrite_reclaim_sidecar_drains_on_next_commit(
+    registered, tmp_path
+):
+    """An overwrite that died between its manifest swap and its shard
+    unlinks leaves a durable .reclaim sidecar; the NEXT commit (here an
+    append) must finish the reclaim instead of orphaning the
+    generation forever."""
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 10).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+
+    # simulate the post-swap crash: an unreferenced shard plus the
+    # sidecar its overwrite wrote before dying
+    orphan = "shard-deadbeef0001.jsonl"
+    open(os.path.join(out, orphan), "w").write('{"id": 0}\n')
+    with open(os.path.join(out, ".reclaim-test1"), "w") as fh:
+        json.dump([orphan], fh)
+
+    spark.range(10, 20).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    assert not os.path.exists(os.path.join(out, orphan))
+    assert not os.path.exists(os.path.join(out, ".reclaim-test1"))
+    assert verify_export(out) == []
+
+
+def test_reclaim_sidecar_never_touches_live_shards(registered, tmp_path):
+    """A sidecar whose writer died BEFORE its swap lists still-live
+    shards: draining must skip them (they are in the current manifest)
+    and just discard the sidecar. Torn sidecars are discarded too."""
+    spark = registered
+    out = str(tmp_path / "corpus")
+    spark.range(0, 10).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    live = [s["file"] for s in read_manifest(out)["shards"]]
+    with open(os.path.join(out, ".reclaim-test2"), "w") as fh:
+        json.dump(live, fh)
+    open(os.path.join(out, ".reclaim-torn"), "w").write('["shard-x')
+
+    spark.range(10, 20).repartition(1).write.format("jsonlshards").mode(
+        "append"
+    ).option("path", out).save()
+    for f in live:
+        assert os.path.exists(os.path.join(out, f))  # survived
+    assert not os.path.exists(os.path.join(out, ".reclaim-test2"))
+    assert not os.path.exists(os.path.join(out, ".reclaim-torn"))
+    assert verify_export(out) == []
