@@ -48,15 +48,27 @@ def publish_snapshot(
     os.makedirs(dest, exist_ok=True)
     src_version = table.version() if version is None else version
     cur = _read_manifest(dest)
-    if cur and cur["source_version"] == src_version:
+    # idempotence requires BOTH the version and the source table to
+    # match: a dest reused for a different table whose version number
+    # happens to coincide must re-publish, not keep serving the old
+    # table's rows under the new table's name
+    if (
+        cur
+        and cur["source_version"] == src_version
+        and cur.get("source_path") == table.path
+    ):
         return src_version
     df = table.read(version=src_version)
     snap_dir = f"snapshot-v{src_version}-{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(os.path.join(dest, snap_dir))
-    n_rows = df.count()
+    out_dir = os.path.join(dest, snap_dir)
+    writer.parquet(out_dir)
+    # count what was just written, not the source again — same number,
+    # and parquet count() is footer-metadata-only, so the source
+    # snapshot is scanned exactly once per publish
+    n_rows = table.spark.read.parquet(out_dir).count()
     tmp = os.path.join(dest, f".tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(

@@ -59,7 +59,17 @@ def scd2_apply(
     Plan: one join of current rows to the update batch on the business
     key decides changed/unchanged/new; history rows pass through
     untouched; the union overwrites transactionally. The attribute
-    comparison is null-safe (NULL -> NULL is unchanged)."""
+    comparison is null-safe (NULL -> NULL is unchanged). A batch with
+    DUPLICATE business keys is rejected up front (each duplicate would
+    fan out the join into two simultaneous current rows, corrupting
+    the dimension for every later as-of lookup — same contract as
+    merge_into)."""
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            "scd2_apply: updates batch has duplicate business keys — "
+            "two versions of one key must arrive in two batches"
+        )
     if table.version() < 0:
         return table.append(scd2_init(updates, change_ts), txn_id=txn_id)
 
@@ -71,6 +81,7 @@ def scd2_apply(
     u = updates.select(
         *[F.col(k).alias(f"__u_{k}") for k in keys],
         *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.lit(True).alias("__u_present"),
     )
     cond = None
     for k in keys:
@@ -83,10 +94,11 @@ def scd2_apply(
         eq = F.col(a).eqNullSafe(F.col(f"__u_{a}"))
         same = eq if same is None else (same & eq)
 
+    # presence via indicator columns, not key null-checks: the join is
+    # null-safe precisely so NULL business keys are legal, and an
+    # all-NULL-key update row would otherwise be silently discarded
     in_cur = F.col("_is_current").isNotNull()
-    in_upd = F.col(f"__u_{keys[0]}").isNotNull() | F.lit(False)
-    for k in keys[1:]:
-        in_upd = in_upd | F.col(f"__u_{k}").isNotNull()
+    in_upd = F.col("__u_present").isNotNull()
 
     untouched_or_noop = joined.filter(in_cur & (~in_upd | same)).select(
         snap.columns

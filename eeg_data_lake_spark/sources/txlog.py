@@ -182,6 +182,15 @@ REWRITE_TRANSPARENT_OPS = {"compact", "zorder"}
 LOGICAL_REWRITE_OPS = {"overwrite", "upsert"}
 
 
+def _parse_iso_utc(s: str) -> datetime.datetime:
+    """ISO-8601 → aware UTC datetime; accepts both the 'Z' suffix and
+    '+00:00', and treats a naive timestamp as UTC (the log's clock)."""
+    dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return dt
+
+
 def iter_manifests(path: str):
     """(version, manifest_path) in version order for a txlog table."""
     log_dir = os.path.join(path, "_txlog")
@@ -455,7 +464,14 @@ class TxTable:
         state = self._replay()
         if state.version < 0:
             return self.append(updates, txn_id)
-        survivors = self.read().join(updates, keys, "left_anti")
+        # survivors MUST come from the same snapshot the remove-set was
+        # taken from: a bare self.read() replays the log again, and a
+        # commit landing between the two replays would have its rows
+        # both merged into the new files AND kept live in its own file
+        # (the remove-set validation passes — appends remove nothing)
+        survivors = self.read(version=state.version).join(
+            updates, keys, "left_anti"
+        )
         merged = survivors.unionByName(updates)
         return self._commit(
             self._write_data(merged), state.files, txn_id, "upsert"
@@ -492,10 +508,21 @@ class TxTable:
             ]
             if not files:
                 # all files pruned: serve an empty frame with the
-                # table's schema (read one file's schema, filter-false)
-                schema_df = self.spark.read.parquet(
-                    os.path.join(self.path, state.files[0])
-                )
+                # table's schema, honoring merge_schema — under schema
+                # evolution one file's footer may lack columns newer
+                # files carry, and an empty frame missing them would
+                # fail downstream selects only on this data-dependent
+                # path
+                if merge_schema:
+                    schema_df = self.spark.read.option(
+                        "mergeSchema", "true"
+                    ).parquet(
+                        *[os.path.join(self.path, f) for f in state.files]
+                    )
+                else:
+                    schema_df = self.spark.read.parquet(
+                        os.path.join(self.path, state.files[0])
+                    )
                 return schema_df.where("1 = 0")
         paths = [os.path.join(self.path, f) for f in files]
         reader = self.spark.read
@@ -657,10 +684,16 @@ class TxTable:
             range(max(0, latest - keep_versions), latest + 1)
         )
         if retain_after is not None:
+            # compare as datetimes, not strings: committed_at ends in
+            # "+00:00" while callers reasonably pass a "Z" suffix, and
+            # lexicographic order across the two spellings would
+            # mis-sort same-second timestamps ('.' < 'Z' < '+' is not
+            # chronological) and vacuum versions the cutoff retains
+            cutoff = _parse_iso_utc(retain_after)
             for v, mp in iter_manifests(self.path):
                 with open(mp) as fh:
                     ts = json.load(fh).get("committed_at")
-                if ts is not None and ts >= retain_after:
+                if ts is not None and _parse_iso_utc(ts) >= cutoff:
                     keep_v.add(v)
         keep: set[str] = set()
         for v in sorted(keep_v):
@@ -788,10 +821,15 @@ def table_diff(
         c = F.col(f"o_{k}").eqNullSafe(F.col(f"n_{k}"))
         cond = c if cond is None else cond & c
     joined = o.join(n, cond, "full_outer")
+    # presence via the hash columns — never NULL on a present side
+    # (md5-of-json, or the key-only "" literal) — NOT via keys[0]: the
+    # join is null-safe precisely so NULL keys are legal, and a row
+    # with keys[0]=NULL would otherwise classify as present-on-neither
+    # side and silently drop out of the diff
     op = (
-        F.when(F.col(f"o_{keys[0]}").isNull() & F.col(f"n_{keys[0]}").isNotNull(),
+        F.when(F.col("o_h").isNull() & F.col("n_h").isNotNull(),
                F.lit("added"))
-        .when(F.col(f"n_{keys[0]}").isNull() & F.col(f"o_{keys[0]}").isNotNull(),
+        .when(F.col("n_h").isNull() & F.col("o_h").isNotNull(),
               F.lit("removed"))
         .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
     )

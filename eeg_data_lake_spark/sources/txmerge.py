@@ -59,6 +59,12 @@ def merge_into(
             "would match multiple source rows (Delta raises here too)"
         )
     if table.version() < 0:
+        # bootstrap: with no target schema there is no target/source
+        # column diff, so the FIRST merge defines the table schema from
+        # the source verbatim — callers with source-only side columns
+        # (a CDC op flag) must drop them for the bootstrap batch, or
+        # later merges will see them in the target schema and treat
+        # them as real attrs
         if not when_not_matched_insert:
             return table.version()
         return table.append(source, txn_id=txn_id)
@@ -78,21 +84,21 @@ def merge_into(
     s = source.select(
         *[F.col(k).alias(f"__s_{k}") for k in keys],
         *[F.col(a).alias(f"__s_{a}") for a in [*attrs, *side]],
+        F.lit(True).alias("__s_present"),
     )
     cond = None
     for k in keys:
         eq = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
         cond = eq if cond is None else (cond & eq)
-    j = snap.join(s, cond, "full_outer")
-
-    in_t = None
-    for k in keys:  # a target row always has its key columns
-        nn = F.col(k).isNotNull()
-        in_t = nn if in_t is None else (in_t | nn)
-    in_s = None
-    for k in keys:
-        nn = F.col(f"__s_{k}").isNotNull()
-        in_s = nn if in_s is None else (in_s | nn)
+    # presence via literal indicator columns, NOT key null-checks: the
+    # join is null-safe precisely so NULL merge keys are legal, and a
+    # row whose keys are all NULL would otherwise test as absent from
+    # both sides and silently vanish from the overwrite
+    j = snap.withColumn("__t_present", F.lit(True)).join(
+        s, cond, "full_outer"
+    )
+    in_t = F.col("__t_present").isNotNull()
+    in_s = F.col("__s_present").isNotNull()
 
     tcols = {c: F.col(c) for c in snap.columns}
     scols = {c: F.col(f"__s_{c}") for c in [*keys, *attrs, *side]}

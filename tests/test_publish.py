@@ -102,3 +102,21 @@ def test_prune_keep_respects_version_order(spark, table, tmp_path):
     # the newest stale generation (the one for v10) survives; v0..v9 die
     assert dirs[-1] not in deleted
     assert all(d in deleted for d in dirs[:-1])
+
+
+def test_publish_different_table_same_version_not_skipped(
+    spark, table, tmp_path
+):
+    """Idempotence keys on (source_path, version), not version alone: a
+    dest reused for a DIFFERENT table whose version coincides must
+    re-publish, not keep serving the old table's rows."""
+    dest = str(tmp_path / "pub")
+    publish_snapshot(table, dest)
+    other = TxTable(spark, str(tmp_path / "other"))
+    other.append(
+        spark.createDataFrame([(99, "zz", "d9")], "id long, v string, day string")
+    )
+    assert other.version() == table.version()  # same version number
+    publish_snapshot(other, dest)
+    got = {r.id for r in read_published(spark, dest).collect()}
+    assert got == {99}

@@ -100,3 +100,37 @@ def test_scd2_fact_join_as_of_fact_time(spark, dim):
     ).select("order_id", "segment")
     got = {r.order_id: r.segment for r in joined.collect()}
     assert got == {100: "BUILDING", 101: "MACHINERY"}
+
+
+def test_scd2_duplicate_business_keys_rejected(spark, dim):
+    scd2_apply(dim, _upd(spark, [(1, "gold", "US")]), ["cust_id"], F.lit(T0))
+    with pytest.raises(ValueError, match="duplicate business keys"):
+        scd2_apply(
+            dim,
+            _upd(spark, [(1, "gold", "US"), (1, "silver", "US")]),
+            ["cust_id"],
+            F.lit(T1),
+        )
+
+
+def test_scd2_null_business_key_update_applies(spark, dim):
+    """NULL business keys are legal (the join is null-safe): an update
+    for a NULL key must insert/close like any other key, not be
+    silently discarded."""
+    scd2_apply(
+        dim,
+        _upd(spark, [(None, "unknown", "??"), (1, "gold", "US")]),
+        ["cust_id"],
+        F.lit(T0),
+    )
+    scd2_apply(
+        dim, _upd(spark, [(None, "known", "DE")]), ["cust_id"], F.lit(T1)
+    )
+    cur = {
+        r.cust_id: r.segment
+        for r in dim.read().filter(F.col("_is_current")).collect()
+    }
+    assert cur == {None: "known", 1: "gold"}
+    closed = dim.read().filter(~F.col("_is_current")).collect()
+    assert len(closed) == 1 and closed[0].cust_id is None
+    assert closed[0].segment == "unknown" and closed[0]._valid_to == T1

@@ -454,3 +454,79 @@ def test_table_diff_nested_timestamp_submillisecond_detected(spark, tmp_path):
     tbl.overwrite(spark.createDataFrame([(1, None, [t1])], schema))
     tbl.overwrite(spark.createDataFrame([(1, None, [t1])], schema))
     assert table_diff(tbl, 3, 4, keys=["k"]).count() == 0
+
+
+def test_upsert_snapshot_pinned_against_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """The upsert's survivor scan must read the SAME snapshot its
+    remove-set was taken from: a commit landing between the two
+    replays otherwise has its rows both merged into the new files and
+    kept live in its own file (duplicates)."""
+    path = str(tmp_path / "race")
+    t1 = TxTable(spark, path)
+    t1.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t2 = TxTable(spark, path)
+
+    orig_read = TxTable.read
+    fired = {"done": False}
+
+    def sneaky(self, *a, **k):
+        if self is t1 and not fired["done"]:
+            fired["done"] = True
+            t2.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+        return orig_read(self, *a, **k)
+
+    monkeypatch.setattr(TxTable, "read", sneaky)
+    t1.upsert(
+        spark.createDataFrame([(1, "A")], "id long, v string"), ["id"]
+    )
+    monkeypatch.setattr(TxTable, "read", orig_read)
+    rows = sorted((r.id, r.v) for r in t2.read().collect())
+    assert rows == [(1, "A"), (9, "z")]  # the raced append exactly once
+
+
+def test_vacuum_retain_after_accepts_z_suffix(spark, tmp_path):
+    """A 'Z'-suffixed ISO cutoff must compare chronologically against
+    the log's '+00:00'-suffixed committed_at — lexicographic ordering
+    would fail to retain same-second commits."""
+    t = TxTable(spark, str(tmp_path / "vz"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.overwrite(spark.createDataFrame([(2,)], "id long"))
+    ts = json.load(
+        open(os.path.join(t.log_dir, "00000000.json"))
+    )["committed_at"]
+    # cutoff = v0's own second, Z-spelled: v0 commits at-or-after it
+    cutoff = ts.split(".")[0].split("+")[0] + "Z"
+    deleted = t.vacuum(keep_versions=0, retain_after=cutoff)
+    assert deleted == []  # both versions retained
+    assert {r.id for r in t.read(version=0).collect()} == {1}
+
+
+def test_all_pruned_read_honors_merge_schema(spark, tmp_path):
+    """When data skipping prunes every file, the empty frame's schema
+    must still reflect merge_schema: a schema-evolved column absent
+    from the first file must be present."""
+    t = TxTable(spark, str(tmp_path / "ms"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2, "x")], "id long, c string"))
+    df = t.read(predicates=[("id", ">", 999)], merge_schema=True)
+    assert df.count() == 0
+    assert "c" in df.columns
+
+
+def test_table_diff_null_key_rows_classified(spark, tmp_path):
+    """Presence in the diff must come from the hash columns, not
+    keys[0] null-checks: a removed row whose key is NULL must surface
+    as 'removed'."""
+    from eeg_data_lake_spark.sources.txlog import table_diff
+
+    t = TxTable(spark, str(tmp_path / "nkd"))
+    t.append(
+        spark.createDataFrame(
+            [(None, "orphan"), (1, "a")], "id long, v string"
+        )
+    )
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    d = {r.id: r.op for r in table_diff(t, 0, 1, keys=["id"]).collect()}
+    assert d == {None: "removed"}

@@ -111,3 +111,42 @@ def test_target_only_columns_preserved_and_nulled(spark, tmp_path):
     rows = {r["id"]: r for r in t.read().collect()}
     assert rows[1]["note"] == "keep-me"
     assert rows[2]["note"] is None
+
+
+def test_null_key_target_row_survives_merge(spark, tmp_path):
+    """NULL merge keys are legal (the join is null-safe); a target row
+    with a NULL key and no matching source row must pass through the
+    merge untouched, not silently vanish."""
+    t = TxTable(spark, str(tmp_path / "nk"))
+    t.append(
+        spark.createDataFrame(
+            [(None, "orphan", 0.0), (1, "a", 10.0)],
+            "id long, name string, score double",
+        )
+    )
+    merge_into(
+        t,
+        spark.createDataFrame([(2, "b", 20.0)], "id long, name string, score double"),
+        keys=["id"],
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows == {None: ("orphan", 0.0), 1: ("a", 10.0), 2: ("b", 20.0)}
+
+
+def test_null_key_source_row_updates_null_key_target(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "nk2"))
+    t.append(
+        spark.createDataFrame(
+            [(None, "orphan", 0.0), (1, "a", 10.0)],
+            "id long, name string, score double",
+        )
+    )
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [(None, "adopted", 5.0)], "id long, name string, score double"
+        ),
+        keys=["id"],
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read().collect()}
+    assert rows == {None: ("adopted", 5.0), 1: ("a", 10.0)}
