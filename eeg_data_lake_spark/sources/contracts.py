@@ -8,10 +8,19 @@ Rules (the Delta/Avro-resolution consensus):
 - **additive**: new nullable columns are fine (old readers ignore
   them, new readers see NULL for old data — the txlog merge-on-read
   path already proves this end to end);
-- **widening**: int→long, float→double (value-preserving) are fine;
-- **forbidden**: dropping a column, narrowing a type, any other type
-  change, or adding a NON-nullable column (old files cannot supply a
-  value and NULL would violate the declared contract);
+- **widening**: int→long, float→double (value-preserving) are fine
+  FOR READERS THAT CAST — Avro resolution, Delta's type-widening
+  feature, a full-rewrite flow. Plain-parquet multi-file readers do
+  NOT: this repo's ``TxTable.read(merge_schema=True)`` and the
+  txstream CDC DDL both refuse files whose types differ, so gate
+  writes into a TxTable with ``allow_widening=False`` — otherwise the
+  check would bless exactly the deploy that poisons those readers;
+- **forbidden**: dropping a column, narrowing a type (including
+  array-element / map-value nullability: ``containsNull`` false where
+  it was true is a narrowing — old arrays holding NULL elements
+  violate the new contract), any other type change, or adding a
+  NON-nullable column (old files cannot supply a value and NULL would
+  violate the declared contract);
 - nested structs are checked field-by-field under the same rules;
   arrays/maps recurse on their element/key/value types.
 """
@@ -29,20 +38,45 @@ _WIDENINGS: dict[type, tuple[type, ...]] = {
 }
 
 
-def _type_ok(old: T.DataType, new: T.DataType, path: str, problems: list[str]):
+def _type_ok(
+    old: T.DataType,
+    new: T.DataType,
+    path: str,
+    problems: list[str],
+    allow_widening: bool,
+):
     if old == new:
         return
-    if isinstance(new, tuple(_WIDENINGS.get(type(old), ()))):
+    if allow_widening and isinstance(
+        new, tuple(_WIDENINGS.get(type(old), ()))
+    ):
         return
     if isinstance(old, T.StructType) and isinstance(new, T.StructType):
-        _struct_ok(old, new, path, problems)
+        _struct_ok(old, new, path, problems, allow_widening)
         return
     if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
-        _type_ok(old.elementType, new.elementType, f"{path}[]", problems)
+        _type_ok(
+            old.elementType, new.elementType, f"{path}[]", problems,
+            allow_widening,
+        )
+        if old.containsNull and not new.containsNull:
+            problems.append(
+                f"{path}[]: nullable elements became non-nullable"
+            )
         return
     if isinstance(old, T.MapType) and isinstance(new, T.MapType):
-        _type_ok(old.keyType, new.keyType, f"{path}<key>", problems)
-        _type_ok(old.valueType, new.valueType, f"{path}<value>", problems)
+        _type_ok(
+            old.keyType, new.keyType, f"{path}<key>", problems,
+            allow_widening,
+        )
+        _type_ok(
+            old.valueType, new.valueType, f"{path}<value>", problems,
+            allow_widening,
+        )
+        if old.valueContainsNull and not new.valueContainsNull:
+            problems.append(
+                f"{path}<value>: nullable values became non-nullable"
+            )
         return
     problems.append(
         f"{path}: incompatible type change "
@@ -50,7 +84,13 @@ def _type_ok(old: T.DataType, new: T.DataType, path: str, problems: list[str]):
     )
 
 
-def _struct_ok(old: T.StructType, new: T.StructType, path: str, problems: list[str]):
+def _struct_ok(
+    old: T.StructType,
+    new: T.StructType,
+    path: str,
+    problems: list[str],
+    allow_widening: bool,
+):
     new_fields = {f.name: f for f in new.fields}
     for f in old.fields:
         p = f"{path}.{f.name}" if path else f.name
@@ -58,7 +98,7 @@ def _struct_ok(old: T.StructType, new: T.StructType, path: str, problems: list[s
         if nf is None:
             problems.append(f"{p}: column dropped")
             continue
-        _type_ok(f.dataType, nf.dataType, p, problems)
+        _type_ok(f.dataType, nf.dataType, p, problems, allow_widening)
         if f.nullable and not nf.nullable:
             problems.append(f"{p}: nullable column became non-nullable")
     for name, nf in new_fields.items():
@@ -70,19 +110,27 @@ def _struct_ok(old: T.StructType, new: T.StructType, path: str, problems: list[s
 
 
 def compatibility_problems(
-    old: T.StructType, new: T.StructType
+    old: T.StructType,
+    new: T.StructType,
+    allow_widening: bool = True,
 ) -> list[str]:
     """All backward-compatibility violations of evolving ``old`` →
-    ``new`` (empty list == compatible)."""
+    ``new`` (empty list == compatible). ``allow_widening=False`` for
+    plain-parquet consumers (TxTable merge-on-read, the txstream CDC
+    source) that cannot cast across files — see the module docstring."""
     problems: list[str] = []
-    _struct_ok(old, new, "", problems)
+    _struct_ok(old, new, "", problems, allow_widening)
     return problems
 
 
-def assert_compatible(old: T.StructType, new: T.StructType) -> None:
+def assert_compatible(
+    old: T.StructType,
+    new: T.StructType,
+    allow_widening: bool = True,
+) -> None:
     """Raise with every violation listed — run this before a write
     whose schema may have drifted."""
-    problems = compatibility_problems(old, new)
+    problems = compatibility_problems(old, new, allow_widening)
     if problems:
         raise ValueError(
             "schema contract violation:\n  " + "\n  ".join(problems)

@@ -8,19 +8,26 @@ the engine-level replacements: the streaming checkpoint
 upserts. Plain parquet has no transaction log, so this implements the
 classic swap pattern:
 
-    survivors = target LEFT ANTI updates (on keys)   — one shuffle
+    survivors = target LEFT ANTI updates (null-safe, on keys)
     new table = survivors UNION updates
-    write to a staging dir, then atomically swap directories
+    write to a staging dir, then swap directories
 
-On Delta/Iceberg the same call maps to a native MERGE INTO, which
-additionally gets file-skipping on the join and a real transaction;
-the swap here is atomic only against readers that re-list the
-directory (documented limitation, fine for batch jobs).
+Crash safety: the outgoing data is MOVED ASIDE (``__retired``), never
+deleted before the incoming swap lands, and every call first runs a
+recovery sweep that restores any aside left by a crashed predecessor —
+so no crash point loses committed rows. The swap is atomic only
+against readers that re-list the directory (documented limitation,
+fine for batch jobs); partitioned merges swap per touched partition,
+so a reader listing DURING the swap can see some partitions old and
+some new.
 
-Scale: cost is one anti-join shuffle of |target| + a rewrite of the
-table — the unavoidable floor without a log-structured format; with
-``partition_by`` the rewrite touches only partitions present in the
-updates (partition-pruned read + dynamic overwrite).
+Scale: cost is one anti-join shuffle of the touched rows + a rewrite
+of the touched data — with ``partition_by`` the read is pruned to and
+the rewrite REPLACES only partitions present in the updates (true
+dynamic partition overwrite: untouched partition directories are never
+read, rewritten, or moved). On Delta/Iceberg the same call maps to a
+native MERGE INTO, which additionally gets file-skipping on the join
+and a real transaction.
 """
 
 from __future__ import annotations
@@ -33,6 +40,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _data_dirs(root: str) -> list[str]:
+    """Relative paths of directories under ``root`` that directly hold
+    parquet files — "" for an unpartitioned table's root, else the
+    Hive partition leaf dirs exactly as Spark spelled them (so NULL
+    partition values, URL-escaping, and multi-level layouts need no
+    re-derivation here)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(dirpath, root)
+            out.append("" if rel == "." else rel)
+    return out
+
+
+def _recover(target_path: str) -> None:
+    """Heal a crashed predecessor: restore any retired data whose
+    replacement never landed, then clear leftovers. Idempotent."""
+    retired = target_path + "__retired"
+    staging = target_path + "__staging"
+    if os.path.isdir(retired):
+        for rel in _data_dirs(retired):
+            src = os.path.join(retired, rel) if rel else retired
+            dst = os.path.join(target_path, rel) if rel else target_path
+            if not os.path.exists(dst):  # died mid-swap: roll back
+                if rel:
+                    os.makedirs(os.path.dirname(dst) or target_path,
+                                exist_ok=True)
+                os.replace(src, dst)
+        shutil.rmtree(retired, ignore_errors=True)
+    if os.path.isdir(staging):  # incomplete write from a crashed run
+        shutil.rmtree(staging)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -41,8 +81,11 @@ def merge_upsert(
     partition_by: Sequence[str] | None = None,
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``target_path``:
-    rows whose key matches are replaced, new keys are appended. Creates
-    the table if absent.
+    rows whose key matches are replaced (null-safely — a NULL key is a
+    key like any other), new keys are appended. Creates the table if
+    absent. An updates batch with DUPLICATE keys is rejected up front
+    (same contract as txmerge.merge_into / scd.scd2_apply: each
+    duplicate would survive the merge as two rows per key).
 
     With ``partition_by``, partition columns MUST be functionally
     dependent on the merge keys (or part of them): the rewrite prunes
@@ -53,45 +96,107 @@ def merge_upsert(
     ``updates``); the target side is the caller's schema contract —
     same as Delta/Iceberg MERGE with partition-pruning hints."""
     keys = list(keys)
-    if partition_by:
+    target_path = target_path.rstrip("/")
+    _recover(target_path)
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            "merge_upsert: updates batch has duplicate merge keys — "
+            "both rows would land in the merged table"
+        )
+    staging = target_path + "__staging"
+    retired = target_path + "__retired"
+    exists = os.path.exists(target_path)
+    if partition_by and exists:
+        # the pruned rewrite's correctness precondition, checked
+        # against the TARGET (the duplicate-key guard above already
+        # makes partition tuples unique per key WITHIN the batch): an
+        # update that moves a key to a different partition value would
+        # leave the stale row alive in the untouched partition. The
+        # check scans only the key+partition columns (column-pruned).
         overlap = [c for c in partition_by if c not in keys]
         if overlap:
-            violations = (
-                updates.groupBy(*keys)
-                .agg(
-                    F.countDistinct(F.struct(*overlap)).alias("__n_parts")
-                )
-                .filter(F.col("__n_parts") > 1)
-                .limit(1)
-                .count()
+            tgt = spark.read.parquet(target_path).select(*keys, *overlap)
+            u = updates.select(
+                *[F.col(k).alias(f"__u_{k}") for k in keys],
+                *[F.col(c).alias(f"__u_{c}") for c in overlap],
             )
-            if violations:
+            kcond = None
+            for k in keys:
+                eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+                kcond = eq if kcond is None else (kcond & eq)
+            same_part = None
+            for c in overlap:
+                eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+                same_part = eq if same_part is None else (same_part & eq)
+            moved = tgt.join(u, kcond & ~same_part, "inner")
+            if moved.limit(1).count():
                 raise ValueError(
                     "merge_upsert: partition columns "
                     f"{overlap} are not functionally dependent on keys "
-                    f"{keys} within the updates; a partition-pruned "
-                    "merge would duplicate moved keys"
+                    f"{keys} — an update moves a key to a different "
+                    "partition value, and a partition-pruned merge "
+                    "would leave the stale row alive"
                 )
-    staging = target_path.rstrip("/") + "__staging"
-    if os.path.exists(target_path):
+    if exists:
         target = spark.read.parquet(target_path)
         if partition_by:
-            # touch only partitions the updates contain
-            parts = updates.select(*partition_by).distinct()
-            target = target.join(F.broadcast(parts), list(partition_by), "left_semi")
-            untouched = spark.read.parquet(target_path).join(
-                F.broadcast(parts), list(partition_by), "left_anti"
+            # touch only partitions the updates contain — null-safe,
+            # so a NULL partition value prunes in its target partition
+            # like any other (its survivors must reach the staging
+            # write, because the swap below replaces that whole dir)
+            parts = F.broadcast(
+                updates.select(
+                    *[
+                        F.col(c).alias(f"__p_{c}")
+                        for c in partition_by
+                    ]
+                ).distinct()
             )
-        survivors = target.join(updates, keys, "left_anti")
+            pcond = None
+            for c in partition_by:
+                eq = F.col(c).eqNullSafe(F.col(f"__p_{c}"))
+                pcond = eq if pcond is None else (pcond & eq)
+            target = target.join(parts, pcond, "left_semi")
+        # null-safe anti-join: a target row with a NULL key must be
+        # REPLACED by a NULL-key update, not survive alongside it
+        u_keys = updates.select(
+            *[F.col(k).alias(f"__u_{k}") for k in keys]
+        )
+        cond = None
+        for k in keys:
+            eq = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+            cond = eq if cond is None else (cond & eq)
+        survivors = target.join(u_keys, cond, "left_anti")
         merged = survivors.unionByName(updates)
-        if partition_by:
-            merged = merged.unionByName(untouched)
     else:
         merged = updates
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    os.replace(staging, target_path)
+
+    if not exists:
+        os.replace(staging, target_path)
+        return
+    if not partition_by:
+        # whole-table swap: aside first (recoverable), delete last
+        os.replace(target_path, retired)
+        os.replace(staging, target_path)
+        shutil.rmtree(retired, ignore_errors=True)
+        return
+    # dynamic partition overwrite: swap only the partition dirs the
+    # staging write produced; untouched partitions are never moved
+    os.makedirs(retired, exist_ok=True)
+    for rel in _data_dirs(staging):
+        src = os.path.join(staging, rel)
+        dst = os.path.join(target_path, rel)
+        if os.path.exists(dst):
+            aside = os.path.join(retired, rel)
+            os.makedirs(os.path.dirname(aside) or retired, exist_ok=True)
+            os.replace(dst, aside)
+        else:
+            os.makedirs(os.path.dirname(dst) or target_path, exist_ok=True)
+        os.replace(src, dst)
+    shutil.rmtree(retired, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)

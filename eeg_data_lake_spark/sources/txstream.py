@@ -127,8 +127,12 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
         )
         start = options.get("startingVersion")
         self._start = int(start) if start is not None else -1
-        #: declared output columns (minus the version tag) — rows are
-        #: emitted in THIS order regardless of per-file column order
+        #: the FULL declared output columns, _commit_version included at
+        #: whatever position the resolved schema puts it — rows are
+        #: emitted in THIS order regardless of per-file column order,
+        #: and the version value is inserted at its declared slot (a
+        #: user-supplied .schema() may place it anywhere; appending it
+        #: positionally last would silently swap same-typed columns)
         self._fields = fields
 
     # ------------------------------------------------------------ log
@@ -154,17 +158,18 @@ class TxLogStreamReader(SimpleDataSourceStreamReader):
                 tbl = pq.read_table(os.path.join(self.path, rel))
                 # values keyed by DECLARED field name, never file
                 # position — a commit written with reordered columns
-                # must not swap values, and a column absent from an
-                # older file (additive evolution) reads as None
-                cols = [
-                    tbl.column(n).to_pylist()
-                    if n in tbl.schema.names
-                    else [None] * tbl.num_rows
-                    for n in self._fields
-                ]
-                rows.extend(
-                    (*vals, v) for vals in zip(*cols)
-                )
+                # must not swap values, a column absent from an older
+                # file (additive evolution) reads as None, and the
+                # commit version fills its own declared slot
+                cols = []
+                for n in self._fields:
+                    if n == "_commit_version":
+                        cols.append([v] * tbl.num_rows)
+                    elif n in tbl.schema.names:
+                        cols.append(tbl.column(n).to_pylist())
+                    else:
+                        cols.append([None] * tbl.num_rows)
+                rows.extend(zip(*cols))
         return rows
 
     # --------------------------------------------------------- stream
@@ -202,5 +207,9 @@ class TxLogStreamDataSource(DataSource):
         return _ddl_for((self.options.get("path") or "").rstrip("/"))
 
     def simpleStreamReader(self, schema: StructType) -> TxLogStreamReader:
-        fields = [f.name for f in schema.fields if f.name != "_commit_version"]
-        return TxLogStreamReader(self.options, fields)
+        # pass the resolved schema's field list verbatim: the reader
+        # fills _commit_version at its declared position, wherever a
+        # user-supplied .schema() put it
+        return TxLogStreamReader(
+            self.options, [f.name for f in schema.fields]
+        )

@@ -64,10 +64,14 @@ def index_batch_writer(
             cell_of(as_double(F.col("embedding")), cents).alias("cell"),
         )
         # narrow cell range per output file → tight min/max footer
-        # stats → the probe's predicate pruning actually drops files
-        clustered = indexed.repartition(n_files, "cell").sortWithinPartitions(
-            "cell"
-        )
+        # stats → the probe's predicate pruning actually drops files.
+        # Range partitioning, NOT hash: hash scatters unrelated cell
+        # ids into one partition (cells {2, 14} co-located → that
+        # file's min/max spans 2..14 and every probe in between reads
+        # it); ranges keep each file's cell interval contiguous.
+        clustered = indexed.repartitionByRange(
+            n_files, "cell"
+        ).sortWithinPartitions("cell")
         table.append(clustered, txn_id=f"{sink_id}:batch-{batch_id}")
 
     return process

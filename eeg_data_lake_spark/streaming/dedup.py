@@ -66,7 +66,11 @@ def with_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     # dedup entirely (even byte-identical ones). Fall back to a
     # content-hash band so short duplicates still collide (exact-dup
     # granularity — the right degradation when shingles don't exist).
-    fallback = F.md5(F.col(text_col))
+    # The text itself is coalesced first: md5(NULL) is NULL, so a
+    # NULL-text doc would otherwise get NULL bands and bypass dedup the
+    # same way (NULL and "" deliberately band together — both are
+    # contentless).
+    fallback = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     return sh.select(
         *df.columns,
         F.coalesce(F.md5(F.concat(s[0], s[1])), fallback).alias("band0"),
@@ -98,6 +102,17 @@ def band_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_bands")
 
 
+def _band_rows(df: DataFrame) -> DataFrame:
+    """(band_col, band) index rows for every band of ``df``."""
+    out = None
+    for col in BAND_COLS:
+        b = df.select(
+            F.lit(col).alias("band_col"), F.col(col).alias("band")
+        )
+        out = b if out is None else out.unionByName(b)
+    return out.distinct()
+
+
 def dedup_batch_writer(table: TxTable, sink_id: str):
     """foreachBatch function: near-dup-filter the micro-batch against
     itself and the accepted corpus, then append exactly-once.
@@ -113,11 +128,22 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bands = band_index_table(spark, table)
+        if table.version() >= 0 and bands.version() < 0:
+            # corpus seeded by another path (batch bootstrap, a plain
+            # txsink ingest, a pre-index run): backfill its bands
+            # before the first probe, or every near-duplicate of a
+            # seeded doc would be admitted forever with no warning.
+            # Exactly-once via its own txn id.
+            bands.append(
+                _band_rows(with_bands(table.read())),
+                txn_id=f"{sink_id}:bands-backfill",
+            )
         banded = with_bands(batch_df)
-        novel = _batch_representatives(banded)
-        if bands.version() >= 0:
-            index = bands.read().persist()
-            try:
+        novel = index = None
+        try:
+            novel = _batch_representatives(banded)
+            if bands.version() >= 0:
+                index = bands.read().persist()
                 for col in BAND_COLS:
                     novel = novel.join(
                         index.filter(F.col("band_col") == col)
@@ -126,23 +152,18 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
                         col,
                         "left_anti",
                     )
-                novel = novel.persist()
-                table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
-            finally:
-                index.unpersist()
-        else:
             novel = novel.persist()
             table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
-        new_bands = None
-        for col in BAND_COLS:
-            b = novel.select(
-                F.lit(col).alias("band_col"), F.col(col).alias("band")
+            bands.append(
+                _band_rows(novel), txn_id=f"{sink_id}:bands-{batch_id}"
             )
-            new_bands = b if new_bands is None else new_bands.unionByName(b)
-        bands.append(
-            new_bands.distinct(), txn_id=f"{sink_id}:bands-{batch_id}"
-        )
-        novel.unpersist()
+        finally:
+            # a failed/retried micro-batch must not strand persisted
+            # frames in executor memory for the session lifetime
+            if novel is not None:
+                novel.unpersist()
+            if index is not None:
+                index.unpersist()
 
     return process
 

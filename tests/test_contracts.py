@@ -60,3 +60,43 @@ def test_nested_array_map_recursion(spark):
 def test_assert_raises_with_all_violations(spark):
     with pytest.raises(ValueError, match="dropped"):
         assert_compatible(s("id int, v int"), s("id int"))
+
+
+def test_array_map_nullability_narrowing_refused(spark):
+    old = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.StringType(), containsNull=True)),
+            T.StructField(
+                "m",
+                T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=True),
+            ),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.StringType(), containsNull=False)),
+            T.StructField(
+                "m",
+                T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=False),
+            ),
+        ]
+    )
+    probs = compatibility_problems(old, new)
+    assert any("a[]: nullable elements became non-nullable" in p for p in probs)
+    assert any(
+        "m<value>: nullable values became non-nullable" in p for p in probs
+    )
+
+
+def test_widening_refusable_for_plain_parquet_readers(spark):
+    """TxTable merge-on-read and the txstream CDC DDL cannot cast
+    across files, so allow_widening=False must refuse int->long for
+    writers feeding those readers."""
+    old = s("id int, v float")
+    new = s("id bigint, v double")
+    assert compatibility_problems(old, new) == []  # default: Avro rules
+    probs = compatibility_problems(old, new, allow_widening=False)
+    assert any("int -> bigint" in p for p in probs)
+    assert any("float -> double" in p for p in probs)
+    with pytest.raises(ValueError, match="contract violation"):
+        assert_compatible(old, new, allow_widening=False)

@@ -182,3 +182,62 @@ def test_band_index_tracks_corpus_and_replays_safely(spark, tmp_path):
     process(b1, 1)
     assert table.version() == v_corpus
     assert bands.version() == v_bands  # txn-keyed: replay is a no-op too
+
+
+def test_null_text_documents_still_dedup(spark, tmp_path):
+    """md5(NULL) is NULL: without the text coalesce, NULL-text docs got
+    NULL bands and bypassed dedup forever (equi-joins drop NULL keys).
+    They must band together (with each other and with empty text)."""
+    from eeg_data_lake_spark.streaming.dedup import dedup_batch_writer
+
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    writer = dedup_batch_writer(table, sink_id="nulltext")
+    b0 = spark.createDataFrame(
+        [(1, None, "en", "s", 0), (2, None, "en", "s", 0)], SCHEMA
+    )
+    writer(b0, 0)
+    # within-batch: the two NULL-text docs collide, one representative
+    assert {r.doc_id for r in table.read().collect()} == {1}
+    b1 = spark.createDataFrame(
+        [(3, None, "en", "s", 0), (4, "", "en", "s", 0)], SCHEMA
+    )
+    writer(b1, 1)
+    # cross-batch: NULL and "" both rejected against the accepted doc
+    assert {r.doc_id for r in table.read().collect()} == {1}
+
+
+def test_seeded_corpus_bands_backfilled_before_first_probe(
+    spark, tmp_path
+):
+    """A corpus seeded outside this writer (batch bootstrap) has no
+    band index; the first streamed batch must backfill it so near-dups
+    of seeded docs are rejected, not admitted forever."""
+    from eeg_data_lake_spark.streaming.dedup import (
+        band_index_table,
+        dedup_batch_writer,
+    )
+
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    table.append(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon", "en", "s", 31)], SCHEMA
+        ),
+        txn_id="bootstrap",
+    )
+    writer = dedup_batch_writer(table, sink_id="seeded")
+    dup_of_seed = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon", "en", "s", 31),
+            (101, "zeta eta theta iota kappa", "en", "s", 25),
+        ],
+        SCHEMA,
+    )
+    writer(dup_of_seed, 0)
+    assert {r.doc_id for r in table.read().collect()} == {1, 101}
+    idx = band_index_table(spark, table)
+    n_banded = idx.read().count()
+    assert n_banded >= 4  # seed's 2 bands backfilled + 101's 2 bands
+    # replaying the batch (crash recovery) stays exactly-once
+    writer(dup_of_seed, 0)
+    assert {r.doc_id for r in table.read().collect()} == {1, 101}
+    assert idx.read().count() == n_banded

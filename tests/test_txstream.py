@@ -122,7 +122,10 @@ def test_reordered_columns_do_not_swap_values(spark, table):
             (F.col("id") * 10).alias("v"), F.col("id").alias("k")
         )
     )
-    r = TxLogStreamReader({"path": table.path, "startingVersion": "0"}, ["k", "v"])
+    r = TxLogStreamReader(
+        {"path": table.path, "startingVersion": "0"},
+        ["k", "v", "_commit_version"],
+    )
     rows = list(r.read(r.initialOffset())[0])
     assert sorted(rows) == [(100, 1000, 1), (101, 1010, 1), (102, 1020, 1)]
 
@@ -151,3 +154,33 @@ def test_evolved_schema_unions_all_live_files(spark, table):
     by_k = {t[0]: t for t in rows}
     assert by_k[0][2] is None  # pre-evolution row: extra is NULL
     assert by_k[5][2] == 105
+
+
+def test_user_schema_commit_version_position_respected(
+    spark, table, tmp_path
+):
+    """A user-supplied .schema() may place _commit_version anywhere;
+    the version value must fill ITS declared slot, not be appended
+    positionally last (which silently swaps same-typed columns)."""
+    spark.dataSource.register(TxLogStreamDataSource)
+    import uuid
+
+    name = "txcdc_pos_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("txlogcdc")
+        .schema("k long, _commit_version long, v long")
+        .option("path", table.path)
+        .load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pos"))
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r.k: (r._commit_version, r.v)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert rows == {k: (0, k * 10) for k in range(5)}
