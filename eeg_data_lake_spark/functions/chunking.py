@@ -124,8 +124,11 @@ def chunk_rows(
     and never materialize payload bytes per chunk row."""
     import pandas as pd
 
+    # the id column keeps ITS dtype (string/UUID document ids are as
+    # legal as longs); hardcoding long would fail Arrow conversion
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        f"{id_col} long, chunk_idx int, offset long, "
+        f"{id_col} {id_type}, chunk_idx int, offset long, "
         "length long, chunk_md5 string"
     )
     if with_data:

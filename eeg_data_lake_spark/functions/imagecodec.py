@@ -316,7 +316,14 @@ def decode_ppm(raw: bytes) -> np.ndarray:
                 pos += 1
             continue
         start = pos
-        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+        # '#' terminates a token too: netpbm allows a comment to start
+        # immediately after a number with no intervening whitespace
+        # (b"2#comment\n" is token 2 + comment, not token b"2#comment")
+        while (
+            pos < len(raw)
+            and not raw[pos : pos + 1].isspace()
+            and raw[pos : pos + 1] != b"#"
+        ):
             pos += 1
         if start == pos:
             raise ValueError("truncated netpbm header")

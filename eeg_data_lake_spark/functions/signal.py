@@ -136,6 +136,15 @@ def _lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
     return np.linalg.solve(np.eye(n - 1) - comp.T, rhs)
 
 
+def _odd_ext(x: np.ndarray, padlen: int) -> np.ndarray:
+    """Odd (anti-symmetric) extension at both ends — the scipy.signal
+    padding convention both filtfilt variants share; one definition so
+    the easy-to-misslice index arithmetic cannot drift between them."""
+    return np.concatenate(
+        [2 * x[0] - x[padlen:0:-1], x, 2 * x[-1] - x[-2 : -padlen - 2 : -1]]
+    )
+
+
 def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Zero-phase forward-backward filtering with odd-reflection padding
     (the reference relies on this to avoid phase-shifting EEG features:
@@ -147,10 +156,7 @@ def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"input length {len(x)} must exceed padlen {padlen}"
         )
-    # odd extension at both ends
-    ext = np.concatenate(
-        [2 * x[0] - x[padlen:0:-1], x, 2 * x[-1] - x[-2 : -padlen - 2 : -1]]
-    )
+    ext = _odd_ext(x, padlen)
     zi = _lfilter_zi(b, a)
     y, _ = lfilter(b, a, ext, zi * ext[0])
     y = y[::-1]
@@ -177,9 +183,7 @@ def filtfilt_fft(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
     padlen = min(len(x) - 1, max(3 * (ntaps - 1), 256))
     if padlen < 1:
         return x.copy()
-    ext = np.concatenate(
-        [2 * x[0] - x[padlen:0:-1], x, 2 * x[-1] - x[-2 : -padlen - 2 : -1]]
-    )
+    ext = _odd_ext(x, padlen)
     n = len(ext)
     w = np.exp(-2j * np.pi * np.arange(n // 2 + 1) / n)
     h = np.polyval(b[::-1], w) / np.polyval(a[::-1], w)
@@ -261,8 +265,19 @@ def standardize_by_group(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        std = x.std()  # population std, matching StandardScaler
-        pdf[out_col] = (x - x.mean()) / std if std > 0 else np.zeros_like(x)
+        # NaN-skipping moments (SQL aggregate semantics, matching the
+        # W1 window twin): one NaN sample must not make std NaN and
+        # silently zero the WHOLE group — valid samples standardize
+        # against the valid moments, NaN samples stay NaN
+        valid = ~np.isnan(x)
+        if valid.any():
+            xv = x[valid]
+            std = xv.std()  # population std, matching StandardScaler
+            mean = xv.mean()
+        else:
+            std, mean = 0.0, 0.0
+        z = (x - mean) / std if std > 0 else np.zeros_like(x)
+        pdf[out_col] = np.where(valid, z, np.nan)
         return pdf
 
     return _pinned_groups(df, group_cols).applyInPandas(fn, schema)

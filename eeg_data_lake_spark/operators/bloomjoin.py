@@ -66,6 +66,11 @@ def build_bloom_words(
     """The filter's bitmap as a dense list of n_bits/64 longs (index =
     word position). Distributed: one explode of k positions per key,
     one bit_or shuffle bounded by the bitmap size."""
+    if n_bits % 64:
+        # a partial last word would make the probe's element_at read
+        # past the bitmap for positions in it — NULL, treated as
+        # no-match, silently dropping genuinely matching rows
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
     n_words = n_bits // 64
     pos = F.explode(
         F.array(*_positions(F.col(key_col), n_bits, n_hashes))

@@ -115,7 +115,14 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    # deg is loop-invariant and consumed twice per round (the contrib
+    # join and the ranks rebuild): checkpoint it once like sym/ranks,
+    # or every iteration re-runs the degree shuffle from scratch twice
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = (
         deg.select("a", F.lit(1.0).alias("rank"))
         .localCheckpoint(eager=True)

@@ -54,13 +54,27 @@ def asof_join(
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {clash}")
+    reserved = {"__t", "__side", "__p", "__rts"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        raise ValueError(
+            f"asof_join inputs may not use the reserved names {sorted(bad)}"
+        )
 
+    nn_keys = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        nn_keys = c if nn_keys is None else (nn_keys & c)
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
         # NULL-timestamp right rows match nothing under SQL semantics
         # (right_ts <= left_ts is never true); without this filter they
-        # sort FIRST in the window and leak into every left row
-        right.filter(F.col(right_ts).isNotNull())
+        # sort FIRST in the window and leak into every left row. NULL
+        # KEYS likewise match nothing under equi-join semantics, but
+        # Window.partitionBy groups NULLs together — without the key
+        # filter a NULL-key right row would leak its payload onto
+        # NULL-key left rows (which must get NULL payload instead).
+        right.filter(F.col(right_ts).isNotNull() & nn_keys)
         .select(*keys, F.col(right_ts).alias("__t"), *payload)
         .withColumn("__side", F.lit(0))
     )
@@ -68,8 +82,6 @@ def asof_join(
     # would resurrect non-null values from OLDER right rows whenever
     # the matched row holds a NULL in some column, emitting a mixed
     # row that never existed on the right.
-    if "__rts" in payload:
-        raise ValueError("right payload may not use the reserved name '__rts'")
     rt = rt.withColumn(
         "__p", F.struct(F.col("__t").alias("__rts"), *payload)
     ).drop(*payload)
@@ -113,7 +125,10 @@ def range_count_join(
 ) -> DataFrame:
     """LEFT equi-join ``left.on[0] == right.on[1]`` with the residual
     range predicate ``range_start <= right_ts < range_end``, then a
-    per-``group_cols`` count of matches (0 for unmatched left rows).
+    per-``group_cols`` SQL ``COUNT(count_col)`` (0 for unmatched left
+    rows). Standard COUNT(column) semantics on purpose: matched right
+    rows whose ``count_col`` is NULL do not count — identical to the
+    ``COUNT(e.event_id)`` a SQL twin of this query writes.
     """
     lk, rk = on
     # qualify via the DataFrame handles: bare F.col crashes with an
@@ -162,7 +177,12 @@ def interval_overlap_join(
     """
     keys = list(keys)
     s, e = F.col(start_us), F.col(end_us)
-    binned = df.select(
+    # an interval with end < start is empty and overlaps nothing —
+    # dropped here (the SQL-predicate outcome); without the filter,
+    # sequence() auto-steps -1 over the reversed bounds and the
+    # malformed row would join with NEGATIVE overlap_us. NULL bounds
+    # drop the same way (sequence(NULL) explodes to nothing).
+    binned = df.filter(s <= e).select(
         *keys,
         F.col(id_col).alias("id"),
         s.alias("s"),

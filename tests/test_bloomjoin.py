@@ -57,3 +57,15 @@ def test_prefilter_sits_below_the_join(spark):
     join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
     assert join_pos != -1
     assert plan.find("shiftleft") > 0
+
+
+def test_non_multiple_of_64_bits_rejected(spark):
+    """A partial last word would make the probe read past the bitmap
+    (NULL -> no-match), silently dropping matching rows — refused."""
+    import pytest
+
+    from eeg_data_lake_spark.operators.bloomjoin import build_bloom_words
+
+    keys = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        build_bloom_words(keys, "k", n_bits=1_000_010)

@@ -135,3 +135,19 @@ def test_z23_dedup_report_matches_recount(spark, sf_dir):
     # the corpus actually contains cross-doc duplicate chunks (the
     # testdata's documents share boilerplate), so dedup is exercised
     assert any(r.dup_chunks > 0 for r in rows)
+
+
+def test_chunk_rows_string_ids(spark):
+    """The id column keeps its dtype — string/UUID document ids must
+    not fail Arrow conversion against a hardcoded long schema."""
+    import hashlib
+
+    from eeg_data_lake_spark.functions.chunking import chunk_rows
+
+    payload = hashlib.md5(b"seed").digest() * 40
+    df = spark.createDataFrame(
+        [("doc-abc", payload)], "doc_id string, payload binary"
+    )
+    rows = chunk_rows(df).collect()
+    assert rows and all(r.doc_id == "doc-abc" for r in rows)
+    assert sum(r.length for r in rows) == len(payload)

@@ -384,3 +384,15 @@ def test_ppm_crlf_separator_still_consumed_as_one():
     pixel): both bytes are the separator, grid unshifted."""
     raw = b"P5\n3 2\n255\r\n" + bytes([9, 1, 2, 3, 4, 5])
     assert decode_ppm(raw).ravel().tolist() == [9, 1, 2, 3, 4, 5]
+
+
+def test_ppm_comment_immediately_after_token(spark):
+    """netpbm allows '#' comments with no whitespace before them:
+    b'2#c\\n' is token 2 + comment, not a non-numeric token error."""
+    from eeg_data_lake_spark.functions.imagecodec import decode_ppm
+
+    raster = bytes(range(4))
+    raw = b"P5\n2#comment\n2 255\n" + raster
+    grid = decode_ppm(raw)
+    assert grid.shape == (2, 2)
+    assert [int(v) for v in grid.ravel()] == [0, 1, 2, 3]

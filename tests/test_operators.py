@@ -371,3 +371,49 @@ class TestIntervalOverlapJoin:
         )
         out = interval_overlap_join(df, ["k"], "id", "s", "e", bin_us=1_000)
         assert not has_cartesian_or_bnlj(out)
+
+
+def test_asof_null_key_rows_get_null_payload(spark):
+    """NULL join keys match nothing under equi-join semantics; without
+    the right-side key filter, Window.partitionBy groups NULLs together
+    and a NULL-key right row leaks its payload onto NULL-key left
+    rows."""
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "leak"), (1, 5, "ok")], "k long, rt long, v string"
+    )
+    out = {
+        r.k: r.v
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert out == {None: None, 1: "ok"}
+
+
+def test_asof_reserved_names_rejected(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, __t string")
+    right = spark.createDataFrame([(1, 5, "p")], "k long, rt long, v string")
+    with pytest.raises(ValueError, match="reserved names"):
+        asof_join(left, right, "k", "t", "rt")
+
+
+def test_interval_overlap_malformed_intervals_dropped(spark):
+    """end < start is an EMPTY interval: it overlaps nothing (dropped,
+    the SQL-predicate outcome) instead of joining with negative
+    overlap via the auto-reversing sequence()."""
+    from eeg_data_lake_spark.operators.joins import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [
+            ("u", 1, 0, 1000),
+            ("u", 2, 500, 1500),
+            ("u", 3, 5000, 3000),  # malformed: e < s
+        ],
+        "k string, id long, s long, e long",
+    )
+    pairs = interval_overlap_join(
+        df, ["k"], "id", "s", "e", bin_us=1000
+    ).collect()
+    assert [(r.id_a, r.id_b, r.overlap_us) for r in pairs] == [(1, 2, 500)]
+    assert all(r.overlap_us >= 0 for r in pairs)

@@ -171,3 +171,29 @@ class TestSparkOperators:
             lambda s: s.std(ddof=0)
         )
         assert np.allclose(pdf.value_std, expected, atol=1e-9)
+
+
+def test_standardize_by_group_nan_sample_does_not_zero_group(spark):
+    """One NaN sample must not make the group's std NaN and silently
+    zero every valid sample; valid rows standardize against the
+    NaN-skipping moments, NaN rows stay NaN."""
+    import math
+
+    rows = [("g", float(v)) for v in (1.0, 2.0, 3.0, 4.0)] + [
+        ("g", float("nan"))
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        i: r.value_std
+        for i, r in enumerate(
+            standardize_by_group(df, ("grp",), "value")
+            .orderBy("value")
+            .collect()
+        )
+    }
+    finite = [v for v in out.values() if v is not None and not math.isnan(v)]
+    assert len(finite) == 4 and any(abs(v) > 0.5 for v in finite)
+    mean = sum(finite) / 4
+    assert abs(mean) < 1e-9  # real z-scores, not zeros
+    nan_vals = [v for v in out.values() if v is None or math.isnan(v)]
+    assert len(nan_vals) == 1
