@@ -67,11 +67,18 @@ def train_classifier(
         [train_fraction, 1.0 - train_fraction], seed=seed
     )
     model = pipeline.fit(train)
-    predictions = model.transform(test)
-    metrics = {
-        m: MulticlassClassificationEvaluator(
-            labelCol="label", predictionCol="prediction", metricName=m
-        ).evaluate(predictions)
-        for m in ("accuracy", "f1", "weightedPrecision", "weightedRecall")
-    }
+    # persist across the four evaluator jobs: each evaluate() is its
+    # own action, and an uncached predictions frame would re-run the
+    # split + full pipeline transform four times for identical results
+    predictions = model.transform(test).persist()
+    try:
+        metrics = {
+            m: MulticlassClassificationEvaluator(
+                labelCol="label", predictionCol="prediction", metricName=m
+            ).evaluate(predictions)
+            for m in ("accuracy", "f1", "weightedPrecision", "weightedRecall")
+        }
+    except Exception:
+        predictions.unpersist()
+        raise
     return TrainResult(model=model, predictions=predictions, metrics=metrics)

@@ -104,8 +104,14 @@ def kmeans_fit(
     L2 shifts) or ``max_iter``. Deterministic init: the ``k`` rows with
     the smallest ``id_col`` (reproducible across partitionings, unlike
     a sample). The input is persisted for the iteration loop and
-    unpersisted before returning."""
-    vecs = df.select(id_col, F.col(vec_col).alias("__v")).persist()
+    unpersisted before returning. NULL/empty embeddings are dropped up
+    front: one such row reaching np.stack inside the assignment UDF
+    raises an opaque executor-side error naming neither row nor cause."""
+    vecs = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(id_col, F.col(vec_col).alias("__v"))
+        .persist()
+    )
     try:
         seed_rows = vecs.orderBy(id_col).limit(k).collect()
         if len(seed_rows) < k:

@@ -36,6 +36,10 @@ def ridge_fit(
         moment = np.zeros(d1)
         seen = False
         for pdf in batches:
+            # drop NULL rows here, not after: a single NaN target or
+            # feature poisons gram/moment and np.linalg.solve returns
+            # NaN coefficients WITHOUT raising — silent garbage
+            pdf = pdf.dropna(subset=[features_col, target_col])
             if not len(pdf):
                 continue
             seen = True
@@ -53,6 +57,11 @@ def ridge_fit(
         partials, schema="gram array<double>, moment array<double>"
     )
     rows = parts.collect()  # ≤ one small row per partition
+    if not rows:
+        raise ValueError(
+            "ridge_fit: no non-null training rows "
+            f"(features={features_col!r}, target={target_col!r})"
+        )
     gram = np.sum([np.array(r["gram"]).reshape(d1, d1) for r in rows], axis=0)
     moment = np.sum([np.array(r["moment"]) for r in rows], axis=0)
     reg = alpha * np.eye(d1)

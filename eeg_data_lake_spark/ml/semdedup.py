@@ -81,7 +81,7 @@ def semdedup_flags(
     is ascending id, and the float comparisons are on exact BLAS
     products of the same doubles on every run."""
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         ids_s, kept, best = _nms_scan(ids, X, tau)

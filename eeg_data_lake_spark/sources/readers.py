@@ -110,8 +110,22 @@ def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        # scope the legacy conf to THIS read (schema conversion happens
+        # eagerly at spark.read.parquet): left set session-wide, every
+        # later unrelated parquet read would silently decode
+        # TIMESTAMP(NANOS) as raw bigint nanos instead of failing loudly
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    else:
+        df = spark.read.parquet(path)
     for c in ns_cols:
         # integer `div`: epoch-nanos ≈ 1.7e18 overflows double precision
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -151,6 +165,9 @@ def read_testdata_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = set(_nanos_timestamp_cols(path))
     if ns_cols:
+        # deliberately NOT restored here (unlike the batch reader): the
+        # stream decodes files on every micro-batch for its whole
+        # lifetime, so the conf must outlive this call
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Declare the file's RAW schema (Long for ns cols, NTZ stays NTZ) so
     # the stream scan decodes exactly what's on disk, then rebuild the
@@ -178,7 +195,13 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     # first part's footer (one file is representative: Spark writes a
     # uniform schema per table)
     if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: hive-partitioned tables keep their part files in
+        # key=value subdirs, and a top-level-only glob would silently
+        # skip the sniff — resurfacing later as the cryptic SPARK-40819
+        # error this function exists to prevent
+        parts = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not parts:
             return []
         path = parts[0]

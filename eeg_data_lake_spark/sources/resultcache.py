@@ -152,6 +152,10 @@ def cached_result(
         compute(source.read(version=v))
         .withColumn("_cache_tag", F.lit(tag))
         .withColumn("_source_version", F.lit(v).cast("long"))
+        # persisted: the collision branch below runs isEmpty() (one
+        # full compute) and then append() — uncached, the expensive
+        # compute this module exists to avoid would run TWICE
+        .persist()
     )
     txn = f"rc-{tag}-g{n_vac}-v{v}"
     if txn in txn_ids:
@@ -165,12 +169,16 @@ def cached_result(
         #    permanently serving an empty result — bump the generation
         #    past every committed id so the recompute actually LANDS.
         if result.isEmpty():
+            result.unpersist()
             return result.drop("_cache_tag", "_source_version")
         g = n_vac + 1
         while f"rc-{tag}-g{g}-v{v}" in txn_ids:
             g += 1
         txn = f"rc-{tag}-g{g}-v{v}"
-    cache.append(result, txn_id=txn)
+    try:
+        cache.append(result, txn_id=txn)
+    finally:
+        result.unpersist()
     return read_slice()
 
 

@@ -37,7 +37,16 @@ def write_partitioned(
             # (byte-based coalescing can't see the writer-parallelism
             # intent, same failure mode as the pandas-UDF stages).
             par = df.sparkSession.sparkContext.defaultParallelism
-            salt = (F.rand(seed=7) * files_per_partition).cast("int")
+            # DETERMINISTIC salt (row-content hash), never F.rand():
+            # a retried map task re-evaluating rand() over re-fetched
+            # input assigns rows to different salt buckets than the
+            # reducers that already ran consumed — the SPARK-23207
+            # silent duplicate/lost-row class. xxhash64 of the row
+            # gives the same fan-out, stable under any retry order.
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
             out = df.repartition(
                 max(par, files_per_partition),
                 *[F.col(c) for c in partition_by],

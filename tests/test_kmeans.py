@@ -82,3 +82,14 @@ def test_tol_early_stop_and_empty_cluster_guard(spark, vecs):
     assert np.isfinite(m.centroids).all()
     with pytest.raises(ValueError, match="only"):
         kmeans_fit(same, k=9)
+
+
+def test_null_and_empty_embeddings_ignored(spark):
+    """A NULL or empty embedding must be dropped at entry, not raise an
+    opaque np.stack error inside the assignment UDF."""
+    rows = [(i, [float(i % 2), float(i // 2)]) for i in range(8)]
+    rows += [(100, None), (101, [])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = kmeans_fit(df, k=2, max_iter=3)
+    assert model.centroids.shape == (2, 2)
+    assert np.all(np.isfinite(model.centroids))

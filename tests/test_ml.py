@@ -96,3 +96,26 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = [r.prediction for r in res.model.transform(df).select("prediction").collect()]
     b = [r.prediction for r in reloaded.transform(df).select("prediction").collect()]
     assert a == b
+
+
+def test_ridge_null_rows_dropped_not_poisoning(spark):
+    """A NULL target/feature row must be dropped, not propagate NaN
+    through gram/moment (np.linalg.solve returns NaN coefficients
+    WITHOUT raising)."""
+    clean = [([1.0, 0.0], 2.0), ([0.0, 1.0], 3.0), ([1.0, 1.0], 5.0),
+             ([2.0, 1.0], 7.0)]
+    dirty = clean + [([1.0, 2.0], None), (None, 1.0)]
+    d1 = spark.createDataFrame(clean, "features array<double>, y double")
+    d2 = spark.createDataFrame(dirty, "features array<double>, y double")
+    w1 = ridge_fit(d1, "features", "y", dim=2, alpha=0.1)
+    w2 = ridge_fit(d2, "features", "y", dim=2, alpha=0.1)
+    assert np.all(np.isfinite(w2))
+    assert np.allclose(w1, w2)  # NULL rows contributed nothing
+
+
+def test_ridge_empty_input_clear_error(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "features array<double>, y double")
+    with _pytest.raises(ValueError, match="no non-null training rows"):
+        ridge_fit(empty, "features", "y", dim=2)

@@ -71,3 +71,18 @@ def test_partition_pruning_on_readback(spark, tmp_path):
     scan = df._jdf.queryExecution().executedPlan().collectLeaves().head()
     n_parts = scan.metrics().apply("numPartitions").value()
     assert n_parts == 1, f"expected 1 pruned partition, scanned {n_parts}"
+
+
+def test_batch_reader_restores_nanos_conf(spark, sf_dir):
+    """The legacy nanosAsLong conf is scoped to the read: leaked
+    session-wide it silently changes the dtype of every later parquet
+    read with TIMESTAMP(NANOS) columns. The returned frame must still
+    execute correctly AFTER the restore."""
+    from eeg_data_lake_spark.sources.readers import read_testdata
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = read_testdata(spark, sf_dir, "events")
+    assert spark.conf.get(key, None) == before  # restored
+    assert df.count() > 0  # execution works post-restore
+    assert dict(df.dtypes)["ts"] == "timestamp"
