@@ -64,7 +64,12 @@ def cosine_neardup_pairs(
     """All pairs with cosine >= ``tau`` as (vec_a, vec_b, cosine),
     vec_a < vec_b, cosine rounded to 6. Exact — no candidate
     pruning — with the physical plan picked by corpus size."""
-    v = v.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    # NULL/empty embeddings can never clear tau and would crash the
+    # numpy paths (np.array over a ragged/object list) with an opaque
+    # executor error — dropped at entry, like ml/kmeans.py
+    v = v.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     # one EAGER localCheckpoint pins a consistent snapshot for every
     # downstream evaluation: the sizing count, the broadcast-path
     # collect, and the returned lazy plan's scans all read the same

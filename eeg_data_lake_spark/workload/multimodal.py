@@ -22,6 +22,21 @@ from eeg_data_lake_spark.functions.multimodal import (
 from eeg_data_lake_spark.workload.registry import register, t
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree: z24/z25 build corpus-sized scratch
+    stores the returned LAZY DataFrame still reads, so the dir can't
+    be deleted inside the query — but left behind entirely, repeated
+    bench/parity runs accumulate corpus copies until /tmp fills. The
+    atexit hook bounds the leak to the process lifetime."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 @register(
     "q47_binary_payload_stats",
     oracle="""
@@ -628,7 +643,6 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the one-row storage report: docs + logical bytes vs
     unique chunks + stored bytes and the dedup ratio."""
     import os
-    import tempfile
 
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.chunkdedup import (
@@ -639,7 +653,7 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    d = tempfile.mkdtemp(prefix="chunk_q_")
+    d = _scratch_dir("chunk_q_")
     src = os.path.join(d, "incoming")
     os.makedirs(src)
     for i in range(3):
@@ -688,14 +702,12 @@ def z25_chunkstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: docs_put, docs_live, chunks_before, chunks_dropped,
     bytes_reclaimed, chunks_after, reconstruct_mismatches,
     missing_refs."""
-    import tempfile
-
     from eeg_data_lake_spark.sources.chunkstore import ChunkStore
 
     blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    store = ChunkStore(spark, tempfile.mkdtemp(prefix="chunkstore_q_"))
+    store = ChunkStore(spark, _scratch_dir("chunkstore_q_"))
     store.put(blobs, txn_id="z25-put")
     store.delete_docs(F.col("doc_id") % 2 == 1, txn_id="z25-delete")
     gc_report = store.gc(txn_id="z25-gc")

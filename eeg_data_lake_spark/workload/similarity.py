@@ -60,13 +60,17 @@ def embedding_topk(d, n_queries: int = 5, k: int = 3):
         F.col("e").alias("qe"),
         F.col("n").alias("qn"),
     )
+    # zero-norm guard (the q93/q99 convention): cosine of a zero
+    # vector is NULL → sorts LAST under desc; an unguarded 0/0 would
+    # be NaN, which sorts FIRST and hijacks every top-k slot
+    den = F.col("qn") * F.col("n")
     scored = dn.join(
         F.broadcast(q), F.col("doc_id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("doc_id").alias("neighbor_id"),
         F.round(
-            dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("n")),
+            F.when(den > 0, dot(F.col("qe"), F.col("e")) / den),
             6,
         ).alias("cosine"),
     )
@@ -89,9 +93,12 @@ def embedding_topk(d, n_queries: int = 5, k: int = 3):
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.query_id, v.vec_id AS neighbor_id,
-             round(list_dot_product(q.qe, v.e)
-                   / (sqrt(list_dot_product(q.qe, q.qe))
-                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+             round(CASE WHEN sqrt(list_dot_product(q.qe, q.qe))
+                             * sqrt(list_dot_product(v.e, v.e)) > 0
+                        THEN list_dot_product(q.qe, v.e)
+                             / (sqrt(list_dot_product(q.qe, q.qe))
+                                * sqrt(list_dot_product(v.e, v.e)))
+                   END, 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine
@@ -112,35 +119,17 @@ def q37_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates a single array fold (the dot product) instead of three —
     measured ~2x on the sf0.1 corpus, and the effect grows with the
     query count. The fold itself stays the sequential JVM HOF so
-    doubles agree bit-for-bit with the oracle's list_dot_product."""
+    doubles agree bit-for-bit with the oracle's list_dot_product.
+
+    Delegates to ``embedding_topk`` (the q98/z17 retrieval block) so
+    the norm-hoist / zero-norm-guard / tiebreak conventions live in
+    ONE plan — previously a line-for-line copy that had already
+    started drifting (the den>0 guard reached q93/q99 but not here)."""
     v = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
+        F.col("vec_id").alias("doc_id"),
         as_double(F.col("embedding")).alias("e"),
-    ).withColumn("nrm", l2norm(F.col("e")))
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return embedding_topk(v, n_queries=N_QUERIES, k=TOP_K)
 
 
 @register(
@@ -644,7 +633,12 @@ def _pq_topk(spark, v, setup, cents=None):
                     np.arange(_PQ_M)[:, None], codes[keep].T
                 ].sum(axis=0)
                 cand_ids = ids[keep]
-                top = np.argsort(-approx)[:TOP_K]
+                # prune with the FINAL ordering (rounded score desc,
+                # neighbor_id asc): a bare argsort over unrounded
+                # scores is unstable under ties, so which boundary
+                # candidate survived depended on Arrow batch layout —
+                # nondeterministic output run-to-run
+                top = np.lexsort((cand_ids, -np.round(approx, 6)))[:TOP_K]
                 out.append(
                     pd.DataFrame(
                         {
@@ -839,20 +833,30 @@ def r60_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins."""
     from pyspark.sql import Window
 
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+    tr = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
+    # norms (full + truncated) hoisted to per-row columns before the
+    # broadcast join — the q37 pattern: each l2norm is an O(dim) HOF
+    # fold, and evaluating four of them per PAIR recomputed the
+    # query-side norms |corpus| times each for bit-identical values
+    v = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .withColumn("n_full", l2norm(F.col("e")))
+        .withColumn("n_tr", l2norm(tr(F.col("e"))))
     )
     q = v.filter(F.col("vec_id") < _MRL_K).select(
-        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("n_full").alias("qn_full"),
+        F.col("n_tr").alias("qn_tr"),
     )
-    tr = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
     scored = v.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
         (dot(F.col("qe"), F.col("e"))
-         / (l2norm(F.col("qe")) * l2norm(F.col("e")))).alias("cos_full"),
+         / (F.col("qn_full") * F.col("n_full"))).alias("cos_full"),
         (dot(tr(F.col("qe")), tr(F.col("e")))
-         / (l2norm(tr(F.col("qe"))) * l2norm(tr(F.col("e"))))).alias("cos_tr"),
+         / (F.col("qn_tr") * F.col("n_tr"))).alias("cos_tr"),
     )
     wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
     wt = Window.partitionBy("qid").orderBy(F.desc("cos_tr"), F.asc("vec_id"))
@@ -1026,11 +1030,15 @@ def r64_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
         .alias("r_bm25"),
     )
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("e")
+    # norm hoisted before the broadcast (the q37 pattern): per-pair
+    # l2norm folds recomputed the query norm |corpus| times
+    v = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2norm(F.col("e")))
     )
     qv = v.filter(F.col("vec_id") == _HYBRID_QUERY_DOC).select(
-        F.col("e").alias("qe")
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
     )
     cos = (
         v.filter(F.col("vec_id") != _HYBRID_QUERY_DOC)
@@ -1039,7 +1047,7 @@ def r64_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             (
                 dot(F.col("qe"), F.col("e"))
-                / (l2norm(F.col("qe")) * l2norm(F.col("e")))
+                / (F.col("qnrm") * F.col("nrm"))
             ).alias("cosine"),
         )
     )

@@ -87,3 +87,19 @@ def test_band_power_ignores_non_finite_samples(spark):
     # group 2: all-NaN → consistent zeros, never half-NaN
     r2 = out[2]
     assert all(v == 0.0 for k, v in r2.items() if k.endswith(("_power", "_rel")))
+
+
+def test_null_and_empty_embeddings_ignored(spark):
+    """A NULL or empty embedding must be dropped at entry (it can never
+    clear tau), not crash np.array/np.linalg.norm with an opaque
+    object-array error."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, None),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = cosine_neardup_pairs(df, tau=0.9)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    assert got == {(1, 2)}

@@ -82,3 +82,17 @@ def test_pq_paths_degrade_gracefully_on_empty_corpus(spark, tmp_path):
         out = REGISTRY[name].spark_fn(spark, sf)
         assert out.count() == 0
         assert out.columns == ["query_id", "neighbor_id", "approx_cosine"]
+
+
+def test_zero_norm_vector_never_hijacks_topk(spark):
+    """A zero-norm embedding scores NULL (den>0 guard) and sorts LAST:
+    unguarded 0/0 would be NaN, which sorts FIRST under desc and
+    occupies a top-k slot for every query."""
+    from eeg_data_lake_spark.workload.similarity import embedding_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)] + [(9, [0.0, 0.0])]
+    d = spark.createDataFrame(rows, "doc_id long, e array<double>")
+    out = embedding_topk(d, n_queries=2, k=3).collect()
+    assert len(out) == 6  # 2 queries x k
+    assert all(r.neighbor_id != 9 for r in out)
+    assert all(r.cosine is not None for r in out)
