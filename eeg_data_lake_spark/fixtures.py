@@ -71,6 +71,13 @@ def write_mindbigdata_csvs(
             lines.append(f"{ch},{vals}")
         if include_bad_rows:
             lines.append("BOGUS,1.0,2.0,3.0")
+            # NOTE: this extra line re-uses CHANNELS[0], so after bronze
+            # parsing the file holds DUPLICATE (source_file, channel,
+            # sample_idx) keys for that channel at idx 0 and 2 (idx 1 is
+            # the null token). Order-dependent consumers (lag windows,
+            # per-group sorts) are nondeterministic over dirty fixtures —
+            # use include_bad_rows=False for those tests, as
+            # test_viz/test_medallion do.
             lines.append(f"{CHANNELS[0]},0.5,not_a_number,0.25")
         with open(p, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -73,14 +73,24 @@ def bronze_transform_from_lines(lines: DataFrame) -> DataFrame:
         )
         .drop("value", "tokens")
     )
+    # filename metadata BEFORE the explode: Catalyst does not push
+    # projections below Generate, so extracting after would run the
+    # five regexes once per exploded SAMPLE (~256-512x per line)
+    # instead of once per line. Measured ~1.05x end-to-end on a
+    # 300-file fixture (short-path regexes are cheap next to the
+    # explode itself) — strictly less work, identical output
+    parsed = _filename_metadata(parsed)
     long = parsed.select(
         "source_file",
+        *[c for c in parsed.columns if c not in (
+            "source_file", "channel", "samples", "_ingest_ts", "_ingest_date"
+        )],
         "channel",
         F.posexplode("samples").alias("sample_idx", "value"),
         "_ingest_ts",
         "_ingest_date",
     )
-    long = _filename_metadata(long).withColumn(
+    long = long.withColumn(
         "time_sec", F.col("sample_idx") / F.lit(schemas.FS)
     )
     clean = long.filter(F.col("channel").isin(schemas.CHANNELS)).dropna(

@@ -28,9 +28,26 @@ Z_OUTLIER_THRESHOLD = 6.0  # /root/reference/main/silver.py:59
 
 
 def with_trial_id(bronze: DataFrame) -> DataFrame:
-    """Stable composite trial key (/root/reference/main/silver.py:41-44)."""
+    """Stable composite trial key (/root/reference/main/silver.py:41-44).
+
+    Files whose names didn't parse (bronze deliberately NULLs their
+    metadata instead of failing ingest) fall back to hashing the
+    source path: Spark's xxhash64 SKIPS null arguments, so without the
+    fallback every unparseable file would share one constant trial_id
+    — z-scoring unrelated files as a single group AND growing that
+    window partition without bound as bad files accumulate. Parseable
+    files hash exactly as before (reference parity unchanged)."""
+    meta_ok = (
+        F.col("synset").isNotNull()
+        | F.col("image_id").isNotNull()
+        | F.col("take").isNotNull()
+        | F.col("session").isNotNull()
+    )
     return bronze.withColumn(
-        "trial_id", F.xxhash64("synset", "image_id", "take", "session")
+        "trial_id",
+        F.when(
+            meta_ok, F.xxhash64("synset", "image_id", "take", "session")
+        ).otherwise(F.xxhash64("source_file")),
     )
 
 

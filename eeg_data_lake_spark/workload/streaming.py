@@ -19,6 +19,30 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.workload.registry import register, t
 
+
+def _drive_to_memory(
+    df: DataFrame,
+    prefix: str,
+    mode: str,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a uuid-named
+    memory sink and return the sink table — the one drive discipline
+    (processAllAvailable inside try, stop in finally, collision-proof
+    query name) every in-registry streaming query shares; previously
+    six hand-rolled copies that could drift independently."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    writer = df.writeStream.outputMode(mode).format("memory").queryName(name)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
 _TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
        event_type,
@@ -105,7 +129,6 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     exists-check idempotence (S15) with engine-level exactly-once."""
     from eeg_data_lake_spark.sources.readers import read_testdata_stream
 
-    name = "stream_out_" + uuid.uuid4().hex[:8]
     stream = (
         read_testdata_stream(spark, sf_dir, "events")
         .withWatermark("ts", "1 day")
@@ -115,17 +138,7 @@ def q42_streaming_tumbling_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name).select(
+    return _drive_to_memory(stream, "stream_out", "complete").select(
         F.col("w.start").alias("window_start"),
         "event_type",
         "n_events",
@@ -160,7 +173,6 @@ def q51_streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate survived and no original was lost."""
     from eeg_data_lake_spark.sources.readers import read_testdata_stream
 
-    name = "dedup_out_" + uuid.uuid4().hex[:8]
     once = (
         read_testdata_stream(spark, sf_dir, "events")
         .unionByName(read_testdata_stream(spark, sf_dir, "events"))
@@ -171,17 +183,7 @@ def q51_streaming_dedup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _drive_to_memory(agg, "dedup_out", "complete")
 
 
 @register(
@@ -251,18 +253,7 @@ def q52_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
             F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
         ).alias("gap_s"),
     )
-    name = "ssjoin_out_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _drive_to_memory(joined, "ssjoin_out", "append")
 
 
 @register(
@@ -328,13 +319,22 @@ def stateful_sessionize(stream: DataFrame, gap_s: float = 3600.0) -> DataFrame:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            t_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
-            prev = np.empty_like(t_s)
-            prev[0] = last_ts if last_ts is not None else -np.inf
-            prev[1:] = t_s[:-1]
-            n_sessions += int((t_s - prev > gap_s).sum())
-            n_events += len(t_s)
-            last_ts = float(t_s[-1])
+            # gap compare in INTEGER nanoseconds: float64 seconds at
+            # epoch scale have ~2.4e-7 s ulp, so an exactly-threshold
+            # gap (round-hour gaps are common in event data) could
+            # round either way and diverge from the exact-interval
+            # SQL oracle
+            t_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            prev = np.empty_like(t_ns)
+            prev[0] = (
+                last_ts
+                if last_ts is not None
+                else np.iinfo(np.int64).min // 2
+            )
+            prev[1:] = t_ns[:-1]
+            n_sessions += int((t_ns - prev > int(round(gap_s * 1e9))).sum())
+            n_events += len(t_ns)
+            last_ts = int(t_ns[-1])
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -346,7 +346,7 @@ def stateful_sessionize(stream: DataFrame, gap_s: float = 3600.0) -> DataFrame:
         .applyInPandasWithState(
             sessionize,
             outputStructType="user_id long, n_sessions long, n_events long",
-            stateStructType="last_ts double, n_sessions long, n_events long",
+            stateStructType="last_ts long, n_sessions long, n_events long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -356,23 +356,12 @@ def stateful_sessionize(stream: DataFrame, gap_s: float = 3600.0) -> DataFrame:
 def run_stateful_sessions(spark: SparkSession, stream: DataFrame) -> DataFrame:
     """Drive a stateful-sessionize stream to completion into a memory
     sink (update mode: the last row per user is the final state)."""
-    name = "stateful_out_" + uuid.uuid4().hex[:8]
-    q = (
-        stateful_sessionize(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    out = _drive_to_memory(stateful_sessionize(stream), "stateful_out", "update")
     # update mode appends one row per (user, batch); both counters are
     # monotonically non-decreasing folds, so each user's final state is
     # simply the max — no reliance on sink row order
     return (
-        spark.table(name)
+        out
         .groupBy("user_id")
         .agg(
             F.max("n_sessions").alias("n_sessions"),
@@ -537,18 +526,9 @@ def run_transform_with_state_totals(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    name = "tws_out_" + uuid.uuid4().hex[:8]
-    q = (
-        transform_with_state_totals(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    out = _drive_to_memory(
+        transform_with_state_totals(stream), "tws_out", "update"
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     # n_events is a monotonic fold → the row carrying each user's max
     # n_events holds the final running total (no sink-order reliance)
     return (
@@ -597,23 +577,14 @@ def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.append(e.filter(F.col("event_id") % 2 == 0))
     tbl.append(e.filter(F.col("event_id") % 2 == 1))
     spark.dataSource.register(TxLogStreamDataSource)
-    name = "txcdc_out_" + uuid.uuid4().hex[:8]
-    q = (
-        spark.readStream.format("txlogcdc")
-        .option("path", tbl.path)
-        .load()
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(d, "ck"))
-        .start()
+    out = _drive_to_memory(
+        spark.readStream.format("txlogcdc").option("path", tbl.path).load(),
+        "txcdc_out",
+        "append",
+        checkpoint=os.path.join(d, "ck"),
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        out
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -708,28 +679,32 @@ def sessionize_closed_on_timeout(
                 rows, columns=["user_id", "session_start", "session_end", "n_events"]
             )
 
+        # all gap math in INTEGER nanoseconds (float64 seconds at epoch
+        # scale can flip an exactly-threshold gap either way); the ns
+        # ints also round-trip the state exactly, unlike float seconds
+        gap_ns = int(round(gap_s * 1e9))
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
             yield out_rows(
                 [(key[0],
-                  pd.Timestamp(start, unit="s"),
-                  pd.Timestamp(last, unit="s"),
+                  pd.Timestamp(start, unit="ns"),
+                  pd.Timestamp(last, unit="ns"),
                   int(n))]
             )
             return
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        t_s = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+        t_ns = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
         closed: list[tuple] = []
         if state.exists:
             start, last, n = state.get
-            if len(t_s) and t_s[0] - last <= gap_s:
+            if len(t_ns) and t_ns[0] - last <= gap_ns:
                 pass  # batch continues the open session
             else:
                 closed.append(
-                    (key[0], pd.Timestamp(start, unit="s"),
-                     pd.Timestamp(last, unit="s"), int(n))
+                    (key[0], pd.Timestamp(start, unit="ns"),
+                     pd.Timestamp(last, unit="ns"), int(n))
                 )
                 start = last = None
                 n = 0
@@ -737,31 +712,31 @@ def sessionize_closed_on_timeout(
             start = last = None
             n = 0
         # vectorized burst split within the batch
-        if len(t_s):
-            gaps = np.empty(len(t_s))
-            gaps[0] = 0.0 if start is not None else np.inf
-            gaps[1:] = t_s[1:] - t_s[:-1]
-            seg_starts = np.flatnonzero(gaps > gap_s).tolist()
+        if len(t_ns):
+            gaps = np.empty(len(t_ns), dtype="int64")
+            gaps[0] = 0 if start is not None else np.iinfo(np.int64).max
+            gaps[1:] = t_ns[1:] - t_ns[:-1]
+            seg_starts = np.flatnonzero(gaps > gap_ns).tolist()
             if not seg_starts or seg_starts[0] != 0:
                 seg_starts = [0] + seg_starts  # leading continuation segment
-            bounds = seg_starts + [len(t_s)]
+            bounds = seg_starts + [len(t_ns)]
             segs = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
             for i, (b, e) in enumerate(segs):
                 seg_n = e - b
                 if i == 0 and start is not None:
-                    cur = (start, float(t_s[e - 1]), n + seg_n)
+                    cur = (start, int(t_ns[e - 1]), n + seg_n)
                 else:
-                    cur = (float(t_s[b]), float(t_s[e - 1]), seg_n)
+                    cur = (int(t_ns[b]), int(t_ns[e - 1]), seg_n)
                 if i < len(segs) - 1:
                     closed.append(
-                        (key[0], pd.Timestamp(cur[0], unit="s"),
-                         pd.Timestamp(cur[1], unit="s"), int(cur[2]))
+                        (key[0], pd.Timestamp(cur[0], unit="ns"),
+                         pd.Timestamp(cur[1], unit="ns"), int(cur[2]))
                     )
                 else:
                     start, last, n = cur
         if start is not None:
-            state.update((float(start), float(last), int(n)))
-            state.setTimeoutTimestamp(int(last * 1000) + gap_ms)
+            state.update((int(start), int(last), int(n)))
+            state.setTimeoutTimestamp(last // 1_000_000 + gap_ms)
         else:
             state.remove()
         yield out_rows(closed)
@@ -776,7 +751,7 @@ def sessionize_closed_on_timeout(
                 "user_id long, session_start timestamp, "
                 "session_end timestamp, n_events long"
             ),
-            stateStructType="start double, last double, n long",
+            stateStructType="start long, last long, n long",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
