@@ -133,6 +133,35 @@ def q68_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bench_shingle_overlap(spark: SparkSession, sf_dir: str):
+    """(inv, bench): the hashed shingle inventory of the corpus and the
+    benchmark set's distinct hashes (doc_id % 50 == 0 stands in for
+    the held-out eval corpus) — the ONE definition of the q69-verified
+    decontamination probe that q73 and z20 compose into their
+    pipelines. The persisted shingle inventory avoids re-evaluating the
+    gram expression per exploded output row (the q33 pathology,
+    measured 6.2 s vs 0.15 s for 260 k shingles at sf0.1)."""
+    sh = shingled_cached(spark, sf_dir).select(
+        "doc_id", F.explode("sl").alias("shingle")
+    )
+    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
+    return inv, bench
+
+
+def contaminated_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct non-benchmark doc_ids sharing any shingle hash with the
+    benchmark set — the decontamination drop-list the end-to-end
+    pipelines anti-join against."""
+    inv, bench = _bench_shingle_overlap(spark, sf_dir)
+    return (
+        inv.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @register(
     "q69_benchmark_decontamination",
     oracle=f"""
@@ -162,18 +191,7 @@ def q69_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     100 TB. Shingles travel as xxhash64 keys (8 bytes, not strings);
     the count compares equal because both sides hash the same distinct
     shingle strings."""
-    # persisted shingle inventory (shared with q33 in-session): an
-    # explode directly over the shingle-transform projection re-
-    # evaluates the gram expression per OUTPUT row (measured 6.2 s
-    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
-    # the persist pins ``sl`` as a materialized column first
-    sh = shingled_cached(spark, sf_dir).select(
-        "doc_id", F.explode("sl").alias("shingle")
-    )
-    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    bench = (
-        inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
-    )
+    inv, bench = _bench_shingle_overlap(spark, sf_dir)
     return (
         inv.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(bench), "h")
@@ -509,22 +527,7 @@ def q73_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 64) & (F.size(F.split(F.col("text"), " ")) >= 12)
     )
 
-    # persisted shingle inventory (shared with q33 in-session): an
-    # explode directly over the shingle-transform projection re-
-    # evaluates the gram expression per OUTPUT row (measured 6.2 s
-    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
-    # the persist pins ``sl`` as a materialized column first
-    sh = shingled_cached(spark, sf_dir).select(
-        "doc_id", F.explode("sl").alias("shingle")
-    )
-    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
-    contaminated = (
-        inv.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(bench), "h")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_doc_ids(spark, sf_dir)
 
     clean = kept.filter(F.col("doc_id") % 50 != 0).join(
         contaminated, "doc_id", "left_anti"
@@ -2006,22 +2009,7 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = scrubbed.filter(
         (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
     )
-    # persisted shingle inventory (shared with q33 in-session): an
-    # explode directly over the shingle-transform projection re-
-    # evaluates the gram expression per OUTPUT row (measured 6.2 s
-    # vs 0.15 s for 260 k shingles at sf0.1 — the q33 pathology);
-    # the persist pins ``sl`` as a materialized column first
-    sh = shingled_cached(spark, sf_dir).select(
-        "doc_id", F.explode("sl").alias("shingle")
-    )
-    inv = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    bench = inv.filter(F.col("doc_id") % 50 == 0).select("h").distinct()
-    contaminated = (
-        inv.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(bench), "h")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_doc_ids(spark, sf_dir)
     clean = gated.filter(F.col("doc_id") % 50 != 0).join(
         contaminated, "doc_id", "left_anti"
     )

@@ -294,7 +294,9 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(s[0], s[1])).alias("band0"),
         F.md5(F.concat(s[2], s[3])).alias("band1"),
     )
-
+    # both sides of each per-band self-join would re-run the minhash
+    # fold per shingle array — checkpoint it once (the r15/r41 pattern)
+    sig = sig.localCheckpoint(eager=True)
     return band_collision_pairs(sig, ("band0", "band1"))
 
 
@@ -519,6 +521,11 @@ def r15_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(s[0], s[1])).alias("band0"),
         F.md5(F.concat(s[2], s[3])).alias("band1"),
     )
+    # sig feeds FIVE evaluations (both sides of each per-band collision
+    # join plus the a/b attach joins); each would re-run the 4-salt
+    # md5 minhash fold over every shingle array — the r41 fps
+    # checkpoint, for the same reason
+    sig = sig.localCheckpoint(eager=True)
     pairs = band_collision_pairs(
         sig.select("doc_id", "band0", "band1"), ("band0", "band1")
     )
@@ -810,18 +817,25 @@ def hamming64(hi_a, lo_a, hi_b, lo_b) -> F.Column:
     "r40_simhash_md5",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      -- coalesce + LEFT JOIN lateral: degenerate docs (<3 tokens or
+      -- NULL text) must surface as (n_shingles=0, fp 0) rows exactly
+      -- like Spark's narrow projection, not vanish in the unnest
+      SELECT doc_id, coalesce({_SHINGLE_SQL}, []) AS sl
       FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
     ),
     bits AS (
       SELECT doc_id, len(sl) AS n_shingles, k.k AS k,
-             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 1, 8)) AS UBIGINT)
+             sum(CASE WHEN s.s IS NOT NULL
+                       AND (CAST(('0x' || substr(md5(s.s), 1, 8)) AS UBIGINT)
                             // {_POW2_SQL}[k.k + 1]) % 2 = 1
                       THEN 1 ELSE -1 END) AS c_hi,
-             sum(CASE WHEN (CAST(('0x' || substr(md5(s.s), 9, 8)) AS UBIGINT)
+             sum(CASE WHEN s.s IS NOT NULL
+                       AND (CAST(('0x' || substr(md5(s.s), 9, 8)) AS UBIGINT)
                             // {_POW2_SQL}[k.k + 1]) % 2 = 1
                       THEN 1 ELSE -1 END) AS c_lo
-      FROM sh, UNNEST(sl) AS s(s), UNNEST(range(32)) AS k(k)
+      FROM sh
+      LEFT JOIN LATERAL (SELECT UNNEST(sl) AS s) AS s(s) ON TRUE,
+      UNNEST(range(32)) AS k(k)
       GROUP BY doc_id, n_shingles, k.k
     )
     SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
@@ -848,8 +862,9 @@ def r40_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate HOF over the shingle array with a 64-counter array
     accumulator, so the query is one narrow projection; no explode, no
     shuffle at all (the oracle spells the double unnest; the plan
-    never does). Docs with <3 tokens have no shingles → fingerprint 0,
-    same on both sides. The fingerprint expressions live in
+    never does). Docs with <3 tokens (or NULL text) have no shingles →
+    a (n_shingles=0, fp 0) row on BOTH sides (the oracle's coalesce +
+    LEFT JOIN lateral keeps them; a bare unnest would drop them). The fingerprint expressions live in
     ``with_simhash`` (shared with the streaming incremental ingest)."""
     return with_simhash(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_shingles", "fp_hi", "fp_lo"
@@ -908,7 +923,17 @@ def r41_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the skew point — at 100 TB, cap block-bucket size like
     MAX_SHINGLE_DF caps posting lists. Fingerprints come from r40's
     operator, so the bits themselves are oracle-checked upstream."""
-    fps = r40_simhash_md5(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo")
+    # degenerate docs (no shingles -> fp 0) are EXCLUDED from pairing:
+    # an empty doc and a 2-token doc share fingerprint 0 without being
+    # similar, and the oracle's unnest drops them — n_shingles > 0 on
+    # the Spark side keeps both engines on the same candidate set.
+    # (The streaming ingest keeps its fp-0 collisions on purpose: there
+    # contentless docs SHOULD dedup to one representative.)
+    fps = (
+        r40_simhash_md5(spark, sf_dir)
+        .filter(F.col("n_shingles") > 0)
+        .select("doc_id", "fp_hi", "fp_lo")
+    )
     fps = fps.localCheckpoint(eager=True)  # reused by index + verify
     return simhash_pairs(fps, max_hamming=3)
 

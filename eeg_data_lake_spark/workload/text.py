@@ -182,7 +182,9 @@ def q30_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_source_regex",
     oracle="""
     SELECT regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS source_kind,
-           CAST(max(CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INTEGER))
+           -- TRY_CAST, matching Spark's try_cast: a non-matching source
+           -- yields '' and a plain CAST('' AS INTEGER) THROWS in DuckDB
+           CAST(max(TRY_CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INTEGER))
                 AS INTEGER) AS max_source_num,
            count(*) AS n_docs
     FROM documents
@@ -348,6 +350,8 @@ def q72_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, ngram string")
     class TokenNgrams:
         def eval(self, text: str):
+            if text is None:  # SQL NULL arrives as Python None:
+                return  # no n-grams, not an AttributeError task kill
             toks = text.split(" ")
             for i in range(len(toks) - 1):
                 yield i + 1, f"{toks[i]} {toks[i + 1]}"

@@ -121,3 +121,38 @@ def test_z18_unicode_null_empty_rows(spark, unicode_dir):
     assert out[0]["kept_md5"] == hashlib.md5(
         UNICODE_DOCS[0][1].encode("utf-8")
     ).hexdigest()
+
+
+def test_simhash_parity_holds_on_degenerate_corpus(spark, unicode_dir):
+    """Full DuckDB parity for r40/r41 on a corpus WITH NULL/short docs:
+    r40 must emit (n_shingles=0, fp 0) rows for them on BOTH engines
+    (the oracle's coalesce + LEFT JOIN lateral keeps them), and r41
+    must pair NONE of them (fingerprint 0 is shared by every
+    contentless doc without any similarity)."""
+    import duckdb
+
+    from tests.oracle_utils import compare
+
+    con = duckdb.connect()
+    # the fixture writes a Spark parquet DIRECTORY, so glob the parts
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{unicode_dir}/documents.parquet/*.parquet'"
+    )
+    for name in ("r40_simhash_md5", "r41_simhash_hamming_pairs"):
+        e = REGISTRY[name]
+        problems = compare(
+            e.spark_fn(spark, unicode_dir),
+            con.sql(e.oracle).fetchdf(),
+            name,
+        )
+        assert not problems, (name, problems)
+
+
+def test_udtf_ngrams_survives_null_text(spark, unicode_dir):
+    """SQL NULL reaches the UDTF as Python None: eval must emit no
+    rows, not die on None.split."""
+    out = REGISTRY["q72_udtf_ngrams"].spark_fn(spark, unicode_dir)
+    rows = out.collect()
+    assert all(r.doc_id != 5 for r in rows)  # NULL-text doc absent
+    assert any(r.doc_id == 0 for r in rows)  # real docs present
