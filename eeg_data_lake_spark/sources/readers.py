@@ -207,6 +207,10 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         path = parts[0]
     try:
         schema = pq.read_schema(path)
+        physical = {
+            c.name: c.physical_type
+            for c in pq.ParquetFile(path).schema
+        }
     except Exception as ex:  # noqa: BLE001 - footer sniff is best-effort,
         # but a silent [] here would surface later as the cryptic
         # SPARK-40819 unsupported-type error, so at least say why
@@ -218,10 +222,17 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
     import pyarrow as pa
 
+    # physical INT64 only: Spark's own default timestamp encoding is
+    # INT96, which pyarrow ALSO reports as timestamp[ns] — but Spark
+    # reads INT96 natively, and flagging it would bolt the ns→µs
+    # rebuild onto a real TIMESTAMP column (ts div 1000 on a timestamp
+    # fails analysis). Only INT64 TIMESTAMP(NANOS) hits SPARK-40819.
     return [
         f.name
         for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        if pa.types.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and physical.get(f.name) == "INT64"
     ]
 
 

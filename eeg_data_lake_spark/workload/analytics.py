@@ -28,6 +28,21 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.workload.registry import REGISTRY, register, t
 
+
+def md5_uniform(col) -> F.Column:
+    """Deterministic md5-derived Uniform(0,1): first 8 hex chars of
+    md5(col) as an integer, shifted to the bin midpoint, over 2^32 —
+    the ONE definition of the hash-to-uniform idiom r24/r26/r74 (and
+    their oracles) must share bit for bit; three hand-maintained
+    copies could silently desynchronize on a width/offset change."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+
+
 # --------------------------------------------------------------------
 # r17: strict-order event funnel
 # --------------------------------------------------------------------
@@ -439,12 +454,7 @@ def r24_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     language (the same pruned-window shape as q67); at any scale the
     cost is a scan + one shuffle on lang, and WindowGroupLimit prunes
     to k rows per partition before the final filter."""
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
+    u = md5_uniform(F.col("doc_id").cast("string"))
     keyed = t(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",
@@ -612,12 +622,7 @@ def r26_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate"),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        .cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
+    u = md5_uniform(F.col("doc_id").cast("string"))
     d = t(spark, sf_dir, "documents").select("lang", "doc_id", u.alias("u"))
     return (
         d.join(F.broadcast(rates), "lang")
@@ -916,7 +921,9 @@ def r33_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT lang, CAST(n_chars AS DOUBLE) AS v,
-             CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
+             -- TRY_CAST, matching Spark's try_cast: a source with no
+             -- trailing digits extracts '' and a plain CAST throws
+             CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0
                   THEN 'A' ELSE 'B' END AS grp
       FROM documents
     ),
@@ -1145,8 +1152,6 @@ def r63_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (user) aggregation shuffle; the risk-set counts come
     from a cumulative window over the |distinct durations| relation
     (days-bounded), never a per-user rescan."""
-    from pyspark.sql import Window
-
     e = t(spark, sf_dir, "events")
     mx = e.agg(F.max("ts").alias("mx"))
     u = (
@@ -1235,8 +1240,6 @@ def r65_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffle + three window passes over the |customers|
     relation; at scale each ntile is one ordered exchange of the
     aggregate, never of the fact table."""
-    from pyspark.sql import Window
-
     o = t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("mxd"))
     base = (
@@ -1319,8 +1322,6 @@ def r66_hierarchy_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates ONCE; both shares and the rank ride windows over the
     25-row aggregate, so the only corpus-sized work is the one
     revenue shuffle."""
-    from pyspark.sql import Window
-
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
@@ -1753,12 +1754,7 @@ def r74_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10)
-        .cast("long")
-        .cast("double")
-        + 0.5
-    ) / F.lit(4294967296.0)
+    u = md5_uniform(F.col("event_type"))
     b = 1.0 / DP_EPSILON
     noise = (
         F.lit(-b)

@@ -340,11 +340,15 @@ def q86_mad_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = tbl.column("value").to_numpy(zero_copy_only=False).astype("float64")
         med = float(np.median(v))
         mad = float(np.median(np.abs(v - med)))
+        # UNROUNDED out of the kernel: Python round() is half-to-even
+        # while DuckDB's round() (and F.round) are half-away-from-zero
+        # — a median on a 6th-decimal midpoint would hash-mismatch.
+        # The outer F.round keeps every query on one rounding rule.
         return pa.table(
             {
                 "user_id": pa.array([int(tbl.column("user_id")[0].as_py())]),
-                "med_value": pa.array([round(med, 6)]),
-                "mad_value": pa.array([round(mad, 6)]),
+                "med_value": pa.array([med]),
+                "mad_value": pa.array([mad]),
                 "n": pa.array([len(v)], type=pa.int64()),
             }
         )
@@ -355,6 +359,12 @@ def q86_mad_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInArrow(
             mad_kernel,
             "user_id long, med_value double, mad_value double, n long",
+        )
+        .select(
+            "user_id",
+            F.round("med_value", 6).alias("med_value"),
+            F.round("mad_value", 6).alias("mad_value"),
+            "n",
         )
         .orderBy("user_id")
     )
@@ -1379,13 +1389,16 @@ tot AS (
   SELECT count(*) AS n, sum(x) AS sx, avg(x) AS mu FROM rev
 ),
 within AS (
+  -- SAME algebraic chain as the Spark side — sufficient statistics
+  -- (Σx·lnx − ln(μ)·Σx)/μ/n, never per-row (x/μ)ln(x/μ): different
+  -- IEEE chains into a round(.,6) compare is the r67 flake class
   SELECT r.nationkey,
          count(*) AS n_g,
          sum(r.x) AS sx_g,
-         avg(r.x) AS mu_g,
-         sum((r.x / t.mu) * ln(r.x / t.mu)) / t.n AS theil_contrib
+         (sum(r.x * ln(r.x)) - ln(t.sx / t.n) * sum(r.x))
+           / (t.sx / t.n) / t.n AS theil_contrib
   FROM rev r, tot t
-  GROUP BY r.nationkey, t.n, t.mu
+  GROUP BY r.nationkey, t.n, t.sx
 )
 SELECT w.nationkey AS nationkey,
        CAST(w.n_g AS BIGINT) AS n_customers,

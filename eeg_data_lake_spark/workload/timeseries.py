@@ -182,14 +182,22 @@ def q23_higher_moments_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_json_props",
     oracle="""
+    WITH p AS (
+      -- integer-pattern guard, matching Spark's try_cast(int): DuckDB
+      -- CAST ROUNDS '3.5' to 4 where Spark yields NULL, and throws on
+      -- non-numeric strings where Spark yields NULL
+      SELECT event_type,
+             CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                      '^-?[0-9]+$')
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
-               AS sum_k,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-             / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
-               AS max_k
-    FROM events
+           CAST(sum(k) AS BIGINT)              AS sum_k,
+           CAST(sum(k) AS DOUBLE) / count(k)   AS avg_k,
+           CAST(max(k) AS INTEGER)             AS max_k
+    FROM p
     GROUP BY event_type
     """,
     tags=("json",),
@@ -299,7 +307,11 @@ def r01_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sv"),
         )
-        .persist()
+        # eager localCheckpoint, NOT persist: a bare persist with no
+        # unpersist pins cached blocks for the session lifetime per
+        # invocation (the round-2 leak); checkpoint blocks are
+        # reclaimed by the ContextCleaner once the frame is collected
+        .localCheckpoint(eager=True)
     )
 
     def level(df, col, res):

@@ -231,6 +231,11 @@ def q61_rolling_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_native_session_windows",
     oracle="""
     WITH g AS (
+      -- strict >, matching Spark's session_window: per-event windows
+      -- [t, t+gap) MERGE when they touch, so an event exactly gap
+      -- after the previous one stays in the SAME session (verified
+      -- empirically; pinned at the boundary in
+      -- tests/test_streaming_session_window.py)
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)

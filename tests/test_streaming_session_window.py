@@ -100,3 +100,52 @@ def test_streaming_session_window_merge_and_emit(spark, tmp_path):
         assert len([k for k in rows if k[0] == 2]) == 0
     finally:
         q.stop()
+
+
+def test_q62_exact_gap_boundary_matches_oracle(spark, tmp_path):
+    """Spark's session_window merges per-event [t, t+gap) windows when
+    they TOUCH, so an event exactly gap seconds after the previous one
+    stays in the SAME session (verified empirically here) — the
+    oracle's lag condition must be strict > to agree. The shipped
+    corpus has no exact-1h gaps, so this pins the boundary semantics
+    on a purpose-built one."""
+    import datetime as dt
+
+    import duckdb
+
+    from eeg_data_lake_spark.workload.registry import REGISTRY
+    from tests.oracle_utils import compare
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: gap EXACTLY 3600 s -> windows touch -> ONE session
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(seconds=3600)),
+        # user 2: gap 3599 s -> one session
+        (2, 3, t0),
+        (2, 4, t0 + dt.timedelta(seconds=3599)),
+        # user 3: gap 3601 s -> two sessions
+        (3, 5, t0),
+        (3, 6, t0 + dt.timedelta(seconds=3601)),
+    ]
+    d = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    e = REGISTRY["q62_native_session_windows"]
+    got = {
+        r.user_id: r.n_sessions
+        for r in e.spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    problems = compare(
+        e.spark_fn(spark, str(tmp_path)), con.sql(e.oracle).fetchdf(), "q62"
+    )
+    assert not problems, problems
