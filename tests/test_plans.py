@@ -205,9 +205,11 @@ def test_q78_vocab_pairs_broadcast_only(spark, sf_dir):
 
 def test_r01_rollup_scans_raw_events_once(spark, sf_dir):
     df = q("r01_multires_rollup", spark, sf_dir)
-    # one parquet scan feeds all three resolutions: day and week
-    # re-aggregate the persisted hourly partials, never the raw rows
-    assert len(read_schema_columns(df)) == 1
+    # raw events are scanned exactly once, at the eager hourly
+    # checkpoint — the returned plan re-aggregates the materialized
+    # partials and contains NO parquet scan at all (day and week never
+    # touch raw rows)
+    assert len(read_schema_columns(df)) == 0
     assert join_strategies(df) == []
 
 
