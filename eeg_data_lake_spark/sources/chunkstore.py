@@ -200,6 +200,22 @@ class ChunkStore:
 
     # ------------------------------------------------- bucketed index
 
+    def _deduped_chunks(self) -> DataFrame:
+        """One row per chunk_md5 even if the store physically holds
+        more. txlog's documented optimistic concurrency lets two
+        concurrent put() calls both append the same novel chunk (each
+        probed a snapshot that lacked it); a duplicated store row must
+        degrade to OVER-STORAGE only, never into reconstruct's
+        resolution join fanning out and concatenating that chunk's
+        bytes twice into every referencing payload with
+        missing_chunks=0 (silent corruption). Rows with equal
+        chunk_md5 are equal by content-hash identity, so any
+        occurrence serves; gc() heals the physical duplication."""
+        return self.chunks.read().groupBy("chunk_md5").agg(
+            F.min("length").alias("length"),
+            F.first("data").alias("data"),
+        )
+
     def bucketize(self, base: str, n_buckets: int = 32) -> str:
         """Materialize the store's CURRENT version as a catalog table
         bucketed (and sorted) on chunk_md5 — the read-optimized
@@ -218,8 +234,11 @@ class ChunkStore:
         if version < 0:
             raise ValueError("nothing to bucketize: empty store")
         name = f"{base}_v{version}"
+        # deduped at projection-build time so the co-located joins stay
+        # fan-out-free WITHOUT re-aggregating per query (which would
+        # cost the bucketed reader its exchange-free plan)
         write_bucketed(
-            self.chunks.read().select("chunk_md5", "length", "data"),
+            self._deduped_chunks().select("chunk_md5", "length", "data"),
             name,
             ["chunk_md5"],
             n_buckets,
@@ -275,32 +294,38 @@ class ChunkStore:
         txlog survivors-into-fresh-files overwrite, conflict-checked
         against concurrent commits.
 
-        Two passes over the store, NEVER a persist of it: the stats
-        pass joins only (chunk_md5, length) — 24-byte rows, no payload
-        bytes on the wire — and the rewrite pass is the overwrite,
-        which must move the surviving bytes regardless. Caching the
-        store to share one pass (the small-data instinct) would pin
-        the entire content store in executor memory at 100 TB."""
+        Stats passes over the store touch only (chunk_md5, length) —
+        24-byte rows, no payload bytes on the wire — and the rewrite
+        pass is the overwrite, which must move the surviving bytes
+        regardless. Caching the store to share one pass (the
+        small-data instinct) would pin the entire content store in
+        executor memory at 100 TB."""
         referenced = self.manifests.read().select(
             F.explode("chunk_md5s").alias("chunk_md5")
         ).distinct()
-        n_all, b_all, n_live, b_live = (
+        # before-stats count PHYSICAL rows (a concurrency-duplicated
+        # chunk really is stored twice); after-stats count the DEDUPED
+        # survivors the rewrite below materializes, so gc also heals
+        # and accounts for duplicate store rows as reclaimed bytes.
+        n_all, b_all = (
             self.chunks.read()
-            .select("chunk_md5", "length")
-            .join(referenced.withColumn("_live", F.lit(True)),
-                  "chunk_md5", "left")
             .agg(
                 F.count("*"),
                 F.coalesce(F.sum("length"), F.lit(0)),
-                F.count(F.when(F.col("_live"), 1)),
-                F.coalesce(
-                    F.sum(F.when(F.col("_live"), F.col("length"))), F.lit(0)
-                ),
             )
             .collect()[0]
         )
-        live = self.chunks.read().join(referenced, "chunk_md5", "left_semi")
-        self.chunks.overwrite(live, txn_id=txn_id)
+        live = self._deduped_chunks().join(
+            referenced, "chunk_md5", "left_semi"
+        )
+        n_live, b_live = (
+            live.select("chunk_md5", "length")
+            .agg(F.count("*"), F.coalesce(F.sum("length"), F.lit(0)))
+            .collect()[0]
+        )
+        self.chunks.overwrite(
+            live.select("chunk_md5", "length", "data"), txn_id=txn_id
+        )
         return self.spark.createDataFrame(
             [
                 (
@@ -340,10 +365,15 @@ class ChunkStore:
             "n_bytes",
             F.posexplode_outer("chunk_md5s").alias("pos", "chunk_md5"),
         )
+        # the projection is deduped at bucketize() time (keeping the
+        # co-located scan exchange-free); the txlog path dedupes here —
+        # either way a concurrency-duplicated chunk row must not fan
+        # the join out and concatenate its bytes twice (see
+        # _deduped_chunks)
         store = (
             self._bucketed_store(bucketed)
             if bucketed is not None
-            else self.chunks.read()
+            else self._deduped_chunks()
         )
         joined = ex.join(
             store.select("chunk_md5", "data"),
@@ -387,8 +417,12 @@ class ChunkStore:
                 "logical_bytes"
             ),
         )
+        # n_unique_chunks is distinct by hash; stored_bytes stays the
+        # PHYSICAL sum — a concurrency-duplicated row genuinely costs
+        # its bytes until gc() heals it, and the dedup ratio should
+        # reflect what is actually stored.
         physical = self.chunks.read().agg(
-            F.count("*").alias("n_unique_chunks"),
+            F.countDistinct("chunk_md5").alias("n_unique_chunks"),
             F.coalesce(F.sum("length"), F.lit(0)).cast("long").alias(
                 "stored_bytes"
             ),

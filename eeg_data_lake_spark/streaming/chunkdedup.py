@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.functions.chunking import chunk_rows
 from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 
 
 def chunk_index_table(spark: SparkSession, table: TxTable) -> TxTable:
@@ -64,9 +65,42 @@ def chunk_batch_writer(
     append only the chunks the lake has never stored (see module
     docstring for the crash-safety argument)."""
 
+    def _index_rows(df: DataFrame, batch: int) -> DataFrame:
+        """One index row per distinct chunk of ``df``, attributed to
+        its smallest doc_id occurrence. ``batch`` = -1 marks rows
+        backfilled from a corpus seeded before the stream."""
+        return (
+            chunk_rows(
+                df, min_size=min_size, avg_size=avg_size, max_size=max_size
+            )
+            .groupBy("chunk_md5")
+            .agg(
+                F.min("length").alias("length"),
+                F.min("doc_id").alias("first_doc_id"),
+            )
+            .select(
+                "chunk_md5",
+                "length",
+                "first_doc_id",
+                F.lit(batch).cast("long").alias("first_batch"),
+            )
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = chunk_index_table(spark, table)
+        # corpus seeded outside the stream: index its chunks before
+        # the first probe, or the "one row per unique chunk ever
+        # ingested" invariant (and the dedup report) silently excludes
+        # the seed forever. Set-semantics safe per streaming/txpair.py;
+        # first_batch = -1 records the seed provenance.
+        backfill_index(
+            table,
+            idx,
+            lambda corpus: _index_rows(corpus, -1),
+            sink_id,
+            "chunks",
+        )
         chunks = chunk_rows(
             batch_df, min_size=min_size, avg_size=avg_size, max_size=max_size
         ).persist()
@@ -83,15 +117,19 @@ def chunk_batch_writer(
                 novel = batch_chunks.join(known, "chunk_md5", "left_anti")
             else:
                 novel = batch_chunks
-            table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
-            idx.append(
+            paired_commit(
+                table,
+                batch_df,
+                idx,
                 novel.select(
                     "chunk_md5",
                     "length",
                     "first_doc_id",
                     F.lit(batch_id).cast("long").alias("first_batch"),
                 ),
-                txn_id=f"{sink_id}:chunks-{batch_id}",
+                sink_id,
+                "chunks",
+                batch_id,
             )
         finally:
             # a failed/retried micro-batch must not strand the persisted

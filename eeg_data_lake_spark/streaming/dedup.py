@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
 from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 from eeg_data_lake_spark.workload.dedup import (
     _minhash_cols,
     band_collision_pairs,
@@ -115,29 +116,23 @@ def _band_rows(df: DataFrame) -> DataFrame:
 
 def dedup_batch_writer(table: TxTable, sink_id: str):
     """foreachBatch function: near-dup-filter the micro-batch against
-    itself and the accepted corpus, then append exactly-once.
-
-    Crash safety of the two-table commit: corpus first, bands second,
-    both txn-id keyed to the batch. A crash between them replays the
-    batch — the corpus append no-ops on its txn id (so no duplicate
-    rows can land) and the bands append then completes; until that
-    replay the missing bands merely make the probe conservative in
-    the accepting direction for exactly the rows whose corpus commit
-    already no-ops."""
+    itself and the accepted corpus, then append exactly-once via the
+    shared corpus-first/index-second discipline (streaming/txpair.py
+    states the crash argument once for the whole ingest family)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         bands = band_index_table(spark, table)
-        if table.version() >= 0 and bands.version() < 0:
-            # corpus seeded by another path (batch bootstrap, a plain
-            # txsink ingest, a pre-index run): backfill its bands
-            # before the first probe, or every near-duplicate of a
-            # seeded doc would be admitted forever with no warning.
-            # Exactly-once via its own txn id.
-            bands.append(
-                _band_rows(with_bands(table.read())),
-                txn_id=f"{sink_id}:bands-backfill",
-            )
+        # corpus seeded by another path (batch bootstrap, a plain
+        # txsink ingest, a pre-index run): backfill its bands before
+        # the first probe (streaming/txpair.py — set-semantics safe)
+        backfill_index(
+            table,
+            bands,
+            lambda corpus: _band_rows(with_bands(corpus)),
+            sink_id,
+            "bands",
+        )
         banded = with_bands(batch_df)
         novel = index = None
         try:
@@ -153,9 +148,14 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
                         "left_anti",
                     )
             novel = novel.persist()
-            table.append(novel, txn_id=f"{sink_id}:batch-{batch_id}")
-            bands.append(
-                _band_rows(novel), txn_id=f"{sink_id}:bands-{batch_id}"
+            paired_commit(
+                table,
+                novel,
+                bands,
+                lambda: _band_rows(novel),
+                sink_id,
+                "bands",
+                batch_id,
             )
         finally:
             # a failed/retried micro-batch must not strand persisted

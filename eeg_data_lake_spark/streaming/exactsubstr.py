@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.txpair import index_missing, paired_commit
 from eeg_data_lake_spark.workload.curation import (
     ESD_DUP_THRESHOLD,
     esd_grams,
@@ -78,23 +79,47 @@ def _tokenized(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.split(F.col("text"), " ").alias("w"))
 
 
+def _gram_counts(df: DataFrame) -> DataFrame:
+    """Per-gram saturating occurrence counts (g, c<=2) of ``df``."""
+    return (
+        esd_grams(_tokenized(df), hashed=True)
+        .groupBy("g")
+        .agg(
+            F.least(F.count("*"), F.lit(ESD_DUP_THRESHOLD))
+            .cast("int")
+            .alias("c")
+        )
+    )
+
+
 def ingest_batch_writer(table: TxTable, sink_id: str):
     """foreachBatch function: append the raw batch to the corpus and
-    fold its saturating gram counts into the index, exactly-once."""
+    fold its saturating gram counts into the index, exactly-once via
+    the shared corpus-first/index-second discipline
+    (streaming/txpair.py)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = gram_index_table(spark, table)
-        table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
-        counts = (
-            esd_grams(_tokenized(batch_df), hashed=True)
-            .groupBy("g")
-            .agg(
-                F.least(F.count("*"), F.lit(ESD_DUP_THRESHOLD))
-                .cast("int")
-                .alias("c")
+        if index_missing(table, idx):
+            # Corpus seeded outside the stream: without a backfill the
+            # seeded text's grams are never counted and removal
+            # under-removes forever. Gram counts are COUNT-semantics,
+            # so the currently replaying batch's own rows must be
+            # EXCLUDED from the seed (with the index absent, the only
+            # sink rows possibly already in the corpus are this
+            # batch's — index commits are strictly ordered behind
+            # their corpus commits): the regular index leg below
+            # counts them exactly once under its replayable txn id,
+            # and counting them here too would double them into
+            # false duplicates (over-removal).
+            seed = table.read().join(
+                batch_df.select("doc_id").distinct(), "doc_id", "left_anti"
             )
-        )
+            idx.append(
+                _gram_counts(seed), txn_id=f"{sink_id}:grams-backfill"
+            )
+        counts = _gram_counts(batch_df)
         if idx.version() >= 0:
             saturated = (
                 idx.read()
@@ -104,7 +129,9 @@ def ingest_batch_writer(table: TxTable, sink_id: str):
                 .select("g")
             )
             counts = counts.join(saturated, "g", "left_anti")
-        idx.append(counts, txn_id=f"{sink_id}:grams-{batch_id}")
+        paired_commit(
+            table, batch_df, idx, counts, sink_id, "grams", batch_id
+        )
 
     return process
 

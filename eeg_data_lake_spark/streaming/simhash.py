@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
 from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 from eeg_data_lake_spark.workload.dedup import (
     hamming64,
     simhash_block_rows,
@@ -68,6 +69,14 @@ from eeg_data_lake_spark.workload.dedup import (
 )
 
 FP_COLS = ("fp_hi", "fp_lo")
+
+
+def _index_rows(fps: DataFrame) -> DataFrame:
+    """Block-index rows for docs carrying doc_id + FP_COLS: 4 rows per
+    doc, fingerprint halves inline so probes never join back."""
+    return simhash_block_rows(fps.select("doc_id", *FP_COLS)).select(
+        "doc_id", "fp_hi", "fp_lo", "j", "block"
+    )
 
 
 def block_index_table(spark: SparkSession, table: TxTable) -> TxTable:
@@ -105,6 +114,18 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = block_index_table(spark, table)
+        # corpus seeded by another path (batch bootstrap, a plain
+        # txsink ingest, a pre-index run): without this backfill the
+        # cross-batch probe below would be skipped forever (index
+        # absent) and every near-duplicate of a seeded doc admitted.
+        # Set-semantics safe per streaming/txpair.py.
+        backfill_index(
+            table,
+            idx,
+            lambda corpus: _index_rows(with_simhash(corpus)),
+            sink_id,
+            "blocks",
+        )
         # persisted: the fingerprint map is consumed four times per
         # batch (both sides of the candidate pair join, the loser
         # anti-join, the index append) and is the batch's dominant
@@ -141,15 +162,14 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
                 novel = novel.join(hits, "doc_id", "left_anti").persist()
             else:
                 novel = novel.persist()
-            table.append(
+            paired_commit(
+                table,
                 novel.drop("n_shingles", *FP_COLS),
-                txn_id=f"{sink_id}:batch-{batch_id}",
-            )
-            idx.append(
-                simhash_block_rows(novel.select("doc_id", *FP_COLS)).select(
-                    "doc_id", "fp_hi", "fp_lo", "j", "block"
-                ),
-                txn_id=f"{sink_id}:blocks-{batch_id}",
+                idx,
+                lambda: _index_rows(novel),
+                sink_id,
+                "blocks",
+                batch_id,
             )
         finally:
             # a failed/retried micro-batch must not strand the persisted

@@ -1302,16 +1302,15 @@ def r61_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     and that verification must pass; shard writing itself is the
     side effect under test — a torn or lossy export would fail the
     count or the checksum gate."""
-    import tempfile
-
     from eeg_data_lake_spark.sources.jsonlsink import (
         JsonlShardsDataSource,
         read_manifest,
         verify_export,
     )
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     spark.dataSource.register(JsonlShardsDataSource)
-    out = tempfile.mkdtemp(prefix="train_export_q_")
+    out = _scratch_dir("train_export_q_")
     (
         t(spark, sf_dir, "documents")
         .filter(F.col("lang").isNotNull())

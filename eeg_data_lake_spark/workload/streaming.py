@@ -562,16 +562,16 @@ def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical manifests (tests/test_txstream.py pins the replay and
     rewrite semantics)."""
     import os
-    import tempfile
 
     from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.sources.txstream import TxLogStreamDataSource
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     e = read_testdata(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    d = tempfile.mkdtemp(prefix="txcdc_q_")
+    d = _scratch_dir("txcdc_q_")
     tbl = TxTable(spark, os.path.join(d, "events_tbl"))
     # two commits → the stream must drain multiple feed versions
     tbl.append(e.filter(F.col("event_id") % 2 == 0))
@@ -614,11 +614,11 @@ def r49_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream aggregate. Exercises all three delta paths, including a
     Δleft⋈Δright batch that must be counted exactly once."""
     import os
-    import tempfile
 
     from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.incremental import maintain_join_view
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     o = read_testdata(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
@@ -626,7 +626,7 @@ def r49_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_testdata(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    d = tempfile.mkdtemp(prefix="ivm_join_q_")
+    d = _scratch_dir("ivm_join_q_")
     left = TxTable(spark, os.path.join(d, "orders_tbl"))
     right = TxTable(spark, os.path.join(d, "customer_tbl"))
     sink = TxTable(spark, os.path.join(d, "sink_tbl"))
@@ -794,15 +794,15 @@ def r55_table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-safe full-outer join of the two time-travel snapshots with
     per-side payload hashes."""
     import os
-    import tempfile
 
     from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable, table_diff
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     o = read_testdata(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    d = tempfile.mkdtemp(prefix="tdiff_q_")
+    d = _scratch_dir("tdiff_q_")
     tbl = TxTable(spark, os.path.join(d, "orders_tbl"))
     tbl.append(o.filter(F.col("o_orderkey") % 2 == 0))
     v1 = tbl.version()
@@ -853,17 +853,17 @@ def z22_streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves — deterministic for a given sf_dir: batch files are written
     in slice order and AvailableNow processes them in file order."""
     import os
-    import tempfile
 
     from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.simhash import stream_simhash_ingest
     from eeg_data_lake_spark.workload.dedup import with_simhash
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     docs = read_testdata(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    d = tempfile.mkdtemp(prefix="simhash_q_")
+    d = _scratch_dir("simhash_q_")
     src = os.path.join(d, "incoming")
     os.makedirs(src)
     for i in range(3):

@@ -248,3 +248,48 @@ def test_delete_docs_null_predicate_rows_survive(spark, tmp_path, corpus):
     assert {r.doc_id for r in store.manifests.read().collect()} == {
         1, 2, 4, 5
     }
+
+
+def test_concurrency_duplicated_chunk_row_never_corrupts(
+    spark, tmp_path, corpus
+):
+    """txlog's optimistic concurrency lets two racing put() calls both
+    append the same novel chunk (each probed a snapshot lacking it).
+    The duplicated store row must degrade to over-storage only:
+    reconstruction stays byte-identical (no join fan-out concatenating
+    the chunk twice), accounting counts hashes distinctly, and gc()
+    heals the physical duplication."""
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, list(corpus.items())), txn_id="p0")
+
+    # simulate the race: re-append one existing chunk row verbatim
+    dup = store.chunks.read().orderBy("chunk_md5").limit(1)
+    n_before = store.chunks.read().count()
+    store.chunks.append(dup, txn_id="race")
+    assert store.chunks.read().count() == n_before + 1
+
+    got = {
+        r.doc_id: (bytes(r.payload), r.missing_chunks)
+        for r in store.reconstruct().collect()
+    }
+    for did, data in corpus.items():
+        assert got[did] == ((data or b""), 0), did
+
+    rep = store.storage_report().collect()[0]
+    assert rep.n_unique_chunks == n_before  # distinct by hash
+    dup_len = dup.collect()[0].length
+    want_bytes = sum(
+        _unique_chunks(v or b"" for v in corpus.values()).values()
+    )
+    assert rep.stored_bytes == want_bytes + dup_len  # physically stored
+
+    # gc heals: duplicate row reclaimed, everything still referenced
+    gcrep = store.gc(txn_id="gc0").collect()[0]
+    assert gcrep.chunks_before == n_before + 1
+    assert gcrep.chunks_dropped == 1
+    assert gcrep.bytes_reclaimed == dup_len
+    assert store.chunks.read().count() == n_before
+    got2 = {
+        r.doc_id: bytes(r.payload) for r in store.reconstruct().collect()
+    }
+    assert got2 == {d: (v or b"") for d, v in corpus.items()}

@@ -132,3 +132,44 @@ def test_z24_report_runs(spark, sf_dir):
     assert r.n_docs > 0 and r.n_unique_chunks > 0
     assert r.stored_bytes <= r.logical_bytes
     assert r.dedup_ratio >= 1.0
+
+
+def test_seeded_corpus_chunks_backfilled_before_first_probe(
+    spark, tmp_path
+):
+    """A corpus seeded outside this writer has no chunk index; the
+    first streamed batch must backfill it (first_batch = -1 marks the
+    seed provenance) so the "one row per unique chunk ever ingested"
+    invariant and the dedup report cover the seed, and seed-shared
+    chunks are not re-stored as novel."""
+    pay = {1: b"A" * 700 + b"B" * 700}
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    table.append(
+        spark.createDataFrame(
+            list(pay.items()), "doc_id long, payload binary"
+        ),
+        txn_id="bootstrap",
+    )
+    writer = chunk_batch_writer(table, sink_id="seeded")
+    # doc 2 repeats doc 1's content exactly: every chunk already seeded
+    batch = spark.createDataFrame(
+        [(2, pay[1]), (3, b"C" * 900)], "doc_id long, payload binary"
+    )
+    writer(batch, 0)
+    idx = chunk_index_table(spark, table)
+    assert idx.has_txn("seeded:chunks-backfill")
+    rows = idx.read().collect()
+    want = _expected_index({1: pay[1], 3: b"C" * 900})
+    assert {r.chunk_md5: r.length for r in rows} == want
+    # seed-only chunks carry the -1 provenance; doc 2 added none
+    by_batch = {r.chunk_md5: r.first_batch for r in rows}
+    seed_chunks = set(_expected_index({1: pay[1]}))
+    assert all(by_batch[c] == -1 for c in seed_chunks)
+    assert all(
+        b == 0 for c, b in by_batch.items() if c not in seed_chunks
+    )
+    n_rows = len(rows)
+    # replaying the batch (crash recovery) stays exactly-once
+    writer(batch, 0)
+    assert idx.read().count() == n_rows
+    assert table.read().count() == 3

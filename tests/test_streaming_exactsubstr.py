@@ -163,3 +163,67 @@ def test_crash_between_commits_heals_on_replay(spark, tmp_path):
     assert table.read().count() == 2  # corpus append no-opped
     out = {r.doc_id: r for r in exact_substring_removal(table).collect()}
     assert out[0].n_removed == _ESD_L and out[1].n_removed == _ESD_L
+
+
+def test_seeded_corpus_grams_backfilled_before_first_fold(
+    spark, tmp_path
+):
+    """A corpus seeded outside this writer has no gram index; the
+    first streamed batch must backfill the seed's gram counts, or a
+    batch duplicating seeded text would never reach the >=2 saturation
+    and removal under-removes forever."""
+    span = _w(_ESD_L + 3, "d")
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    table.append(
+        spark.createDataFrame([(1, f"{span} {_w(2, 'x')}")], SCHEMA),
+        txn_id="bootstrap",
+    )
+    writer = ingest_batch_writer(table, sink_id="seeded")
+    # doc 100 duplicates the SEED's span; doc 101 is fresh
+    writer(
+        spark.createDataFrame(
+            [(100, f"{_w(1, 'y')} {span}"), (101, _w(20, "f"))], SCHEMA
+        ),
+        0,
+    )
+    idx = gram_index_table(spark, table)
+    assert idx.has_txn("seeded:grams-backfill")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed)
+        for r in exact_substring_removal(table).collect()
+    }
+    # the duplicated span's tokens are removed from BOTH sides
+    assert out[1][1] >= _ESD_L
+    assert out[100][1] >= _ESD_L
+    assert out[101] == (20, 0)
+
+
+def test_crashed_first_batch_replay_does_not_double_count(
+    spark, tmp_path
+):
+    """COUNT-semantics crash window: the FIRST batch crashes between
+    its corpus and gram-index legs, so the corpus holds the batch's
+    rows with no index. The replay's backfill must EXCLUDE those rows
+    (they are counted by the replayed index leg), or every singleton
+    gram of the batch would count twice, become a false duplicate, and
+    be over-removed."""
+    batch = spark.createDataFrame(
+        [(0, _w(_ESD_L + 5, "a")), (1, _w(_ESD_L + 2, "b"))], SCHEMA
+    )
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    # crash: corpus leg committed, index leg lost
+    table.append(batch, txn_id="seeded:batch-0")
+    writer = ingest_batch_writer(table, sink_id="seeded")
+    writer(batch, 0)  # replay
+    # unique text: NOTHING may be removed
+    out = {
+        r.doc_id: r.n_removed
+        for r in exact_substring_removal(table).collect()
+    }
+    assert out == {0: 0, 1: 0}
+    # and the index holds each gram once (bounded-state invariant)
+    idx = gram_index_table(spark, table)
+    per_gram = (
+        idx.read().groupBy("g").agg(F.sum("c").alias("t")).collect()
+    )
+    assert all(r.t == 1 for r in per_gram)

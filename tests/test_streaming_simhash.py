@@ -262,3 +262,40 @@ def test_cross_batch_near_duplicate_rejected(spark, tmp_path):
     accepted = {r.doc_id for r in table.read().collect()}
     assert near not in accepted  # near-dup caught by block probe + verify
     assert accepted == {0, 999}
+
+
+def test_seeded_corpus_blocks_backfilled_before_first_probe(
+    spark, tmp_path
+):
+    """A corpus seeded outside this writer (batch bootstrap, plain
+    ingest) has no block index; the first streamed batch must backfill
+    it so near-dups of seeded docs are rejected, not admitted forever
+    (the guard streaming/dedup.py already had, mirrored here)."""
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    table.append(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta", "en", "s", 35)],
+            SCHEMA,
+        ),
+        txn_id="bootstrap",
+    )
+    writer = simhash_batch_writer(table, sink_id="seeded")
+    batch = spark.createDataFrame(
+        [
+            # exact copy of the seed: Hamming 0, must be rejected
+            (100, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+            (101, "nu xi omicron pi rho sigma tau", "en", "s", 29),
+        ],
+        SCHEMA,
+    )
+    writer(batch, 0)
+    assert {r.doc_id for r in table.read().collect()} == {1, 101}
+    idx = block_index_table(spark, table)
+    # 4 block rows per doc: seed (backfilled) + the accepted novel doc
+    n_rows = idx.read().count()
+    assert n_rows == 8
+    assert idx.has_txn("seeded:blocks-backfill")
+    # replaying the batch (crash recovery) stays exactly-once
+    writer(batch, 0)
+    assert {r.doc_id for r in table.read().collect()} == {1, 101}
+    assert idx.read().count() == n_rows
