@@ -1,0 +1,121 @@
+"""Bucketed projections for APPEND-ONLY txlog index tables: the
+base+tail read that lets a streaming probe co-locate against its index
+without shuffling the index every trigger.
+
+The streaming ingest indices (SimHash blocks in streaming/simhash.py,
+CDC chunk hashes in streaming/chunkdedup.py) grow by one append per
+micro-batch and are probed by EVERY micro-batch. Reading them straight
+from the txlog parquet makes each probe shuffle the whole index on the
+join key — the term that grows with the CORPUS, not the batch, i.e.
+the per-trigger cost that kills a 100 TB ingest. The fix is the same
+one sources/chunkstore.py proved for the content store (bucketize —
+measured 2.24x fewer probe shuffle records): materialize the index as
+a catalog table bucketed+sorted on the probe key, so the probe's join
+reads bucket i against bucket i with NO index-side exchange.
+
+The wrinkle vs the chunk store: a strict current-version projection
+would be stale after every single batch (each batch appends), forcing
+a full rewrite per trigger — worse than the shuffle it saves. Because
+these indices are APPEND-ONLY, the LSM-style base+tail read is exact
+instead: rows(now) = projection rows (built at index version V) plus
+the txlog tail appended after V (``TxTable.changes(since=V)``). The
+probe then joins each part separately — the BIG base co-located with
+zero exchange, the small tail (a few recent batches) shuffling only
+itself — and the production cadence is re-bucketize when the tail has
+grown past taste, i.e. at compaction, when the files get rewritten
+anyway.
+
+Safety: the tail comes from ``TxTable.changes``, which treats
+compact/zorder as transparent (physical rewrites, no logical rows —
+so compacting the index does NOT invalidate a projection) and RAISES
+on overwrite/upsert commits, so a projection can never silently serve
+an index whose logical content was rewritten under it. A projection
+is otherwise never "stale": any version <= current is completed
+exactly by its tail.
+"""
+
+from __future__ import annotations
+
+import re
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from eeg_data_lake_spark.sources.bucketed import write_bucketed
+from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+def bucketize_index(
+    idx: TxTable,
+    base: str,
+    key_cols: Sequence[str],
+    n_buckets: int = 32,
+) -> str:
+    """Materialize ``idx``'s CURRENT rows as a catalog table bucketed
+    (and sorted) on ``key_cols``, named ``{base}_v{N}`` for index
+    version N; superseded projections of the same base are dropped.
+    ``base`` must be a lowercase SQL identifier. Returns the table
+    name. Pays one shuffle of the index NOW so that every subsequent
+    probe pays none for the base."""
+    version = idx.version()
+    if version < 0:
+        raise ValueError("nothing to bucketize: empty index")
+    name = f"{base}_v{version}"
+    # n_buckets should equal spark.sql.shuffle.partitions: Spark only
+    # elides the bucketed side's exchange when the probe side's
+    # shuffle lands on the same partition count — with a mismatch,
+    # EnsureRequirements re-shuffles the PROJECTION side and the
+    # co-location is silently lost (measured: the chunk-probe study
+    # showed zero saving at 4 buckets vs 32 shuffle partitions, 3.9x
+    # fewer probe shuffle records once aligned).
+    write_bucketed(idx.read(), name, list(key_cols), n_buckets)
+    spark = idx.spark
+    for tbl in spark.catalog.listTables():
+        if tbl.name != name and re.fullmatch(
+            rf"{re.escape(base)}_v\d+", tbl.name
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    return name
+
+
+def newest_projection(
+    spark: SparkSession, base: str
+) -> tuple[str, int] | None:
+    """(table_name, index_version) of the newest ``{base}_v{N}``
+    projection in the catalog, or None."""
+    best: tuple[str, int] | None = None
+    pat = re.compile(rf"{re.escape(base)}_v(\d+)")
+    for tbl in spark.catalog.listTables():
+        m = pat.fullmatch(tbl.name)
+        if m and (best is None or int(m.group(1)) > best[1]):
+            best = (tbl.name, int(m.group(1)))
+    return best
+
+
+def index_frames(idx: TxTable, base: str | None) -> list[DataFrame]:
+    """The index's current rows as probe-ready frames.
+
+    - no rows yet: ``[]`` (nothing to probe);
+    - ``base`` is None or has no projection: ``[idx.read()]`` — the
+      plain txlog path;
+    - projection at version V: ``[bucketed base (merge-hinted — the
+      base is the side that must never broadcast or re-shuffle at
+      scale), txlog tail appended after V]``, tail omitted when empty.
+
+    Callers run their probe join per frame and combine (anti-joins
+    chain, hit-joins union): joining a UNION of the parts instead
+    would discard the base's bucket partitioning and re-shuffle
+    everything — the cost this module exists to remove."""
+    if idx.version() < 0:
+        return []
+    if base is None:
+        return [idx.read()]
+    proj = newest_projection(idx.spark, base)
+    if proj is None:
+        return [idx.read()]
+    name, v = proj
+    frames = [idx.spark.table(name).hint("merge")]
+    if idx.version() > v:
+        frames.append(idx.changes(since=v).drop("_commit_version"))
+    return frames

@@ -28,8 +28,12 @@ At 100 TB: per batch the chunker is a narrow Arrow-batched map
 (per-row CPU — the flat 10x curve measured for z23/r45/q98); the
 novelty anti-join probes the index on the 16-byte chunk hash —
 O(batch chunks) against an index with one row per UNIQUE chunk, never
-payload bytes; hash-bucket the index table on chunk_md5 so the probe
-co-locates without a shuffle.
+payload bytes. The index side of that anti-join grows with the LAKE,
+so ``bucketize_chunk_index`` materializes it as a projection bucketed
+on chunk_md5 and the probe then reads the base co-located — zero
+index-side exchange per trigger, only the post-projection tail
+shuffling (sources/indexproj.py; plan pinned in
+tests/test_indexproj.py).
 
 Reference capability upgraded: the reference dedups whole files by
 md5 in a batch rewrite loop (/root/reference/bronze-to-silver.py:74-76);
@@ -42,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.functions.chunking import chunk_rows
+from eeg_data_lake_spark.sources.indexproj import bucketize_index, index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 
@@ -54,16 +59,45 @@ def chunk_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_chunks")
 
 
+def bucketize_chunk_index(
+    table: TxTable, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the chunk index as a catalog table bucketed+sorted
+    on chunk_md5 (sources/indexproj.py). Pass the same ``base`` to the
+    writer and every later batch's novelty probe reads the index base
+    co-located — bucket i vs bucket i, zero index-side exchange — plus
+    only the small post-projection tail. Cadence: at compaction, when
+    the index files get rewritten anyway."""
+    return bucketize_index(
+        chunk_index_table(table.spark, table), base, ["chunk_md5"], n_buckets
+    )
+
+
+def novel_against(batch_chunks: DataFrame, frames) -> DataFrame:
+    """Chunks of the batch absent from EVERY index frame: the
+    anti-joins CHAIN over the base+tail frames rather than joining
+    their union, preserving the base's bucket co-location (joining a
+    union would re-shuffle the whole index — the cost being removed)."""
+    novel = batch_chunks
+    for fr in frames:
+        novel = novel.join(fr.select("chunk_md5"), "chunk_md5", "left_anti")
+    return novel
+
+
 def chunk_batch_writer(
     table: TxTable,
     sink_id: str,
     min_size: int = 64,
     avg_size: int = 256,
     max_size: int = 1024,
+    bucketed_base: str | None = None,
 ):
     """foreachBatch function: append the batch to the corpus, then
     append only the chunks the lake has never stored (see module
-    docstring for the crash-safety argument)."""
+    docstring for the crash-safety argument). ``bucketed_base`` names
+    a ``bucketize_chunk_index`` projection: the novelty probe then
+    reads the index base co-located (no index-side shuffle per
+    trigger) plus the post-projection txlog tail."""
 
     def _index_rows(df: DataFrame, batch: int) -> DataFrame:
         """One index row per distinct chunk of ``df``, attributed to
@@ -112,11 +146,9 @@ def chunk_batch_writer(
                 F.min("length").alias("length"),
                 F.min("doc_id").alias("first_doc_id"),
             )
-            if idx.version() >= 0:
-                known = idx.read().select("chunk_md5")
-                novel = batch_chunks.join(known, "chunk_md5", "left_anti")
-            else:
-                novel = batch_chunks
+            novel = novel_against(
+                batch_chunks, index_frames(idx, bucketed_base)
+            )
             paired_commit(
                 table,
                 batch_df,
@@ -147,6 +179,7 @@ def stream_chunk_ingest(
     checkpoint_path: str,
     sink_id: str,
     max_files_per_trigger: int = 1,
+    bucketed_base: str | None = None,
 ) -> None:
     """Drain a file-source blob stream into the corpus + chunk store
     (AvailableNow; re-invocations resume from the checkpoint and
@@ -155,7 +188,9 @@ def stream_chunk_ingest(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
-        .writeStream.foreachBatch(chunk_batch_writer(table, sink_id))
+        .writeStream.foreachBatch(
+            chunk_batch_writer(table, sink_id, bucketed_base=bucketed_base)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

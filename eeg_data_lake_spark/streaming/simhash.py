@@ -42,11 +42,15 @@ Scale: per batch the cost is the narrow fingerprint map (in-row
 aggregate HOFs, no explode), a batch-vs-batch block join, CC over
 Hamming-verified edges (shallow), and one batch-vs-index equi-join on
 (j, block) — 4·|batch| probe rows against an index of 4·|accepted|
-compact rows (two 16-bit keys + two 32-bit halves; never text). Hot
+compact rows (two 16-bit keys + two 32-bit halves; never text). The
+index side of that join is the term that grows with the CORPUS, so
+``bucketize_block_index`` materializes it as a bucketed projection
+and the probe then reads the base co-located — zero index-side
+exchange per trigger, only the post-projection tail shuffling
+(sources/indexproj.py; plan pinned in tests/test_indexproj.py). Hot
 blocks (e.g. the all-zeros block of degenerate docs) are the skew
 point, same as batch r41 — cap block buckets like MAX_SHINGLE_DF at
-100 TB, or bucket the index table by (j, block) so the probe
-co-locates without a shuffle.
+100 TB.
 
 Reference capability upgraded: the reference's batch idempotent
 rewrite loop (/root/reference/bronze-to-silver.py:74-76) re-runs the
@@ -59,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
+from eeg_data_lake_spark.sources.indexproj import bucketize_index, index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 from eeg_data_lake_spark.workload.dedup import (
@@ -88,6 +93,51 @@ def block_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_simhash")
 
 
+def bucketize_block_index(
+    table: TxTable, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the block index as a catalog table bucketed+sorted
+    on (j, block) (sources/indexproj.py). Pass the same ``base`` to
+    the writer and every later batch's novelty probe joins the index
+    base co-located — bucket i vs bucket i, zero index-side exchange
+    per trigger — plus only the small post-projection tail. Cadence:
+    at compaction, when the index files get rewritten anyway."""
+    return bucketize_index(
+        block_index_table(table.spark, table), base, ["j", "block"], n_buckets
+    )
+
+
+def cross_batch_hits(probe: DataFrame, frames, max_hamming: int) -> DataFrame:
+    """doc_ids of ``probe`` rows within ``max_hamming`` of any indexed
+    fingerprint: an equi-join on (j, block) per index frame with an
+    inline exact-Hamming verify, unioned across the base+tail frames.
+    Joining each frame separately (not their union) preserves the
+    bucketed base's co-location — a union would re-shuffle the whole
+    index every trigger."""
+    hits = None
+    for fr in frames:
+        h = (
+            probe.alias("a")
+            .join(
+                fr.alias("b"),
+                (F.col("a.j") == F.col("b.j"))
+                & (F.col("a.block") == F.col("b.block")),
+            )
+            .filter(
+                hamming64(
+                    F.col("a.fp_hi"),
+                    F.col("a.fp_lo"),
+                    F.col("b.fp_hi"),
+                    F.col("b.fp_lo"),
+                )
+                <= max_hamming
+            )
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.distinct()
+
+
 def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     Hamming-verified block-collision connected component (singletons
@@ -105,11 +155,19 @@ def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
     return fps.join(losers, "doc_id", "left_anti")
 
 
-def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
+def simhash_batch_writer(
+    table: TxTable,
+    sink_id: str,
+    max_hamming: int = 3,
+    bucketed_base: str | None = None,
+):
     """foreachBatch function: SimHash-near-dup-filter the micro-batch
     against itself and the accepted corpus, then append exactly-once
     (corpus first, block index second — see module docstring for the
-    crash-safety argument)."""
+    crash-safety argument). ``bucketed_base`` names a
+    ``bucketize_block_index`` projection: the cross-batch probe then
+    joins the index base co-located (no index-side shuffle per
+    trigger) plus the post-projection txlog tail."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -132,33 +190,15 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
         # narrow cost — the r41 localCheckpoint reuse, scoped to the
         # batch lifetime
         fps = with_simhash(batch_df).persist()
-        novel = index = None
+        novel = None
         try:
             novel = _batch_representatives(fps, max_hamming)
-            if idx.version() >= 0:
-                index = idx.read().persist()
+            frames = index_frames(idx, bucketed_base)
+            if frames:
                 probe = simhash_block_rows(
                     novel.select("doc_id", *FP_COLS)
                 ).select("doc_id", "j", "block", *FP_COLS)
-                hits = (
-                    probe.alias("a")
-                    .join(
-                        index.alias("b"),
-                        (F.col("a.j") == F.col("b.j"))
-                        & (F.col("a.block") == F.col("b.block")),
-                    )
-                    .filter(
-                        hamming64(
-                            F.col("a.fp_hi"),
-                            F.col("a.fp_lo"),
-                            F.col("b.fp_hi"),
-                            F.col("b.fp_lo"),
-                        )
-                        <= max_hamming
-                    )
-                    .select(F.col("a.doc_id").alias("doc_id"))
-                    .distinct()
-                )
+                hits = cross_batch_hits(probe, frames, max_hamming)
                 novel = novel.join(hits, "doc_id", "left_anti").persist()
             else:
                 novel = novel.persist()
@@ -173,12 +213,10 @@ def simhash_batch_writer(table: TxTable, sink_id: str, max_hamming: int = 3):
             )
         finally:
             # a failed/retried micro-batch must not strand the persisted
-            # fingerprint/index/novel frames in executor memory for the
+            # fingerprint/novel frames in executor memory for the
             # session lifetime
             if novel is not None:
                 novel.unpersist()
-            if index is not None:
-                index.unpersist()
             fps.unpersist()
 
     return process
@@ -193,6 +231,7 @@ def stream_simhash_ingest(
     sink_id: str,
     max_files_per_trigger: int = 1,
     max_hamming: int = 3,
+    bucketed_base: str | None = None,
 ) -> None:
     """Drain a file-source document stream into the SimHash-
     deduplicated accepted-corpus table (AvailableNow: terminates when
@@ -203,7 +242,12 @@ def stream_simhash_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
         .writeStream.foreachBatch(
-            simhash_batch_writer(table, sink_id, max_hamming=max_hamming)
+            simhash_batch_writer(
+                table,
+                sink_id,
+                max_hamming=max_hamming,
+                bucketed_base=bucketed_base,
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

@@ -1,0 +1,205 @@
+"""Bucketed index projections (sources/indexproj.py): base+tail reads
+are exactly the plain txlog read, the streaming SimHash and CDC chunk
+probes drop their index-side exchange against the projection while
+producing identical results, logical rewrites under a projection raise
+instead of serving wrong rows, and compaction stays transparent."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.plans import count_exchanges, join_strategies
+from eeg_data_lake_spark.sources.indexproj import (
+    bucketize_index,
+    index_frames,
+    newest_projection,
+)
+from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+@pytest.fixture()
+def base(spark):
+    name = f"ixp_{uuid.uuid4().hex[:8]}"
+    yield name
+    for tbl in spark.catalog.listTables():
+        if tbl.name.startswith(name):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+
+
+def _union_rows(frames):
+    out = set()
+    for fr in frames:
+        out |= {tuple(r) for r in fr.collect()}
+    return out
+
+
+def test_base_plus_tail_equals_plain_read(spark, tmp_path, base):
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    assert index_frames(idx, base) == [] or True  # projection absent…
+    # …falls back to the plain read
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+
+    name = bucketize_index(idx, base, ["k"], n_buckets=4)
+    assert newest_projection(spark, base) == (name, idx.version())
+    # no tail yet: exactly one (bucketed) frame
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b")}
+
+    # appends after the projection surface as the tail frame
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    idx.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    frames = index_frames(idx, base)
+    assert len(frames) == 2
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+    # re-bucketize folds the tail in and supersedes the old projection
+    name2 = bucketize_index(idx, base, ["k"], n_buckets=4)
+    assert name2 != name
+    assert not spark.catalog.tableExists(name)
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_logical_rewrite_under_projection_raises(spark, tmp_path, base):
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=2)
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    with pytest.raises(ValueError):
+        index_frames(idx, base)
+
+
+def test_compaction_is_transparent_to_the_tail(spark, tmp_path, base):
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=2)
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.compact()
+    frames = index_frames(idx, base)
+    assert _union_rows(frames) == {(1, "a"), (2, "b")}
+
+
+def test_chunk_probe_drops_index_exchange_and_matches(
+    spark, tmp_path, base
+):
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        bucketize_chunk_index,
+        chunk_batch_writer,
+        chunk_index_table,
+    )
+
+    def blobs(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, payload binary")
+
+    shared = bytes(range(256)) * 8
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    b0 = [(1, shared + b"x" * 300), (2, b"y" * 900)]
+    b1 = [(3, b"z" * 200 + shared), (4, b"")]
+    b2 = [(5, shared[100:] + b"w" * 150)]
+
+    plain_w = chunk_batch_writer(plain_t, "p")
+    for i, b in enumerate((b0, b1, b2)):
+        plain_w(blobs(b), i)
+
+    bkt_w = chunk_batch_writer(bkt_t, "b", bucketed_base=base)
+    bkt_w(blobs(b0), 0)
+    bucketize_chunk_index(bkt_t, base, n_buckets=4)
+    bkt_w(blobs(b1), 1)  # probes projection (no tail yet)
+    bkt_w(blobs(b2), 2)  # probes projection + batch-1 tail
+    want = {
+        (r.chunk_md5, r.length)
+        for r in chunk_index_table(spark, plain_t).read().collect()
+    }
+    got = {
+        (r.chunk_md5, r.length)
+        for r in chunk_index_table(spark, bkt_t).read().collect()
+    }
+    assert got == want
+
+    # plan pin: against the projection the index-side exchange is gone
+    from eeg_data_lake_spark.functions.chunking import chunk_rows
+    from eeg_data_lake_spark.streaming.chunkdedup import novel_against
+
+    idx = chunk_index_table(spark, bkt_t)
+    bucketize_chunk_index(bkt_t, base, n_buckets=4)
+    batch_chunks = (
+        chunk_rows(blobs([(9, shared + b"q" * 100)]))
+        .groupBy("chunk_md5")
+        .agg(F.min("length").alias("length"))
+    )
+    plain_probe = novel_against(
+        batch_chunks, [idx.read().hint("merge")]
+    )
+    bkt_frames = index_frames(idx, base)
+    assert len(bkt_frames) == 1  # fresh projection, no tail
+    bkt_probe = novel_against(batch_chunks, bkt_frames)
+    assert "SortMergeJoin" in join_strategies(bkt_probe)
+    assert count_exchanges(bkt_probe) == count_exchanges(plain_probe) - 1
+    assert sorted(r.chunk_md5 for r in bkt_probe.collect()) == sorted(
+        r.chunk_md5 for r in plain_probe.collect()
+    )
+
+
+def test_block_probe_drops_index_exchange_and_matches(
+    spark, tmp_path, base
+):
+    from eeg_data_lake_spark.streaming.simhash import (
+        block_index_table,
+        bucketize_block_index,
+        cross_batch_hits,
+        simhash_batch_writer,
+    )
+    from eeg_data_lake_spark.workload.dedup import (
+        simhash_block_rows,
+        with_simhash,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = [(1, "alpha beta gamma delta epsilon"), (2, "one two three four")]
+    b1 = [
+        (10, "alpha beta gamma delta epsilon"),  # dup of accepted doc 1
+        (11, "red green blue yellow purple"),
+    ]
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    w = simhash_batch_writer(plain_t, "p")
+    w(docs(b0), 0)
+    w(docs(b1), 1)
+
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    wb = simhash_batch_writer(bkt_t, "b", bucketed_base=base)
+    wb(docs(b0), 0)
+    bucketize_block_index(bkt_t, base, n_buckets=4)
+    wb(docs(b1), 1)  # probes the projection
+    assert {r.doc_id for r in bkt_t.read().collect()} == {
+        r.doc_id for r in plain_t.read().collect()
+    } == {1, 2, 11}
+
+    # plan pin on the probe itself
+    idx = block_index_table(spark, bkt_t)
+    bucketize_block_index(bkt_t, base, n_buckets=4)
+    probe = simhash_block_rows(
+        with_simhash(docs([(99, "alpha beta gamma delta epsilon")]))
+        .select("doc_id", "fp_hi", "fp_lo")
+    ).select("doc_id", "j", "block", "fp_hi", "fp_lo")
+    plain_hits = cross_batch_hits(probe, [idx.read().hint("merge")], 3)
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    bkt_hits = cross_batch_hits(probe, frames, 3)
+    assert "SortMergeJoin" in join_strategies(bkt_hits)
+    assert count_exchanges(bkt_hits) == count_exchanges(plain_hits) - 1
+    assert {r.doc_id for r in bkt_hits.collect()} == {
+        r.doc_id for r in plain_hits.collect()
+    } == {99}
