@@ -38,6 +38,21 @@ def write_bucketed(
     files), and Spark only trusts a bucket's sortBy metadata when the
     bucket is a single file — multi-file buckets silently re-insert
     the sort this writer exists to elide."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        # an ORPHANED warehouse dir (a previous session wrote the
+        # files, then died before/without persisting the catalog
+        # entry — the catalog here is session-scoped) would wedge
+        # saveAsTable with LOCATION_ALREADY_EXISTS forever; files
+        # with no catalog entry are unreachable garbage, reclaim them
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(
+                f"{wh.path}/{table.lower()}", ignore_errors=True
+            )
     writer = (
         df.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")

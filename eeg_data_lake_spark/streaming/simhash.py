@@ -107,15 +107,41 @@ def bucketize_block_index(
     )
 
 
-def cross_batch_hits(probe: DataFrame, frames, max_hamming: int) -> DataFrame:
+def cross_batch_hits(
+    probe: DataFrame,
+    frames,
+    max_hamming: int,
+    max_block_df: int | None = None,
+) -> DataFrame:
     """doc_ids of ``probe`` rows within ``max_hamming`` of any indexed
     fingerprint: an equi-join on (j, block) per index frame with an
     inline exact-Hamming verify, unioned across the base+tail frames.
     Joining each frame separately (not their union) preserves the
     bucketed base's co-location — a union would re-shuffle the whole
-    index every trigger."""
+    index every trigger.
+
+    ``max_block_df`` caps the index-side rows per (j, block) bucket:
+    blocks exceeding it are DROPPED from candidate generation — the
+    MAX_SHINGLE_DF policy from the q33 posting-list dedup, for
+    adversarial corpora where many DISTINCT accepted fingerprints
+    share a 16-bit block (templated text). A dropped block trades
+    recall (a pair matching ONLY on that block is missed and its
+    near-dup admitted — the other three blocks still probe), never
+    precision; default None is exact. The degenerate all-zeros block
+    needs no cap: identical fps pre-collapse within-batch and at most
+    one zero-fp doc is ever accepted into the index. On a bucketed
+    base the df aggregation groups on the bucket keys, so the cap
+    itself adds no index-side exchange."""
     hits = None
     for fr in frames:
+        if max_block_df is not None:
+            hot = (
+                fr.groupBy("j", "block")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_block_df)
+                .select("j", "block")
+            )
+            fr = fr.join(hot, ["j", "block"], "left_anti")
         h = (
             probe.alias("a")
             .join(
@@ -141,18 +167,45 @@ def cross_batch_hits(probe: DataFrame, frames, max_hamming: int) -> DataFrame:
 def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     Hamming-verified block-collision connected component (singletons
-    survive as-is). ``fps`` must carry doc_id + FP_COLS."""
+    survive as-is). ``fps`` must carry doc_id + FP_COLS.
+
+    Identical fingerprints are PRE-COLLAPSED to their min-doc_id
+    member before the block join. This is the hot-block skew guard:
+    every degenerate (<3-token / NULL-text) doc maps to fingerprint 0,
+    so a crawl batch with thousands of empty docs would otherwise put
+    thousands of rows into the SAME (j, block) buckets and the
+    candidate join would explode O(n^2) — the planted-skew test pins
+    the bounded shape. The collapse is EXACT, not an approximation:
+    identical fps are mutually Hamming-0, so any component containing
+    one member contains the whole group; a group's min doc_id enters
+    the join carrying the group (it is the group's component minimum),
+    any edge a collapsed member would have contributed exists
+    identically for its representative (same fp -> same blocks, same
+    distances), and the final keep = min(component) is unchanged.
+    (FP_COLS are never NULL — bit-arithmetic over md5 sums, degenerate
+    docs included — so the plain equi-join-back is safe.)"""
+    groups = fps.groupBy(*FP_COLS).agg(F.min("doc_id").alias("doc_id"))
     pairs = simhash_pairs(
-        fps.select("doc_id", *FP_COLS), max_hamming=max_hamming
+        groups.select("doc_id", *FP_COLS), max_hamming=max_hamming
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(pairs, "src", "dst")
     reps = comp.groupBy("component").agg(F.min("node").alias("keep"))
-    losers = (
+    cc_losers = (
         comp.join(reps, "component")
         .filter(F.col("node") != F.col("keep"))
         .select(F.col("node").alias("doc_id"))
     )
-    return fps.join(losers, "doc_id", "left_anti")
+    group_losers = (
+        fps.select("doc_id", *FP_COLS)
+        .join(
+            groups.withColumnRenamed("doc_id", "keep"), list(FP_COLS)
+        )
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    return fps.join(
+        cc_losers.unionByName(group_losers), "doc_id", "left_anti"
+    )
 
 
 def simhash_batch_writer(
@@ -160,6 +213,7 @@ def simhash_batch_writer(
     sink_id: str,
     max_hamming: int = 3,
     bucketed_base: str | None = None,
+    max_block_df: int | None = None,
 ):
     """foreachBatch function: SimHash-near-dup-filter the micro-batch
     against itself and the accepted corpus, then append exactly-once
@@ -198,7 +252,9 @@ def simhash_batch_writer(
                 probe = simhash_block_rows(
                     novel.select("doc_id", *FP_COLS)
                 ).select("doc_id", "j", "block", *FP_COLS)
-                hits = cross_batch_hits(probe, frames, max_hamming)
+                hits = cross_batch_hits(
+                    probe, frames, max_hamming, max_block_df=max_block_df
+                )
                 novel = novel.join(hits, "doc_id", "left_anti").persist()
             else:
                 novel = novel.persist()

@@ -299,3 +299,97 @@ def test_seeded_corpus_blocks_backfilled_before_first_probe(
     writer(batch, 0)
     assert {r.doc_id for r in table.read().collect()} == {1, 101}
     assert idx.read().count() == n_rows
+
+
+def test_planted_degenerate_skew_bounded_and_exact(spark, tmp_path):
+    """Thousands of degenerate (<3-token) docs all map to fingerprint
+    0 and land in the SAME Manku blocks — the hot-block skew. The
+    identical-fp pre-collapse must keep the batch join bounded (the
+    block index never accumulates the zero block: at most one zero-fp
+    doc is ever accepted) while staying EXACT: kept = min doc_id of
+    each component, same as the exhaustive reference."""
+    n_degen = 2000
+    rows = [(i, "x" if i % 2 else "", "en", "s", 1) for i in range(n_degen)]
+    rows += [
+        (5000, "alpha beta gamma delta epsilon", "en", "s", 30),
+        (5001, "one two three four five six", "en", "s", 27),
+        (5002, "alpha beta gamma delta epsilon", "en", "s", 30),
+    ]
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    writer = simhash_batch_writer(table, sink_id="skew")
+    writer(spark.createDataFrame(rows, SCHEMA), 0)
+    accepted = {r.doc_id for r in table.read().collect()}
+    # every degenerate doc collapses to doc 0; 5002 loses to 5000
+    assert accepted == {0, 5000, 5001}
+
+    # the index holds 4 block rows per ACCEPTED doc only — the
+    # degenerate hot block is bounded at one doc's rows forever
+    idx = block_index_table(spark, table)
+    zero_rows = (
+        idx.read()
+        .filter((F.col("fp_hi") == 0) & (F.col("fp_lo") == 0))
+        .count()
+    )
+    assert zero_rows == 4
+    assert idx.read().count() == 12
+
+    # a later degenerate flood is rejected wholesale by the probe
+    # against those 4 rows, never re-growing the block
+    flood = [
+        (10_000 + i, "", "en", "s", 0) for i in range(500)
+    ] + [(20_000, "seven eight nine ten eleven twelve", "en", "s", 33)]
+    writer(spark.createDataFrame(flood, SCHEMA), 1)
+    assert {r.doc_id for r in table.read().collect()} == {
+        0, 5000, 5001, 20_000,
+    }
+    assert idx.read().count() == 16
+
+
+def test_identical_fp_collapse_matches_exhaustive_reference(spark, tmp_path):
+    """Mixed batch (degenerate group + real texts with planted exact
+    copies) must equal the exhaustive all-pairs union-find reference —
+    the pre-collapse is an optimization, not a semantics change."""
+    texts = [
+        (0, ""), (1, ""), (2, "y"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),
+        (5, "one two three four five"),
+        (6, "red green blue cyan magenta"),
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts]
+    df = spark.createDataFrame(rows, SCHEMA)
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    simhash_batch_writer(table, sink_id="mix")(df, 0)
+    got = {r.doc_id for r in table.read().collect()}
+    fp_rows = [with_simhash(df).select("doc_id", "fp_hi", "fp_lo").collect()]
+    assert got == _reference_accept(fp_rows)
+
+
+def test_hot_block_cap_drops_only_capped_blocks(spark):
+    """max_block_df drops over-populated (j, block) buckets from
+    candidate generation (recall-only trade); blocks under the cap
+    keep probing."""
+    from eeg_data_lake_spark.streaming.simhash import cross_batch_hits
+
+    # 50 distinct indexed fps share block (j=3, 1): fp_lo = 1 + k<<16
+    # differs in the j=2 block only
+    idx_rows = [(100 + k, 0, (k << 16) | 1, 3, 1) for k in range(50)]
+    # one more indexed fp reachable through an UNcapped block
+    idx_rows.append((999, 0, (7 << 16) | 2, 3, 2))
+    idx = spark.createDataFrame(
+        idx_rows, "doc_id long, fp_hi long, fp_lo long, j int, block int"
+    )
+    probe = spark.createDataFrame(
+        [
+            # within hamming 3 of doc 100 (fp_lo 1 vs 1): matches only
+            # via the capped block (j=3, 1)
+            (1, 0, 1, 3, 1),
+            # exact match of doc 999 via the uncapped (j=3, 2) block
+            (2, 0, (7 << 16) | 2, 3, 2),
+        ],
+        "doc_id long, fp_hi long, fp_lo long, j int, block int",
+    )
+    uncapped = cross_batch_hits(probe, [idx], 3)
+    assert {r.doc_id for r in uncapped.collect()} == {1, 2}
+    capped = cross_batch_hits(probe, [idx], 3, max_block_df=10)
+    assert {r.doc_id for r in capped.collect()} == {2}
