@@ -47,10 +47,19 @@ Two further Delta behaviors are implemented on top of the same log:
   detection) instead of blindly retrying.
 
 Scale notes: the log is O(commits) tiny JSON files and each commit is
-O(files touched) — never proportional to table size. Readers list one
-directory and read one JSON per version replay; at real scale you'd
-checkpoint the log periodically exactly as Delta does (not needed at
-test scale, noted for parity).
+O(files touched) — never proportional to table size.
+
+- **Log checkpointing.** Delta's ``_last_checkpoint`` pattern: every
+  ``CHECKPOINT_INTERVAL`` commits the writer rolls the folded state
+  (live files, txn ids, stats) into an atomically-renamed
+  ``_txlog/_checkpoint-<version>.json``, and every replay seeds from
+  the newest usable rollup and opens only the manifest TAIL after it
+  — table open is O(tail), not O(versions), which is what keeps a
+  thousands-of-commits streaming table's read() from becoming a
+  driver-side metadata scan. Time travel below a rollup falls back to
+  older rollups or a from-scratch fold (manifests are never deleted),
+  and a crash anywhere around the rollup write is harmless — the
+  rollup is an accelerator, never the source of truth.
 """
 
 from __future__ import annotations
@@ -59,6 +68,7 @@ import datetime
 import json
 import operator
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -192,10 +202,13 @@ def _parse_iso_utc(s: str) -> datetime.datetime:
 
 
 def iter_manifests(path: str):
-    """(version, manifest_path) in version order for a txlog table."""
+    """(version, manifest_path) in version order for a txlog table.
+    Only all-digit names are commit manifests — `_checkpoint-*.json`
+    rollups and `.tmp-*` scratch live in the same dir and are not
+    part of the logical log."""
     log_dir = os.path.join(path, "_txlog")
     for n in sorted(os.listdir(log_dir)):
-        if n.endswith(".json"):
+        if n.endswith(".json") and n[:-5].isdigit():
             yield int(n[:-5]), os.path.join(log_dir, n)
 
 
@@ -274,13 +287,108 @@ class TxTable:
 
     # ------------------------------------------------------------- log
 
+    #: Auto-write a rolled-up checkpoint every N commits (Delta's
+    #: `_last_checkpoint` pattern). Without it, every table open folds
+    #: the FULL manifest history — O(versions) driver-side JSON reads,
+    #: which at a 100 TB streaming cadence (thousands of commits) turns
+    #: each read() into a metadata scan. Class attribute so tests and
+    #: unusual deployments can tune it per subclass/instance.
+    CHECKPOINT_INTERVAL = 16
+
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for n in os.listdir(self.log_dir):
+            m = re.fullmatch(r"_checkpoint-(\d{8})\.json", n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _load_checkpoint(self, upto: int | None) -> _LogState | None:
+        """The newest rollup at or below ``upto`` (any, if None)."""
+        usable = [
+            v
+            for v in self._checkpoint_versions()
+            if upto is None or v <= upto
+        ]
+        if not usable:
+            return None
+        p = os.path.join(
+            self.log_dir, f"_checkpoint-{usable[-1]:08d}.json"
+        )
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except FileNotFoundError:
+            # pruned between listing and open (concurrent writer) —
+            # fold from the manifests instead
+            return None
+        return _LogState(
+            d["version"], d["files"], set(d["txn_ids"]), d["stats"]
+        )
+
+    def _write_checkpoint(self, state: _LogState) -> None:
+        """Atomically persist the folded state at ``state.version``
+        (tmp + fsync + rename — a crash mid-write never leaves a
+        partial rollup visible) and prune all but the newest two
+        rollups (older ones only accelerate deep time travel, which
+        falls back to folding manifests — always correct, manifests
+        are never deleted)."""
+        tmp = os.path.join(
+            self.log_dir, f".ckpt-tmp-{uuid.uuid4().hex[:12]}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": state.version,
+                    "files": state.files,
+                    "txn_ids": sorted(state.txn_ids),
+                    "stats": state.stats,
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(
+            tmp,
+            os.path.join(
+                self.log_dir, f"_checkpoint-{state.version:08d}.json"
+            ),
+        )
+        for v in self._checkpoint_versions()[:-2]:
+            try:
+                os.unlink(
+                    os.path.join(self.log_dir, f"_checkpoint-{v:08d}.json")
+                )
+            except FileNotFoundError:
+                pass  # a concurrent writer pruned it first
+
+    def checkpoint(self) -> int:
+        """Explicitly roll the log up at the current version (the
+        auto-cadence is CHECKPOINT_INTERVAL). Returns the
+        checkpointed version; no-op at -1 (empty table)."""
+        state = self._replay()
+        if state.version >= 0:
+            self._write_checkpoint(state)
+        return state.version
+
     def _replay(self, upto: int | None = None) -> _LogState:
-        """Fold the manifest actions into (live files, seen txns)."""
-        files: list[str] = []
-        txns: set[str] = set()
-        stats: dict[str, dict] = {}
-        version = -1
+        """Fold the manifest actions into (live files, seen txns),
+        seeding from the newest usable checkpoint so only the manifest
+        TAIL after it is opened — open cost is O(tail), not
+        O(versions) (pinned by a files-read assertion in
+        tests/test_txlog_checkpoint.py)."""
+        seed = self._load_checkpoint(upto)
+        if seed is not None:
+            files = list(seed.files)
+            txns = set(seed.txn_ids)
+            stats = dict(seed.stats)
+            version = seed.version
+        else:
+            files, txns, stats = [], set(), {}
+            version = -1
         for v, manifest_path in self._manifests():
+            if v <= version:
+                continue  # covered by the checkpoint — never opened
             if upto is not None and v > upto:
                 break
             with open(manifest_path) as fh:
@@ -433,7 +541,26 @@ class TxTable:
                 os.fsync(fh.fileno())
             try:
                 os.link(tmp, target)  # atomic create-exclusive
-                return state.version + 1
+                new_version = state.version + 1
+                if (
+                    new_version > 0
+                    and new_version % self.CHECKPOINT_INTERVAL == 0
+                ):
+                    # roll up the state we already hold folded — no
+                    # extra replay. Crash before the rename is
+                    # harmless: the commit stands, the rollup is only
+                    # an accelerator and the next interval writes one.
+                    live = (set(state.files) - set(remove)) | set(add)
+                    new_stats = {**state.stats, **stats}
+                    self._write_checkpoint(
+                        _LogState(
+                            new_version,
+                            sorted(live),
+                            state.txn_ids | ({txn_id} if txn_id else set()),
+                            {f: s for f, s in new_stats.items() if f in live},
+                        )
+                    )
+                return new_version
             except FileExistsError:
                 continue  # lost the race — re-read the log, try again
             finally:
