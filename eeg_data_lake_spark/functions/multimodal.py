@@ -448,6 +448,284 @@ def pcm_frame_rms(
     return df.select(id_col, payload_col).mapInPandas(fn, PCM_FRAME_SCHEMA)
 
 
+# ------------------------------------------------ WAV/RIFF container
+
+#: canonical PCM16 WAV header size this module writes (RIFF + fmt + data)
+WAV_HEADER_BYTES = 44
+
+#: schema of the per-document WAV feature rows (decode_wav_features)
+WAV_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_frames long, "
+    "rms double, peak int"
+)
+
+
+def encode_wav(
+    pcm: bytes, n_channels: int = 1, sample_rate: int = 16000
+) -> bytes:
+    """Wrap raw PCM16LE bytes in a canonical RIFF/WAVE container
+    (16-byte PCM fmt chunk, then the data chunk — the 44-byte layout
+    every minimal WAV writer produces). Trailing bytes that do not
+    fill a whole frame (2 bytes x channels) are dropped, as an audio
+    writer would. Used to build deterministic WAV fixtures the DuckDB
+    oracle can re-derive arithmetically (data bytes == truncated
+    source bytes at a fixed 44-byte offset)."""
+    import struct
+
+    block = 2 * n_channels
+    data = pcm[: len(pcm) // block * block]
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            n_channels,
+            sample_rate,
+            sample_rate * block,
+            block,
+            16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav(raw: bytes) -> tuple[int, int, bytes]:
+    """STRICT RIFF/WAVE parser → (n_channels, sample_rate, pcm bytes).
+
+    Walks the chunk list (word-aligned: odd-sized chunks are padded),
+    accepts extra chunks (LIST/INFO etc.) by skipping them, and raises
+    ValueError — never returns garbage — on every malformation class a
+    crawl actually ships: short/missing RIFF or WAVE magic, a declared
+    RIFF size exceeding the payload (truncated file), a chunk body cut
+    short, missing fmt/data chunks, non-PCM format codes (compressed
+    WAV needs a real codec — refuse, don't misread), bit depths other
+    than 16, zero channels, and a block-align inconsistent with the
+    declared layout. The errors feed ``with_wav_status`` → the z21
+    expectations quarantine, the same path corrupt PNGs take.
+    Reference capability: the reference decodes arbitrary containers
+    via PIL/torchaudio (/root/reference/test_train.py:66-93); this is
+    the dependency-free container half with the PCM codec real."""
+    import struct
+
+    if len(raw) < 12:
+        raise ValueError("WAV: truncated RIFF header")
+    if raw[0:4] != b"RIFF":
+        raise ValueError("WAV: missing RIFF magic")
+    declared = struct.unpack("<I", raw[4:8])[0]
+    if declared + 8 > len(raw):
+        raise ValueError(
+            f"WAV: RIFF declares {declared + 8} bytes but payload has "
+            f"{len(raw)} — truncated"
+        )
+    if raw[8:12] != b"WAVE":
+        raise ValueError("WAV: not a WAVE form")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(body)} available — truncated"
+            )
+        if cid == b"fmt " and fmt is None:
+            fmt = body
+        elif cid == b"data" and data is None:
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV: missing fmt chunk")
+    if data is None:
+        raise ValueError("WAV: missing data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV: fmt chunk too short")
+    audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = (
+        struct.unpack("<HHIIHH", fmt[:16])
+    )
+    if audio_format != 1:
+        raise ValueError(
+            f"WAV: unsupported format code {audio_format} (PCM=1 only)"
+        )
+    if bits != 16:
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    if n_channels < 1:
+        raise ValueError("WAV: zero channels")
+    if block_align != 2 * n_channels:
+        raise ValueError(
+            f"WAV: block align {block_align} inconsistent with "
+            f"{n_channels} x 16-bit channels"
+        )
+    return n_channels, sample_rate, data
+
+
+def decode_wav_samples(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse + decode: (n_channels, sample_rate, samples[frame, ch])
+    — the de-interleaved frame matrix real audio code consumes.
+    Raises ValueError on malformed containers (parse_wav)."""
+    n_channels, sample_rate, data = parse_wav(raw)
+    v = decode_pcm_samples(data)
+    frames = v.size // n_channels
+    return (
+        n_channels,
+        sample_rate,
+        v[: frames * n_channels].reshape(frames, n_channels),
+    )
+
+
+def decode_wav_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Container-aware audio features: parse the RIFF/WAVE header
+    (channels, sample rate), decode the data chunk as PCM16LE, and
+    emit per-document (n_channels, sample_rate, n_frames, rms, peak).
+    Same exact-integer-sum discipline as decode_pcm_features so the
+    DuckDB oracle hash-matches bit for bit. Documents whose container
+    fails to parse, or with zero whole frames, are SKIPPED here —
+    route them through ``with_wav_status`` + the expectations
+    quarantine when they must be accounted for, not dropped (z27).
+    Narrow Arrow-batched mapInPandas — no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    ch, rate, frames = decode_wav_samples(raw)
+                except ValueError:
+                    continue
+                if frames.shape[0] == 0:
+                    continue
+                v = frames.reshape(-1)
+                out.append(
+                    (
+                        doc_id,
+                        ch,
+                        rate,
+                        int(frames.shape[0]),
+                        float(np.sqrt(int(np.sum(v * v)) / v.size)),
+                        int(np.max(np.abs(v))),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "n_frames",
+                    "rms", "peak",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, WAV_SCHEMA)
+
+
+def with_wav_status(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """``wav_ok boolean`` + ``wav_err string`` from the strict
+    RIFF/WAVE parser — the audio twin of ``with_decode_status``:
+    feed the boolean to ``operators/expectations.enforce(
+    mode='quarantine')`` so malformed containers land tagged with the
+    parser's own error text instead of being silently skipped."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("wav_ok", T.BooleanType()),
+            T.StructField("wav_err", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, err = [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    parse_wav(raw)
+                    ok.append(True)
+                    err.append(None)
+                except ValueError as exc:
+                    ok.append(False)
+                    err.append(str(exc))
+            pdf = pdf.copy()
+            pdf["wav_ok"] = ok
+            pdf["wav_err"] = err
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic WAV fixture corpus: each document's payload is a
+    canonical RIFF/WAVE file whose PCM data is the UTF-8 text bytes
+    (truncated to whole frames) — stereo at 8 kHz for ``id % 3 == 0``,
+    mono at 16 kHz otherwise, so channel handling is exercised and a
+    DuckDB oracle re-derives everything from doc_id arithmetic plus
+    the same hex decoding the r45 oracle uses (the data chunk is the
+    text bytes at a fixed 44-byte offset). NULL text becomes a valid
+    zero-frame file."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                d = int(doc_id)
+                pcm = (text or "").encode("utf-8")
+                if d % 3 == 0:
+                    out.append((d, encode_wav(pcm, 2, 8000)))
+                else:
+                    out.append((d, encode_wav(pcm, 1, 16000)))
+            yield pd.DataFrame(out, columns=[id_col, "payload"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, payload binary"
+    )
+
+
+def plant_wav_corruption(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministically malform a SQL-expressible slice of WAV
+    payloads (the z27 planted-fault fixture):
+
+    - ``id % 5 == 1`` → payload truncated to 20 bytes (the RIFF size
+      check must flag the cut file);
+    - ``id % 5 == 3`` → the fmt chunk's format code bytes become
+      0xAA55 (a compressed/unknown codec the parser must refuse);
+    - everything else untouched.
+
+    Membership is pure doc_id arithmetic, so the z27 oracle re-derives
+    expected quarantine counts with no parser at all."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                raw = bytes(payload) if payload is not None else b""
+                if d % 5 == 1:
+                    raw = raw[:20]
+                elif d % 5 == 3 and len(raw) >= 22:
+                    raw = raw[:20] + b"\x55\xaa" + raw[22:]
+                out.append((d, raw))
+            yield pd.DataFrame(out, columns=[id_col, payload_col])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, f"{id_col} long, {payload_col} binary"
+    )
+
+
 def dhash64(img: np.ndarray) -> int:
     """Difference hash (dHash) of a pixel grid: resize to 8×9 with the
     REAL bilinear kernel, then bit k = 1 iff pixel[row][col] >

@@ -570,6 +570,133 @@ def z21_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "z26_wav_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb,
+             CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch
+      FROM documents
+    ), lim AS (
+      SELECT doc_id, h, ch,
+             CAST(floor(nb / (2 * ch)) AS BIGINT)      AS n_frames,
+             CAST(floor(nb / (2 * ch)) * ch AS BIGINT) AS n
+      FROM p
+    ), idx AS (
+      SELECT doc_id, ch, n_frames, n, h,
+             CAST(unnest(range(n)) AS BIGINT) AS i
+      FROM lim WHERE n >= 1
+    ), raw AS (
+      SELECT doc_id, ch, n_frames, i,
+             (strpos('0123456789ABCDEF', substr(h, i*4 + 1, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, i*4 + 2, 1)) - 1 AS lo,
+             (strpos('0123456789ABCDEF', substr(h, i*4 + 3, 1)) - 1) * 16
+               + strpos('0123456789ABCDEF', substr(h, i*4 + 4, 1)) - 1 AS hi
+      FROM idx
+    ), v AS (
+      SELECT doc_id, ch, n_frames,
+             CAST(lo + 256*hi
+                  - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS BIGINT) AS s
+      FROM raw
+    )
+    SELECT doc_id,
+           CAST(max(ch) AS INTEGER) AS n_channels,
+           CAST(CASE WHEN max(ch) = 2 THEN 8000 ELSE 16000 END
+                AS INTEGER) AS sample_rate,
+           max(n_frames) AS n_frames,
+           round(sqrt(sum(s*s) / count(*)), 6) AS rms,
+           CAST(max(abs(s)) AS INTEGER) AS peak
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "wav", "pandas-udf"),
+)
+def z26_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF CONTAINER support on the audio path (r5 verdict task
+    5): r45/r46 decode raw PCM16LE, but real corpora ship WAV, so this
+    parses the RIFF header (fmt/data chunk walk, mono/stereo, sample
+    rate — functions/multimodal.parse_wav), decodes the data chunk
+    with the same real PCM codec, and emits container-aware features
+    (channels, rate, whole frames, RMS, peak), hash-checked against a
+    DuckDB twin. The fixture corpus (attach_wav_payload) wraps each
+    document's UTF-8 bytes in a canonical 44-byte-header WAV — stereo
+    8 kHz for id % 3 == 0, mono 16 kHz otherwise — so the oracle
+    re-derives every feature from doc_id arithmetic + the r45 hex
+    sample math, frame truncation included. Reference capability:
+    PIL/torchaudio container decode at
+    /root/reference/test_train.py:66-93. Narrow mapInPandas, no
+    shuffle; 100 TB of audio streams through executors batch by
+    batch."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_wav_payload,
+        decode_wav_features,
+    )
+
+    d = attach_wav_payload(t(spark, sf_dir, "documents"))
+    out = decode_wav_features(d)
+    return out.select(
+        "doc_id", "n_channels", "sample_rate", "n_frames",
+        F.round("rms", 6).alias("rms"), "peak",
+    )
+
+
+@register(
+    "z27_wav_quarantine",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 1 THEN 'quarantined:wav_parses:truncated'
+                  WHEN doc_id % 5 = 3 THEN 'quarantined:wav_parses:format'
+                  ELSE 'passed' END AS bucket
+      FROM documents
+    )
+    SELECT bucket, count(*) AS n FROM c GROUP BY bucket
+    """,
+    tags=("multimodal", "audio", "wav", "quarantine", "pandas-udf"),
+)
+def z27_wav_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed WAV containers through the z21 quarantine path: the
+    fixture plants two fault classes by pure doc_id arithmetic
+    (plant_wav_corruption: id % 5 == 1 truncates the file to 20 bytes
+    — the RIFF size check must flag it; id % 5 == 3 rewrites the fmt
+    format code to a compressed/unknown codec the strict parser must
+    refuse), ``with_wav_status`` surfaces the parser's ValueError per
+    row, and ``expectations.enforce(mode='quarantine')`` splits
+    pass/quarantine with rule tags. Buckets embed rule + error class,
+    so the arithmetic-only DuckDB oracle verifies every planted fault
+    was caught AND correctly classified. Same narrow fused-map plan
+    as z21 — the only exchange is the final 3-group count."""
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_wav_payload,
+        plant_wav_corruption,
+        with_wav_status,
+    )
+    from eeg_data_lake_spark.operators.expectations import enforce
+
+    d = attach_wav_payload(t(spark, sf_dir, "documents"))
+    planted = plant_wav_corruption(d)
+    st = with_wav_status(planted)
+    passed, quar = enforce(
+        st, {"wav_parses": F.col("wav_ok")}, mode="quarantine"
+    )
+    p = passed.select(F.lit("passed").alias("bucket"))
+    q = quar.select(
+        F.concat(
+            F.lit("quarantined:"),
+            F.col("_failed_rules")[0],
+            F.lit(":"),
+            F.when(F.col("wav_err").contains("truncated"), "truncated")
+            .when(F.col("wav_err").contains("format code"), "format")
+            .otherwise("other"),
+        ).alias("bucket")
+    )
+    return (
+        p.unionByName(q)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "z23_cdc_chunk_dedup",
     tags=("multimodal", "dedup", "binary", "cdc"),
 )

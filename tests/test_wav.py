@@ -1,0 +1,122 @@
+"""RIFF/WAVE container: encode/parse round-trip, stereo
+de-interleaving, chunk-walk robustness (padding, extra chunks), every
+malformation class raising with a classifiable message, and the
+quarantine plumbing end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from eeg_data_lake_spark.functions.multimodal import (
+    WAV_HEADER_BYTES,
+    decode_wav_samples,
+    encode_wav,
+    parse_wav,
+    with_wav_status,
+)
+
+
+def _pcm(values):
+    return np.asarray(values, dtype="<i2").tobytes()
+
+
+def test_encode_parse_roundtrip_mono():
+    pcm = _pcm([0, 100, -100, 32767, -32768])
+    raw = encode_wav(pcm, 1, 16000)
+    assert len(raw) == WAV_HEADER_BYTES + len(pcm)
+    ch, rate, data = parse_wav(raw)
+    assert (ch, rate, data) == (1, 16000, pcm)
+
+
+def test_stereo_deinterleave_and_frame_truncation():
+    # 2 whole stereo frames + one trailing odd sample (dropped)
+    pcm = _pcm([10, -20, 30, -40, 99])
+    raw = encode_wav(pcm, 2, 8000)
+    ch, rate, frames = decode_wav_samples(raw)
+    assert (ch, rate) == (2, 8000)
+    assert frames.tolist() == [[10, -20], [30, -40]]
+
+
+def test_extra_chunks_and_odd_padding_are_skipped():
+    pcm = _pcm([1, 2, 3])
+    base = encode_wav(pcm, 1, 44100)
+    fmt_and_later = base[12:]
+    # insert an odd-sized LIST chunk (5 bytes + 1 pad) before fmt
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    raw = (
+        b"RIFF"
+        + struct.pack("<I", len(fmt_and_later) + 4 + len(extra))
+        + b"WAVE"
+        + extra
+        + fmt_and_later
+    )
+    ch, rate, data = parse_wav(raw)
+    assert (ch, rate, data) == (1, 44100, pcm)
+
+
+@pytest.mark.parametrize(
+    "mangle, needle",
+    [
+        (lambda r: r[:8], "truncated"),                     # short header
+        (lambda r: b"JUNK" + r[4:], "RIFF magic"),          # bad magic
+        (lambda r: r[:20], "truncated"),                    # cut mid-file
+        (lambda r: r[:8] + b"AVI " + r[12:], "WAVE form"),  # wrong form
+        (lambda r: r[:20] + b"\x55\xaa" + r[22:], "format code"),
+        (lambda r: r[:34] + struct.pack("<H", 8) + r[36:], "bit depth"),
+        (lambda r: r[:22] + struct.pack("<H", 0) + r[24:], "zero channels"),
+        # data chunk declaring more bytes than remain
+        (
+            lambda r: r[:40] + struct.pack("<I", 10_000) + r[44:],
+            "truncated",
+        ),
+    ],
+)
+def test_malformations_raise_with_classifiable_message(mangle, needle):
+    raw = mangle(encode_wav(_pcm([5, 6, 7]), 1, 16000))
+    with pytest.raises(ValueError, match=needle):
+        parse_wav(raw)
+
+
+def test_missing_fmt_or_data_chunk():
+    pcm = _pcm([1])
+    base = encode_wav(pcm, 1, 16000)
+    no_data = base[:36]  # RIFF+fmt only
+    no_data = b"RIFF" + struct.pack("<I", 28) + no_data[8:]
+    with pytest.raises(ValueError, match="missing data chunk"):
+        parse_wav(no_data)
+    # data chunk but no fmt
+    data_only = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(pcm)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    with pytest.raises(ValueError, match="missing fmt chunk"):
+        parse_wav(data_only)
+
+
+def test_block_align_mismatch_refused():
+    raw = bytearray(encode_wav(_pcm([1, 2]), 1, 16000))
+    raw[32:34] = struct.pack("<H", 6)  # block_align != 2 * channels
+    with pytest.raises(ValueError, match="block align"):
+        parse_wav(bytes(raw))
+
+
+def test_zero_frame_file_is_valid():
+    raw = encode_wav(b"", 1, 16000)
+    ch, rate, frames = decode_wav_samples(raw)
+    assert (ch, rate, frames.shape) == (1, 16000, (0, 1))
+
+
+def test_with_wav_status_tags_rows(spark):
+    good = encode_wav(_pcm([1, 2, 3, 4]), 2, 8000)
+    rows = [(1, good), (2, good[:20]), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.wav_ok, r.wav_err)
+        for r in with_wav_status(df).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2][0] is False and "truncated" in got[2][1]
+    assert got[3][0] is False  # NULL payload is not a WAV
