@@ -1,6 +1,8 @@
 """Streaming ANN index maintenance: cells match the batch assignment,
 probes prune files via txlog stats, probe results equal a brute-force
-rescan of the probed cells, and replayed batches are no-ops."""
+rescan of the probed cells, replayed batches are no-ops, and the
+adaptive (mini-batch k-means refreshed) variant holds a recall floor
+under a planted embedding drift where the fixed quantizer fails it."""
 
 from __future__ import annotations
 
@@ -10,9 +12,14 @@ from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.annindex import (
+    adaptive_index_batch_writer,
     cell_of,
+    centroid_table,
     index_batch_writer,
+    init_centroid_set,
+    latest_centroid_set,
     probe_topk,
+    probe_topk_adaptive,
 )
 from eeg_data_lake_spark.workload.similarity import as_double, dot, l2norm
 
@@ -138,3 +145,170 @@ def test_text_to_index_to_retrieval_end_to_end(spark, tmp_path):
     assert top[0].vec_id == 1, top
     assert top[0].cosine > 0.8, top
     assert top[1].cosine < top[0].cosine - 0.2, top
+
+
+# ------------------------------------------- adaptive centroid refresh
+
+DRIFT_T = 6        # micro-batches; cluster centers migrate A -> B over T
+DRIFT_PER = 8      # vectors per cluster per batch
+DRIFT_SIGMA = 0.3
+DRIFT_SCALE = 3.0
+
+
+def _drift_center(i: int, t: int) -> np.ndarray:
+    """Cluster i's center after t of DRIFT_T steps: starts at
+    SCALE*e_i (subspace A, dims 0..7) and migrates linearly to
+    SCALE*e_{8+i} (the ORTHOGONAL subspace B, dims 8..15). At t=T the
+    initial quantizer's dot products against the data are pure noise —
+    assignment and probe ranking decorrelate completely — while
+    per-batch movement (SCALE*sqrt(2)/T ~ 0.7) stays far below the
+    inter-cluster separation (>= 3), so a tracking quantizer keeps
+    coherent cells throughout."""
+    c = np.zeros(DIM)
+    s = t / DRIFT_T
+    c[i] = DRIFT_SCALE * (1 - s)
+    c[8 + i] = DRIFT_SCALE * s
+    return c
+
+
+def _drift_batches():
+    rng = np.random.default_rng(42)
+    out = []
+    for t in range(1, DRIFT_T + 1):
+        rows = []
+        for i in range(K_CELLS):
+            c = _drift_center(i, t)
+            for j in range(DRIFT_PER):
+                v = c + rng.standard_normal(DIM) * DRIFT_SIGMA
+                rows.append(
+                    (int(t * 1000 + i * 100 + j), [float(x) for x in v])
+                )
+        out.append(rows)
+    return out
+
+
+def _drift_init_cents():
+    return [_drift_center(i, 0).tolist() for i in range(K_CELLS)]
+
+
+def test_adaptive_tracks_drift_where_fixed_fails(spark, tmp_path):
+    """The round-6 recall gate: same drifting stream into a FIXED
+    index and an ADAPTIVE one; queries at the post-drift positions.
+    The fixed quantizer's recall@5 collapses to ~nprobe/K (cell
+    assignment and probe ranking are independent noise once the data
+    left its subspace); the refreshed quantizer tracks the migration
+    and stays at ~1.0."""
+    init_cents = _drift_init_cents()
+    fixed = TxTable(spark, str(tmp_path / "fixed"))
+    adapt = TxTable(spark, str(tmp_path / "adapt"))
+    fw = index_batch_writer(fixed, init_cents, "fix")
+    init_centroid_set(centroid_table(spark, adapt), init_cents)
+    aw = adaptive_index_batch_writer(adapt, "ada", count_cap=2 * DRIFT_PER)
+
+    batches = _drift_batches()
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        fw(df, bid)
+        aw(df, bid)
+
+    # the quantizer followed the drift: every refreshed centroid ends
+    # far closer to its cluster's final center than to any other
+    cs, cents, counts = latest_centroid_set(centroid_table(spark, adapt))
+    assert cs == DRIFT_T  # one generation per batch
+    assert all(n == DRIFT_T * DRIFT_PER for n in counts)
+    C = np.asarray(cents)
+    for i in range(K_CELLS):
+        d = np.linalg.norm(C - _drift_center(i, DRIFT_T), axis=1)
+        assert d.argmin() == i and d[i] < 2.0, (i, d.round(2))
+
+    all_rows = [r for b in batches for r in b]
+    M = np.array([v for _, v in all_rows])
+    ids = np.array([i for i, _ in all_rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    qrng = np.random.default_rng(7)
+    n_q, k_top, nprobe = 8, 5, 2
+    rec_fixed, rec_adapt = [], []
+    for qi in range(n_q):
+        q = _drift_center(qi % K_CELLS, DRIFT_T) + (
+            qrng.standard_normal(DIM) * DRIFT_SIGMA
+        )
+        qn = q / np.linalg.norm(q)
+        truth = set(ids[np.argsort(-(Mn @ qn))[:k_top]].tolist())
+        got_f = {
+            r.vec_id
+            for r in probe_topk(
+                fixed, q.tolist(), init_cents, nprobe=nprobe, k=k_top
+            ).collect()
+        }
+        got_a = {
+            r.vec_id
+            for r in probe_topk_adaptive(
+                adapt, q.tolist(), nprobe=nprobe, k=k_top
+            ).collect()
+        }
+        rec_fixed.append(len(got_f & truth) / k_top)
+        rec_adapt.append(len(got_a & truth) / k_top)
+    # measured at these seeds: fixed 0.25, adaptive 1.00
+    assert np.mean(rec_adapt) >= 0.9, rec_adapt
+    assert np.mean(rec_fixed) <= 0.6, rec_fixed
+
+
+def test_adaptive_replay_and_crash_window(spark, tmp_path):
+    """Exactly-once for the two-legged adaptive writer: a clean replay
+    is a no-op on BOTH tables, and a crash between the corpus and
+    centroid legs replays to the IDENTICAL state an uncrashed run
+    produces (the centroid derivation re-runs against the same
+    latest set because centroid commits are strictly ordered behind
+    their corpus commits)."""
+    init_cents = _drift_init_cents()
+    batches = _drift_batches()[:2]
+
+    def run(name: str, crash_batch: int | None):
+        tbl = TxTable(spark, str(tmp_path / name))
+        init_centroid_set(centroid_table(spark, tbl), init_cents)
+        aw = adaptive_index_batch_writer(tbl, "ada", count_cap=16)
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            )
+            if bid == crash_batch:
+                real_append = TxTable.append
+
+                def bomb(self, *a, **k):
+                    if self.path.endswith("_centroids"):
+                        raise RuntimeError("injected crash between legs")
+                    return real_append(self, *a, **k)
+
+                TxTable.append = bomb
+                try:
+                    with pytest.raises(RuntimeError, match="injected"):
+                        aw(df, bid)
+                finally:
+                    TxTable.append = real_append
+            aw(df, bid)  # the (re)play that must land / complete
+        return tbl
+
+    clean = run("clean", None)
+    crashed = run("crashed", 1)
+
+    def state(tbl):
+        corpus = sorted(
+            map(tuple, tbl.read().select("vec_id", "cell", "cset").collect())
+        )
+        cs, cents, counts = latest_centroid_set(centroid_table(spark, tbl))
+        return corpus, cs, np.asarray(cents), counts
+
+    corpus_c, cs_c, cents_c, counts_c = state(clean)
+    corpus_x, cs_x, cents_x, counts_x = state(crashed)
+    assert corpus_c == corpus_x and cs_c == cs_x == 2
+    assert counts_c == counts_x
+    np.testing.assert_allclose(cents_c, cents_x)
+
+    # clean replay after the fact: no-op on both tables
+    v, cv = clean.version(), centroid_table(spark, clean).version()
+    aw2 = adaptive_index_batch_writer(clean, "ada", count_cap=16)
+    df = spark.createDataFrame(batches[1], "vec_id long, embedding array<double>")
+    aw2(df, 1)
+    assert clean.version() == v
+    assert centroid_table(spark, clean).version() == cv
