@@ -44,15 +44,47 @@ def write_bucketed(
         # files, then died before/without persisting the catalog
         # entry — the catalog here is session-scoped) would wedge
         # saveAsTable with LOCATION_ALREADY_EXISTS forever; files
-        # with no catalog entry are unreachable garbage, reclaim them
+        # with no catalog entry are unreachable garbage, reclaim them.
+        # Guard rails on the reclaim: (a) qualified names resolve to
+        # the metastore layout ({db}.db/{tbl}), not a literal
+        # '{db}.{tbl}' dir that would miss and leave the wedge; (b) a
+        # directory any table KNOWN TO THIS CATALOG lives in is never
+        # touched — with a persistent metastore that covers every
+        # writer; concurrently sharing one warehouse dir across
+        # independent in-memory-catalog sessions is outside the
+        # contract (this repo's sessions also serialize on the derby
+        # metastore lock).
+        import os
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            shutil.rmtree(
-                f"{wh.path}/{table.lower()}", ignore_errors=True
-            )
+            parts = table.lower().split(".")
+            if len(parts) == 1 or parts[0] == "default":
+                target = os.path.join(wh.path, parts[-1])
+            else:
+                target = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
+            claimed = False
+            for db in spark.catalog.listDatabases():
+                for tb in spark.catalog.listTables(db.name):
+                    qual = (
+                        tb.name
+                        if tb.namespace is None or not tb.namespace
+                        else ".".join([*tb.namespace, tb.name])
+                    )
+                    try:
+                        loc = urlparse(
+                            spark.sql(f"DESCRIBE TABLE EXTENDED {qual}")
+                            .filter("col_name = 'Location'")
+                            .collect()[0][1]
+                        ).path
+                    except Exception:
+                        continue
+                    if os.path.normpath(loc) == os.path.normpath(target):
+                        claimed = True
+            if not claimed:
+                shutil.rmtree(target, ignore_errors=True)
     writer = (
         df.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")

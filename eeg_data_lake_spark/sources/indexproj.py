@@ -31,7 +31,12 @@ so compacting the index does NOT invalidate a projection) and RAISES
 on overwrite/upsert commits, so a projection can never silently serve
 an index whose logical content was rewritten under it. A projection
 is otherwise never "stale": any version <= current is completed
-exactly by its tail.
+exactly by its tail. One carve-out: compact()+vacuum() AFTER the
+projection deletes the tail appends' original files, so the row-level
+delta is unrecoverable even though the live content is readable —
+``index_frames`` then degrades to the plain full read (correct, the
+co-location saving returns at the next re-bucketize) instead of
+erroring every trigger.
 """
 
 from __future__ import annotations
@@ -69,7 +74,15 @@ def bucketize_index(
     # co-location is silently lost (measured: the chunk-probe study
     # showed zero saving at 4 buckets vs 32 shuffle partitions, 3.9x
     # fewer probe shuffle records once aligned).
-    write_bucketed(idx.read(), name, list(key_cols), n_buckets)
+    # pin the snapshot to the version the name advertises: version()
+    # and read() are two separate log replays, and a concurrent append
+    # landing between them would leave a _v{N} projection physically
+    # containing N+1's rows — which the tail (changes since N) then
+    # serves AGAIN; exact for today's set-semantics consumers but a
+    # double-count for any future count/sum consumer
+    write_bucketed(
+        idx.read(version=version), name, list(key_cols), n_buckets
+    )
     spark = idx.spark
     for tbl in spark.catalog.listTables():
         if tbl.name != name and re.fullmatch(
@@ -117,5 +130,16 @@ def index_frames(idx: TxTable, base: str | None) -> list[DataFrame]:
     name, v = proj
     frames = [idx.spark.table(name).hint("merge")]
     if idx.version() > v:
-        frames.append(idx.changes(since=v).drop("_commit_version"))
+        try:
+            frames.append(idx.changes(since=v).drop("_commit_version"))
+        except ValueError as exc:
+            if "vacuumed" not in str(exc):
+                raise  # logical rewrite under the projection: unsafe
+            # compact()+vacuum() after the projection deleted the
+            # tail appends' ORIGINAL files, so the row-level delta is
+            # gone even though the live content is fully readable —
+            # fall back to the plain full read (correct, just not
+            # co-located) instead of erroring every trigger until the
+            # next re-bucketize
+            return [idx.read()]
     return frames

@@ -141,9 +141,17 @@ def _sets_from_rows(rows) -> dict[int, tuple[list[list[float]], list[int]]]:
 def latest_centroid_set(
     ctable: TxTable,
 ) -> tuple[int, list[list[float]], list[int]]:
-    """(cset, centroids-by-cell, running counts) of the newest set."""
-    sets = _sets_from_rows(ctable.read().collect())
-    cs = max(sets)
+    """(cset, centroids-by-cell, running counts) of the newest set.
+
+    Two bounded reads, not one full-history collect: max(cset) is a
+    distributed aggregate (no vectors move), then only the newest
+    set's k rows reach the driver (the cset predicate prunes old
+    generations' files via txlog stats). Keeps the per-trigger driver
+    cost O(k*d) regardless of stream age — the refresh must not slow
+    down as generations accumulate."""
+    cs = int(ctable.read().agg(F.max("cset")).collect()[0][0])
+    rows = ctable.read(predicates=[("cset", "=", cs)]).collect()
+    sets = _sets_from_rows(rows)
     cents, counts = sets[cs]
     return cs, cents, counts
 
@@ -286,6 +294,13 @@ def probe_topk_adaptive(
     O(generations * nprobe); compaction (re-assign old generations
     under the newest set) is the bound at scale."""
     ctable = centroid_table(table.spark, table)
+    if table.version() < 0:
+        # quantizer initialized but no batch landed yet: an empty
+        # top-k, not TxTable.read's no-data error — a probe racing
+        # the first trigger is a normal service state
+        return table.spark.createDataFrame(
+            [], "vec_id long, cosine double"
+        )
     sets = _sets_from_rows(ctable.read().collect())
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(float(np.linalg.norm(q)), 1e-12)

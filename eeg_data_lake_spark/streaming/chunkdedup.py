@@ -126,12 +126,24 @@ def chunk_batch_writer(
         # corpus seeded outside the stream: index its chunks before
         # the first probe, or the "one row per unique chunk ever
         # ingested" invariant (and the dedup report) silently excludes
-        # the seed forever. Set-semantics safe per streaming/txpair.py;
-        # first_batch = -1 records the seed provenance.
+        # the seed forever. Set-semantics safe per streaming/txpair.py
+        # EXCEPT for the first_batch provenance column: a first batch
+        # that crashed between its legs is already in the corpus when
+        # the replay backfills, and tagging ITS chunks -1 would
+        # diverge from the uncrashed run — so the seed excludes the
+        # replaying batch's docs (the exactsubstr discipline); their
+        # chunks get first_batch=batch_id from the index leg below.
         backfill_index(
             table,
             idx,
-            lambda corpus: _index_rows(corpus, -1),
+            lambda corpus: _index_rows(
+                corpus.join(
+                    batch_df.select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                ),
+                -1,
+            ),
             sink_id,
             "chunks",
         )

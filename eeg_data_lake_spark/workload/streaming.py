@@ -916,7 +916,7 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max stats.
 
     Returns top-5 neighbors for the first three vectors (query_id,
-    rank, neighbor_id, cosine) — deterministic: batches are vec_id%3
+    neighbor_id, cosine) — deterministic: batches are vec_id%3
     slices in slice order, the quantizer seed is q99's."""
     import os
 

@@ -254,6 +254,17 @@ def test_adaptive_tracks_drift_where_fixed_fails(spark, tmp_path):
     assert np.mean(rec_fixed) <= 0.6, rec_fixed
 
 
+def test_probe_before_first_batch_returns_empty(spark, tmp_path):
+    """A probe racing the first trigger (quantizer initialized, no
+    corpus yet) is a normal service state: empty top-k, not
+    TxTable.read's no-data error."""
+    tbl = TxTable(spark, str(tmp_path / "empty_idx"))
+    init_centroid_set(centroid_table(spark, tbl), _drift_init_cents())
+    out = probe_topk_adaptive(tbl, [0.0] * DIM, nprobe=2, k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["vec_id", "cosine"]
+
+
 def test_adaptive_replay_and_crash_window(spark, tmp_path):
     """Exactly-once for the two-legged adaptive writer: a clean replay
     is a no-op on BOTH tables, and a crash between the corpus and

@@ -41,8 +41,7 @@ def test_base_plus_tail_equals_plain_read(spark, tmp_path, base):
     idx.append(
         spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     )
-    assert index_frames(idx, base) == [] or True  # projection absent…
-    # …falls back to the plain read
+    # projection absent: falls back to exactly one plain-read frame
     frames = index_frames(idx, base)
     assert len(frames) == 1
 
@@ -87,6 +86,62 @@ def test_compaction_is_transparent_to_the_tail(spark, tmp_path, base):
     idx.compact()
     frames = index_frames(idx, base)
     assert _union_rows(frames) == {(1, "a"), (2, "b")}
+
+
+def test_vacuumed_tail_degrades_to_full_read(spark, tmp_path, base):
+    """compact()+vacuum() AFTER a projection deletes the tail appends'
+    original files — the row-level delta is unrecoverable, so
+    index_frames must fall back to the plain full read (correct, just
+    not co-located) instead of raising on every probe until the next
+    re-bucketize."""
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=2)
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    idx.compact()
+    idx.vacuum(keep_versions=0)
+    frames = index_frames(idx, base)
+    assert len(frames) == 1  # the base was dropped, not double-served
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c")}
+    # an overwrite AFTER the vacuumed window: the fallback discards
+    # the (now pre-overwrite) base entirely, so the full read serves
+    # exactly the rewritten content — correct, never base+stale
+    idx.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(9, "z")}
+
+
+def test_write_bucketed_never_reclaims_claimed_location(spark, tmp_path):
+    """The orphan-reclaim path must not delete a directory that a
+    catalog-registered table lives in: an external table's location
+    matching the target name is left intact (the write fails instead
+    of destroying data)."""
+    import os
+    import uuid as _uuid
+    from urllib.parse import urlparse
+
+    from eeg_data_lake_spark.sources.bucketed import write_bucketed
+
+    victim = f"ixp_claim_{_uuid.uuid4().hex[:8]}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, victim)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    # external table registered under ANOTHER name but living at the
+    # path write_bucketed would compute for `victim`
+    other = f"{victim}_ext"
+    df.write.option("path", loc).saveAsTable(other)
+    try:
+        assert not spark.catalog.tableExists(victim)
+        with pytest.raises(Exception):
+            write_bucketed(df, victim, ["k"], 2)
+        # the victim directory (other's data) survived the attempt
+        assert spark.table(other).count() == 1
+        assert os.path.isdir(loc)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {other}")
+        spark.sql(f"DROP TABLE IF EXISTS {victim}")
 
 
 def test_chunk_probe_drops_index_exchange_and_matches(

@@ -173,3 +173,40 @@ def test_seeded_corpus_chunks_backfilled_before_first_probe(
     writer(batch, 0)
     assert idx.read().count() == n_rows
     assert table.read().count() == 3
+
+
+def test_crashed_first_batch_replay_keeps_batch_provenance(
+    spark, tmp_path
+):
+    """A FIRST batch that crashed between its corpus and index legs is
+    already in the corpus when the replay runs; the seed backfill must
+    exclude it (its docs anti-joined out), so its chunks carry
+    first_batch=batch_id exactly as in an uncrashed run — never the
+    seed's -1."""
+    batch = spark.createDataFrame(
+        [(1, b"A" * 700 + b"B" * 700), (2, b"C" * 900)],
+        "doc_id long, payload binary",
+    )
+
+    def run(name, crash):
+        table = TxTable(spark, str(tmp_path / name))
+        writer = chunk_batch_writer(table, sink_id=name)
+        if crash:
+            # simulate: corpus leg landed, index leg did not
+            table.append(batch, txn_id=f"{name}:batch-0")
+        writer(batch, 0)  # the (re)play
+        return table
+
+    clean = run("cl", crash=False)
+    crashed = run("cr", crash=True)
+    rows_c = {
+        (r.chunk_md5, r.length, r.first_doc_id, r.first_batch)
+        for r in chunk_index_table(spark, clean).read().collect()
+    }
+    rows_x = {
+        (r.chunk_md5, r.length, r.first_doc_id, r.first_batch)
+        for r in chunk_index_table(spark, crashed).read().collect()
+    }
+    assert rows_c == rows_x
+    assert all(b == 0 for *_, b in rows_c)
+    assert clean.read().count() == crashed.read().count() == 2
