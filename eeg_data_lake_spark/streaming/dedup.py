@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
+from eeg_data_lake_spark.sources.indexproj import bucketize_index, index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 from eeg_data_lake_spark.workload.dedup import (
@@ -103,6 +104,20 @@ def band_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_bands")
 
 
+def bucketize_band_index(
+    table: TxTable, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the band index as a catalog table bucketed+sorted
+    on band (sources/indexproj.py). Pass the same ``base`` to the
+    writer and every later batch's novelty probe reads the index base
+    co-located — bucket i vs bucket i, zero index-side exchange per
+    trigger — plus only the small post-projection tail. Cadence: at
+    compaction, when the index files get rewritten anyway."""
+    return bucketize_index(
+        band_index_table(table.spark, table), base, ["band"], n_buckets
+    )
+
+
 def _band_rows(df: DataFrame) -> DataFrame:
     """(band_col, band) index rows for every band of ``df``."""
     out = None
@@ -114,11 +129,16 @@ def _band_rows(df: DataFrame) -> DataFrame:
     return out.distinct()
 
 
-def dedup_batch_writer(table: TxTable, sink_id: str):
+def dedup_batch_writer(
+    table: TxTable, sink_id: str, bucketed_base: str | None = None
+):
     """foreachBatch function: near-dup-filter the micro-batch against
     itself and the accepted corpus, then append exactly-once via the
     shared corpus-first/index-second discipline (streaming/txpair.py
-    states the crash argument once for the whole ingest family)."""
+    states the crash argument once for the whole ingest family).
+    ``bucketed_base`` names a ``bucketize_band_index`` projection: the
+    novelty probes then read the index base co-located (no index-side
+    shuffle per trigger) plus the post-projection txlog tail."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -134,16 +154,21 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
             "bands",
         )
         banded = with_bands(batch_df)
-        novel = index = None
+        novel = None
         try:
             novel = _batch_representatives(banded)
-            if bands.version() >= 0:
-                index = bands.read().persist()
+            # chained per-frame anti-joins (the chunk-probe shape): the
+            # base stays co-located when bucketed; no distinct() on the
+            # index side — index rows are distinct by construction
+            # (novel reps' bands can't collide within a batch or with
+            # the index, and replays no-op), so the per-trigger
+            # index-wide distinct shuffle this used to pay was waste
+            for fr in index_frames(bands, bucketed_base):
                 for col in BAND_COLS:
                     novel = novel.join(
-                        index.filter(F.col("band_col") == col)
-                        .select(F.col("band").alias(col))
-                        .distinct(),
+                        fr.filter(F.col("band_col") == col).select(
+                            F.col("band").alias(col)
+                        ),
                         col,
                         "left_anti",
                     )
@@ -162,8 +187,6 @@ def dedup_batch_writer(table: TxTable, sink_id: str):
             # frames in executor memory for the session lifetime
             if novel is not None:
                 novel.unpersist()
-            if index is not None:
-                index.unpersist()
 
     return process
 

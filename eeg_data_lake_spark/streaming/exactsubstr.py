@@ -46,11 +46,13 @@ rewrite loop (/root/reference/bronze-to-silver.py:74-76) re-scans
 everything per run; this maintains the global dedup state online.
 
 At 100 TB: the per-batch index fold shuffles only the batch's
-distinct hashed grams (map-side combined); the saturated-set probe is
-an aggregation over the index — O(distinct grams), not corpus rows —
-and would live behind the index table's compaction (maybe_compact
-collapses the <= 2 rows per gram) plus hash-bucketing so the
-anti-join co-locates without a shuffle.
+distinct hashed grams (map-side combined). The saturation probe is
+ROW-LOCAL (duplicated == some row carries c=2 — see
+``gram_index_table``), so the per-trigger work is filters plus
+batch-vs-index anti/semi joins, never an index-wide groupBy/sum; with
+a ``bucketize_gram_index`` projection (sources/indexproj.py) those
+probes read the index base co-located — zero index-side exchange per
+trigger, only the small post-projection tail shuffling.
 """
 
 from __future__ import annotations
@@ -58,6 +60,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark.sources.indexproj import bucketize_index, index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import index_missing, paired_commit
 from eeg_data_lake_spark.workload.curation import (
@@ -71,8 +74,32 @@ def gram_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     """The corpus table's companion gram index: (g xxhash64-long,
     c int) rows whose per-gram sum saturates at 2. The removal pass
     probes THIS table, so its cost scales with distinct grams, never
-    with corpus rows re-scanned."""
+    with corpus rows re-scanned.
+
+    Saturation is also ROW-LOCAL: a gram is known-duplicated iff some
+    row carries ``c == ESD_DUP_THRESHOLD`` (a first-seen row with
+    c=2, or the c=2 promotion row appended when a once-seen gram
+    recurs). The per-trigger probe therefore never aggregates the
+    index — it filters and anti-joins, which co-locate against a
+    bucketed projection — while the removal pass's sum(c) >= 2 stays
+    correct under both the marker rows and any legacy (1)+(1) pair
+    (which self-heals to (1)+(1)+(2) at most once on its next
+    occurrence)."""
     return TxTable(spark, table.path + "_grams")
+
+
+def bucketize_gram_index(
+    table: TxTable, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the gram index as a catalog table bucketed+sorted
+    on g (sources/indexproj.py). Pass the same ``base`` to the writer
+    and every later batch's saturation/promotion probes read the index
+    base co-located — bucket i vs bucket i, zero index-side exchange —
+    plus only the small post-projection tail. Cadence: at compaction,
+    when the index files get rewritten anyway."""
+    return bucketize_index(
+        gram_index_table(table.spark, table), base, ["g"], n_buckets
+    )
 
 
 def _tokenized(df: DataFrame) -> DataFrame:
@@ -92,11 +119,18 @@ def _gram_counts(df: DataFrame) -> DataFrame:
     )
 
 
-def ingest_batch_writer(table: TxTable, sink_id: str):
+def ingest_batch_writer(
+    table: TxTable, sink_id: str, bucketed_base: str | None = None
+):
     """foreachBatch function: append the raw batch to the corpus and
     fold its saturating gram counts into the index, exactly-once via
     the shared corpus-first/index-second discipline
-    (streaming/txpair.py)."""
+    (streaming/txpair.py). ``bucketed_base`` names a
+    ``bucketize_gram_index`` projection: the saturation and promotion
+    probes then read the index base co-located (no index-side shuffle
+    per trigger) plus the post-projection txlog tail — without it the
+    probes still avoid any index-wide AGGREGATION (the row-local c=2
+    marker), paying only the join shuffle."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -120,17 +154,43 @@ def ingest_batch_writer(table: TxTable, sink_id: str):
                 _gram_counts(seed), txn_id=f"{sink_id}:grams-backfill"
             )
         counts = _gram_counts(batch_df)
-        if idx.version() >= 0:
-            saturated = (
-                idx.read()
-                .groupBy("g")
-                .agg(F.sum("c").alias("t"))
-                .filter(F.col("t") >= ESD_DUP_THRESHOLD)
-                .select("g")
+        frames = index_frames(idx, bucketed_base)
+        if frames:
+            # 1) drop grams already known-duplicated: the row-local
+            #    c=2 marker makes this a filter + anti-join per frame
+            #    (base co-located when bucketed) — NEVER an index-wide
+            #    groupBy/sum per trigger, the term that would grow
+            #    with the corpus instead of the batch
+            for fr in frames:
+                counts = counts.join(
+                    fr.filter(F.col("c") >= ESD_DUP_THRESHOLD).select("g"),
+                    "g",
+                    "left_anti",
+                )
+            # 2) grams seen exactly once before recur in this batch:
+            #    promote with a c=2 marker row. The semi-join hits are
+            #    batch-sized, so unioning them re-shuffles only the
+            #    batch, while each frame probe stays co-located.
+            present = None
+            for fr in frames:
+                hit = counts.join(
+                    fr.filter(F.col("c") < ESD_DUP_THRESHOLD).select("g"),
+                    "g",
+                    "left_semi",
+                )
+                present = hit if present is None else present.unionByName(hit)
+            present = present.select("g").distinct()
+            promoted = present.select(
+                "g",
+                F.lit(ESD_DUP_THRESHOLD).cast("int").alias("c"),
             )
-            counts = counts.join(saturated, "g", "left_anti")
+            delta = counts.join(present, "g", "left_anti").unionByName(
+                promoted
+            )
+        else:
+            delta = counts
         paired_commit(
-            table, batch_df, idx, counts, sink_id, "grams", batch_id
+            table, batch_df, idx, delta, sink_id, "grams", batch_id
         )
 
     return process
@@ -144,6 +204,7 @@ def stream_exactsubstr_ingest(
     checkpoint_path: str,
     sink_id: str,
     max_files_per_trigger: int = 1,
+    bucketed_base: str | None = None,
 ) -> None:
     """Drain a file-source document stream into the corpus + gram
     index (AvailableNow: terminates when caught up; re-invocations
@@ -152,7 +213,9 @@ def stream_exactsubstr_ingest(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
-        .writeStream.foreachBatch(ingest_batch_writer(table, sink_id))
+        .writeStream.foreachBatch(
+            ingest_batch_writer(table, sink_id, bucketed_base=bucketed_base)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

@@ -973,3 +973,129 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("query_id", F.desc("cosine"), "neighbor_id")
+
+
+def _staged_doc_batches(spark, sf_dir: str, prefix: str, cols) -> tuple[str, str]:
+    """Stage the documents table as three doc_id%3 parquet batch files
+    under a scratch dir (the z22/z24 convention: slice order = batch
+    order under AvailableNow + maxFilesPerTrigger=1). Returns
+    (scratch_dir, incoming_dir)."""
+    import os
+
+    from eeg_data_lake_spark.sources.readers import read_testdata
+    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
+
+    docs = read_testdata(spark, sf_dir, "documents").select(*cols)
+    d = _scratch_dir(prefix)
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(d, f"stage_{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+    return d, src
+
+
+def _z29_oracle():
+    from eeg_data_lake_spark.workload.curation import _ESD_ORACLE
+
+    return _ESD_ORACLE
+
+
+@register(
+    "z29_streaming_exactsubstr_ingest",
+    oracle=_z29_oracle(),
+    tags=("streaming", "curation", "dedup", "exact-substring", "incremental"),
+)
+def z29_streaming_exactsubstr_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr ingestion end-to-end
+    (streaming/exactsubstr.py — the online z18/z19): the documents
+    table arrives as three micro-batches; each batch appends to a
+    transaction-logged corpus AND folds its saturating xxhash64-gram
+    counts into the companion index (row-local c=2 saturation markers,
+    probes that anti/semi-join instead of aggregating the index —
+    co-locatable against a bucketize_gram_index projection), then the
+    removal pass computes the Lee et al. 2022 answer against the
+    incrementally-maintained index.
+
+    FULLY oracle-backed even though the path is streaming: duplication
+    is a global property of the corpus ingested so far, and after the
+    three batches drain, removal over the union must equal batch z18 —
+    so this query shares z18's complete CTE oracle verbatim, proving
+    the incremental index reaches the exact batch answer (also pinned
+    across crash/replay shapes in tests/test_streaming_exactsubstr.py).
+    """
+    import os
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.exactsubstr import (
+        exact_substring_removal,
+        stream_exactsubstr_ingest,
+    )
+
+    d, src = _staged_doc_batches(spark, sf_dir, "esd_q_", ["doc_id", "text"])
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_exactsubstr_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z29",
+    )
+    return exact_substring_removal(tbl).orderBy("doc_id")
+
+
+@register(
+    "z30_streaming_minhash_ingest",
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
+)
+def z30_streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup ingest end-to-end
+    (streaming/dedup.py — the online q34/q35): the documents table
+    arrives as three micro-batches; each batch is banded (3-gram
+    shingles -> k=4 MinHash -> 2 LSH bands), deduplicated within
+    itself (band-collision connected components, min-doc_id
+    representative) and against everything already accepted (chained
+    per-frame anti-joins on the band index — co-locatable against a
+    bucketize_band_index projection), then appended exactly-once with
+    its companion band index (corpus-first/index-second,
+    streaming/txpair.py).
+
+    Rows-only by design: the greedy batch-order accept plus connected
+    components is not SQL-expressible; the pinned guarantees live in
+    tests/test_streaming_dedup_ingest.py (batch-union equivalence,
+    crash-replay convergence, seeded-corpus backfill) and
+    tests/test_indexproj.py (zero index-side exchange against the
+    projection, plain/bucketed output equality).
+
+    Returns the accepted corpus (doc_id, lang, band0, band1) ordered
+    by doc_id — deterministic: batch files are written in slice order
+    and AvailableNow processes them in file order."""
+    import os
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.dedup import stream_dedup_ingest
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "mh_q_", ["doc_id", "text", "lang"]
+    )
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_dedup_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string, lang string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z30",
+    )
+    # accepted rows are stored BANDED (the writer appends the banded
+    # representatives), so the bands come straight off the corpus
+    return (
+        tbl.read().select("doc_id", "lang", "band0", "band1").orderBy("doc_id")
+    )

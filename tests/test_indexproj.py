@@ -206,6 +206,145 @@ def test_chunk_probe_drops_index_exchange_and_matches(
     )
 
 
+def test_band_probe_drops_index_exchange_and_matches(
+    spark, tmp_path, base
+):
+    from eeg_data_lake_spark.streaming.dedup import (
+        BAND_COLS,
+        band_index_table,
+        bucketize_band_index,
+        dedup_batch_writer,
+        with_bands,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = [(1, "alpha beta gamma delta epsilon"), (2, "one two three four")]
+    b1 = [
+        (10, "alpha beta gamma delta epsilon"),  # near-dup of doc 1
+        (11, "red green blue yellow purple"),
+    ]
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    w = dedup_batch_writer(plain_t, "p")
+    w(docs(b0), 0)
+    w(docs(b1), 1)
+
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    wb = dedup_batch_writer(bkt_t, "b", bucketed_base=base)
+    wb(docs(b0), 0)
+    bucketize_band_index(bkt_t, base, n_buckets=4)
+    wb(docs(b1), 1)  # probes the projection
+    assert {r.doc_id for r in bkt_t.read().collect()} == {
+        r.doc_id for r in plain_t.read().collect()
+    } == {1, 2, 11}
+    assert {
+        (r.band_col, r.band)
+        for r in band_index_table(spark, bkt_t).read().collect()
+    } == {
+        (r.band_col, r.band)
+        for r in band_index_table(spark, plain_t).read().collect()
+    }
+
+    # plan pin on the probe itself (the writer's chained anti-joins)
+    idx = band_index_table(spark, bkt_t)
+    bucketize_band_index(bkt_t, base, n_buckets=4)
+
+    def probe(frames):
+        novel = with_bands(docs([(99, "alpha beta gamma delta epsilon")]))
+        for fr in frames:
+            for col in BAND_COLS:
+                novel = novel.join(
+                    fr.filter(F.col("band_col") == col).select(
+                        F.col("band").alias(col)
+                    ),
+                    col,
+                    "left_anti",
+                )
+        return novel
+
+    plain_probe = probe([idx.read().hint("merge")])
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    bkt_probe = probe(frames)
+    assert "SortMergeJoin" in join_strategies(bkt_probe)
+    # TWO anti-joins (band0, band1) each drop their index-side
+    # exchange against the bucketed base
+    assert count_exchanges(bkt_probe) == count_exchanges(plain_probe) - 2
+    assert {r.doc_id for r in bkt_probe.collect()} == {
+        r.doc_id for r in plain_probe.collect()
+    } == set()  # the near-dup is filtered either way
+
+
+def test_gram_probe_drops_index_exchange_and_matches(
+    spark, tmp_path, base
+):
+    from eeg_data_lake_spark.streaming.exactsubstr import (
+        _gram_counts,
+        bucketize_gram_index,
+        exact_substring_removal,
+        gram_index_table,
+        ingest_batch_writer,
+    )
+    from eeg_data_lake_spark.workload.curation import (
+        _ESD_L as ESD_L,
+        ESD_DUP_THRESHOLD,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    span = " ".join(f"d{i}" for i in range(ESD_L + 3))
+    b0 = [(0, span + " x y"), (1, "u v w " + " ".join("q" * 5))]
+    b1 = [(10, "m n " + span), (11, "fresh tokens only here")]
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    w = ingest_batch_writer(plain_t, "p")
+    w(docs(b0), 0)
+    w(docs(b1), 1)
+
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    wb = ingest_batch_writer(bkt_t, "b", bucketed_base=base)
+    wb(docs(b0), 0)
+    bucketize_gram_index(bkt_t, base, n_buckets=4)
+    wb(docs(b1), 1)  # probes the projection
+    # identical dup semantics: the shared span is removed on BOTH sides
+    assert sorted(
+        map(tuple, exact_substring_removal(bkt_t).collect())
+    ) == sorted(map(tuple, exact_substring_removal(plain_t).collect()))
+    # identical index content (g, c) — the row-local marker scheme
+    assert {
+        (r.g, r.c) for r in gram_index_table(spark, bkt_t).read().collect()
+    } == {
+        (r.g, r.c) for r in gram_index_table(spark, plain_t).read().collect()
+    }
+
+    # plan pin: the saturation anti-join against the projection drops
+    # the index-side exchange
+    idx = gram_index_table(spark, bkt_t)
+    bucketize_gram_index(bkt_t, base, n_buckets=4)
+    counts = _gram_counts(docs([(99, span + " z z")]))
+
+    def probe(frames):
+        out = counts
+        for fr in frames:
+            out = out.join(
+                fr.filter(F.col("c") >= ESD_DUP_THRESHOLD).select("g"),
+                "g",
+                "left_anti",
+            )
+        return out
+
+    plain_probe = probe([idx.read().hint("merge")])
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    bkt_probe = probe(frames)
+    assert "SortMergeJoin" in join_strategies(bkt_probe)
+    assert count_exchanges(bkt_probe) == count_exchanges(plain_probe) - 1
+    assert {r.g for r in bkt_probe.collect()} == {
+        r.g for r in plain_probe.collect()
+    }
+
+
 def test_block_probe_drops_index_exchange_and_matches(
     spark, tmp_path, base
 ):
