@@ -97,6 +97,9 @@ HEADLINE = [
     "z21_multimodal_quarantine",   # codec faults -> expectations quarantine
     "z23_cdc_chunk_dedup",         # gear-hash CDC chunker + dedup accounting
     "z25_chunkstore_lifecycle",    # content-addressed store put/delete/gc/rebuild
+    "z26_wav_audio_features",      # real WAV/RIFF container decode + features
+    "z27_wav_quarantine",          # malformed WAV headers -> quarantine buckets
+    "z29_streaming_exactsubstr_ingest",  # streaming ESD, full CTE oracle
 ]
 
 
@@ -117,6 +120,15 @@ NOT_COMPARABLE = {
     "z21_multimodal_quarantine": (
         "oracle derives quarantine buckets from doc_id arithmetic; "
         "Spark decodes every payload and catches real codec faults"
+    ),
+    "z27_wav_quarantine": (
+        "oracle derives quarantine buckets from doc_id arithmetic; "
+        "Spark parses every RIFF container and catches real header faults"
+    ),
+    "z29_streaming_exactsubstr_ingest": (
+        "oracle computes the batch answer in one pass; Spark runs the "
+        "full 3-trigger streaming ingest (txlog commits, checkpoint, "
+        "incremental gram index) the oracle only validates"
     ),
 }
 

@@ -241,6 +241,49 @@ def adaptive_index_batch_writer(
     return process
 
 
+def compact_generations(table: TxTable, n_files: int = 16) -> int:
+    """LSM-style generation compaction — the bound on
+    ``probe_topk_adaptive``'s O(generations * nprobe) fan-out: re-assign
+    EVERY corpus row under the newest centroid set (one full-corpus
+    narrow map + the same range-clustered write a batch gets) and
+    collapse the quantizer history to that single set. This is FAISS's
+    "retrain = rebuild" amortized online: run it when the generation
+    count has grown past taste (with the txlog's own compact/vacuum
+    cadence), and probes drop from per-generation unions back to
+    nprobe file reads.
+
+    Crash ordering mirrors the ingest discipline — corpus first, then
+    the quantizer table: between the two commits every corpus row
+    already carries the newest cset, so per-generation probes of the
+    still-listed OLD sets prune to zero files and results stay
+    correct; re-running completes the second leg (both legs carry
+    cset-keyed txn ids, so a replay skips what already landed).
+    Returns the corpus version after compaction."""
+    ctable = centroid_table(table.spark, table)
+    cs, cents, counts = latest_centroid_set(ctable)
+    if table.version() >= 0 and not table.has_txn(f"gen-compact-{cs}"):
+        reassigned = table.read().select(
+            "vec_id",
+            "embedding",
+            cell_of(as_double(F.col("embedding")), cents).alias("cell"),
+            F.lit(cs).cast("int").alias("cset"),
+        )
+        clustered = reassigned.repartitionByRange(
+            n_files, "cell"
+        ).sortWithinPartitions("cell")
+        table.overwrite(clustered, txn_id=f"gen-compact-{cs}")
+    if not ctable.has_txn(f"gen-compact-cset-{cs}"):
+        rows = [
+            (cs, i, [float(x) for x in cents[i]], int(counts[i]))
+            for i in range(len(cents))
+        ]
+        ctable.overwrite(
+            table.spark.createDataFrame(rows, CENTROID_SCHEMA),
+            txn_id=f"gen-compact-cset-{cs}",
+        )
+    return table.version()
+
+
 def stream_ann_ingest(
     spark: SparkSession,
     source_dir: str,
