@@ -573,8 +573,25 @@ class TxTable:
         no-op. Returns the committed (or already-current) version."""
         return self._commit(self._write_data(df), [], txn_id, "append")
 
-    def overwrite(self, df: DataFrame, txn_id: str | None = None) -> int:
-        state = self._replay()
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn_id: str | None = None,
+        pin_version: int | None = None,
+    ) -> int:
+        """Atomically replace the table's content with ``df``.
+
+        ``pin_version`` scopes the replacement to the SNAPSHOT it
+        names: only that version's files are removed, so a commit that
+        landed after the snapshot (concurrent append under the
+        documented optimistic concurrency) SURVIVES alongside the new
+        data instead of being silently destroyed — the contract a
+        read-transform-overwrite maintenance job (e.g. ANN generation
+        compaction) needs, where ``df`` was derived from exactly that
+        snapshot. Default (None) keeps replace-everything-current
+        semantics. A competing rewrite that already removed pinned
+        files still raises ConcurrentModificationError."""
+        state = self._replay(upto=pin_version)
         return self._commit(
             self._write_data(df), state.files, txn_id, "overwrite"
         )

@@ -258,11 +258,22 @@ def compact_generations(table: TxTable, n_files: int = 16) -> int:
     still-listed OLD sets prune to zero files and results stay
     correct; re-running completes the second leg (both legs carry
     cset-keyed txn ids, so a replay skips what already landed).
-    Returns the corpus version after compaction."""
+
+    Safe under concurrent ingest: both overwrites are PINNED to the
+    snapshot version their content was derived from
+    (``TxTable.overwrite(pin_version=...)``), so a batch that commits
+    between the read and the overwrite keeps its corpus file and its
+    centroid set — the compaction replaces exactly what it read,
+    never what landed after. Returns the corpus version after
+    compaction."""
     ctable = centroid_table(table.spark, table)
-    cs, cents, counts = latest_centroid_set(ctable)
-    if table.version() >= 0 and not table.has_txn(f"gen-compact-{cs}"):
-        reassigned = table.read().select(
+    cv = ctable.version()
+    sets = _sets_from_rows(ctable.read(version=cv).collect())
+    cs = max(sets)
+    cents, counts = sets[cs]
+    v = table.version()
+    if v >= 0 and not table.has_txn(f"gen-compact-{cs}"):
+        reassigned = table.read(version=v).select(
             "vec_id",
             "embedding",
             cell_of(as_double(F.col("embedding")), cents).alias("cell"),
@@ -271,7 +282,9 @@ def compact_generations(table: TxTable, n_files: int = 16) -> int:
         clustered = reassigned.repartitionByRange(
             n_files, "cell"
         ).sortWithinPartitions("cell")
-        table.overwrite(clustered, txn_id=f"gen-compact-{cs}")
+        table.overwrite(
+            clustered, txn_id=f"gen-compact-{cs}", pin_version=v
+        )
     if not ctable.has_txn(f"gen-compact-cset-{cs}"):
         rows = [
             (cs, i, [float(x) for x in cents[i]], int(counts[i]))
@@ -280,6 +293,7 @@ def compact_generations(table: TxTable, n_files: int = 16) -> int:
         ctable.overwrite(
             table.spark.createDataFrame(rows, CENTROID_SCHEMA),
             txn_id=f"gen-compact-cset-{cs}",
+            pin_version=cv,
         )
     return table.version()
 

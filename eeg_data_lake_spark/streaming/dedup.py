@@ -199,6 +199,7 @@ def stream_dedup_ingest(
     checkpoint_path: str,
     sink_id: str,
     max_files_per_trigger: int = 1,
+    bucketed_base: str | None = None,
 ) -> None:
     """Drain a file-source document stream into the deduplicated
     accepted-corpus table (AvailableNow: terminates when caught up;
@@ -208,7 +209,9 @@ def stream_dedup_ingest(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
-        .writeStream.foreachBatch(dedup_batch_writer(table, sink_id))
+        .writeStream.foreachBatch(
+            dedup_batch_writer(table, sink_id, bucketed_base=bucketed_base)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()

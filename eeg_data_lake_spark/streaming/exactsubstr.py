@@ -132,6 +132,21 @@ def ingest_batch_writer(
     probes still avoid any index-wide AGGREGATION (the row-local c=2
     marker), paying only the join shuffle."""
 
+    # The row-local marker scheme derives "saturated" from PRESENCE
+    # (a once-seen gram recurring is promoted straight to the marker),
+    # which is exact only for the Lee et al. criterion of "more than
+    # once" == 2. A different threshold needs running counts carried
+    # in the sub-threshold rows (promote when c_prior + c_batch >= T,
+    # same co-located join shape) — fail loudly rather than silently
+    # over-remove if the shared constant is ever retuned.
+    if ESD_DUP_THRESHOLD != 2:
+        raise ValueError(
+            "streaming ExactSubstr's row-local saturation markers "
+            f"assume ESD_DUP_THRESHOLD == 2, got {ESD_DUP_THRESHOLD}; "
+            "generalize the promotion join to carry running counts "
+            "before retuning"
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = gram_index_table(spark, table)

@@ -854,25 +854,13 @@ def z22_streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     in slice order and AvailableNow processes them in file order."""
     import os
 
-    from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.simhash import stream_simhash_ingest
     from eeg_data_lake_spark.workload.dedup import with_simhash
-    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
-    docs = read_testdata(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang"
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "simhash_q_", ["doc_id", "text", "lang"]
     )
-    d = _scratch_dir("simhash_q_")
-    src = os.path.join(d, "incoming")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(d, f"stage_{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
-        )
     tbl = TxTable(spark, os.path.join(d, "accepted"))
     stream_simhash_ingest(
         spark,
@@ -927,22 +915,12 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_topk_adaptive,
         stream_ann_ingest,
     )
-    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
     from eeg_data_lake_spark.workload.similarity import _centroids, as_double
 
     vecs = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("embedding")
     )
-    d = _scratch_dir("annidx_q_")
-    src = os.path.join(d, "incoming")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(d, f"stage_{i}")
-        vecs.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
-        )
+    d, src = _staged_batches(spark, sf_dir, "annidx_q_", vecs, "vec_id")
     tbl = TxTable(spark, os.path.join(d, "ivf"))
     init_centroid_set(centroid_table(spark, tbl), _centroids())
     stream_ann_ingest(
@@ -975,28 +953,44 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", F.desc("cosine"), "neighbor_id")
 
 
-def _staged_doc_batches(spark, sf_dir: str, prefix: str, cols) -> tuple[str, str]:
-    """Stage the documents table as three doc_id%3 parquet batch files
-    under a scratch dir (the z22/z24 convention: slice order = batch
-    order under AvailableNow + maxFilesPerTrigger=1). Returns
-    (scratch_dir, incoming_dir)."""
+def _staged_batches(
+    spark, sf_dir: str, prefix: str, frame: DataFrame, key: str
+) -> tuple[str, str]:
+    """Stage ``frame`` as three ``key % 3`` parquet batch files under a
+    scratch dir — the ONE copy of the streaming-query staging
+    convention (slice order = batch order under AvailableNow +
+    maxFilesPerTrigger=1; z22/z28/z29/z30 all ride it, so the
+    determinism claim in their docstrings has a single definition;
+    workload/multimodal.z24 keeps its own copy to avoid an import
+    cycle). Returns (scratch_dir, incoming_dir)."""
     import os
 
-    from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
-    docs = read_testdata(spark, sf_dir, "documents").select(*cols)
     d = _scratch_dir(prefix)
     src = os.path.join(d, "incoming")
     os.makedirs(src)
     for i in range(3):
         stage = os.path.join(d, f"stage_{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        frame.filter(F.col(key) % 3 == i).coalesce(1).write.parquet(stage)
         part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         os.rename(
             os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
         )
     return d, src
+
+
+def _staged_doc_batches(spark, sf_dir: str, prefix: str, cols) -> tuple[str, str]:
+    """`_staged_batches` over the documents table."""
+    from eeg_data_lake_spark.sources.readers import read_testdata
+
+    return _staged_batches(
+        spark,
+        sf_dir,
+        prefix,
+        read_testdata(spark, sf_dir, "documents").select(*cols),
+        "doc_id",
+    )
 
 
 def _z29_oracle():

@@ -57,6 +57,10 @@ QUERIES = [
     "z23_cdc_chunk_dedup",        # gear-CDC chunker: narrow per-row CPU + one count window
     "z24_streaming_chunk_ingest", # online chunk-index ingest: 3 micro-batches + txlog commits
     "z25_chunkstore_lifecycle",   # content-addressed store: put + delete + gc + reconstruct
+    "z26_wav_audio_features",     # per-row RIFF parse + PCM decode (narrow map)
+    "z27_wav_quarantine",         # per-row strict parse + enforce split
+    "z29_streaming_exactsubstr_ingest",  # online gram-index ingest on dup-heavy 10x
+    "z30_streaming_minhash_ingest",      # online LSH dedup ingest on dup-heavy 10x
 ]
 
 #: key column to offset per table so replicas don't collide

@@ -357,6 +357,68 @@ def test_generation_compaction_bounds_fanout_and_keeps_recall(
     assert got & {9000, 9001, 9002}
 
 
+def test_compaction_race_spares_concurrent_batch(spark, tmp_path):
+    """A batch committing BETWEEN compact_generations' snapshot read
+    and its overwrite must survive: both compaction legs are pinned to
+    the snapshot they derived from, so the racing batch keeps its
+    corpus file AND its centroid set, and probes still find its
+    vectors."""
+    from eeg_data_lake_spark.streaming.annindex import (
+        _sets_from_rows,
+        compact_generations,
+    )
+
+    init_cents = _drift_init_cents()
+    tbl = TxTable(spark, str(tmp_path / "race"))
+    init_centroid_set(centroid_table(spark, tbl), init_cents)
+    aw = adaptive_index_batch_writer(tbl, "ada", count_cap=16)
+    batches = _drift_batches()[:2]
+    for bid, rows in enumerate(batches):
+        aw(
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            bid,
+        )
+
+    late = [(7000 + j, [float(x) for x in _drift_center(3, 2)]) for j in range(3)]
+    raced = {"done": False}
+    real_overwrite = TxTable.overwrite
+
+    def racing(self, df, txn_id=None, pin_version=None):
+        # fire the concurrent ingest ONCE, just before the corpus leg
+        if not self.path.endswith("_centroids") and not raced["done"]:
+            raced["done"] = True
+            aw(
+                spark.createDataFrame(
+                    late, "vec_id long, embedding array<double>"
+                ),
+                2,
+            )
+        return real_overwrite(
+            self, df, txn_id=txn_id, pin_version=pin_version
+        )
+
+    TxTable.overwrite = racing
+    try:
+        compact_generations(tbl)
+    finally:
+        TxTable.overwrite = real_overwrite
+
+    # the racing batch's rows and its centroid generation survived
+    ids = {r.vec_id for r in tbl.read().collect()}
+    assert {7000, 7001, 7002} <= ids
+    sets = _sets_from_rows(
+        centroid_table(spark, tbl).read().collect()
+    )
+    assert sorted(sets) == [2, 3]  # collapsed set + the racer's new set
+    got = {
+        r.vec_id
+        for r in probe_topk_adaptive(
+            tbl, _drift_center(3, 2).tolist(), nprobe=2, k=3
+        ).collect()
+    }
+    assert got & {7000, 7001, 7002}
+
+
 def test_probe_before_first_batch_returns_empty(spark, tmp_path):
     """A probe racing the first trigger (quantizer initialized, no
     corpus yet) is a normal service state: empty top-k, not

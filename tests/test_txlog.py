@@ -152,6 +152,32 @@ def test_compact_binpacks_preserving_content_and_history(spark, table):
     assert st["rows"] == 30
 
 
+def test_pinned_overwrite_spares_concurrent_append(spark, table):
+    """overwrite(pin_version=v) replaces only snapshot v's files: an
+    append landing between the read and the overwrite SURVIVES (the
+    read-transform-overwrite maintenance contract), while a competing
+    rewrite that removed the pinned files still raises."""
+    table.append(_df(spark, [(1, "a"), (2, "b")]))
+    v = table.version()
+    rewritten = table.read(version=v).withColumn("v", F.upper("v"))
+    # the race: another writer appends AFTER the snapshot was taken
+    table.append(_df(spark, [(3, "c")]))
+    table.overwrite(rewritten, pin_version=v)
+    got = {(r.id, r.v) for r in table.read().collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "c")}  # (3,'c') survived
+
+    # competing rewrite invalidates the pin -> loud, not silent
+    v2 = table.version()
+    stale = table.read(version=v2)
+    table.overwrite(_df(spark, [(9, "z")]))  # wins the race
+    from eeg_data_lake_spark.sources.txlog import (
+        ConcurrentModificationError,
+    )
+
+    with pytest.raises(ConcurrentModificationError):
+        table.overwrite(stale, pin_version=v2)
+
+
 def test_compact_conflict_detection(spark, table):
     from eeg_data_lake_spark.sources.txlog import ConcurrentModificationError
 
