@@ -21,6 +21,32 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _location_claimed(spark: SparkSession, target: str) -> bool:
+    """True if any table KNOWN TO THIS CATALOG lives at ``target`` —
+    such a directory must never be reclaimed as an orphan."""
+    import os
+    from urllib.parse import urlparse
+
+    for db in spark.catalog.listDatabases():
+        for tb in spark.catalog.listTables(db.name):
+            qual = (
+                tb.name
+                if tb.namespace is None or not tb.namespace
+                else ".".join([*tb.namespace, tb.name])
+            )
+            try:
+                loc = urlparse(
+                    spark.sql(f"DESCRIBE TABLE EXTENDED {qual}")
+                    .filter("col_name = 'Location'")
+                    .collect()[0][1]
+                ).path
+            except Exception:
+                continue
+            if os.path.normpath(loc) == os.path.normpath(target):
+                return True
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -65,25 +91,11 @@ def write_bucketed(
                 target = os.path.join(wh.path, parts[-1])
             else:
                 target = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
-            claimed = False
-            for db in spark.catalog.listDatabases():
-                for tb in spark.catalog.listTables(db.name):
-                    qual = (
-                        tb.name
-                        if tb.namespace is None or not tb.namespace
-                        else ".".join([*tb.namespace, tb.name])
-                    )
-                    try:
-                        loc = urlparse(
-                            spark.sql(f"DESCRIBE TABLE EXTENDED {qual}")
-                            .filter("col_name = 'Location'")
-                            .collect()[0][1]
-                        ).path
-                    except Exception:
-                        continue
-                    if os.path.normpath(loc) == os.path.normpath(target):
-                        claimed = True
-            if not claimed:
+            # common case: no orphan dir — skip the catalog-wide
+            # location scan entirely
+            if os.path.isdir(target) and not _location_claimed(
+                spark, target
+            ):
                 shutil.rmtree(target, ignore_errors=True)
     writer = (
         df.repartition(n_buckets, *bucket_cols)

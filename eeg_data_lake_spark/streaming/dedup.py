@@ -85,6 +85,11 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     band-collision connected component (singletons survive as-is)."""
     sig = banded.select("doc_id", *BAND_COLS)
     pairs = band_collision_pairs(sig, BAND_COLS, src="src", dst="dst")
+    # a clean batch (no within-batch collisions) is the common case on
+    # a real stream: one cheap limit-1 probe skips the iterative CC
+    # (several joins + a driver-checked action per iteration) entirely
+    if pairs.isEmpty():
+        return banded
     comp = connected_components(pairs, "src", "dst")
     reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
     losers = comp.join(
