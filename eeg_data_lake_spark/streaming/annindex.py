@@ -268,8 +268,16 @@ def compact_generations(table: TxTable, n_files: int = 16) -> int:
     compaction."""
     ctable = centroid_table(table.spark, table)
     cv = ctable.version()
-    sets = _sets_from_rows(ctable.read(version=cv).collect())
-    cs = max(sets)
+    # the bounded two-read pattern (latest_centroid_set), version-
+    # pinned: only the newest set's k rows reach the driver — a
+    # full-history collect would scale with generation count exactly
+    # when compaction is needed most
+    cs = int(
+        ctable.read(version=cv).agg(F.max("cset")).collect()[0][0]
+    )
+    sets = _sets_from_rows(
+        ctable.read(version=cv, predicates=[("cset", "=", cs)]).collect()
+    )
     cents, counts = sets[cs]
     v = table.version()
     if v >= 0 and not table.has_txn(f"gen-compact-{cs}"):

@@ -84,10 +84,17 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     band-collision connected component (singletons survive as-is)."""
     sig = banded.select("doc_id", *BAND_COLS)
-    pairs = band_collision_pairs(sig, BAND_COLS, src="src", dst="dst")
+    # materialize the collision pairs ONCE (eager localCheckpoint, the
+    # connected_components convention): the clean-batch fast path
+    # below probes them without re-running the band self-joins, and a
+    # dirty batch feeds the SAME materialization to CC instead of
+    # recomputing the join lineage
+    pairs = band_collision_pairs(
+        sig, BAND_COLS, src="src", dst="dst"
+    ).localCheckpoint(eager=True)
     # a clean batch (no within-batch collisions) is the common case on
-    # a real stream: one cheap limit-1 probe skips the iterative CC
-    # (several joins + a driver-checked action per iteration) entirely
+    # a real stream: one cheap probe skips the iterative CC (several
+    # joins + a driver-checked action per iteration) entirely
     if pairs.isEmpty():
         return banded
     comp = connected_components(pairs, "src", "dst")

@@ -920,7 +920,7 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("embedding")
     )
-    d, src = _staged_batches(spark, sf_dir, "annidx_q_", vecs, "vec_id")
+    d, src = _staged_batches(vecs, "annidx_q_", "vec_id")
     tbl = TxTable(spark, os.path.join(d, "ivf"))
     init_centroid_set(centroid_table(spark, tbl), _centroids())
     stream_ann_ingest(
@@ -954,7 +954,7 @@ def z28_streaming_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_batches(
-    spark, sf_dir: str, prefix: str, frame: DataFrame, key: str
+    frame: DataFrame, prefix: str, key: str
 ) -> tuple[str, str]:
     """Stage ``frame`` as three ``key % 3`` parquet batch files under a
     scratch dir — the ONE copy of the streaming-query staging
@@ -985,10 +985,8 @@ def _staged_doc_batches(spark, sf_dir: str, prefix: str, cols) -> tuple[str, str
     from eeg_data_lake_spark.sources.readers import read_testdata
 
     return _staged_batches(
-        spark,
-        sf_dir,
-        prefix,
         read_testdata(spark, sf_dir, "documents").select(*cols),
+        prefix,
         "doc_id",
     )
 
