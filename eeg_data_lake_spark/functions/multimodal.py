@@ -523,24 +523,43 @@ def parse_wav(raw: bytes) -> tuple[int, int, bytes]:
             f"WAV: RIFF declares {declared + 8} bytes but payload has "
             f"{len(raw)} — truncated"
         )
+    if declared + 8 < len(raw):
+        # bytes past the declared RIFF extent: a concatenation /
+        # trailer a strict parser must refuse, not silently ignore —
+        # anything "parsed" there would never be what the row claims
+        raise ValueError(
+            f"WAV: {len(raw) - declared - 8} trailing bytes beyond "
+            "the declared RIFF extent"
+        )
     if raw[8:12] != b"WAVE":
         raise ValueError("WAV: not a WAVE form")
     fmt = data = None
+    # the walk is bounded by the RIFF chunk's own declared extent
+    # (== len(raw) after the checks above) and must consume it EXACTLY:
+    # 1-7 stray bytes after the last chunk are a malformation, not
+    # slack — the old `while pos + 8 <= len` exit accepted them.
+    end = 8 + declared
     pos = 12
-    while pos + 8 <= len(raw):
+    while pos + 8 <= end:
         cid = raw[pos : pos + 4]
         size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
-        body = raw[pos + 8 : pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > end:
             raise ValueError(
                 f"WAV: chunk {cid!r} declares {size} bytes, "
-                f"{len(body)} available — truncated"
+                f"{end - pos - 8} available — truncated"
             )
+        body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and fmt is None:
             fmt = body
         elif cid == b"data" and data is None:
             data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        pos += 8 + size
+        if (size & 1) and pos < end:
+            pos += 1  # word-aligned: odd chunks carry a pad byte
+    if pos != end:
+        raise ValueError(
+            f"WAV: {end - pos} stray bytes after the last chunk"
+        )
     if fmt is None:
         raise ValueError("WAV: missing fmt chunk")
     if data is None:

@@ -21,11 +21,19 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Dropped into every directory this writer creates, so the orphan
+#: reclaim below can prove a wedging directory is OURS before deleting
+#: it. Underscore-prefixed → invisible to Spark's file readers.
+MARKER_FILE = "_WRITTEN_BY_EEG_DATA_LAKE_SPARK"
+
+
 def _location_claimed(spark: SparkSession, target: str) -> bool:
     """True if any table KNOWN TO THIS CATALOG lives at ``target`` —
     such a directory must never be reclaimed as an orphan."""
     import os
     from urllib.parse import urlparse
+
+    from pyspark.errors import AnalysisException
 
     for db in spark.catalog.listDatabases():
         for tb in spark.catalog.listTables(db.name):
@@ -40,7 +48,11 @@ def _location_claimed(spark: SparkSession, target: str) -> bool:
                     .filter("col_name = 'Location'")
                     .collect()[0][1]
                 ).path
-            except Exception:
+            except (AnalysisException, IndexError):
+                # the two EXPECTED shapes: DESCRIBE refuses (temp
+                # view / dropped-under-us) or no Location row (views).
+                # Anything else propagates — a table whose location we
+                # cannot determine must not silently lose protection.
                 continue
             if os.path.normpath(loc) == os.path.normpath(target):
                 return True
@@ -75,13 +87,14 @@ def write_bucketed(
         # the metastore layout ({db}.db/{tbl}), not a literal
         # '{db}.{tbl}' dir that would miss and leave the wedge; (b) a
         # directory any table KNOWN TO THIS CATALOG lives in is never
-        # touched — with a persistent metastore that covers every
-        # writer; concurrently sharing one warehouse dir across
-        # independent in-memory-catalog sessions is outside the
-        # contract (this repo's sessions also serialize on the derby
-        # metastore lock).
+        # touched; (c) rmtree is reserved for directories carrying the
+        # MARKER_FILE this writer drops — i.e. provably OUR orphan. A
+        # wedging directory WITHOUT the marker (some other process's
+        # data at our name) is renamed aside instead, so the write can
+        # proceed but nothing foreign is ever destroyed.
         import os
         import shutil
+        import uuid
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
@@ -96,7 +109,19 @@ def write_bucketed(
             if os.path.isdir(target) and not _location_claimed(
                 spark, target
             ):
-                shutil.rmtree(target, ignore_errors=True)
+                if os.path.exists(os.path.join(target, MARKER_FILE)):
+                    shutil.rmtree(target, ignore_errors=True)
+                else:
+                    aside = f"{target}.foreign-{uuid.uuid4().hex[:8]}"
+                    os.rename(target, aside)
+                    import warnings
+
+                    warnings.warn(
+                        f"bucketed table {table!r}: unmarked directory "
+                        f"was wedging its location; moved aside to "
+                        f"{aside} (inspect/delete manually)",
+                        stacklevel=2,
+                    )
     writer = (
         df.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")
@@ -106,6 +131,22 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*bucket_cols)
     writer.saveAsTable(table)
+    # stamp the directory as ours so a FUTURE session's orphan reclaim
+    # (above) can prove provenance before rmtree'ing it
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        loc = urlparse(
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .filter("col_name = 'Location'")
+            .collect()[0][1]
+        )
+        if loc.scheme in ("", "file"):
+            with open(os.path.join(loc.path, MARKER_FILE), "w"):
+                pass
+    except (IndexError, OSError):
+        pass  # non-local or location-less table: marker is best-effort
 
 
 def bucketed_join(

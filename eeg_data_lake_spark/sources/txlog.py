@@ -298,7 +298,12 @@ class TxTable:
     def _checkpoint_versions(self) -> list[int]:
         out = []
         for n in os.listdir(self.log_dir):
-            m = re.fullmatch(r"_checkpoint-(\d{8})\.json", n)
+            # \d+ not \d{8}: the writer pads with {:08d}, which emits
+            # MORE digits past version 10^8 — the reader/pruner must
+            # accept any width the writer can produce or rollups past
+            # that point are written but never loaded (replay silently
+            # degrades to O(versions) and checkpoint files accumulate)
+            m = re.fullmatch(r"_checkpoint-(\d+)\.json", n)
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
@@ -550,16 +555,29 @@ class TxTable:
                     # extra replay. Crash before the rename is
                     # harmless: the commit stands, the rollup is only
                     # an accelerator and the next interval writes one.
+                    # Same reason this is try/except: the manifest
+                    # link above already SUCCEEDED, so a rollup write
+                    # failing (disk full, permissions) must not
+                    # propagate from a landed commit — a txn-less
+                    # caller retrying "the error" would append twice.
                     live = (set(state.files) - set(remove)) | set(add)
                     new_stats = {**state.stats, **stats}
-                    self._write_checkpoint(
-                        _LogState(
-                            new_version,
-                            sorted(live),
-                            state.txn_ids | ({txn_id} if txn_id else set()),
-                            {f: s for f, s in new_stats.items() if f in live},
+                    try:
+                        self._write_checkpoint(
+                            _LogState(
+                                new_version,
+                                sorted(live),
+                                state.txn_ids
+                                | ({txn_id} if txn_id else set()),
+                                {
+                                    f: s
+                                    for f, s in new_stats.items()
+                                    if f in live
+                                },
+                            )
                         )
-                    )
+                    except Exception:
+                        pass  # accelerator only — never fail a commit
                 return new_version
             except FileExistsError:
                 continue  # lost the race — re-read the log, try again

@@ -161,6 +161,11 @@ def cross_batch_hits(
             .select(F.col("a.doc_id").alias("doc_id"))
         )
         hits = h if hits is None else hits.unionByName(h)
+    if hits is None:
+        # empty frames list (index has no rows yet): nothing can hit.
+        # Exported helper, so honor the contract here rather than
+        # relying on callers to guard with `if frames:`.
+        return probe.select("doc_id").limit(0)
     return hits.distinct()
 
 

@@ -218,3 +218,62 @@ def test_merge_upsert_partitioned_leaves_untouched_files_alone(
     assert after == before  # byte-for-byte the same files, never moved
     rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert rows == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_orphan_reclaim_requires_provenance_marker(spark, tmp_path):
+    """A directory wedging a bucketed table's location is rmtree'd
+    ONLY when it carries the marker this writer drops (provably our
+    orphan); anything else — another process's data at our name — is
+    renamed aside, never destroyed."""
+    import glob
+    import os
+    import shutil
+    import warnings
+    from urllib.parse import urlparse
+
+    from eeg_data_lake_spark.sources.bucketed import MARKER_FILE
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    # --- foreign dir (no marker): preserved aside, write proceeds
+    name = "bkt_foreign_probe"
+    target = os.path.join(wh, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    os.makedirs(target, exist_ok=True)
+    with open(os.path.join(target, "precious.txt"), "w") as fh:
+        fh.write("not ours")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            write_bucketed(df, name, ["k"], 4)
+        assert any("moved aside" in str(w.message) for w in caught)
+        aside = glob.glob(f"{target}.foreign-*")
+        assert len(aside) == 1
+        with open(os.path.join(aside[0], "precious.txt")) as fh:
+            assert fh.read() == "not ours"
+        # the fresh table is stamped for FUTURE reclaims
+        assert os.path.exists(os.path.join(target, MARKER_FILE))
+        assert spark.table(name).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        for d in glob.glob(f"{target}.foreign-*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    # --- marked orphan (ours, catalog entry lost with its session):
+    # reclaimed in place, no aside dir
+    name = "bkt_orphan_probe"
+    target = os.path.join(wh, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    os.makedirs(target, exist_ok=True)
+    with open(os.path.join(target, MARKER_FILE), "w"):
+        pass
+    with open(os.path.join(target, "stale.parquet"), "w") as fh:
+        fh.write("stale")
+    try:
+        write_bucketed(df, name, ["k"], 4)
+        assert glob.glob(f"{target}.foreign-*") == []
+        assert not os.path.exists(os.path.join(target, "stale.parquet"))
+        assert spark.table(name).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

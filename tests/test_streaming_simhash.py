@@ -393,3 +393,18 @@ def test_hot_block_cap_drops_only_capped_blocks(spark):
     assert {r.doc_id for r in uncapped.collect()} == {1, 2}
     capped = cross_batch_hits(probe, [idx], 3, max_block_df=10)
     assert {r.doc_id for r in capped.collect()} == {2}
+
+
+def test_cross_batch_hits_empty_frames_returns_empty(spark):
+    """Exported helper contract: an empty frames list (index has no
+    rows yet) yields an empty doc_id frame, not an AttributeError —
+    callers must not need an `if frames:` guard."""
+    from eeg_data_lake_spark.streaming.simhash import cross_batch_hits
+
+    probe = spark.createDataFrame(
+        [(1, 0, 1, 3, 1)],
+        "doc_id long, fp_hi long, fp_lo long, j int, block int",
+    )
+    out = cross_batch_hits(probe, [], 3)
+    assert out.columns == ["doc_id"]
+    assert out.count() == 0

@@ -173,3 +173,61 @@ def test_overwrite_and_upsert_fold_correctly_through_rollup(spark, table):
     got = {(r.k, r.v) for r in table.read().collect()}
     want = {(i, f"v{i}") for i in range(200, 206)} | {(100, "y"), (300, "z")}
     assert got == want
+
+
+def test_wide_checkpoint_names_load_and_prune(spark, table):
+    """The writer pads versions with {:08d}, which emits 9+ digits past
+    10^8 — the reader/pruner must accept any width or rollups written
+    there are never loaded (replay silently degrades to O(versions))
+    and never pruned."""
+    from eeg_data_lake_spark.sources.txlog import _LogState
+
+    table.append(_one(spark, 0))
+    table.append(_one(spark, 1))
+    state = table._replay()
+    big = 10**8  # {:08d} formats this as NINE digits
+    table._write_checkpoint(
+        _LogState(big, state.files, state.txn_ids, state.stats)
+    )
+    assert os.path.exists(
+        os.path.join(table.log_dir, f"_checkpoint-{big}.json")
+    )
+    assert big in table._checkpoint_versions()
+    # the wide rollup is the one that seeds replay (newest) — content
+    # equals the real state, so the read is unchanged
+    assert {r.k for r in table.read().collect()} == {0, 1}
+    # and the pruner can unlink wide names: write two more rollups,
+    # only the newest two survive regardless of digit width
+    table._write_checkpoint(
+        _LogState(big + 1, state.files, state.txn_ids, state.stats)
+    )
+    table._write_checkpoint(
+        _LogState(big + 2, state.files, state.txn_ids, state.stats)
+    )
+    assert table._checkpoint_versions() == [big + 1, big + 2]
+
+
+def test_checkpoint_write_failure_never_fails_a_landed_commit(
+    spark, table, monkeypatch
+):
+    """The rollup is an accelerator, never the source of truth: the
+    manifest hard-link has already SUCCEEDED when the interval rollup
+    is written, so a rollup failure (disk full, permissions) must not
+    propagate — a txn-less caller retrying "the failed commit" would
+    append the same data twice."""
+
+    def boom(state):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(table, "_write_checkpoint", boom)
+    for i in range(17):  # v16 is the rollup interval — boom fires there
+        table.append(_one(spark, i))
+    assert table.version() == 16
+    assert table.read().count() == 17
+    assert table._checkpoint_versions() == []  # rollup really did fail
+    monkeypatch.undo()
+    # the NEXT interval writes one as usual
+    for i in range(17, 33):
+        table.append(_one(spark, i))
+    assert 32 in table._checkpoint_versions()
+    assert table.read().count() == 33

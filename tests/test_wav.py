@@ -183,3 +183,47 @@ def test_with_wav_status_tags_rows(spark):
     assert got[1] == (True, None)
     assert got[2][0] is False and "truncated" in got[2][1]
     assert got[3][0] is False  # NULL payload is not a WAV
+
+
+def test_trailing_bytes_beyond_riff_extent_refused():
+    raw = encode_wav(_pcm([1, 2, 3]), 1, 16000) + b"ID3junk"
+    with pytest.raises(ValueError, match="trailing bytes"):
+        parse_wav(raw)
+
+
+def test_stray_bytes_after_last_chunk_refused():
+    """1-7 bytes INSIDE the declared RIFF extent but after the last
+    whole chunk used to slip out of the walk silently (pos + 8 > len)
+    — the strict contract says they are a malformation."""
+    base = encode_wav(_pcm([1, 2, 3]), 1, 16000)
+    raw = (
+        base[:4]
+        + struct.pack("<I", len(base) - 8 + 3)
+        + base[8:]
+        + b"xyz"
+    )
+    with pytest.raises(ValueError, match="stray bytes"):
+        parse_wav(raw)
+
+
+def test_odd_final_chunk_without_pad_byte_parses():
+    """A final odd-sized data chunk whose pad byte the writer omitted
+    (and whose RIFF size therefore excludes it) is legal — the walk
+    must not demand a pad past the declared extent."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    pcm = b"\x01\x02\x03\x04\x05"  # 5 bytes: odd, 2.5 frames
+    raw = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    ch, rate, data = parse_wav(raw)
+    assert (ch, rate, data) == (1, 16000, pcm)
+    _, _, frames = decode_wav_samples(raw)
+    assert frames.shape == (2, 1)  # partial trailing frame dropped
