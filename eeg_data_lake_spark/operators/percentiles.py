@@ -35,12 +35,18 @@ def exact_percentiles(
     value: str,
     ps: Sequence[float],
     prefix: str = "p",
+    with_min_max: bool = False,
 ) -> DataFrame:
     """One row per ``key`` with one column per requested percentile
     (``p50`` for 0.5, ``p12_5`` for 0.125), matching
     ``percentile(value, p)``'s semantics: NULL values are ignored (not
     ranked) and quantiles use the same k = (n-1)·p linear
-    interpolation on the same doubles."""
+    interpolation on the same doubles.
+
+    ``with_min_max`` adds ``vmin``/``vmax`` columns: min/max over the
+    distinct-value relation equals min/max over the rows, so a caller
+    that needs them alongside quantiles gets them for free off the
+    SAME shuffle instead of paying a second scan of ``df``."""
     if not ps:
         raise ValueError("exact_percentiles: ps must name at least one percentile")
     if any(p < 0.0 or p > 1.0 for p in ps):
@@ -79,6 +85,11 @@ def exact_percentiles(
         aggs.append(
             (v_lo + frac * (F.coalesce(v_hi, v_lo) - v_lo)).alias(name)
         )
+    if with_min_max:
+        # like the builtin min/max these ignore NULL values; an
+        # all-NULL group gets NULLs via the key-set left join below
+        aggs.append(F.min(value).alias("vmin"))
+        aggs.append(F.max(value).alias("vmax"))
     # null-SAFE left join: NULL is a legal group key (the builtin
     # aggregates it like any other group), and a plain equality join
     # would drop the NULL-key group's computed percentiles

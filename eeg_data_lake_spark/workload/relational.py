@@ -327,32 +327,36 @@ def q10_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (A2's exact-parity variant; the
     medallion gold table uses percentile_approx — same API family, the
     approximate form can't hash-match a different engine's sketch, so
-    the oracle-checked query uses `percentile`, which both engines
-    define as linear interpolation).
+    the oracle-checked query computes `percentile`-identical linear
+    interpolation).
 
-    Both quantiles ride ONE `percentile(col, array(...))` aggregate, so
-    the value→count map state is built and merged once, not per
-    quantile (two separate calls measured 1.4x slower). Exact
-    percentile cannot shrink its partial state below the distinct
-    values; q79 pins the rank-based plan whose heavy stage stays fully
-    parallel at scale, and gold uses percentile_approx when a sketch is
-    acceptable."""
+    Routed through the rank-based exact plan
+    (operators/percentiles.exact_percentiles, builtin parity pinned in
+    tests/test_percentiles.py) rather than Spark's `percentile`
+    aggregate: with only 3 l_returnflag groups the aggregate's
+    value→count map state lands on THREE reducers that each buffer a
+    corpus-sized map — a genuine narrow stage at 100 TB. Here the
+    heavy shuffle is groupBy(flag, price).count() — parallel over
+    DISTINCT VALUES with map-side combine — and min/max ride the same
+    shuffle via with_min_max (min over distinct values == min over
+    rows), so the whole query is one scan, one wide shuffle, and a
+    window over |distinct| rows."""
+    from eeg_data_lake_spark.operators.percentiles import exact_percentiles
+
     li = t(spark, sf_dir, "lineitem")
-    ps = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            ps.alias("_ps"),
-            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        )
-        .select(
-            "l_returnflag",
-            F.round(F.col("_ps")[0], 6).alias("median_price"),
-            F.round(F.col("_ps")[1], 6).alias("p95_price"),
-            "min_price",
-            "max_price",
-        )
+    res = exact_percentiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5, 0.95],
+        with_min_max=True,
+    )
+    return res.select(
+        "l_returnflag",
+        F.round(F.col("p50"), 6).alias("median_price"),
+        F.round(F.col("p95"), 6).alias("p95_price"),
+        F.round(F.col("vmin"), 2).alias("min_price"),
+        F.round(F.col("vmax"), 2).alias("max_price"),
     )
 
 

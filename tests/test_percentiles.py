@@ -148,3 +148,20 @@ def test_null_group_key_is_a_legal_group(spark):
     df = spark.createDataFrame(rows, "k string, v double")
     got = {r["k"]: r["p50"] for r in exact_percentiles(df, "k", "v", [0.5]).collect()}
     assert got == {None: pytest.approx(2.0), "a": pytest.approx(5.0)}
+
+
+def test_with_min_max_rides_the_same_relation(spark):
+    df = spark.createDataFrame(
+        [("a", 3.0), ("a", 1.0), ("a", 2.0), ("b", None), ("b", None), ("c", 5.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r
+        for r in exact_percentiles(
+            df, "k", "v", [0.5], with_min_max=True
+        ).collect()
+    }
+    assert (got["a"]["vmin"], got["a"]["vmax"], got["a"]["p50"]) == (1.0, 3.0, 2.0)
+    # all-NULL group keeps its row with NULL min/max, like builtin agg
+    assert (got["b"]["vmin"], got["b"]["vmax"], got["b"]["p50"]) == (None, None, None)
+    assert (got["c"]["vmin"], got["c"]["vmax"]) == (5.0, 5.0)

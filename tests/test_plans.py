@@ -585,3 +585,24 @@ def test_r27_segments_assembled_per_row(spark, sf_dir):
     plan = explain_string(df)
     assert "posexplode" in plan and "array_join" in plan
     assert not has_cartesian_or_bnlj(df)
+
+
+def test_q10_has_no_single_group_percentile_buffer(spark, sf_dir):
+    """q10 must ride the rank-based exact plan: Spark's `percentile`
+    aggregate (ObjectHashAggregate over a value→count map) puts each
+    group's ENTIRE value distribution on one reducer — with 3
+    l_returnflag groups that is a corpus-sized narrow stage at scale.
+    The rank plan's heavy shuffle is groupBy(flag, price) — parallel
+    over distinct values — and min/max ride the same shuffle."""
+    df = q("q10_price_percentiles", spark, sf_dir)
+    plan = explain_string(df)
+    assert "ObjectHashAggregate" not in plan
+    assert "percentile" not in plan.lower()
+    # exactly ONE scan reads the heavy value column — min/max ride the
+    # quantile shuffle, and the key-set branch prunes to the 1-column
+    # dictionary scan of l_returnflag (Catalyst pushes the projection
+    # through the distinct)
+    heavy = [
+        cols for cols in read_schema_columns(df) if "l_extendedprice" in cols
+    ]
+    assert len(heavy) == 1
