@@ -295,6 +295,14 @@ class TxTable:
     #: unusual deployments can tune it per subclass/instance.
     CHECKPOINT_INTERVAL = 16
 
+    #: Bound on commit-race retries (each retry = another writer
+    #: landed a version first). Appends retry and land at the next
+    #: version, Delta-style; rewrites re-validate their remove-set on
+    #: every retry and raise on true conflicts. The bound exists so a
+    #: pathologically contended table surfaces an error instead of an
+    #: unbounded spin.
+    COMMIT_RETRIES = 256
+
     def _checkpoint_versions(self) -> list[int]:
         out = []
         for n in os.listdir(self.log_dir):
@@ -506,9 +514,17 @@ class TxTable:
         concurrent overwrite/upsert/compact removed it), raises
         ``ConcurrentModificationError`` rather than committing a
         remove of ghost files — Delta's conflict-detection behavior.
-        Pure appends (empty remove) never conflict."""
+        Pure appends (empty remove) never conflict — Delta's behavior
+        at the reference's append sites (delta_bronze.py:81): two
+        racing appenders with disjoint content BOTH land, the loser
+        simply re-reading the log and committing at the next version.
+        The retry is BOUNDED (COMMIT_RETRIES): every retry means some
+        OTHER writer committed, so exhausting the budget implies
+        hundreds of competing commits starved this one — surfacing
+        that as ConcurrentModificationError beats spinning forever on
+        a pathologically contended table."""
         stats = self._file_stats(add)
-        while True:
+        for _attempt in range(self.COMMIT_RETRIES):
             state = self._replay()
             if txn_id and txn_id in state.txn_ids:
                 # idempotent replay: the work is already committed;
@@ -583,6 +599,10 @@ class TxTable:
                 continue  # lost the race — re-read the log, try again
             finally:
                 os.unlink(tmp)
+        raise ConcurrentModificationError(
+            f"{op} at {self.path}: lost {self.COMMIT_RETRIES} commit "
+            "races in a row — table is pathologically contended"
+        )
 
     # ------------------------------------------------------------- ops
 

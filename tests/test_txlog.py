@@ -556,3 +556,81 @@ def test_table_diff_null_key_rows_classified(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
     d = {r.id: r.op for r in table_diff(t, 0, 1, keys=["id"]).collect()}
     assert d == {None: "removed"}
+
+
+def test_concurrent_appenders_all_land(spark, tmp_path):
+    """Delta-style optimistic concurrency for APPENDS: N racing
+    appenders (disjoint content) must ALL commit — the loser of a
+    version race re-reads the log and lands at the next version —
+    with no lost rows, contiguous versions, txn-id idempotence
+    preserved, and rewrite conflicts still raising."""
+    import threading
+
+    from eeg_data_lake_spark.sources.txlog import ConcurrentModificationError
+
+    t = TxTable(spark, str(tmp_path / "race"))
+    n_writers, n_batches = 5, 2
+    barrier = threading.Barrier(n_writers)
+    errs: list[Exception] = []
+
+    def worker(w: int) -> None:
+        try:
+            barrier.wait(timeout=60)  # maximize commit-race contention
+            for j in range(n_batches):
+                df = spark.createDataFrame(
+                    [(w, j)], "w long, j long"
+                ).coalesce(1)
+                t.append(df, txn_id=f"w{w}-b{j}")
+        except Exception as exc:  # surfaced to the main thread below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert errs == []
+    assert t.version() == n_writers * n_batches - 1  # contiguous, none lost
+    got = {(r.w, r.j) for r in t.read().collect()}
+    assert got == {(w, j) for w in range(n_writers) for j in range(n_batches)}
+    # txn idempotence survived the race: replaying any writer's txn is
+    # a no-op at the post-race version
+    v = t.version()
+    t.append(
+        spark.createDataFrame([(0, 0)], "w long, j long"), txn_id="w0-b0"
+    )
+    assert t.version() == v
+    assert t.read().count() == n_writers * n_batches
+    # rewrite conflicts still raise: a rewrite pinned to a snapshot
+    # whose files a later overwrite already removed must NOT land
+    t.overwrite(spark.createDataFrame([(99, 99)], "w long, j long"))
+    with pytest.raises(ConcurrentModificationError):
+        t.overwrite(
+            spark.createDataFrame([(1, 1)], "w long, j long"), pin_version=v
+        )
+
+
+def test_commit_retry_budget_is_bounded(spark, tmp_path, monkeypatch):
+    """Exhausting COMMIT_RETRIES (every link attempt loses its race)
+    surfaces ConcurrentModificationError instead of spinning forever."""
+    import os as _os
+
+    from eeg_data_lake_spark.sources.txlog import ConcurrentModificationError
+
+    t = TxTable(spark, str(tmp_path / "spin"))
+    t.COMMIT_RETRIES = 3
+    real_link = _os.link
+    attempts = []
+
+    def always_lose(src, dst, **kw):
+        if "_txlog" in str(dst):
+            attempts.append(dst)
+            raise FileExistsError(dst)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(_os, "link", always_lose)
+    with pytest.raises(ConcurrentModificationError, match="contended"):
+        t.append(spark.createDataFrame([(1,)], "x long"))
+    assert len(attempts) == 3
