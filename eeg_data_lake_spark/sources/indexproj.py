@@ -36,7 +36,9 @@ projection deletes the tail appends' original files, so the row-level
 delta is unrecoverable even though the live content is readable —
 ``index_frames`` then degrades to the plain full read (correct, the
 co-location saving returns at the next re-bucketize) instead of
-erroring every trigger.
+erroring every trigger. ``compact_index`` is the cadence that keeps
+that degraded window closed: it re-bucketizes between the compaction
+and the vacuum, so the next trigger always probes a fresh projection.
 """
 
 from __future__ import annotations
@@ -48,7 +50,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from eeg_data_lake_spark.sources.bucketed import write_bucketed
-from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.sources.txlog import TxTable, maybe_compact
 
 
 def bucketize_index(
@@ -90,6 +92,48 @@ def bucketize_index(
         ):
             spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
     return name
+
+
+def compact_index(
+    idx: TxTable,
+    base: str | None,
+    key_cols: Sequence[str],
+    n_buckets: int = 32,
+    max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    vacuum_keep_versions: int | None = None,
+) -> str | None:
+    """The maintenance cadence the module docstring names ("re-
+    bucketize at compaction"), as one call: policy-compact the index
+    txlog (txlog.maybe_compact — no-op until more than
+    ``max_small_files`` small files accumulate), and when compaction
+    actually rewrote files AND ``base`` has a live projection,
+    re-bucketize it at the post-compaction version BEFORE any vacuum.
+    Ordering is the point: compact()+vacuum() past a projection
+    deletes the tail appends' original files and silently degrades
+    ``index_frames`` to the co-location-free full read until someone
+    remembers to re-project — this hook closes that window, so the
+    very next trigger probes the fresh projection with zero index-side
+    exchange (pinned in tests/test_indexproj.py). With
+    ``vacuum_keep_versions`` set, vacuums afterwards (safe: the new
+    projection has no tail to lose). Returns the refreshed projection
+    name, or None when compaction didn't run or ``base`` has no
+    projection to refresh."""
+    compacted = maybe_compact(
+        idx,
+        max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+    )
+    refreshed = None
+    if (
+        compacted is not None
+        and base is not None
+        and newest_projection(idx.spark, base) is not None
+    ):
+        refreshed = bucketize_index(idx, base, key_cols, n_buckets)
+    if vacuum_keep_versions is not None:
+        idx.vacuum(keep_versions=vacuum_keep_versions)
+    return refreshed
 
 
 def newest_projection(

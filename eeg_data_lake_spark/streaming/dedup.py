@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.graph import connected_components
-from eeg_data_lake_spark.sources.indexproj import bucketize_index, index_frames
+from eeg_data_lake_spark.sources.indexproj import (
+    bucketize_index,
+    compact_index,
+    index_frames,
+)
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import backfill_index, paired_commit
 from eeg_data_lake_spark.workload.dedup import (
@@ -127,6 +131,28 @@ def bucketize_band_index(
     compaction, when the index files get rewritten anyway."""
     return bucketize_index(
         band_index_table(table.spark, table), base, ["band"], n_buckets
+    )
+
+
+def compact_band_index(
+    table: TxTable,
+    base: str | None,
+    n_buckets: int = 32,
+    max_small_files: int = 8,
+    vacuum_keep_versions: int | None = None,
+) -> str | None:
+    """Post-ingest maintenance: policy-compact the band index and,
+    when compaction ran under a live ``base`` projection, re-bucketize
+    it BEFORE any vacuum so the next trigger's probe keeps its
+    zero-exchange co-location instead of silently degrading to the
+    full read (sources/indexproj.compact_index)."""
+    return compact_index(
+        band_index_table(table.spark, table),
+        base,
+        ["band"],
+        n_buckets=n_buckets,
+        max_small_files=max_small_files,
+        vacuum_keep_versions=vacuum_keep_versions,
     )
 
 

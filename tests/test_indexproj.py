@@ -397,3 +397,99 @@ def test_block_probe_drops_index_exchange_and_matches(
     assert {r.doc_id for r in bkt_hits.collect()} == {
         r.doc_id for r in plain_hits.collect()
     } == {99}
+
+
+def test_compact_index_refreshes_projection_before_vacuum(
+    spark, tmp_path, base
+):
+    """The round-6 gap: compact()+vacuum() past a projection silently
+    degraded every later probe to the full co-location-free read until
+    someone re-bucketized by hand. compact_index is the cadence hook:
+    compaction under a live projection re-bucketizes FIRST, so the
+    vacuum has no tail to strand and the next probe is co-located."""
+    from eeg_data_lake_spark.sources.indexproj import compact_index
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=4)
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    # below the small-file threshold: nothing compacts, projection kept
+    assert (
+        compact_index(idx, base, ["k"], n_buckets=4, max_small_files=99)
+        is None
+    )
+    assert len(index_frames(idx, base)) == 2  # base + tail, untouched
+
+    name = compact_index(
+        idx,
+        base,
+        ["k"],
+        n_buckets=4,
+        max_small_files=1,
+        vacuum_keep_versions=0,
+    )
+    assert name is not None
+    assert newest_projection(spark, base) == (name, idx.version())
+    frames = index_frames(idx, base)
+    # fresh projection, no tail — NOT the degraded full read: the
+    # frame is the bucketed catalog table, so a key-join probe elides
+    # the index-side exchange exactly like a just-bucketized base
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c")}
+    probe_rows = spark.createDataFrame([(2,), (9,)], "k long")
+    plain = probe_rows.join(idx.read().hint("merge"), "k", "left_anti")
+    fresh = probe_rows.join(frames[0], "k", "left_anti")
+    assert count_exchanges(fresh) == count_exchanges(plain) - 1
+    assert {r.k for r in fresh.collect()} == {9}
+
+
+def test_family_compact_hook_keeps_next_trigger_colocated(
+    spark, tmp_path, base
+):
+    """End-to-end on the chunk-dedup family: ingest triggers build the
+    index under a projection, compact_chunk_index (+vacuum) runs as
+    post-batch maintenance, and the NEXT trigger still probes a fresh
+    single-frame projection — zero degraded full reads — with content
+    identical to a maintenance-free run."""
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        bucketize_chunk_index,
+        chunk_batch_writer,
+        chunk_index_table,
+        compact_chunk_index,
+    )
+
+    def blobs(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, payload binary")
+
+    shared = bytes(range(256)) * 8
+    b0 = [(1, shared + b"x" * 300), (2, b"y" * 900)]
+    b1 = [(3, b"z" * 200 + shared), (4, b"")]
+    b2 = [(5, shared[100:] + b"w" * 150)]
+
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    w = chunk_batch_writer(plain_t, "p")
+    for i, b in enumerate((b0, b1, b2)):
+        w(blobs(b), i)
+
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    wb = chunk_batch_writer(bkt_t, "b", bucketed_base=base)
+    wb(blobs(b0), 0)
+    bucketize_chunk_index(bkt_t, base, n_buckets=4)
+    wb(blobs(b1), 1)
+    # maintenance between triggers: compact + re-project + vacuum
+    refreshed = compact_chunk_index(
+        bkt_t, base, n_buckets=4, max_small_files=1, vacuum_keep_versions=0
+    )
+    assert refreshed is not None
+    idx = chunk_index_table(spark, bkt_t)
+    frames = index_frames(idx, base)
+    assert len(frames) == 1  # fresh projection, not the degraded read
+    wb(blobs(b2), 2)  # the NEXT trigger probes it
+    want = {
+        (r.chunk_md5, r.length)
+        for r in chunk_index_table(spark, plain_t).read().collect()
+    }
+    got = {(r.chunk_md5, r.length) for r in idx.read().collect()}
+    assert got == want
