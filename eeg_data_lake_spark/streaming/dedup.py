@@ -86,30 +86,71 @@ def with_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _batch_representatives(banded: DataFrame) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
-    band-collision connected component (singletons survive as-is)."""
+    band-collision connected component (singletons survive as-is).
+
+    Identical (band0, band1) signatures are PRE-COLLAPSED to their
+    min-doc_id member before the pair join — the same exact collapse
+    the SimHash path applies to identical fingerprints. This is both
+    the skew guard and the CC bound: a crawl batch with thousands of
+    exact copies (or of degenerate docs sharing the content-hash
+    fallback band) is ONE signature group, so the collision self-join
+    sees one row for it instead of building the O(n^2) clique, and
+    the iterative CC — a shuffle per round, every round — runs over
+    the distinct-signature graph only (measured 12.6 s → 2.9 s
+    trigger wall on a 1500-copy batch, BASELINE.md). The collapse is
+    EXACT: identical signatures share every band, so any edge a
+    collapsed member would contribute exists identically for its
+    group rep, and the rep (its group's minimum) carries the group —
+    final keep = min(component) is unchanged. Bands are never NULL
+    (with_bands coalesces a content-hash fallback), so the plain
+    equi-join-back is safe."""
     sig = banded.select("doc_id", *BAND_COLS)
+    # one row per distinct signature (+ its group size, so the
+    # clean-batch probe below can see exact-dup groups); eager
+    # localCheckpoint: consumed by the pair join, the group-loser
+    # join-back, and the clean probe
+    groups = (
+        sig.groupBy(*BAND_COLS)
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
     # materialize the collision pairs ONCE (eager localCheckpoint, the
     # connected_components convention): the clean-batch fast path
     # below probes them without re-running the band self-joins, and a
     # dirty batch feeds the SAME materialization to CC instead of
     # recomputing the join lineage
     pairs = band_collision_pairs(
-        sig, BAND_COLS, src="src", dst="dst"
+        groups.select("doc_id", *BAND_COLS), BAND_COLS, src="src", dst="dst"
     ).localCheckpoint(eager=True)
-    # a clean batch (no within-batch collisions) is the common case on
-    # a real stream: one cheap probe skips the iterative CC (several
-    # joins + a driver-checked action per iteration) entirely
+    group_losers = (
+        sig.join(
+            groups.filter(F.col("_n") > 1).select(
+                *BAND_COLS, F.col("doc_id").alias("keep")
+            ),
+            list(BAND_COLS),
+        )
+        .filter(F.col("doc_id") != F.col("keep"))
+        .select("doc_id")
+    )
+    # a clean batch (no collisions at all) is the common case on a
+    # real stream: two cheap probes of already-materialized frames
+    # skip the iterative CC (several joins + a driver-checked action
+    # per round) AND the loser anti-join entirely
     if pairs.isEmpty():
-        return banded
+        if groups.filter(F.col("_n") > 1).isEmpty():
+            return banded
+        return banded.join(group_losers, "doc_id", "left_anti")
     comp = connected_components(pairs, "src", "dst")
     reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
-    losers = comp.join(
+    cc_losers = comp.join(
         reps.withColumnRenamed("doc_id", "keep"),
         "component",
     ).filter(F.col("node") != F.col("keep")).select(
         F.col("node").alias("doc_id")
     )
-    return banded.join(losers, "doc_id", "left_anti")
+    return banded.join(
+        cc_losers.unionByName(group_losers), "doc_id", "left_anti"
+    )
 
 
 def band_index_table(spark: SparkSession, table: TxTable) -> TxTable:

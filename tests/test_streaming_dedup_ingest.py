@@ -241,3 +241,49 @@ def test_seeded_corpus_bands_backfilled_before_first_probe(
     writer(dup_of_seed, 0)
     assert {r.doc_id for r in table.read().collect()} == {1, 101}
     assert idx.read().count() == n_banded
+
+
+def test_copy_flood_collapses_before_pair_join(spark, tmp_path, monkeypatch):
+    """Thousands of exact copies in one micro-batch share ONE
+    (band0, band1) signature — the within-batch skew. The
+    identical-signature pre-collapse must keep the collision self-join
+    at one row per distinct signature (never the O(n^2) clique) and
+    skip the iterative per-trigger CC entirely when the collapsed reps
+    don't collide, while staying exact: one survivor per copy group,
+    distinct docs untouched, a later re-flood rejected by the index."""
+    import random
+
+    import eeg_data_lake_spark.streaming.dedup as sd
+    from eeg_data_lake_spark.streaming.dedup import dedup_batch_writer
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "connected_components must not run on a collapse-clean batch"
+        )
+
+    monkeypatch.setattr(sd, "connected_components", boom)
+
+    rng = random.Random(11)
+    words = [f"w{i}" for i in range(4000)]
+    rows = [
+        (i, "the same templated boilerplate text", "en", "s", 35)
+        for i in range(2000)
+    ]
+    rows += [
+        (10_000 + i, " ".join(rng.sample(words, 12)), "en", "s", 60)
+        for i in range(25)
+    ]
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    writer = dedup_batch_writer(table, "flood")
+    writer(spark.createDataFrame(rows, SCHEMA), 0)
+    accepted = {r.doc_id for r in table.read().collect()}
+    assert accepted == {0} | {10_000 + i for i in range(25)}
+
+    # a later flood of the same copy is rejected wholesale by the
+    # band-index probe — and still never wakes the iterative CC
+    flood = [
+        (50_000 + i, "the same templated boilerplate text", "en", "s", 35)
+        for i in range(500)
+    ] + [(60_000, " ".join(rng.sample(words, 12)), "en", "s", 60)]
+    writer(spark.createDataFrame(flood, SCHEMA), 1)
+    assert {r.doc_id for r in table.read().collect()} == accepted | {60_000}
