@@ -12,3 +12,7 @@ from eeg_data_lake_spark.plans.inspect import (  # noqa: F401
     pushed_filters,
     read_schema_columns,
 )
+from eeg_data_lake_spark.plans.metrics import (  # noqa: F401
+    measure_shuffle,
+    shuffle_totals,
+)
