@@ -1,0 +1,297 @@
+"""Streaming twin of the composed z20 curation pipeline: exact dedup,
+ExactSubstr gram counting, shingle decontamination state, and the
+structural quality gate, maintained incrementally in ONE foreachBatch
+over the chained exactly-once discipline (streaming/txpair.py), with a
+terminal resolution pass that reaches batch z20's answer VERBATIM.
+
+The composition problem, stated: z20's stages are GLOBAL —
+
+- exact dedup keeps the MINIMUM doc_id per fingerprint over the whole
+  corpus, but a greedy first-batch-wins stream keeps whichever
+  duplicate arrived first;
+- ExactSubstr duplication and benchmark contamination are corpus-wide
+  properties a single batch cannot decide;
+- the quality gate runs on the SCRUBBED text, which doesn't exist
+  until duplication is known.
+
+So every per-batch leg here maintains state whose FINAL RESOLUTION is
+order-independent, and the batch-order-sensitive choices are deferred
+to the terminal pass (``curated_rollup``) — the same shape
+streaming/exactsubstr.py proved for z29, extended to the full
+pipeline:
+
+1. **Structural gate (expectations)**: NULL-text rows are dropped per
+   batch (operators/expectations.enforce — a NULL-text doc contributes
+   nothing to any z20 stage: its fingerprint is its own NULL group and
+   its tokenization is NULL, so dropping it at the door is
+   parity-exact). The STATISTICAL gate (scrubbed length/token floors)
+   cannot run per batch — scrubbing is global — and runs in the
+   terminal pass with z20's exact expressions.
+2. **Exact-dedup candidates**: per batch, the per-fingerprint minimum
+   doc_id, kept only if no already-indexed doc of the same fingerprint
+   has a STRICTLY smaller id. The strictly-less anti-join makes the
+   probe replay-stable (chained_commit's contract: the fingerprint
+   index may already contain this batch's own minima when a crashed
+   batch replays — a row never compares strictly-less than itself, so
+   the candidate set is unchanged) and the final winner — the global
+   minimum — is always a candidate: at its own batch no smaller id
+   can exist anywhere. Cross-batch losers never reach the corpus, the
+   gram index, or the shingle inventory.
+3. **Gram counts at doc granularity**: (doc_id, g, c) rows per
+   candidate (c = within-doc occurrences, xxhash64 keys — the z19
+   scale mode). The terminal saturated set filters to the winning
+   doc_ids BEFORE summing, so a candidate later beaten by a smaller
+   id (its fingerprint's grams re-enter under the new winner's text)
+   drops out exactly — no negative-delta bookkeeping, append-only
+   legs throughout.
+4. **Decontamination state, bidirectional by construction**: the
+   shingle inventory of non-benchmark candidates and the distinct
+   shingle hashes of ALL raw benchmark-slot docs (%50 == 0, dedup
+   losers included — z20 probes contamination over the ORIGINAL
+   corpus, so a benchmark doc that loses exact dedup still
+   contaminates). Resolved at the end as one broadcast join; a doc
+   arriving before its contaminating benchmark doc — or after — lands
+   in the same final set.
+
+Per-trigger cost is batch-sized: one fingerprint-index probe (an
+equi-anti-join, co-locatable like every other streaming index probe
+here), plus narrow gram/shingle extraction over the batch. Nothing
+per-trigger aggregates or rescans the corpus.
+
+Reference capability upgraded: the reference's whole batch cadence —
+bronze→silver→gold rewrites per ingest
+(/root/reference/main/combine_files.py, bronze-to-silver.py) — becomes
+an online pipeline whose state advances per micro-batch and whose
+rollup is exactly the batch answer (z31 shares z20's CTE oracle
+verbatim; crash replay pinned in tests/test_streaming_curation.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.expectations import enforce
+from eeg_data_lake_spark.sources.txlog import TxTable
+from eeg_data_lake_spark.streaming.txpair import chained_commit
+from eeg_data_lake_spark.workload.curation import (
+    _split_col,
+    esd_grams,
+    esd_intervals,
+    esd_kept_tokens,
+)
+from eeg_data_lake_spark.workload.dedup import shingled
+
+
+def _fingerprint() -> F.Column:
+    """z20's exact-dedup key: md5(lower(trim(text))) — non-NULL for
+    every row that passes the structural gate."""
+    return F.md5(F.lower(F.trim(F.col("text"))))
+
+
+def fp_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """(fingerprint, doc_id) candidate rows; winner = min per
+    fingerprint, resolved at read — order-independent."""
+    return TxTable(spark, table.path + "_fp")
+
+
+def gram_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """(doc_id, g, c) per-candidate within-doc gram counts."""
+    return TxTable(spark, table.path + "_grams")
+
+
+def inv_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """(doc_id, h) shingle-hash inventory of non-benchmark candidates."""
+    return TxTable(spark, table.path + "_shinv")
+
+
+def bench_index_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """(h) distinct-per-batch shingle hashes of raw benchmark docs."""
+    return TxTable(spark, table.path + "_bench")
+
+
+def curation_batch_writer(table: TxTable, sink_id: str):
+    """foreachBatch function maintaining the five-table curation state
+    (corpus + fingerprint/gram/inventory/bench indices) exactly-once
+    per batch via ``chained_commit`` — see the module docstring for
+    each leg's replay argument."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp_idx = fp_index_table(spark, table)
+        gram_idx = gram_index_table(spark, table)
+        inv_idx = inv_index_table(spark, table)
+        bench_idx = bench_index_table(spark, table)
+
+        valid, _ = enforce(
+            batch_df, {"text_present": F.col("text").isNotNull()}, mode="drop"
+        )
+        fps = valid.withColumn("fingerprint", _fingerprint())
+        batch_min = fps.groupBy("fingerprint").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        cand = fps.join(batch_min, ["fingerprint", "doc_id"], "left_semi")
+        if fp_idx.version() >= 0:
+            ex = fp_idx.read().select(
+                F.col("fingerprint").alias("__f"), F.col("doc_id").alias("__d")
+            )
+            cand = cand.join(
+                ex,
+                (F.col("fingerprint") == F.col("__f"))
+                & (F.col("__d") < F.col("doc_id")),
+                "left_anti",
+            )
+        cand = cand.persist()  # five consumers below, one derivation
+        try:
+            tokenized = cand.select(
+                "doc_id", F.split(F.col("text"), " ").alias("w")
+            )
+            chained_commit(
+                table,
+                cand.select("doc_id", "text", "lang"),
+                [
+                    (fp_idx, cand.select("fingerprint", "doc_id"), "fp"),
+                    (
+                        gram_idx,
+                        esd_grams(tokenized, hashed=True)
+                        .groupBy("doc_id", "g")
+                        .agg(F.count(F.lit(1)).cast("int").alias("c")),
+                        "grams",
+                    ),
+                    (
+                        inv_idx,
+                        shingled(cand.filter(F.col("doc_id") % 50 != 0))
+                        .select("doc_id", F.explode("sl").alias("shingle"))
+                        .select("doc_id", F.xxhash64("shingle").alias("h")),
+                        "shinv",
+                    ),
+                    (
+                        bench_idx,
+                        shingled(valid.filter(F.col("doc_id") % 50 == 0))
+                        .select(F.explode("sl").alias("shingle"))
+                        .select(F.xxhash64("shingle").alias("h"))
+                        .distinct(),
+                        "bench",
+                    ),
+                ],
+                sink_id,
+                batch_id,
+            )
+        finally:
+            cand.unpersist()
+
+    return process
+
+
+def stream_curation_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a file-source document stream into the curation state
+    (AvailableNow: terminates when caught up; re-invocations resume
+    from the checkpoint and replay-committed batches no-op)."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(curation_batch_writer(table, sink_id))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def curated_rollup(table: TxTable) -> DataFrame:
+    """The terminal resolution pass: winners from the fingerprint
+    index (min per fingerprint — order-independent), ExactSubstr scrub
+    of the winners against the winner-filtered gram counts, z20's
+    statistical quality gate on the SCRUBBED text, holdout exclusion,
+    decontamination anti-join, deterministic split, per-(split, lang)
+    rollup. Every expression is z20's (shared helpers: esd_grams /
+    esd_intervals / esd_kept_tokens / _split_col), so after the stream
+    drains this equals batch z20 row for row — z31 shares z20's CTE
+    oracle verbatim."""
+    from pyspark import StorageLevel
+
+    spark = table.spark
+    winners = (
+        fp_index_table(spark, table)
+        .read()
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # two consumers (gram positions + scrub join) with differing
+    # pruning — the same multi-consumer pin batch z20 documents
+    docs = (
+        table.read()
+        .join(winners, "doc_id", "left_semi")
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        gram_index_table(spark, table)
+        .read()
+        .join(winners, "doc_id", "left_semi")
+        .groupBy("g")
+        .agg(F.sum("c").alias("t"))
+        .filter(F.col("t") >= 2)
+        .select("g")
+    )
+    dpos = (
+        esd_grams(docs.select("doc_id", "w"), hashed=True)
+        .join(dup, "g")
+        .select("doc_id", "p")
+    )
+    iv = F.col("iv")
+    kw = F.col("kept_w")
+    scrubbed = (
+        docs.join(esd_intervals(dpos), "doc_id", "left")
+        .withColumn("kept_w", esd_kept_tokens())
+        .select(
+            "doc_id",
+            "lang",
+            F.when(iv.isNull(), F.size("w"))
+            .otherwise(F.size(kw))
+            .cast("long")
+            .alias("n_tok"),
+            F.when(iv.isNull(), F.lit(0))
+            .otherwise(F.size("w") - F.size(kw))
+            .cast("long")
+            .alias("n_rm"),
+            F.when(iv.isNull(), F.array_join(F.col("w"), " "))
+            .otherwise(
+                F.array_join(F.transform(kw, lambda s: s["wd"]), " ")
+            )
+            .alias("stext"),
+        )
+    )
+    gated = scrubbed.filter(
+        (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
+    )
+    bench = bench_index_table(spark, table).read().select("h").distinct()
+    contaminated = (
+        inv_index_table(spark, table)
+        .read()
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gated.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return (
+        clean.withColumn("split", _split_col())
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_rm").cast("long").alias("n_removed"),
+        )
+    )

@@ -111,9 +111,43 @@ def paired_commit(
     callable, invoked only if that leg has not already committed —
     replays then skip the leg's (possibly expensive) derivation, not
     just its write."""
+    chained_commit(table, corpus_df, [(idx, index_df, tag)], sink_id, batch_id)
+
+
+def chained_commit(
+    table: TxTable,
+    corpus_df: DataFrame | Callable[[], DataFrame],
+    legs: list[tuple[TxTable, DataFrame | Callable[[], DataFrame], str]],
+    sink_id: str,
+    batch_id: int,
+) -> None:
+    """The pair discipline generalized to one corpus + N index legs,
+    committed in the FIXED order given: corpus first under
+    ``batch_txn``, then each ``(idx, rows, tag)`` leg under its own
+    ``index_txn``. Any leg may be a zero-arg callable, invoked only if
+    that leg has not already committed.
+
+    The crash argument extends leg-wise: a crash between legs k and
+    k+1 leaves legs > k lagging, and the replay no-ops the committed
+    prefix and completes the rest. That is exactly-once ONLY if every
+    leg's derivation re-produces identical content on replay, which
+    constrains what a derivation may read:
+
+    - the batch itself: always safe (foreachBatch re-delivers it);
+    - its OWN target index, or any LATER leg's index: safe — commits
+      are strictly ordered, so at the moment this leg's derivation
+      (re-)runs, those indices provably do NOT contain this batch;
+    - an EARLIER leg's index: only through a predicate whose answer is
+      the same whether or not that index already contains this batch's
+      rows — e.g. streaming/curation.py's strictly-less anti-join
+      (``existing.doc_id < candidate.doc_id`` is unaffected by the
+      batch's own minima being present, a row never compares
+      strictly-less than itself).
+    """
     if not table.has_txn(batch_txn(sink_id, batch_id)):
         df = corpus_df() if callable(corpus_df) else corpus_df
         table.append(df, txn_id=batch_txn(sink_id, batch_id))
-    if not idx.has_txn(index_txn(sink_id, tag, batch_id)):
-        df = index_df() if callable(index_df) else index_df
-        idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))
+    for idx, rows, tag in legs:
+        if not idx.has_txn(index_txn(sink_id, tag, batch_id)):
+            df = rows() if callable(rows) else rows
+            idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))

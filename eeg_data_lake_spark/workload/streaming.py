@@ -1043,6 +1043,64 @@ def z29_streaming_exactsubstr_ingest(
     return exact_substring_removal(tbl).orderBy("doc_id")
 
 
+def _z31_oracle():
+    from eeg_data_lake_spark.workload.curation import _Z20_ORACLE
+
+    return _Z20_ORACLE
+
+
+@register(
+    "z31_streaming_curation_pipeline",
+    oracle=_z31_oracle(),
+    tags=("streaming", "curation", "pipeline", "dedup", "incremental"),
+)
+def z31_streaming_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPOSED curation pipeline online (streaming/curation.py —
+    the streaming twin of batch z20): the documents table arrives as
+    three micro-batches; ONE foreachBatch maintains five tables
+    exactly-once per batch (chained_commit — corpus, fingerprint
+    candidates, per-doc gram counts, shingle inventory, benchmark
+    shingles), with the structural NULL-text gate applied through the
+    expectations layer and exact-dedup losers filtered at the door by
+    a replay-stable strictly-less probe of the fingerprint index. The
+    terminal ``curated_rollup`` then resolves winners (min per
+    fingerprint — order-independent, so a duplicate's smaller id
+    arriving in a LATER batch still wins exactly as batch z20's global
+    min does), scrubs them ExactSubstr-style against the
+    winner-filtered gram counts, applies z20's scrubbed-text quality
+    gate, holdout exclusion, decontamination anti-join, and split
+    rollup — sharing z20's helpers expression for expression.
+
+    FULLY oracle-backed: after the three batches drain, the rollup
+    must equal batch z20, so this query shares z20's complete CTE
+    oracle verbatim (crash-replay between every pair of commit legs
+    and planted out-of-order duplicate winners are pinned in
+    tests/test_streaming_curation.py)."""
+    import os
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.curation import (
+        curated_rollup,
+        stream_curation_ingest,
+    )
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "cur_q_", ["doc_id", "text", "lang"]
+    )
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_curation_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string, lang string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z31",
+    )
+    return curated_rollup(tbl).orderBy("split", "lang")
+
+
 @register(
     "z30_streaming_minhash_ingest",
     tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
