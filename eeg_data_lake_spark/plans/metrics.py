@@ -22,10 +22,9 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 
-def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
-    """(bytes, records) of shuffle WRITE across every stage the app
-    has completed so far — a monotonic counter; diff two snapshots to
-    budget one action (or use ``measure_shuffle``)."""
+def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, int]]:
+    """{(stageId, attemptId): (shuffleWriteBytes, shuffleWriteRecords)}
+    for every stage the status store currently RETAINS."""
     sc = spark.sparkContext
     # the store is fed by the ASYNC listener bus: without draining it,
     # a snapshot taken right after an action misses that action's
@@ -42,13 +41,26 @@ def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
         sc._gateway.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    tot_b = tot_r = 0
+    out: dict[tuple[int, int], tuple[int, int]] = {}
     it = stages.iterator()
     while it.hasNext():
         s = it.next()
-        tot_b += s.shuffleWriteBytes()
-        tot_r += s.shuffleWriteRecords()
-    return tot_b, tot_r
+        out[(s.stageId(), s.attemptId())] = (
+            s.shuffleWriteBytes(),
+            s.shuffleWriteRecords(),
+        )
+    return out
+
+
+def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """(bytes, records) of shuffle WRITE across every stage the status
+    store currently retains. NOT a monotonic counter: the store evicts
+    completed stages past ``spark.ui.retainedStages`` (default 1000),
+    so in a long session totals can DROP as old stages age out — never
+    diff two of these to budget an action, use ``measure_shuffle``,
+    which diffs per-stage IDs and is immune to eviction of pre-action
+    stages."""
+    return tuple(map(sum, zip(*_stage_shuffle_map(spark).values()))) or (0, 0)
 
 
 def measure_shuffle(
@@ -56,11 +68,23 @@ def measure_shuffle(
 ) -> tuple[int, int]:
     """Run ``action()`` and return the (bytes, records) it shuffled.
 
-    Snapshot-diff over the app-wide totals, so the caller must not run
-    concurrent jobs on the session while measuring (pytest's serial
-    execution satisfies this). Skipped stages (reused exchanges)
-    contribute nothing new — exactly the accounting a budget wants."""
-    b0, r0 = shuffle_totals(spark)
+    Sums ONLY stages that appear (or re-attempt) between the two
+    snapshots, keyed by (stageId, attemptId) — so stages evicted from
+    the status store's retention window (spark.ui.retainedStages,
+    default 1000) between snapshots never skew the measurement the way
+    a totals-diff would after a long test session. The action itself
+    must complete well under the retention window (~1000 stages) or
+    its own earliest stages age out before the second snapshot; the
+    probe actions in tests/test_shuffle_budgets.py run a handful.
+
+    The caller must not run concurrent jobs on the session while
+    measuring (pytest's serial execution satisfies this). Skipped
+    stages (reused exchanges) contribute nothing new — exactly the
+    accounting a budget wants."""
+    before = _stage_shuffle_map(spark)
     action()
-    b1, r1 = shuffle_totals(spark)
-    return b1 - b0, r1 - r0
+    after = _stage_shuffle_map(spark)
+    new = [v for k, v in after.items() if k not in before]
+    tot_b = sum(b for b, _ in new)
+    tot_r = sum(r for _, r in new)
+    return tot_b, tot_r

@@ -94,6 +94,27 @@ def bucketize_index(
     return name
 
 
+def _rewritten_after(idx: TxTable, version: int) -> bool:
+    """Whether any physical-rewrite commit (compact/zorder) landed
+    after ``version`` — i.e. whether a projection at ``version`` could
+    be stranded by a vacuum. Manifest-tail scan: only commits AFTER
+    the projection's version are opened."""
+    import json
+
+    from eeg_data_lake_spark.sources.txlog import (
+        REWRITE_TRANSPARENT_OPS,
+        iter_manifests,
+    )
+
+    for v, mp in iter_manifests(idx.path):
+        if v <= version:
+            continue
+        with open(mp) as fh:
+            if json.load(fh).get("op") in REWRITE_TRANSPARENT_OPS:
+                return True
+    return False
+
+
 def compact_index(
     idx: TxTable,
     base: str | None,
@@ -106,9 +127,10 @@ def compact_index(
     """The maintenance cadence the module docstring names ("re-
     bucketize at compaction"), as one call: policy-compact the index
     txlog (txlog.maybe_compact — no-op until more than
-    ``max_small_files`` small files accumulate), and when compaction
-    actually rewrote files AND ``base`` has a live projection,
-    re-bucketize it at the post-compaction version BEFORE any vacuum.
+    ``max_small_files`` small files accumulate), and when ``base``'s
+    live projection is STALE — a compact/zorder commit landed after
+    its version, whether in this call or a previous one that crashed
+    before re-projecting — re-bucketize it BEFORE any vacuum.
     Ordering is the point: compact()+vacuum() past a projection
     deletes the tail appends' original files and silently degrades
     ``index_frames`` to the co-location-free full read until someone
@@ -125,13 +147,27 @@ def compact_index(
         target_file_bytes=target_file_bytes,
     )
     refreshed = None
-    if (
-        compacted is not None
-        and base is not None
-        and newest_projection(idx.spark, base) is not None
+    if base is not None:
+        proj = newest_projection(idx.spark, base)
+        # staleness, not "compaction just ran", drives the refresh: a
+        # crash between a previous call's compact and its re-bucketize
+        # leaves a projection with physically rewritten history behind
+        # it, and the NEXT maintenance call must repair that (its own
+        # maybe_compact is a no-op then) — otherwise a later vacuum
+        # strands the probe on the degraded full read, the exact
+        # window this hook exists to close
+        if proj is not None and _rewritten_after(idx, proj[1]):
+            refreshed = bucketize_index(idx, base, key_cols, n_buckets)
+    if vacuum_keep_versions is not None and (
+        compacted is not None or refreshed is not None
     ):
-        refreshed = bucketize_index(idx, base, key_cols, n_buckets)
-    if vacuum_keep_versions is not None:
+        # vacuum only on triggers that actually changed physical
+        # layout: a per-trigger unconditional vacuum would pay the
+        # retention scan for nothing on quiet triggers, and — with a
+        # stale projection still unrepaired — could delete the tail
+        # originals the projection's base+tail read depends on. After
+        # the refresh above the projection is current, so this vacuum
+        # can no longer strand it.
         idx.vacuum(keep_versions=vacuum_keep_versions)
     return refreshed
 

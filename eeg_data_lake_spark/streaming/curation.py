@@ -75,6 +75,7 @@ from eeg_data_lake_spark.operators.expectations import enforce
 from eeg_data_lake_spark.sources.txlog import TxTable
 from eeg_data_lake_spark.streaming.txpair import chained_commit
 from eeg_data_lake_spark.workload.curation import (
+    ESD_DUP_THRESHOLD,
     _split_col,
     esd_grams,
     esd_intervals,
@@ -241,7 +242,7 @@ def curated_rollup(table: TxTable) -> DataFrame:
         .join(winners, "doc_id", "left_semi")
         .groupBy("g")
         .agg(F.sum("c").alias("t"))
-        .filter(F.col("t") >= 2)
+        .filter(F.col("t") >= ESD_DUP_THRESHOLD)
         .select("g")
     )
     dpos = (

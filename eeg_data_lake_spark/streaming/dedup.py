@@ -96,8 +96,9 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     fallback band) is ONE signature group, so the collision self-join
     sees one row for it instead of building the O(n^2) clique, and
     the iterative CC — a shuffle per round, every round — runs over
-    the distinct-signature graph only (measured 12.6 s → 2.9 s
-    trigger wall on a 1500-copy batch, BASELINE.md). The collapse is
+    the distinct-signature graph only; a collapse-clean batch skips
+    CC entirely (measured 14.7 s → ~9 s trigger wall on a 1,500-copy
+    flood batch, table in BASELINE.md). The collapse is
     EXACT: identical signatures share every band, so any edge a
     collapsed member would contribute exists identically for its
     group rep, and the rep (its group's minimum) carries the group —

@@ -493,3 +493,64 @@ def test_family_compact_hook_keeps_next_trigger_colocated(
     }
     got = {(r.chunk_md5, r.length) for r in idx.read().collect()}
     assert got == want
+
+
+def test_compact_index_repairs_projection_stranded_by_crash(
+    spark, tmp_path, base, monkeypatch
+):
+    """A crash between a previous maintenance call's compact and its
+    re-bucketize leaves the projection stale with rewritten history
+    behind it. The NEXT call's maybe_compact is a no-op then, so the
+    refresh must key on STALENESS (a compact/zorder commit after the
+    projection's version), and the vacuum must not run while the
+    projection is still stale — otherwise the probe degrades to the
+    co-location-free full read, the window the hook exists to close."""
+    from eeg_data_lake_spark.sources import indexproj
+    from eeg_data_lake_spark.sources.indexproj import compact_index
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=4)
+    proj_v = newest_projection(spark, base)[1]
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    # call 1 crashes AFTER the compaction, BEFORE the re-bucketize
+    def boom(*a, **k):
+        raise RuntimeError("crash before re-project")
+
+    monkeypatch.setattr(indexproj, "bucketize_index", boom)
+    with pytest.raises(RuntimeError, match="crash before re-project"):
+        compact_index(
+            idx, base, ["k"], n_buckets=4, max_small_files=1,
+            vacuum_keep_versions=0,
+        )
+    monkeypatch.undo()
+    # the compaction landed, the projection is stale, nothing vacuumed
+    assert newest_projection(spark, base)[1] == proj_v
+
+    # call 2: its own maybe_compact is a no-op (already compacted),
+    # but the staleness check repairs the projection BEFORE vacuuming
+    name = compact_index(
+        idx, base, ["k"], n_buckets=4, max_small_files=1,
+        vacuum_keep_versions=0,
+    )
+    assert name is not None
+    assert newest_projection(spark, base) == (name, idx.version())
+    frames = index_frames(idx, base)
+    assert len(frames) == 1  # fresh projection, not the degraded read
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c")}
+
+    # quiet call: no compaction, fresh projection -> no refresh AND no
+    # vacuum scan (versions retained count unchanged)
+    import os
+
+    files_before = sorted(os.listdir(idx.data_dir))
+    assert (
+        compact_index(
+            idx, base, ["k"], n_buckets=4, max_small_files=99,
+            vacuum_keep_versions=0,
+        )
+        is None
+    )
+    assert sorted(os.listdir(idx.data_dir)) == files_before

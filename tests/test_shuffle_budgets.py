@@ -18,6 +18,7 @@ bounds."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -27,7 +28,12 @@ from eeg_data_lake_spark.plans.metrics import measure_shuffle
 from eeg_data_lake_spark.sources.indexproj import index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 
-SF01 = "/root/testdata/sf0.1"
+SF01 = os.environ.get("SPARK_GRAFT_BUDGET_SF_DIR", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF01),
+    reason=f"budget fixture {SF01} not present on this machine",
+)
 
 
 @pytest.fixture()
