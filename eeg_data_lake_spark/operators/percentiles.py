@@ -29,6 +29,61 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucketed_cumulative(
+    pc: DataFrame, key: str, value: str, n_buckets: int
+) -> DataFrame:
+    """``pc`` (key, value, _c) + the same _lo/_hi/_n rank columns the
+    per-key window computes, but with the heavy sort parallel over
+    (key × value-range-bucket) instead of one task per key.
+
+    Two-level cumulation: approximate global value quantiles split the
+    value domain into ``n_buckets`` ranges (boundaries only steer
+    PARTITIONING — a skewed split costs balance, never correctness);
+    running sums are computed per (key, bucket) in parallel, and each
+    bucket's starting offset comes from the tiny per-(key, bucket)
+    totals relation (one window over |keys|·|buckets| rows). All
+    arithmetic is the same integer count sums, so the result is
+    bit-identical to the single-window form (equivalence pinned in
+    tests/test_percentiles.py)."""
+    # distinct boundary values from an approximate quantile sketch of
+    # the distinct-value relation — one cheap job, driver gets B doubles
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(pc.approxQuantile(value, qs, 0.01)))
+    if not bounds:
+        bounds = [0.0]
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.size(F.filter(barr, lambda b: b < F.col(value)))
+    b = pc.withColumn("_b", bucket)
+    w_local = Window.partitionBy(key, "_b").orderBy(value)
+    local = b.withColumn("_lhi", F.sum("_c").over(w_local))
+    totals = b.groupBy(key, "_b").agg(F.sum("_c").alias("_bt"))
+    w_off = (
+        Window.partitionBy(key)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        totals.withColumn("_off", F.coalesce(F.sum("_bt").over(w_off), F.lit(0)))
+        .withColumn("_n", F.sum("_bt").over(Window.partitionBy(key)))
+        .select(
+            F.col(key).alias("__ok"),
+            F.col("_b").alias("__ob"),
+            "_off",
+            "_n",
+        )
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            (F.col(key).eqNullSafe(F.col("__ok")))
+            & (F.col("_b") == F.col("__ob")),
+        )
+        .withColumn("_hi", F.col("_off") + F.col("_lhi"))
+        .withColumn("_lo", F.col("_hi") - F.col("_c"))
+        .drop("__ok", "__ob", "_off", "_lhi", "_b")
+    )
+
+
 def exact_percentiles(
     df: DataFrame,
     key: str,
@@ -36,6 +91,7 @@ def exact_percentiles(
     ps: Sequence[float],
     prefix: str = "p",
     with_min_max: bool = False,
+    value_buckets: int | None = None,
 ) -> DataFrame:
     """One row per ``key`` with one column per requested percentile
     (``p50`` for 0.5, ``p12_5`` for 0.125), matching
@@ -46,7 +102,15 @@ def exact_percentiles(
     ``with_min_max`` adds ``vmin``/``vmax`` columns: min/max over the
     distinct-value relation equals min/max over the rows, so a caller
     that needs them alongside quantiles gets them for free off the
-    SAME shuffle instead of paying a second scan of ``df``."""
+    SAME shuffle instead of paying a second scan of ``df``.
+
+    ``value_buckets`` parallelizes the cumulative-rank stage over
+    value-range buckets (``_bucketed_cumulative``): with FEW keys the
+    per-key window otherwise runs one task per key — three reducers
+    sorting a corpus of distinct values is the same narrow-stage
+    shape this operator exists to avoid, one level up. Bit-identical
+    results (integer count sums either way); use it whenever
+    |keys| << cores."""
     if not ps:
         raise ValueError("exact_percentiles: ps must name at least one percentile")
     if any(p < 0.0 or p > 1.0 for p in ps):
@@ -60,13 +124,16 @@ def exact_percentiles(
     counted = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
     keys = counted.select(key).distinct()
     pc = counted.filter(F.col(value).isNotNull())
-    wk = Window.partitionBy(key)
-    w = wk.orderBy(value)
-    cum = (
-        pc.withColumn("_hi", F.sum("_c").over(w))
-        .withColumn("_lo", F.col("_hi") - F.col("_c"))
-        .withColumn("_n", F.sum("_c").over(wk))
-    )
+    if value_buckets and value_buckets > 1:
+        cum = _bucketed_cumulative(pc, key, value, value_buckets)
+    else:
+        wk = Window.partitionBy(key)
+        w = wk.orderBy(value)
+        cum = (
+            pc.withColumn("_hi", F.sum("_c").over(w))
+            .withColumn("_lo", F.col("_hi") - F.col("_c"))
+            .withColumn("_n", F.sum("_c").over(wk))
+        )
     aggs = []
     for p in ps:
         k = (F.col("_n") - 1) * F.lit(float(p))

@@ -350,6 +350,13 @@ def q10_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         [0.5, 0.95],
         with_min_max=True,
+        # value_buckets (the bit-identical two-level cumulation that
+        # spreads the rank sort over key x value-range) stays OFF at
+        # this scale: measured sf0.1 best-of-4 1.75 s single-window vs
+        # 3.21 s bucketed — 180k distinct rows per key sort in one
+        # task faster than the boundary-sketch job + extra stages
+        # cost. Switch it on when per-key distinct values outgrow a
+        # single task's sort (the 100 TB setting).
     )
     return res.select(
         "l_returnflag",

@@ -165,3 +165,34 @@ def test_with_min_max_rides_the_same_relation(spark):
     # all-NULL group keeps its row with NULL min/max, like builtin agg
     assert (got["b"]["vmin"], got["b"]["vmax"], got["b"]["p50"]) == (None, None, None)
     assert (got["c"]["vmin"], got["c"]["vmax"]) == (5.0, 5.0)
+
+
+def test_value_buckets_is_bit_identical_and_handles_edges(spark):
+    """The bucketed two-level cumulation must reproduce the single-
+    window form exactly — same integer count sums, same interpolation
+    — including NULL keys, all-NULL-value groups, heavy duplication
+    (all rows in one bucket), and constant values (degenerate
+    boundaries)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for k in ["a", "b", None]:
+        rows += [(k, float(rng.randint(0, 40))) for _ in range(200)]
+    rows += [("const", 7.0)] * 50          # constant value column
+    rows += [("nulls", None)] * 5          # all-NULL group
+    rows += [("single", 3.25)]             # one-row group
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = [0.0, 0.25, 0.5, 0.95, 1.0]
+    plain = {
+        r["k"]: tuple(r)[1:]
+        for r in exact_percentiles(df, "k", "v", ps, with_min_max=True).collect()
+    }
+    for nb in (2, 8, 64):
+        bucketed = {
+            r["k"]: tuple(r)[1:]
+            for r in exact_percentiles(
+                df, "k", "v", ps, with_min_max=True, value_buckets=nb
+            ).collect()
+        }
+        assert bucketed == plain, nb
