@@ -72,8 +72,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eeg_data_lake_spark.operators.expectations import enforce
+from eeg_data_lake_spark.sources.indexproj import (
+    bucketize_index,
+    compact_index,
+    index_frames,
+)
 from eeg_data_lake_spark.sources.txlog import TxTable
-from eeg_data_lake_spark.streaming.txpair import chained_commit
+from eeg_data_lake_spark.streaming.txpair import chained_commit, index_missing
 from eeg_data_lake_spark.workload.curation import (
     ESD_DUP_THRESHOLD,
     _split_col,
@@ -111,11 +116,106 @@ def bench_index_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_bench")
 
 
-def curation_batch_writer(table: TxTable, sink_id: str):
+def bucketize_fp_index(
+    table: TxTable, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the fingerprint index as a catalog table
+    bucketed+sorted on fingerprint (sources/indexproj.py). Pass the
+    same ``base`` to the writer and every later batch's dedup probe
+    anti-joins the index base co-located — zero index-side exchange
+    per trigger — plus only the small post-projection tail. Without it
+    the probe shuffles the WHOLE fingerprint index every trigger: the
+    term that grows with the corpus, not the batch."""
+    return bucketize_index(
+        fp_index_table(table.spark, table), base, ["fingerprint"], n_buckets
+    )
+
+
+def compact_fp_index(
+    table: TxTable,
+    base: str | None,
+    n_buckets: int = 32,
+    max_small_files: int = 8,
+    vacuum_keep_versions: int | None = None,
+) -> str | None:
+    """Post-ingest maintenance: policy-compact the fingerprint index
+    and, when ``base``'s projection is stale, re-bucketize it BEFORE
+    any vacuum (sources/indexproj.compact_index)."""
+    return compact_index(
+        fp_index_table(table.spark, table),
+        base,
+        ["fingerprint"],
+        n_buckets=n_buckets,
+        max_small_files=max_small_files,
+        vacuum_keep_versions=vacuum_keep_versions,
+    )
+
+
+def _backfill_curation_state(
+    table: TxTable, batch_df: DataFrame, sink_id: str
+) -> None:
+    """Corpus seeded outside the stream (batch bootstrap, plain txsink
+    ingest): without backfills the terminal winner resolution would
+    DROP every seeded doc (winners come from the fingerprint index)
+    and the dedup probe would re-admit duplicates of seeded content.
+    Seeds all four indices from the corpus, exactly-once under
+    dedicated backfill txn ids (streaming/txpair.py discipline).
+
+    The gram leg is COUNT semantics, so — as in
+    streaming/exactsubstr.py — the currently replaying batch's rows
+    are EXCLUDED from the seed (with the index absent, the only sink
+    rows possibly already in the corpus are this batch's; its own leg
+    counts them exactly once under its replayable txn id, and
+    counting them here too would double them into false duplicate
+    grams → over-removal). The fingerprint leg tolerates the overlap
+    (min-resolution), but excluding keeps the seed one relation; the
+    inventory/bench legs are set semantics (distinct at resolve)."""
+    spark = table.spark
+    fp_idx = fp_index_table(spark, table)
+    if not index_missing(table, fp_idx):
+        return
+    seed = table.read().join(
+        batch_df.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    seeded = seed.withColumn("fingerprint", _fingerprint())
+    fp_idx.append(
+        seeded.select("fingerprint", "doc_id"),
+        txn_id=f"{sink_id}:fp-backfill",
+    )
+    gram_index_table(spark, table).append(
+        esd_grams(
+            seed.select("doc_id", F.split(F.col("text"), " ").alias("w")),
+            hashed=True,
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("int").alias("c")),
+        txn_id=f"{sink_id}:grams-backfill",
+    )
+    inv_index_table(spark, table).append(
+        shingled(seed.filter(F.col("doc_id") % 50 != 0))
+        .select("doc_id", F.explode("sl").alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h")),
+        txn_id=f"{sink_id}:shinv-backfill",
+    )
+    bench_index_table(spark, table).append(
+        shingled(seed.filter(F.col("doc_id") % 50 == 0))
+        .select(F.explode("sl").alias("shingle"))
+        .select(F.xxhash64("shingle").alias("h"))
+        .distinct(),
+        txn_id=f"{sink_id}:bench-backfill",
+    )
+
+
+def curation_batch_writer(
+    table: TxTable, sink_id: str, bucketed_base: str | None = None
+):
     """foreachBatch function maintaining the five-table curation state
     (corpus + fingerprint/gram/inventory/bench indices) exactly-once
     per batch via ``chained_commit`` — see the module docstring for
-    each leg's replay argument."""
+    each leg's replay argument. ``bucketed_base`` names a
+    ``bucketize_fp_index`` projection: the dedup probe then anti-joins
+    the index base co-located (no index-side shuffle per trigger) plus
+    the post-projection txlog tail."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -123,6 +223,7 @@ def curation_batch_writer(table: TxTable, sink_id: str):
         gram_idx = gram_index_table(spark, table)
         inv_idx = inv_index_table(spark, table)
         bench_idx = bench_index_table(spark, table)
+        _backfill_curation_state(table, batch_df, sink_id)
 
         valid, _ = enforce(
             batch_df, {"text_present": F.col("text").isNotNull()}, mode="drop"
@@ -132,8 +233,12 @@ def curation_batch_writer(table: TxTable, sink_id: str):
             F.min("doc_id").alias("doc_id")
         )
         cand = fps.join(batch_min, ["fingerprint", "doc_id"], "left_semi")
-        if fp_idx.version() >= 0:
-            ex = fp_idx.read().select(
+        # chained per-frame strictly-less anti-joins: the bucketed base
+        # stays co-located (only the batch side shuffles), the tail is
+        # batch-scale; semantics identical to one probe of the union
+        # (NOT EXISTS in any frame == NOT EXISTS in their union)
+        for fr in index_frames(fp_idx, bucketed_base):
+            ex = fr.select(
                 F.col("fingerprint").alias("__f"), F.col("doc_id").alias("__d")
             )
             cand = cand.join(
@@ -192,6 +297,7 @@ def stream_curation_ingest(
     checkpoint_path: str,
     sink_id: str,
     max_files_per_trigger: int = 1,
+    bucketed_base: str | None = None,
 ) -> None:
     """Drain a file-source document stream into the curation state
     (AvailableNow: terminates when caught up; re-invocations resume
@@ -200,7 +306,9 @@ def stream_curation_ingest(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
-        .writeStream.foreachBatch(curation_batch_writer(table, sink_id))
+        .writeStream.foreachBatch(
+            curation_batch_writer(table, sink_id, bucketed_base=bucketed_base)
+        )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
@@ -232,6 +340,10 @@ def curated_rollup(table: TxTable) -> DataFrame:
     # pruning — the same multi-consumer pin batch z20 documents
     docs = (
         table.read()
+        # streamed rows are NULL-text-free (expectations at the door),
+        # but a SEEDED corpus can carry NULL text — z20 drops those
+        # post-dedup, so the rollup must too
+        .filter(F.col("text").isNotNull())
         .join(winners, "doc_id", "left_semi")
         .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -554,3 +554,73 @@ def test_compact_index_repairs_projection_stranded_by_crash(
         is None
     )
     assert sorted(os.listdir(idx.data_dir)) == files_before
+
+
+def test_fp_probe_drops_index_exchange_and_matches(spark, tmp_path, base):
+    """The curation dedup probe (strictly-less anti-join on
+    fingerprint) against a bucketize_fp_index projection: zero
+    index-side exchange, candidate set identical to the plain read —
+    the fifth streaming index family on the base+tail read."""
+    from eeg_data_lake_spark.streaming.curation import (
+        bucketize_fp_index,
+        curation_batch_writer,
+        fp_index_table,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    long = lambda s: " ".join([s] * 30)  # noqa: E731
+    b0 = [(6, long("copy body"), "en"), (2, long("first body"), "en")]
+    b1 = [(4, long("copy body"), "en"), (11, long("fresh body"), "en")]
+    b2 = [(8, long("copy body"), "en"), (23, long("third body"), "en")]
+
+    plain_t = TxTable(spark, str(tmp_path / "plain"))
+    w = curation_batch_writer(plain_t, "p")
+    for i, b in enumerate((b0, b1, b2)):
+        w(docs(b), i)
+
+    bkt_t = TxTable(spark, str(tmp_path / "bkt"))
+    wb = curation_batch_writer(bkt_t, "b", bucketed_base=base)
+    wb(docs(b0), 0)
+    bucketize_fp_index(bkt_t, base, n_buckets=4)
+    wb(docs(b1), 1)  # probes projection (no tail yet)
+    wb(docs(b2), 2)  # probes projection + batch-1 tail
+    assert {r.doc_id for r in bkt_t.read().collect()} == {
+        r.doc_id for r in plain_t.read().collect()
+    } == {6, 2, 4, 11, 23}  # 8 door-filtered, 4 stored (late winner)
+
+    # plan pin: the probe against the projection drops the index-side
+    # exchange while producing the same candidates
+    from pyspark.sql import functions as F2
+
+    idx = fp_index_table(spark, bkt_t)
+    bucketize_fp_index(bkt_t, base, n_buckets=4)
+    probe = spark.createDataFrame(
+        [("x", 1), ("y", 99)], "fingerprint string, doc_id long"
+    )
+
+    def run(frames):
+        out = probe
+        for fr in frames:
+            ex = fr.select(
+                F2.col("fingerprint").alias("__f"),
+                F2.col("doc_id").alias("__d"),
+            )
+            out = out.join(
+                ex,
+                (F2.col("fingerprint") == F2.col("__f"))
+                & (F2.col("__d") < F2.col("doc_id")),
+                "left_anti",
+            )
+        return out
+
+    plain_probe = run([idx.read().hint("merge")])
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    bkt_probe = run(frames)
+    assert "SortMergeJoin" in join_strategies(bkt_probe)
+    assert count_exchanges(bkt_probe) == count_exchanges(plain_probe) - 1
+    assert {r.doc_id for r in bkt_probe.collect()} == {
+        r.doc_id for r in plain_probe.collect()
+    }

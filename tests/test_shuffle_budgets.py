@@ -257,3 +257,73 @@ def test_block_probe_budget_flat_as_index_grows(
     assert plain_big > plain_small * 1.5, (plain_small, plain_big)
     assert bkt_small <= plain_small
     assert bkt_big < plain_big
+
+
+def test_fp_probe_budget_flat_as_index_grows(
+    spark, no_broadcast, proj_base, tmp_path
+):
+    """Same invariant for the curation fingerprint index: the
+    strictly-less dedup anti-join against a bucketize_fp_index
+    projection shuffles a fixed number of records as the accepted
+    corpus grows."""
+    from eeg_data_lake_spark.streaming.curation import (
+        _fingerprint,
+        bucketize_fp_index,
+        fp_index_table,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = TxTable(spark, str(tmp_path / "corpus"))
+    idx = fp_index_table(spark, t)
+    fp_rows = lambda d: d.withColumn("fingerprint", _fingerprint()).select(  # noqa: E731
+        "fingerprint", "doc_id"
+    )
+    idx.append(fp_rows(docs.filter("doc_id % 3 = 0")))
+    bucketize_fp_index(t, proj_base, n_buckets=4)
+    idx_small = idx.read().count()
+
+    probe_rows = fp_rows(
+        docs.filter("doc_id % 3 = 1")
+    ).localCheckpoint(eager=True)
+
+    def run(frames):
+        out = probe_rows
+        for fr in frames:
+            ex = fr.select(
+                F.col("fingerprint").alias("__f"), F.col("doc_id").alias("__d")
+            )
+            out = out.join(
+                ex,
+                (F.col("fingerprint") == F.col("__f"))
+                & (F.col("__d") < F.col("doc_id")),
+                "left_anti",
+            )
+        return out
+
+    _, plain_small = measure_shuffle(
+        spark, _noop(run([idx.read().hint("merge")]))
+    )
+    frames = index_frames(idx, proj_base)
+    assert len(frames) == 1
+    _, bkt_small = measure_shuffle(spark, _noop(run(frames)))
+
+    for shift in (1_000_000, 2_000_000, 3_000_000):
+        idx.append(
+            fp_rows(docs.withColumn("doc_id", F.col("doc_id") + shift))
+        )
+    bucketize_fp_index(t, proj_base, n_buckets=4)
+    idx_big = idx.read().count()
+    assert idx_big > idx_small * 1.5
+    frames2 = index_frames(idx, proj_base)
+    assert len(frames2) == 1
+    _, bkt_big = measure_shuffle(spark, _noop(run(frames2)))
+    _, plain_big = measure_shuffle(
+        spark, _noop(run([idx.read().hint("merge")]))
+    )
+
+    assert bkt_big <= bkt_small * 1.05, (bkt_small, bkt_big)
+    assert plain_big > plain_small * 1.5, (plain_small, plain_big)
+    assert bkt_small <= plain_small
+    assert bkt_big < plain_big

@@ -226,3 +226,33 @@ def test_full_batch_replay_is_a_no_op(spark, tmp_path, planted):
         fam(spark, table).version()
         for fam in (fp_index_table, gram_index_table, inv_index_table, bench_index_table)
     ] + [table.version()]
+
+
+def test_seeded_corpus_backfills_before_first_probe(
+    spark, tmp_path, planted
+):
+    """A corpus seeded OUTSIDE the stream (batch bootstrap): without
+    the backfill the terminal winner resolution would drop every
+    seeded doc (winners come from the fingerprint index) and the
+    probe would re-admit duplicates of seeded content. After the
+    backfill + remaining batches, the rollup equals batch z20 over
+    the union."""
+    want = _z20_expected(spark, tmp_path, planted)
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    # batch-0 slice arrives OUT OF BAND as a plain append
+    table.append(_batch(spark, planted, 0).filter(F.col("text").isNotNull()))
+    w = curation_batch_writer(table, "seed")
+    w(_batch(spark, planted, 1), 1)
+    w(_batch(spark, planted, 2), 2)
+    assert _rows(curated_rollup(table)) == want
+    # and a duplicate of seeded content arriving post-seed is resolved
+    # away: doc 4 (batch 1) beat seeded doc 6, both fingerprints exist
+    winners = {
+        r.doc_id
+        for r in fp_index_table(spark, table)
+        .read()
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert 4 in winners and 6 not in winners
