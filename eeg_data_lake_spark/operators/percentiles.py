@@ -45,8 +45,13 @@ def _bucketed_cumulative(
     arithmetic is the same integer count sums, so the result is
     bit-identical to the single-window form (equivalence pinned in
     tests/test_percentiles.py)."""
-    # distinct boundary values from an approximate quantile sketch of
-    # the distinct-value relation — one cheap job, driver gets B doubles
+    # the boundary sketch is a SEPARATE action, and ReusedExchange
+    # only dedupes within one plan — without materialization the
+    # operator's heaviest stage (scan + groupBy(key, value) shuffle)
+    # would run twice, once for ~B doubles and once for real.
+    # Materialize the distinct-value relation ONCE; both the sketch
+    # and the ranking read the checkpoint.
+    pc = pc.localCheckpoint(eager=True)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(pc.approxQuantile(value, qs, 0.01)))
     if not bounds:

@@ -78,7 +78,7 @@ from eeg_data_lake_spark.sources.indexproj import (
     index_frames,
 )
 from eeg_data_lake_spark.sources.txlog import TxTable
-from eeg_data_lake_spark.streaming.txpair import chained_commit, index_missing
+from eeg_data_lake_spark.streaming.txpair import chained_commit
 from eeg_data_lake_spark.workload.curation import (
     ESD_DUP_THRESHOLD,
     _split_col,
@@ -169,41 +169,68 @@ def _backfill_curation_state(
     counting them here too would double them into false duplicate
     grams → over-removal). The fingerprint leg tolerates the overlap
     (min-resolution), but excluding keeps the seed one relation; the
-    inventory/bench legs are set semantics (distinct at resolve)."""
-    spark = table.spark
-    fp_idx = fp_index_table(spark, table)
-    if not index_missing(table, fp_idx):
+    inventory/bench legs are set semantics (distinct at resolve).
+    Precondition inherited from the whole pipeline: doc_ids are
+    unique ACROSS seed and stream — a seeded doc sharing an id with
+    an incoming doc would be excluded here as if it were a replay.
+
+    Each index gates its own seed append (``version() < 0``, the
+    append itself idempotent under its txn id): a crash between the
+    four appends must leave the REMAINING backfills runnable on
+    replay — gating them all on the first index would permanently
+    skip them (the round-5 multi-step-commit crash class)."""
+    if table.version() < 0:
         return
-    seed = table.read().join(
-        batch_df.select("doc_id").distinct(), "doc_id", "left_anti"
+    spark = table.spark
+    legs = [
+        fp_index_table(spark, table),
+        gram_index_table(spark, table),
+        inv_index_table(spark, table),
+        bench_index_table(spark, table),
+    ]
+    if all(idx.version() >= 0 for idx in legs):
+        return
+    fp_idx, gram_idx, inv_idx, bench_idx = legs
+    # one derivation for four consumers: materialize the seed once
+    # (per-batch localCheckpoint inside foreachBatch — the round-6
+    # note: safe here, the hazard is construction-time checkpoints of
+    # SHARED cached plans)
+    seed = (
+        table.read()
+        .join(batch_df.select("doc_id").distinct(), "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
     seeded = seed.withColumn("fingerprint", _fingerprint())
-    fp_idx.append(
-        seeded.select("fingerprint", "doc_id"),
-        txn_id=f"{sink_id}:fp-backfill",
-    )
-    gram_index_table(spark, table).append(
-        esd_grams(
-            seed.select("doc_id", F.split(F.col("text"), " ").alias("w")),
-            hashed=True,
+    if fp_idx.version() < 0:
+        fp_idx.append(
+            seeded.select("fingerprint", "doc_id"),
+            txn_id=f"{sink_id}:fp-backfill",
         )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).cast("int").alias("c")),
-        txn_id=f"{sink_id}:grams-backfill",
-    )
-    inv_index_table(spark, table).append(
-        shingled(seed.filter(F.col("doc_id") % 50 != 0))
-        .select("doc_id", F.explode("sl").alias("shingle"))
-        .select("doc_id", F.xxhash64("shingle").alias("h")),
-        txn_id=f"{sink_id}:shinv-backfill",
-    )
-    bench_index_table(spark, table).append(
-        shingled(seed.filter(F.col("doc_id") % 50 == 0))
-        .select(F.explode("sl").alias("shingle"))
-        .select(F.xxhash64("shingle").alias("h"))
-        .distinct(),
-        txn_id=f"{sink_id}:bench-backfill",
-    )
+    if gram_idx.version() < 0:
+        gram_idx.append(
+            esd_grams(
+                seed.select("doc_id", F.split(F.col("text"), " ").alias("w")),
+                hashed=True,
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("int").alias("c")),
+            txn_id=f"{sink_id}:grams-backfill",
+        )
+    if inv_idx.version() < 0:
+        inv_idx.append(
+            shingled(seed.filter(F.col("doc_id") % 50 != 0))
+            .select("doc_id", F.explode("sl").alias("shingle"))
+            .select("doc_id", F.xxhash64("shingle").alias("h")),
+            txn_id=f"{sink_id}:shinv-backfill",
+        )
+    if bench_idx.version() < 0:
+        bench_idx.append(
+            shingled(seed.filter(F.col("doc_id") % 50 == 0))
+            .select(F.explode("sl").alias("shingle"))
+            .select(F.xxhash64("shingle").alias("h"))
+            .distinct(),
+            txn_id=f"{sink_id}:bench-backfill",
+        )
 
 
 def curation_batch_writer(

@@ -256,3 +256,37 @@ def test_seeded_corpus_backfills_before_first_probe(
         .collect()
     }
     assert 4 in winners and 6 not in winners
+
+
+def test_backfill_crash_between_index_seeds_recovers(
+    spark, tmp_path, planted, monkeypatch
+):
+    """Crash AFTER the fingerprint backfill append but before the
+    gram/inventory/bench seeds: each index gates its own backfill, so
+    the replay must complete the remaining three and the rollup must
+    still equal batch z20 — gating all four on the first index would
+    skip them forever (under-scrubbing + missed contamination)."""
+    want = _z20_expected(spark, tmp_path, planted)
+    table = TxTable(spark, str(tmp_path / "corpus"))
+    table.append(_batch(spark, planted, 0).filter(F.col("text").isNotNull()))
+    w = curation_batch_writer(table, "bf")
+
+    real_append = TxTable.append
+    state = {"n": 0}
+
+    def bomb(self, df, txn_id=None):
+        state["n"] += 1
+        if state["n"] == 2:  # fp backfill landed; die before gram seed
+            raise RuntimeError("injected crash")
+        return real_append(self, df, txn_id=txn_id)
+
+    monkeypatch.setattr(TxTable, "append", bomb)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        w(_batch(spark, planted, 1), 1)
+    monkeypatch.undo()
+    assert fp_index_table(spark, table).version() >= 0
+    assert gram_index_table(spark, table).version() < 0  # seed missing
+
+    w(_batch(spark, planted, 1), 1)  # replay completes the backfills
+    w(_batch(spark, planted, 2), 2)
+    assert _rows(curated_rollup(table)) == want
