@@ -325,10 +325,21 @@ def stream_curation_ingest(
     sink_id: str,
     max_files_per_trigger: int = 1,
     bucketed_base: str | None = None,
+    maintain: bool = False,
+    n_buckets: int = 32,
 ) -> None:
     """Drain a file-source document stream into the curation state
     (AvailableNow: terminates when caught up; re-invocations resume
-    from the checkpoint and replay-committed batches no-op)."""
+    from the checkpoint and replay-committed batches no-op).
+
+    ``maintain`` runs the family's post-drain maintenance once the
+    stream has caught up: policy compaction of the index txlog plus —
+    when ``bucketed_base`` names a projection that went stale — a
+    re-bucketize at ``n_buckets`` BEFORE any vacuum, so the NEXT
+    invocation's probes start co-located (the compact_*_index
+    cadence; AvailableNow jobs are exactly the "at compaction, when
+    the files get rewritten anyway" moment).
+    """
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -341,6 +352,8 @@ def stream_curation_ingest(
         .start()
     )
     q.awaitTermination()
+    if maintain:
+        compact_fp_index(table, bucketed_base, n_buckets=n_buckets)
 
 
 def curated_rollup(table: TxTable) -> DataFrame:
