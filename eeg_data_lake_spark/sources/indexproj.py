@@ -94,6 +94,26 @@ def bucketize_index(
     return name
 
 
+def projection_buckets(spark: SparkSession, name: str) -> int | None:
+    """The catalog bucket count of projection table ``name`` (None if
+    it cannot be determined). A refresh MUST reuse the live spec: the
+    bucket count was chosen to match spark.sql.shuffle.partitions, and
+    re-bucketizing at some caller default silently loses co-location
+    (EnsureRequirements re-shuffles the projection side on any
+    mismatch — the measured zero-saving failure mode)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter("col_name = 'Num Buckets'")
+            .collect()
+        )
+        return int(rows[0][1]) if rows else None
+    except (AnalysisException, IndexError, ValueError):
+        return None
+
+
 def _rewritten_after(idx: TxTable, version: int) -> bool:
     """Whether any physical-rewrite commit (compact/zorder) landed
     after ``version`` — i.e. whether a projection at ``version`` could
@@ -157,7 +177,13 @@ def compact_index(
         # strands the probe on the degraded full read, the exact
         # window this hook exists to close
         if proj is not None and _rewritten_after(idx, proj[1]):
-            refreshed = bucketize_index(idx, base, key_cols, n_buckets)
+            # refresh at the LIVE projection's bucket count, not the
+            # caller's default — the count encodes the shuffle-
+            # partition alignment co-location depends on
+            live = projection_buckets(idx.spark, proj[0])
+            refreshed = bucketize_index(
+                idx, base, key_cols, live or n_buckets
+            )
     if vacuum_keep_versions is not None and (
         compacted is not None or refreshed is not None
     ):

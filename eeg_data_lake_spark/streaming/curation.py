@@ -151,6 +151,43 @@ def compact_fp_index(
     )
 
 
+def compact_curation_state(
+    table: TxTable,
+    bucketed_base: str | None = None,
+    max_small_files: int = 8,
+    vacuum_keep_versions: int | None = None,
+) -> str | None:
+    """Post-drain maintenance for the WHOLE five-table curation state:
+    the fingerprint index through compact_fp_index (projection-aware —
+    a stale bucketed projection refreshes at its live bucket count
+    before any vacuum), plus policy compaction of the corpus and the
+    gram/inventory/bench txlogs, which ALSO take an append per
+    micro-batch and would otherwise accumulate small files without
+    bound. Returns the refreshed fingerprint projection name, if any."""
+    from eeg_data_lake_spark.sources.txlog import maybe_compact
+
+    refreshed = compact_fp_index(
+        table,
+        bucketed_base,
+        max_small_files=max_small_files,
+        vacuum_keep_versions=vacuum_keep_versions,
+    )
+    spark = table.spark
+    others = [
+        table,
+        gram_index_table(spark, table),
+        inv_index_table(spark, table),
+        bench_index_table(spark, table),
+    ]
+    for t in others:
+        if (
+            maybe_compact(t, max_small_files=max_small_files) is not None
+            and vacuum_keep_versions is not None
+        ):
+            t.vacuum(keep_versions=vacuum_keep_versions)
+    return refreshed
+
+
 def _backfill_curation_state(
     table: TxTable, batch_df: DataFrame, sink_id: str
 ) -> None:
@@ -326,19 +363,16 @@ def stream_curation_ingest(
     max_files_per_trigger: int = 1,
     bucketed_base: str | None = None,
     maintain: bool = False,
-    n_buckets: int = 32,
+    vacuum_keep_versions: int | None = None,
 ) -> None:
     """Drain a file-source document stream into the curation state
     (AvailableNow: terminates when caught up; re-invocations resume
     from the checkpoint and replay-committed batches no-op).
 
-    ``maintain`` runs the family's post-drain maintenance once the
-    stream has caught up: policy compaction of the index txlog plus —
-    when ``bucketed_base`` names a projection that went stale — a
-    re-bucketize at ``n_buckets`` BEFORE any vacuum, so the NEXT
-    invocation's probes start co-located (the compact_*_index
-    cadence; AvailableNow jobs are exactly the "at compaction, when
-    the files get rewritten anyway" moment).
+    ``maintain`` runs the family's post-drain compaction cadence
+    (sources/indexproj.compact_index): a stale projection refreshes
+    at its LIVE bucket count before any vacuum
+    (``vacuum_keep_versions``; None = never vacuum).
     """
     q = (
         spark.readStream.schema(schema)
@@ -353,7 +387,11 @@ def stream_curation_ingest(
     )
     q.awaitTermination()
     if maintain:
-        compact_fp_index(table, bucketed_base, n_buckets=n_buckets)
+        compact_curation_state(
+            table,
+            bucketed_base,
+            vacuum_keep_versions=vacuum_keep_versions,
+        )
 
 
 def curated_rollup(table: TxTable) -> DataFrame:

@@ -247,19 +247,16 @@ def stream_exactsubstr_ingest(
     max_files_per_trigger: int = 1,
     bucketed_base: str | None = None,
     maintain: bool = False,
-    n_buckets: int = 32,
+    vacuum_keep_versions: int | None = None,
 ) -> None:
     """Drain a file-source document stream into the corpus + gram
     index (AvailableNow: terminates when caught up; re-invocations
     resume from the checkpoint and replay-committed batches no-op).
 
-    ``maintain`` runs the family's post-drain maintenance once the
-    stream has caught up: policy compaction of the index txlog plus —
-    when ``bucketed_base`` names a projection that went stale — a
-    re-bucketize at ``n_buckets`` BEFORE any vacuum, so the NEXT
-    invocation's probes start co-located (the compact_*_index
-    cadence; AvailableNow jobs are exactly the "at compaction, when
-    the files get rewritten anyway" moment).
+    ``maintain`` runs the family's post-drain compaction cadence
+    (sources/indexproj.compact_index): a stale projection refreshes
+    at its LIVE bucket count before any vacuum
+    (``vacuum_keep_versions``; None = never vacuum).
     """
     q = (
         spark.readStream.schema(schema)
@@ -274,7 +271,11 @@ def stream_exactsubstr_ingest(
     )
     q.awaitTermination()
     if maintain:
-        compact_gram_index(table, bucketed_base, n_buckets=n_buckets)
+        compact_gram_index(
+            table,
+            bucketed_base,
+            vacuum_keep_versions=vacuum_keep_versions,
+        )
 
 
 def exact_substring_removal(table: TxTable) -> DataFrame:
