@@ -151,3 +151,79 @@ def test_backfill_covers_crashed_first_batch_with_set_semantics(
     replay(_df(spark, [1, 2]))  # a second replay is a full no-op
     assert _ids(table) == [1, 2]
     assert _ids(idx) == [10, 20]
+
+
+def test_chained_commit_crash_matrix_every_prefix_then_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The N-leg generalization, property-tested centrally like the
+    pair: for a corpus + three index legs, crash before EVERY append
+    position (1 = corpus, 2..4 = legs), replay the batch, and require
+    final content identical to an uncrashed run — with committed
+    prefix legs' derivations NEVER re-invoked on replay."""
+    from eeg_data_lake_spark.streaming.txpair import chained_commit
+
+    def run_once(root, crash_at=None):
+        table = TxTable(spark, f"{root}/t")
+        idxs = [TxTable(spark, f"{root}/i{k}") for k in range(3)]
+        calls = {"corpus": 0, 0: 0, 1: 0, 2: 0}
+
+        def leg(k):
+            def fn():
+                calls[k] += 1
+                return _df(spark, [100 * (k + 1) + 1, 100 * (k + 1) + 2])
+
+            return fn
+
+        def corpus():
+            calls["corpus"] += 1
+            return _df(spark, [1, 2, 3])
+
+        def commit():
+            chained_commit(
+                table,
+                corpus,
+                [(idxs[k], leg(k), f"tag{k}") for k in range(3)],
+                "s",
+                7,
+            )
+
+        if crash_at is not None:
+            real_append = TxTable.append
+            state = {"n": 0}
+
+            def bomb(self, df, txn_id=None):
+                state["n"] += 1
+                if state["n"] == crash_at:
+                    raise RuntimeError("crash")
+                return real_append(self, df, txn_id=txn_id)
+
+            monkeypatch.setattr(TxTable, "append", bomb)
+            try:
+                commit()
+                raise AssertionError("bomb did not fire")
+            except RuntimeError:
+                pass
+            finally:
+                monkeypatch.undo()
+            calls_at_crash = dict(calls)
+            commit()  # the replay
+            # committed-prefix legs are skipped WITHOUT re-deriving
+            for k in range(crash_at - 1):
+                key = "corpus" if k == 0 else k - 1
+                assert calls[key] == calls_at_crash[key]
+        else:
+            commit()
+        return (
+            _ids(table),
+            [_ids(i) for i in idxs],
+            calls,
+        )
+
+    want_t, want_i, _ = run_once(str(tmp_path / "ref"))
+    for crash_at in (1, 2, 3, 4):
+        got_t, got_i, _ = run_once(
+            str(tmp_path / f"c{crash_at}"), crash_at=crash_at
+        )
+        assert got_t == want_t, crash_at
+        assert got_i == want_i, crash_at
