@@ -499,14 +499,16 @@ def parse_wav(raw: bytes) -> tuple[int, int, bytes]:
     """STRICT RIFF/WAVE parser → (n_channels, sample_rate, pcm bytes).
 
     Walks the chunk list (word-aligned: odd-sized chunks are padded),
-    accepts extra chunks (LIST/INFO etc.) by skipping them, and raises
-    ValueError — never returns garbage — on every malformation class a
-    crawl actually ships: short/missing RIFF or WAVE magic, a declared
-    RIFF size exceeding the payload (truncated file), a chunk body cut
-    short, missing fmt/data chunks, non-PCM format codes (compressed
-    WAV needs a real codec — refuse, don't misread), bit depths other
-    than 16, zero channels, and a block-align inconsistent with the
-    declared layout. The errors feed ``with_wav_status`` → the z21
+    accepts extra chunks (LIST/INFO etc.) by skipping them, tolerates
+    trailer bytes appended BEYOND the declared RIFF extent (ID3/LIST
+    tags common tools write there), and raises ValueError — never
+    returns garbage — on every malformation class a crawl actually
+    ships: short/missing RIFF or WAVE magic, a declared RIFF size
+    exceeding the payload (truncated file), a chunk body cut short,
+    stray bytes inside the extent, missing fmt/data chunks, non-PCM
+    format codes (compressed WAV needs a real codec — refuse, don't
+    misread), bit depths other than 16, zero channels, and a
+    block-align inconsistent with the declared layout. The errors feed ``with_wav_status`` → the z21
     expectations quarantine, the same path corrupt PNGs take.
     Reference capability: the reference decodes arbitrary containers
     via PIL/torchaudio (/root/reference/test_train.py:66-93); this is
@@ -523,21 +525,21 @@ def parse_wav(raw: bytes) -> tuple[int, int, bytes]:
             f"WAV: RIFF declares {declared + 8} bytes but payload has "
             f"{len(raw)} — truncated"
         )
-    if declared + 8 < len(raw):
-        # bytes past the declared RIFF extent: a concatenation /
-        # trailer a strict parser must refuse, not silently ignore —
-        # anything "parsed" there would never be what the row claims
-        raise ValueError(
-            f"WAV: {len(raw) - declared - 8} trailing bytes beyond "
-            "the declared RIFF extent"
-        )
+    # bytes PAST the declared RIFF extent are tolerated: common tools
+    # append ID3/LIST trailer tags beyond the RIFF size, and real-world
+    # files carrying them must survive ingest (the round-7 strict
+    # refusal quarantined them — reverted on review). Strictness is
+    # kept where it protects the decode: the chunk walk below is
+    # bounded by the declared extent and must consume it EXACTLY, so
+    # intra-extent truncation/stray-byte malformations still raise.
     if raw[8:12] != b"WAVE":
         raise ValueError("WAV: not a WAVE form")
     fmt = data = None
     # the walk is bounded by the RIFF chunk's own declared extent
-    # (== len(raw) after the checks above) and must consume it EXACTLY:
-    # 1-7 stray bytes after the last chunk are a malformation, not
-    # slack — the old `while pos + 8 <= len` exit accepted them.
+    # (<= len(raw); anything past it is tolerated trailer) and must
+    # consume it EXACTLY: 1-7 stray bytes after the last chunk are a
+    # malformation, not slack — the old `while pos + 8 <= len` exit
+    # accepted them.
     end = 8 + declared
     pos = 12
     while pos + 8 <= end:

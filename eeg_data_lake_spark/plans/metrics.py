@@ -22,33 +22,65 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 
+class ShuffleMetricsUnavailable(RuntimeError):
+    """The AppStatusStore JVM internals this module reads changed
+    shape (a Spark version bump) — shuffle metrics cannot be measured.
+    The budget tests catch this and skip instead of failing on an
+    opaque py4j error."""
+
+
 def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, int]]:
     """{(stageId, attemptId): (shuffleWriteBytes, shuffleWriteRecords)}
-    for every stage the status store currently RETAINS."""
+    for every stage the status store currently RETAINS.
+
+    Raises ShuffleMetricsUnavailable when the private[spark] surface it
+    reads (listenerBus().waitUntilEmpty(), the 5-arg stageList) no
+    longer matches — these are JVM internals with no compatibility
+    promise, and a minor-version bump must degrade to a clear message,
+    not an opaque Py4JError in every budget pin."""
+    from py4j.protocol import Py4JError
+
     sc = spark.sparkContext
-    # the store is fed by the ASYNC listener bus: without draining it,
-    # a snapshot taken right after an action misses that action's
-    # stages and two back-to-back measurements read identical totals
-    sc._jsc.sc().listenerBus().waitUntilEmpty()
-    store = sc._jsc.sc().statusStore()
-    jvm = sc._jvm
-    # py4j sees no Scala default args: pass stageList's full signature
-    # (statuses, details, withSummaries, unsortedQuantiles, taskStatus)
-    stages = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        sc._gateway.new_array(jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    )
-    out: dict[tuple[int, int], tuple[int, int]] = {}
-    it = stages.iterator()
-    while it.hasNext():
-        s = it.next()
-        out[(s.stageId(), s.attemptId())] = (
-            s.shuffleWriteBytes(),
-            s.shuffleWriteRecords(),
+    try:
+        # the store is fed by the ASYNC listener bus: without draining
+        # it, a snapshot taken right after an action misses that
+        # action's stages and two back-to-back measurements read
+        # identical totals
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        # py4j sees no Scala default args: pass stageList's full
+        # signature (statuses, details, withSummaries,
+        # unsortedQuantiles, taskStatus)
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
         )
+    except (Py4JError, AttributeError, TypeError) as exc:
+        raise ShuffleMetricsUnavailable(
+            "shuffle metrics unavailable on this Spark version: the "
+            "AppStatusStore internals (listenerBus/stageList) no "
+            "longer match the expected signature — re-derive them "
+            f"against the new Spark ({exc})"
+        ) from exc
+    out: dict[tuple[int, int], tuple[int, int]] = {}
+    try:
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            out[(s.stageId(), s.attemptId())] = (
+                s.shuffleWriteBytes(),
+                s.shuffleWriteRecords(),
+            )
+    except (Py4JError, AttributeError) as exc:
+        raise ShuffleMetricsUnavailable(
+            "shuffle metrics unavailable on this Spark version: the "
+            "stage-data accessor names changed — re-derive them "
+            f"against the new Spark ({exc})"
+        ) from exc
     return out
 
 

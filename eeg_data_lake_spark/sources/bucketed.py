@@ -112,8 +112,28 @@ def write_bucketed(
                 if os.path.exists(os.path.join(target, MARKER_FILE)):
                     shutil.rmtree(target, ignore_errors=True)
                 else:
+                    # NB: directories this writer created BEFORE the
+                    # marker existed look foreign too — they are moved
+                    # aside (never deleted) and accumulate until
+                    # someone inspects them. That is the deliberate
+                    # one-time migration cost: provenance cannot be
+                    # proven retroactively, and guessing wrong once
+                    # destroys someone else's data forever.
                     aside = f"{target}.foreign-{uuid.uuid4().hex[:8]}"
-                    os.rename(target, aside)
+                    try:
+                        os.rename(target, aside)
+                    except OSError as exc:
+                        # permissions, concurrent removal, cross-device
+                        # warehouse path: surface a decision the caller
+                        # can act on, not a bare errno from deep inside
+                        # a write
+                        raise RuntimeError(
+                            f"bucketed table {table!r}: an unmarked "
+                            f"directory is wedging its location "
+                            f"{target} and could not be moved aside "
+                            f"({exc}); inspect and remove it manually, "
+                            f"then retry the write"
+                        ) from exc
                     import warnings
 
                     warnings.warn(

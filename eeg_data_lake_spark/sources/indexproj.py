@@ -181,6 +181,22 @@ def compact_index(
             # caller's default — the count encodes the shuffle-
             # partition alignment co-location depends on
             live = projection_buckets(idx.spark, proj[0])
+            if live is None:
+                # don't silently re-bucketize at a count that may
+                # mismatch spark.sql.shuffle.partitions — that is the
+                # zero-co-location failure mode this refresh exists to
+                # prevent. Refresh anyway (a wrong-count projection
+                # still beats a vacuumed-tail degraded read), loudly.
+                import warnings
+
+                warnings.warn(
+                    f"compact_index: could not determine the live "
+                    f"bucket count of projection {proj[0]!r}; "
+                    f"refreshing at the caller default n_buckets="
+                    f"{n_buckets}, which loses co-location if it "
+                    f"mismatches spark.sql.shuffle.partitions",
+                    stacklevel=2,
+                )
             refreshed = bucketize_index(
                 idx, base, key_cols, live or n_buckets
             )

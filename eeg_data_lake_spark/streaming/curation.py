@@ -404,8 +404,6 @@ def curated_rollup(table: TxTable) -> DataFrame:
     esd_intervals / esd_kept_tokens / _split_col), so after the stream
     drains this equals batch z20 row for row — z31 shares z20's CTE
     oracle verbatim."""
-    from pyspark import StorageLevel
-
     spark = table.spark
     winners = (
         fp_index_table(spark, table)
@@ -415,7 +413,13 @@ def curated_rollup(table: TxTable) -> DataFrame:
         .select("doc_id")
     )
     # two consumers (gram positions + scrub join) with differing
-    # pruning — the same multi-consumer pin batch z20 documents
+    # pruning — the same multi-consumer pin batch z20 documents.
+    # localCheckpoint, NOT persist: a cached plan lives in the
+    # CacheManager until someone unpersists it, so repeated rollups in
+    # a long-lived session would accumulate cached blocks forever
+    # (nobody can unpersist a frame the returned lazy plan still
+    # reads); checkpoint blocks are reclaimed by the ContextCleaner as
+    # soon as the returned frame is dropped.
     docs = (
         table.read()
         # streamed rows are NULL-text-free (expectations at the door),
@@ -424,7 +428,7 @@ def curated_rollup(table: TxTable) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .join(winners, "doc_id", "left_semi")
         .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     dup = (
         gram_index_table(spark, table)

@@ -24,7 +24,20 @@ import uuid
 import pytest
 from pyspark.sql import functions as F
 
-from eeg_data_lake_spark.plans.metrics import measure_shuffle
+from eeg_data_lake_spark.plans.metrics import (
+    ShuffleMetricsUnavailable,
+    measure_shuffle as _measure_shuffle,
+)
+
+
+def measure_shuffle(spark, action):
+    """measure_shuffle, but a Spark-version drift in the AppStatusStore
+    internals skips the budget pins with the clear message instead of
+    failing every test on an opaque py4j error."""
+    try:
+        return _measure_shuffle(spark, action)
+    except ShuffleMetricsUnavailable as exc:
+        pytest.skip(str(exc))
 from eeg_data_lake_spark.sources.indexproj import index_frames
 from eeg_data_lake_spark.sources.txlog import TxTable
 

@@ -185,10 +185,13 @@ def test_with_wav_status_tags_rows(spark):
     assert got[3][0] is False  # NULL payload is not a WAV
 
 
-def test_trailing_bytes_beyond_riff_extent_refused():
-    raw = encode_wav(_pcm([1, 2, 3]), 1, 16000) + b"ID3junk"
-    with pytest.raises(ValueError, match="trailing bytes"):
-        parse_wav(raw)
+def test_trailer_bytes_beyond_riff_extent_tolerated():
+    """Common tools append ID3/LIST trailer tags BEYOND the declared
+    RIFF size; such files must parse (the chunk walk stays bounded by
+    the declared extent, so the trailer is never interpreted)."""
+    base = encode_wav(_pcm([1, 2, 3]), 1, 16000)
+    ch, rate, data = parse_wav(base + b"ID3junk-trailer")
+    assert (ch, rate, data) == parse_wav(base)
 
 
 def test_stray_bytes_after_last_chunk_refused():
