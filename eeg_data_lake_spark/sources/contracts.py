@@ -44,6 +44,7 @@ def _type_ok(
     path: str,
     problems: list[str],
     allow_widening: bool,
+    relax_nullability: bool = False,
 ):
     if old == new:
         return
@@ -52,30 +53,54 @@ def _type_ok(
     ):
         return
     if isinstance(old, T.StructType) and isinstance(new, T.StructType):
-        _struct_ok(old, new, path, problems, allow_widening)
+        _struct_ok(
+            old, new, path, problems, allow_widening, relax_nullability
+        )
         return
     if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
         _type_ok(
             old.elementType, new.elementType, f"{path}[]", problems,
-            allow_widening,
+            allow_widening, relax_nullability,
         )
-        if old.containsNull and not new.containsNull:
+        if (
+            old.containsNull
+            and not new.containsNull
+            and not relax_nullability
+        ):
             problems.append(
                 f"{path}[]: nullable elements became non-nullable"
+            )
+        if not old.containsNull and new.containsNull and relax_nullability:
+            problems.append(
+                f"{path}[]: NULL elements appended into a non-nullable "
+                "element contract"
             )
         return
     if isinstance(old, T.MapType) and isinstance(new, T.MapType):
         _type_ok(
             old.keyType, new.keyType, f"{path}<key>", problems,
-            allow_widening,
+            allow_widening, relax_nullability,
         )
         _type_ok(
             old.valueType, new.valueType, f"{path}<value>", problems,
-            allow_widening,
+            allow_widening, relax_nullability,
         )
-        if old.valueContainsNull and not new.valueContainsNull:
+        if (
+            old.valueContainsNull
+            and not new.valueContainsNull
+            and not relax_nullability
+        ):
             problems.append(
                 f"{path}<value>: nullable values became non-nullable"
+            )
+        if (
+            not old.valueContainsNull
+            and new.valueContainsNull
+            and relax_nullability
+        ):
+            problems.append(
+                f"{path}<value>: NULL values appended into a "
+                "non-nullable value contract"
             )
         return
     problems.append(
@@ -90,6 +115,7 @@ def _struct_ok(
     path: str,
     problems: list[str],
     allow_widening: bool,
+    relax_nullability: bool = False,
 ):
     new_fields = {f.name: f for f in new.fields}
     for f in old.fields:
@@ -98,12 +124,24 @@ def _struct_ok(
         if nf is None:
             problems.append(f"{p}: column dropped")
             continue
-        _type_ok(f.dataType, nf.dataType, p, problems, allow_widening)
-        if f.nullable and not nf.nullable:
+        _type_ok(
+            f.dataType, nf.dataType, p, problems, allow_widening,
+            relax_nullability,
+        )
+        if f.nullable and not nf.nullable and not relax_nullability:
             problems.append(f"{p}: nullable column became non-nullable")
+        if not f.nullable and nf.nullable and relax_nullability:
+            problems.append(
+                f"{p}: nullable data appended into a non-nullable "
+                "column contract"
+            )
     for name, nf in new_fields.items():
         p = f"{path}.{name}" if path else name
-        if not nf.nullable:
+        if not nf.nullable and not relax_nullability:
+            # evolution direction only: declaring a non-nullable column
+            # old files cannot supply breaks the contract. In the
+            # APPEND direction a non-nullable NEW column is fine — the
+            # merged read schema relaxes it to nullable for old files.
             problems.append(
                 f"{p}: new column must be nullable (old data has no value)"
             )
@@ -135,3 +173,25 @@ def assert_compatible(
         raise ValueError(
             "schema contract violation:\n  " + "\n  ".join(problems)
         )
+
+
+def append_compatibility_problems(
+    old: T.StructType, new: T.StructType
+) -> list[str]:
+    """Violations of APPENDING a ``new``-schema batch of rows into a
+    table whose files carry ``old`` — the per-trigger gate a streaming
+    sink runs (streaming/txpair.py).
+
+    Differs from ``compatibility_problems`` in direction of
+    nullability: the evolution check asks "can old readers survive the
+    new declared schema", the append check asks "can the new ROWS live
+    under the old contract" — so a batch column that is non-nullable
+    where the table is nullable is FINE (its values are simply never
+    NULL), while a nullable batch column under a non-nullable table
+    contract is the violation. Type rules stay strict
+    (``allow_widening=False``): TxTable's merge-on-read and the
+    txstream CDC DDL refuse files whose types differ, so a widened
+    append is exactly the poison this gate exists to catch."""
+    problems: list[str] = []
+    _struct_ok(old, new, "", problems, False, relax_nullability=True)
+    return problems

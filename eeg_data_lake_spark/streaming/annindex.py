@@ -97,6 +97,11 @@ def index_batch_writer(
         clustered = indexed.repartitionByRange(
             n_files, "cell"
         ).sortWithinPartitions("cell")
+        # per-trigger schema contract (streaming/txpair.py): drifted
+        # upstream embedding schema fails the trigger loudly
+        from eeg_data_lake_spark.streaming.txpair import contract_gate
+
+        contract_gate(table, clustered)
         table.append(clustered, txn_id=f"{sink_id}:batch-{batch_id}")
 
     return process

@@ -70,7 +70,13 @@ def scd2_enrich_writer(
     dimension snapshot current at batch time, append exactly-once."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from eeg_data_lake_spark.streaming.txpair import contract_gate
+
         enriched = enrich_as_of(batch_df, dim_table.read(), keys, ts_col)
+        # per-trigger schema contract (streaming/txpair.py): a drifted
+        # fact OR dimension schema fails this trigger loudly instead
+        # of landing an incompatible file
+        contract_gate(out_table, enriched)
         out_table.append(enriched, txn_id=f"{sink_id}:batch-{batch_id}")
 
     return process

@@ -246,16 +246,23 @@ def maintain_join_view(
     # is still empty are the only skips: there is no join schema to
     # commit yet, and re-deriving them is free (the feed short-circuits
     # on an empty opposite side).
+    from eeg_data_lake_spark.streaming.txpair import contract_gate
+
     for v, _files in feed_adds_between(
         left.path, vl, new_l, False, f"ivm {sink_id} left"
     ):
         if vr >= 0:
             d = _delta(left, v).join(right.read(version=vr), on)
+            # per-step schema contract: a source table that evolved
+            # incompatibly mid-maintenance fails THIS step loudly
+            # (replay-clean: nothing committed for it yet)
+            contract_gate(sink, d)
             sink.append(d, txn_id=f"ivm-{sink_id}-L{v}-R{vr}")
     for w, _files in feed_adds_between(
         right.path, vr, new_r, False, f"ivm {sink_id} right"
     ):
         if new_l >= 0:
             d = left.read(version=new_l).join(_delta(right, w), on)
+            contract_gate(sink, d)
             sink.append(d, txn_id=f"ivm-{sink_id}-L{new_l}-R{w}")
     return new_l, new_r

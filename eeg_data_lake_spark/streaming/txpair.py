@@ -48,7 +48,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from eeg_data_lake_spark.sources.contracts import (
+    append_compatibility_problems,
+)
 from eeg_data_lake_spark.sources.txlog import TxTable
+
+
+def contract_gate(target: TxTable, df: DataFrame) -> None:
+    """Refuse a micro-batch whose schema would poison ``target``'s
+    readers — the per-trigger schema contract every streaming sink in
+    this package enforces (sources/contracts.py rules, append
+    direction: additive nullable columns pass, narrowing/widening/
+    drops/nullability-poisoning refuse).
+
+    Raising here is deliberately exactly-once-clean: the gate runs
+    BEFORE the leg's append, so a refused trigger commits nothing and
+    the stream fails loudly; fixing the upstream schema and restarting
+    replays the batch against unchanged state.
+
+    Best-effort under additive evolution: the "old" schema is the
+    footer TxTable.read() serves (one file), which may predate later
+    additive columns — the gate then misses a drop of such a column
+    but never falsely refuses. A table with no rows yet gates nothing
+    (first write defines the contract)."""
+    if target.version() < 0:
+        return
+    try:
+        old = target.read().schema
+    except ValueError:
+        return  # logged versions but no data files: nothing to poison
+    problems = append_compatibility_problems(old, df.schema)
+    if problems:
+        raise ValueError(
+            f"schema contract violation appending to {target.path}:\n  "
+            + "\n  ".join(problems)
+        )
 
 
 def batch_txn(sink_id: str, batch_id: int) -> str:
@@ -146,8 +180,10 @@ def chained_commit(
     """
     if not table.has_txn(batch_txn(sink_id, batch_id)):
         df = corpus_df() if callable(corpus_df) else corpus_df
+        contract_gate(table, df)
         table.append(df, txn_id=batch_txn(sink_id, batch_id))
     for idx, rows, tag in legs:
         if not idx.has_txn(index_txn(sink_id, tag, batch_id)):
             df = rows() if callable(rows) else rows
+            contract_gate(idx, df)
             idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))

@@ -25,6 +25,12 @@ def txtable_batch_writer(table: TxTable, sink_id: str):
     logical stream (use the checkpoint path or a query name)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from eeg_data_lake_spark.streaming.txpair import contract_gate
+
+        # per-trigger schema contract: a mid-stream upstream schema
+        # change must fail THIS trigger loudly (and replay clean after
+        # the fix), not land whatever the parquet append accepts
+        contract_gate(table, batch_df)
         table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
 
     return process
