@@ -84,7 +84,9 @@ def with_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _batch_representatives(banded: DataFrame) -> DataFrame:
+def _batch_representatives(
+    banded: DataFrame, max_cc_rounds: int = 20
+) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     band-collision connected component (singletons survive as-is).
 
@@ -104,7 +106,16 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
     group rep, and the rep (its group's minimum) carries the group —
     final keep = min(component) is unchanged. Bands are never NULL
     (with_bands coalesces a content-hash fallback), so the plain
-    equi-join-back is safe."""
+    equi-join-back is safe.
+
+    ``max_cc_rounds`` bounds the per-trigger CC explicitly (each round
+    is a shuffle + a driver-checked action): rounds needed equal the
+    collision graph's diameter over DISTINCT signatures, and a genuine
+    near-dup batch is clique/short-chain shaped — hitting the bound
+    means the batch is not that shape, and the trigger RAISES loudly
+    (connected_components' q48 contract) instead of silently burning
+    unbounded rounds; raise it deliberately for genuinely deep
+    batches."""
     sig = banded.select("doc_id", *BAND_COLS)
     # one row per distinct signature (+ its group size, so the
     # clean-batch probe below can see exact-dup groups); eager
@@ -141,7 +152,7 @@ def _batch_representatives(banded: DataFrame) -> DataFrame:
         if groups.filter(F.col("_n") > 1).isEmpty():
             return banded
         return banded.join(group_losers, "doc_id", "left_anti")
-    comp = connected_components(pairs, "src", "dst")
+    comp = connected_components(pairs, "src", "dst", max_iter=max_cc_rounds)
     reps = comp.groupBy("component").agg(F.min("node").alias("doc_id"))
     cc_losers = comp.join(
         reps.withColumnRenamed("doc_id", "keep"),
@@ -210,7 +221,10 @@ def _band_rows(df: DataFrame) -> DataFrame:
 
 
 def dedup_batch_writer(
-    table: TxTable, sink_id: str, bucketed_base: str | None = None
+    table: TxTable,
+    sink_id: str,
+    bucketed_base: str | None = None,
+    max_cc_rounds: int = 20,
 ):
     """foreachBatch function: near-dup-filter the micro-batch against
     itself and the accepted corpus, then append exactly-once via the
@@ -218,7 +232,9 @@ def dedup_batch_writer(
     states the crash argument once for the whole ingest family).
     ``bucketed_base`` names a ``bucketize_band_index`` projection: the
     novelty probes then read the index base co-located (no index-side
-    shuffle per trigger) plus the post-projection txlog tail."""
+    shuffle per trigger) plus the post-projection txlog tail.
+    ``max_cc_rounds`` bounds the within-batch clustering — see
+    ``_batch_representatives``."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -236,7 +252,7 @@ def dedup_batch_writer(
         banded = with_bands(batch_df)
         novel = None
         try:
-            novel = _batch_representatives(banded)
+            novel = _batch_representatives(banded, max_cc_rounds)
             # chained per-frame anti-joins (the chunk-probe shape): the
             # base stays co-located when bucketed; no distinct() on the
             # index side — index rows are distinct by construction
@@ -282,6 +298,7 @@ def stream_dedup_ingest(
     bucketed_base: str | None = None,
     maintain: bool = False,
     vacuum_keep_versions: int | None = None,
+    max_cc_rounds: int = 20,
 ) -> None:
     """Drain a file-source document stream into the deduplicated
     accepted-corpus table (AvailableNow: terminates when caught up;
@@ -291,14 +308,23 @@ def stream_dedup_ingest(
     ``maintain`` runs the family's post-drain compaction cadence
     (sources/indexproj.compact_index): a stale projection refreshes
     at its LIVE bucket count before any vacuum
-    (``vacuum_keep_versions``; None = never vacuum).
+    (``vacuum_keep_versions``; None = never vacuum). ``max_cc_rounds``
+    bounds each trigger's within-batch clustering explicitly
+    (``_batch_representatives``): a batch whose collision graph is
+    deeper than a dup-cluster shape fails loudly instead of burning
+    unbounded shuffle rounds.
     """
     q = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
         .writeStream.foreachBatch(
-            dedup_batch_writer(table, sink_id, bucketed_base=bucketed_base)
+            dedup_batch_writer(
+                table,
+                sink_id,
+                bucketed_base=bucketed_base,
+                max_cc_rounds=max_cc_rounds,
+            )
         )
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)

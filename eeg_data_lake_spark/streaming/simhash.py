@@ -195,7 +195,9 @@ def cross_batch_hits(
     return hits.distinct()
 
 
-def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
+def _batch_representatives(
+    fps: DataFrame, max_hamming: int, max_cc_rounds: int = 20
+) -> DataFrame:
     """Within-batch dedup: min-doc_id representative of every
     Hamming-verified block-collision connected component (singletons
     survive as-is). ``fps`` must carry doc_id + FP_COLS.
@@ -214,12 +216,20 @@ def _batch_representatives(fps: DataFrame, max_hamming: int) -> DataFrame:
     identically for its representative (same fp -> same blocks, same
     distances), and the final keep = min(component) is unchanged.
     (FP_COLS are never NULL — bit-arithmetic over md5 sums, degenerate
-    docs included — so the plain equi-join-back is safe.)"""
+    docs included — so the plain equi-join-back is safe.)
+
+    ``max_cc_rounds`` bounds the per-trigger CC explicitly (each round
+    is a shuffle + a driver-checked action): rounds needed equal the
+    verified-pair graph's diameter over DISTINCT fingerprints, and a
+    genuine near-dup batch is clique/short-chain shaped — hitting the
+    bound RAISES loudly (connected_components' q48 contract) instead
+    of silently burning unbounded rounds; raise it deliberately for
+    genuinely deep batches."""
     groups = fps.groupBy(*FP_COLS).agg(F.min("doc_id").alias("doc_id"))
     pairs = simhash_pairs(
         groups.select("doc_id", *FP_COLS), max_hamming=max_hamming
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    comp = connected_components(pairs, "src", "dst")
+    comp = connected_components(pairs, "src", "dst", max_iter=max_cc_rounds)
     reps = comp.groupBy("component").agg(F.min("node").alias("keep"))
     cc_losers = (
         comp.join(reps, "component")
@@ -245,6 +255,7 @@ def simhash_batch_writer(
     max_hamming: int = 3,
     bucketed_base: str | None = None,
     max_block_df: int | None = None,
+    max_cc_rounds: int = 20,
 ):
     """foreachBatch function: SimHash-near-dup-filter the micro-batch
     against itself and the accepted corpus, then append exactly-once
@@ -277,7 +288,7 @@ def simhash_batch_writer(
         fps = with_simhash(batch_df).persist()
         novel = None
         try:
-            novel = _batch_representatives(fps, max_hamming)
+            novel = _batch_representatives(fps, max_hamming, max_cc_rounds)
             frames = index_frames(idx, bucketed_base)
             if frames:
                 probe = simhash_block_rows(
@@ -321,6 +332,7 @@ def stream_simhash_ingest(
     bucketed_base: str | None = None,
     maintain: bool = False,
     vacuum_keep_versions: int | None = None,
+    max_cc_rounds: int = 20,
 ) -> None:
     """Drain a file-source document stream into the SimHash-
     deduplicated accepted-corpus table (AvailableNow: terminates when
@@ -331,6 +343,10 @@ def stream_simhash_ingest(
     (sources/indexproj.compact_index): a stale projection refreshes
     at its LIVE bucket count before any vacuum
     (``vacuum_keep_versions``; None = never vacuum).
+    ``max_cc_rounds`` bounds each trigger's within-batch clustering
+    explicitly (``_batch_representatives``): a batch whose verified
+    pair graph is deeper than a dup-cluster shape fails loudly instead
+    of burning unbounded shuffle rounds.
     """
     q = (
         spark.readStream.schema(schema)
@@ -342,6 +358,7 @@ def stream_simhash_ingest(
                 sink_id,
                 max_hamming=max_hamming,
                 bucketed_base=bucketed_base,
+                max_cc_rounds=max_cc_rounds,
             )
         )
         .option("checkpointLocation", checkpoint_path)

@@ -287,3 +287,32 @@ def test_copy_flood_collapses_before_pair_join(spark, tmp_path, monkeypatch):
     ] + [(60_000, " ".join(rng.sample(words, 12)), "en", "s", 60)]
     writer(spark.createDataFrame(flood, SCHEMA), 1)
     assert {r.doc_id for r in table.read().collect()} == accepted | {60_000}
+
+
+def test_deep_chain_batch_hits_explicit_cc_bound(spark):
+    """A planted band-collision PATH (doc i ~ doc i+1, all signatures
+    distinct so the exact-dup collapse can't shortcut it) needs
+    diameter-many CC rounds: an explicit max_cc_rounds below that must
+    RAISE loudly (the q48 contract) instead of silently burning
+    rounds, and the default bound must resolve the same batch to its
+    min-doc representative."""
+    from eeg_data_lake_spark.streaming.dedup import _batch_representatives
+
+    n = 8  # path graph, diameter 7
+    rows = [
+        (
+            i,
+            f"E{i if i % 2 == 0 else i - 1}",
+            f"O{i if i % 2 == 1 else i - 1}",
+        )
+        for i in range(n)
+    ]
+    banded = spark.createDataFrame(
+        rows, "doc_id bigint, band0 string, band1 string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _batch_representatives(banded, max_cc_rounds=2).collect()
+    kept = {
+        r.doc_id for r in _batch_representatives(banded).collect()
+    }
+    assert kept == {0}  # one component, min-doc representative

@@ -408,3 +408,27 @@ def test_cross_batch_hits_empty_frames_returns_empty(spark):
     out = cross_batch_hits(probe, [], 3)
     assert out.columns == ["doc_id"]
     assert out.count() == 0
+
+
+def test_deep_chain_batch_hits_explicit_cc_bound(spark):
+    """A planted Hamming-chain (fp_i = 8 set bits sliding by 1, so
+    consecutive fps verify at hamming 2 while fps two apart are at 4 —
+    all fingerprints distinct, so the identical-fp collapse can't
+    shortcut it) needs diameter-many CC rounds: an explicit
+    max_cc_rounds below the chain's diameter must RAISE loudly, and
+    the default bound must resolve the batch to its min-doc rep."""
+    from eeg_data_lake_spark.streaming.simhash import (
+        _batch_representatives,
+    )
+
+    n = 10
+    rows = [(i, 0, 0xFF << i) for i in range(n)]
+    fps = spark.createDataFrame(
+        rows, "doc_id bigint, fp_hi bigint, fp_lo bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _batch_representatives(fps, 3, max_cc_rounds=2).collect()
+    kept = {
+        r.doc_id for r in _batch_representatives(fps, 3).collect()
+    }
+    assert kept == {0}
