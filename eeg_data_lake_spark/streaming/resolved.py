@@ -1,0 +1,492 @@
+"""Order-independent streaming near-dup ingest with TERMINAL
+resolution — the design that lets an incremental MinHash-LSH or
+SimHash path share its batch twin's SQL oracle VERBATIM (the z29/z31
+pattern from streaming/exactsubstr.py and streaming/curation.py,
+completed for the pairwise near-dup families).
+
+The greedy ingests (streaming/dedup.py, streaming/simhash.py) ACCEPT
+at the door: a duplicate keeps whichever member arrived first, so the
+accepted set depends on batch order — correct for a
+bounded-latency production gate, but not equal to the batch answer
+(q35/q48, r41) and therefore not oracle-checkable against it. This
+module defers the accept decision instead:
+
+1. **Corpus leg**: every batch doc lands (augmented with its sketch —
+   LSH bands / SimHash fingerprint), nothing is rejected at ingest.
+2. **Edges leg**: the batch's contribution to the GLOBAL collision
+   graph — within-batch pairs (identical-signature groups collapse to
+   min-doc representatives first: member→rep edges replace the
+   O(n²) clique, the same exact-collapse argument as the greedy
+   writers') plus cross-batch pairs from probing the posting index.
+   Every pair of the full batch graph with both endpoints ingested so
+   far is represented in CONNECTIVITY (proof in ResolvedFamily): a
+   pair materializes exactly when its later endpoint's batch commits.
+3. **Posting leg**: one row per NOVEL sketch key (band value / block
+   of a distinct fingerprint) — novel-only via anti-join against the
+   index's own frames, so the posting table holds one row per
+   distinct key forever and probe fan-out never grows with corpus
+   re-occurrences of a hot key.
+
+Replay safety rides ``chained_commit``'s leg-order contract
+(streaming/txpair.py): the edges derivation probes the posting index,
+which is a LATER leg — provably absent this batch whenever the
+derivation (re-)runs — and the posting derivation probes only its OWN
+table, equally safe. No strictly-less tricks needed: every probe here
+is of an own/later index.
+
+**Terminal resolution** (``resolve_accepted``): connected components
+over the accumulated edge table, keep the min doc_id per component —
+order-independent by construction, so a duplicate whose smaller id
+arrives in a LATER batch still wins, exactly as the batch q48-style
+global minimum does. After the stream drains, the resolved set equals
+the batch computation row for row, which is what makes the registered
+z32/z33 queries fully oracle-backed (recursive-CTE components in
+DuckDB) even though the path is streaming.
+
+Per-trigger cost is batch-sized and has NO iterative stage at all
+(the greedy writers run bounded CC per trigger; here CC runs once at
+resolve, over an edge set that is usually orders of magnitude smaller
+than the corpus). The posting probe co-locates against a
+``bucketize_posting_index`` projection exactly like every other
+streaming index probe in this package (sources/indexproj.py
+base+tail; zero index-side exchange per trigger on the base).
+
+Reference capability upgraded: the reference dedups whole files by
+md5 in a batch rewrite loop (/root/reference/bronze-to-silver.py:74-76);
+this maintains the full near-dup graph online and resolves it to the
+exact batch answer on demand.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eeg_data_lake_spark.operators.graph import connected_components
+from eeg_data_lake_spark.sources.indexproj import (
+    bucketize_index,
+    compact_index,
+    index_frames,
+)
+from eeg_data_lake_spark.sources.txlog import TxTable, maybe_compact
+from eeg_data_lake_spark.streaming.txpair import chained_commit
+
+
+@dataclass(frozen=True)
+class ResolvedFamily:
+    """The four family-specific hooks of a resolved near-dup ingest.
+
+    Connectivity argument (why member + rep + cross edges span exactly
+    the batch pair graph's components): (a) same-signature docs chain
+    to their group rep via member edges; (b) two colliding signatures
+    in ONE batch produce a rep-pair edge; (c) a cross-batch collision
+    on key K links the prober's rep to K's FIRST indexer, which — by
+    (a)+(b) at its own batch, inductively — is connected to every
+    earlier K-holder. Every edge added is itself a true collision
+    (verified where the family verifies, e.g. Hamming), so components
+    neither split nor merge vs the batch graph.
+    """
+
+    #: attach sketch columns to a raw batch (narrow map, no shuffle)
+    augment: Callable[[DataFrame], DataFrame]
+    #: the signature columns identical docs collapse on
+    sketch_cols: tuple[str, ...]
+    #: row filter for PAIRING (e.g. SimHash's n_shingles > 0 — r41's
+    #: contract that degenerate docs never pair); None = all rows pair
+    eligible: Callable[[DataFrame], Column] | None
+    #: groups (one row per distinct signature) -> (src, dst) src<dst
+    rep_pairs: Callable[[DataFrame], DataFrame]
+    #: groups -> posting rows (the probe index's schema)
+    index_rows: Callable[[DataFrame], DataFrame]
+    #: (groups, posting frame) -> (src, dst) normalized collision pairs
+    cross_pairs: Callable[[DataFrame, DataFrame], DataFrame]
+    #: posting columns identifying a key for novel-only appends
+    key_cols: tuple[str, ...]
+    #: posting columns to bucket the projection on (probe join keys)
+    probe_keys: tuple[str, ...]
+
+
+def edges_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus's accumulated collision-graph edge table."""
+    return TxTable(spark, table.path + "_edges")
+
+
+def posting_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus's sketch-key posting index (one row per distinct
+    key ever ingested — novel-only appends)."""
+    return TxTable(spark, table.path + "_post")
+
+
+def bucketize_posting_index(
+    table: TxTable, family: ResolvedFamily, base: str, n_buckets: int = 32
+) -> str:
+    """Materialize the posting index bucketed+sorted on the family's
+    probe keys (sources/indexproj.py) so every later trigger's cross
+    probe reads the base co-located."""
+    return bucketize_index(
+        posting_table(table.spark, table),
+        base,
+        list(family.probe_keys),
+        n_buckets,
+    )
+
+
+def compact_resolved_state(
+    table: TxTable,
+    family: ResolvedFamily,
+    bucketed_base: str | None = None,
+    max_small_files: int = 8,
+    vacuum_keep_versions: int | None = None,
+) -> str | None:
+    """Post-drain maintenance for the three-table state: the posting
+    index through compact_index (projection-aware refresh before any
+    vacuum), plus policy compaction of the corpus and edge txlogs,
+    which take an append per micro-batch."""
+    refreshed = compact_index(
+        posting_table(table.spark, table),
+        bucketed_base,
+        list(family.probe_keys),
+        max_small_files=max_small_files,
+        vacuum_keep_versions=vacuum_keep_versions,
+    )
+    for t in (table, edges_table(table.spark, table)):
+        if (
+            maybe_compact(t, max_small_files=max_small_files) is not None
+            and vacuum_keep_versions is not None
+        ):
+            t.vacuum(keep_versions=vacuum_keep_versions)
+    return refreshed
+
+
+def _groups(elig: DataFrame, family: ResolvedFamily) -> DataFrame:
+    """One row per distinct signature with its min-doc_id rep."""
+    return elig.groupBy(*family.sketch_cols).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+
+
+def _within_edges(
+    elig: DataFrame, groups: DataFrame, family: ResolvedFamily
+) -> DataFrame:
+    """member→rep edges (exact identical-signature collapse; rep is
+    the group minimum so src < dst holds) plus rep-level collision
+    pairs — the batch's complete within-set connectivity."""
+    member = (
+        elig.select("doc_id", *family.sketch_cols)
+        .join(
+            groups.select(
+                *family.sketch_cols, F.col("doc_id").alias("src")
+            ),
+            list(family.sketch_cols),
+        )
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+    )
+    return family.rep_pairs(groups).unionByName(member)
+
+
+def _backfill_resolved(
+    table: TxTable,
+    family: ResolvedFamily,
+    batch_df: DataFrame,
+    sink_id: str,
+    e_tbl: TxTable,
+    p_tbl: TxTable,
+) -> None:
+    """Corpus seeded outside the stream: without backfills the
+    terminal resolution would miss every within-seed duplicate and the
+    cross probe would miss seed collisions forever. Seeds the edge
+    table with the seed's COMPLETE within-set pair graph (the batch
+    computation over the seed) and the posting index with its keys —
+    each leg gated on its own table (the round-5 multi-step-commit
+    crash lesson), the currently replaying batch's docs excluded (its
+    own legs commit them under replayable txn ids). A corpus seeded
+    WITHOUT sketch columns (plain txsink bootstrap) is re-augmented."""
+    if table.version() < 0:
+        return
+    if e_tbl.version() >= 0 and p_tbl.version() >= 0:
+        return
+    seed = table.read(merge_schema=True).join(
+        batch_df.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    if not set(family.sketch_cols).issubset(seed.columns):
+        seed = family.augment(seed)
+    if seed.isEmpty():
+        # a first batch that crashed between its legs: its own legs
+        # replay under their txn ids; appending empty seeds here would
+        # only mint no-row versions
+        return
+    elig = (
+        seed.filter(family.eligible(seed)) if family.eligible else seed
+    ).localCheckpoint(eager=True)
+    groups = _groups(elig, family).localCheckpoint(eager=True)
+    if e_tbl.version() < 0:
+        e_tbl.append(
+            _within_edges(elig, groups, family)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct(),
+            txn_id=f"{sink_id}:edges-backfill",
+        )
+    if p_tbl.version() < 0:
+        p_tbl.append(
+            family.index_rows(groups), txn_id=f"{sink_id}:post-backfill"
+        )
+
+
+def resolved_batch_writer(
+    table: TxTable,
+    family: ResolvedFamily,
+    sink_id: str,
+    bucketed_base: str | None = None,
+):
+    """foreachBatch function maintaining the three-table resolved
+    state (corpus + edges + postings) exactly-once per batch via
+    ``chained_commit`` — see the module docstring for each leg's
+    replay argument. ``bucketed_base`` names a
+    ``bucketize_posting_index`` projection: both per-trigger probes
+    (cross pairs, novel postings) then read the index base co-located
+    plus the post-projection txlog tail."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        e_tbl = edges_table(spark, table)
+        p_tbl = posting_table(spark, table)
+        _backfill_resolved(table, family, batch_df, sink_id, e_tbl, p_tbl)
+        aug = family.augment(batch_df)
+        elig = (
+            aug.filter(family.eligible(aug)) if family.eligible else aug
+        )
+        # one derivation, four consumers (member join-back, rep-pair
+        # self-join, cross probe, posting rows) — per-batch eager
+        # checkpoint, the in-foreachBatch multi-consumer convention
+        groups = _groups(elig, family).localCheckpoint(eager=True)
+
+        def edge_rows() -> DataFrame:
+            out = _within_edges(elig, groups, family)
+            for fr in index_frames(p_tbl, bucketed_base):
+                out = out.unionByName(family.cross_pairs(groups, fr))
+            return (
+                out.filter(F.col("src") != F.col("dst")).distinct()
+            )
+
+        def posting_rows() -> DataFrame:
+            # novel-only: probing our OWN (later-leg) table is replay-
+            # safe, and keeps the index one row per distinct key so a
+            # hot key never multiplies future cross-probe fan-out
+            rows = family.index_rows(groups)
+            for fr in index_frames(p_tbl, bucketed_base):
+                rows = rows.join(
+                    fr.select(*family.key_cols),
+                    list(family.key_cols),
+                    "left_anti",
+                )
+            return rows
+
+        chained_commit(
+            table,
+            aug,
+            [(e_tbl, edge_rows, "edges"), (p_tbl, posting_rows, "post")],
+            sink_id,
+            batch_id,
+        )
+
+    return process
+
+
+def stream_resolved_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: TxTable,
+    checkpoint_path: str,
+    sink_id: str,
+    family: ResolvedFamily,
+    max_files_per_trigger: int = 1,
+    bucketed_base: str | None = None,
+    maintain: bool = False,
+    vacuum_keep_versions: int | None = None,
+) -> None:
+    """Drain a file-source document stream into the resolved near-dup
+    state (AvailableNow: terminates when caught up; re-invocations
+    resume from the checkpoint and replay-committed batches no-op).
+
+    ``maintain`` runs the family's post-drain compaction cadence
+    (``compact_resolved_state``): a stale posting projection refreshes
+    at its LIVE bucket count before any vacuum."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(
+            resolved_batch_writer(
+                table, family, sink_id, bucketed_base=bucketed_base
+            )
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if maintain:
+        compact_resolved_state(
+            table,
+            family,
+            bucketed_base,
+            vacuum_keep_versions=vacuum_keep_versions,
+        )
+
+
+def resolve_accepted(table: TxTable, max_cc_rounds: int = 20) -> DataFrame:
+    """The terminal resolution: connected components over the
+    accumulated edge graph, keep the min doc_id per component —
+    order-independent, so after the stream drains this equals the
+    batch answer regardless of arrival order (the property the z32/z33
+    oracles check). ``max_cc_rounds`` bounds the resolve CC explicitly
+    (the q48 non-convergence contract raises loudly on graphs deeper
+    than near-dup shape). merge-on-read tolerates a corpus whose seed
+    predates the sketch columns."""
+    corpus = table.read(merge_schema=True)
+    e = edges_table(table.spark, table)
+    if e.version() < 0:
+        return corpus
+    try:
+        edges = e.read()
+    except ValueError:
+        return corpus  # edge table exists but holds no rows
+    if edges.isEmpty():
+        return corpus
+    comp = connected_components(
+        edges, "src", "dst", max_iter=max_cc_rounds
+    )
+    losers = (
+        comp.join(
+            comp.groupBy("component").agg(F.min("node").alias("keep")),
+            "component",
+        )
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return corpus.join(losers, "doc_id", "left_anti")
+
+
+# ------------------------------------------------ concrete families
+
+
+def minhash_resolved_family() -> ResolvedFamily:
+    """MinHash-LSH resolved family: q34/q35's banding expressions via
+    streaming/dedup.with_bands (fallback content-hash band for
+    degenerate docs included — contentless dups DO dedup here, same as
+    the greedy ingest), pairs = band equality (the q35 collision),
+    postings = one row per distinct (band_col, band)."""
+    from eeg_data_lake_spark.streaming.dedup import BAND_COLS, with_bands
+    from eeg_data_lake_spark.workload.dedup import band_collision_pairs
+
+    def index_rows(groups: DataFrame) -> DataFrame:
+        out = None
+        for col in BAND_COLS:
+            b = (
+                groups.groupBy(F.col(col).alias("band"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select(F.lit(col).alias("band_col"), "band", "doc_id")
+            )
+            out = b if out is None else out.unionByName(b)
+        return out
+
+    def cross_pairs(groups: DataFrame, frame: DataFrame) -> DataFrame:
+        out = None
+        for col in BAND_COLS:
+            fr = frame.filter(F.col("band_col") == col).select(
+                F.col("band").alias(col), F.col("doc_id").alias("__idx")
+            )
+            p = groups.join(fr, col).select(
+                F.least("doc_id", "__idx").alias("src"),
+                F.greatest("doc_id", "__idx").alias("dst"),
+            )
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    return ResolvedFamily(
+        augment=with_bands,
+        sketch_cols=BAND_COLS,
+        eligible=None,
+        rep_pairs=lambda g: band_collision_pairs(
+            g, BAND_COLS, src="src", dst="dst"
+        ),
+        index_rows=index_rows,
+        cross_pairs=cross_pairs,
+        key_cols=("band_col", "band"),
+        probe_keys=("band",),
+    )
+
+
+def simhash_resolved_family(max_hamming: int = 3) -> ResolvedFamily:
+    """SimHash resolved family: r40's md5-derived oracle-checkable
+    fingerprints, pairs = Manku block collision + exact Hamming verify
+    (r41), postings = the 4 block rows of each novel distinct
+    fingerprint. Degenerate docs (n_shingles == 0) never pair — r41's
+    contract, which is what lets z33 share its oracle (the oracle's
+    unnest drops them from pairing); they all survive resolution."""
+    from eeg_data_lake_spark.streaming.simhash import FP_COLS
+    from eeg_data_lake_spark.workload.dedup import (
+        hamming64,
+        simhash_block_rows,
+        simhash_pairs,
+        with_simhash,
+    )
+
+    def index_rows(groups: DataFrame) -> DataFrame:
+        return simhash_block_rows(
+            groups.select("doc_id", *FP_COLS)
+        ).select("j", "block", "doc_id", *FP_COLS)
+
+    def cross_pairs(groups: DataFrame, frame: DataFrame) -> DataFrame:
+        probe = simhash_block_rows(
+            groups.select("doc_id", *FP_COLS)
+        ).select(
+            F.col("doc_id").alias("__a"),
+            "j",
+            "block",
+            F.col("fp_hi").alias("__ha"),
+            F.col("fp_lo").alias("__la"),
+        )
+        fr = frame.select(
+            F.col("doc_id").alias("__b"),
+            "j",
+            "block",
+            F.col("fp_hi").alias("__hb"),
+            F.col("fp_lo").alias("__lb"),
+        )
+        return (
+            probe.join(fr, ["j", "block"])
+            .filter(
+                hamming64(
+                    F.col("__ha"),
+                    F.col("__la"),
+                    F.col("__hb"),
+                    F.col("__lb"),
+                )
+                <= max_hamming
+            )
+            .select(
+                F.least("__a", "__b").alias("src"),
+                F.greatest("__a", "__b").alias("dst"),
+            )
+        )
+
+    return ResolvedFamily(
+        augment=with_simhash,
+        sketch_cols=FP_COLS,
+        eligible=lambda df: F.col("n_shingles") > 0,
+        rep_pairs=lambda g: simhash_pairs(
+            g.select("doc_id", *FP_COLS), max_hamming=max_hamming
+        ).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        index_rows=index_rows,
+        cross_pairs=cross_pairs,
+        key_cols=("j", "block", "fp_hi", "fp_lo"),
+        probe_keys=("j", "block"),
+    )

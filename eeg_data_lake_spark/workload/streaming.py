@@ -842,12 +842,15 @@ def z22_streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with MinHash-LSH q51/streaming/dedup.py and ExactSubstr
     streaming/exactsubstr.py).
 
-    Rows-only by design: the greedy batch-order accept plus connected
-    components is not SQL-expressible; equality against an EXHAUSTIVE
-    all-pairs python reference, the two-table crash-replay discipline,
-    and the mutual-Hamming->radius invariant of the accepted set are
-    pinned in tests/test_streaming_simhash.py. Fingerprint bits
-    themselves are oracle-checked by r40.
+    Rows-only by design: the greedy batch-order accept (bounded
+    latency) is intentionally order-DEPENDENT and therefore has no
+    SQL twin; the order-independent RESOLVED variant of this same
+    family, z33 (streaming/resolved.py), IS fully oracle-backed via
+    r40/r41's integer-exact CTEs. Here, equality against an
+    EXHAUSTIVE all-pairs python reference, the two-table crash-replay
+    discipline, and the mutual-Hamming->radius invariant of the
+    accepted set are pinned in tests/test_streaming_simhash.py.
+    Fingerprint bits themselves are oracle-checked by r40.
 
     Returns the accepted corpus (doc_id, lang) with per-doc SimHash
     halves — deterministic for a given sf_dir: batch files are written
@@ -1117,11 +1120,15 @@ def z30_streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     its companion band index (corpus-first/index-second,
     streaming/txpair.py).
 
-    Rows-only by design: the greedy batch-order accept plus connected
-    components is not SQL-expressible; the pinned guarantees live in
-    tests/test_streaming_dedup_ingest.py (batch-union equivalence,
-    crash-replay convergence, seeded-corpus backfill) and
-    tests/test_indexproj.py (zero index-side exchange against the
+    Rows-only by design: the greedy batch-order accept (bounded
+    latency — a doc is admitted or rejected the trigger it arrives)
+    is intentionally order-DEPENDENT and therefore has no SQL twin;
+    the order-independent RESOLVED variant of this same family, z32
+    (streaming/resolved.py), IS fully oracle-backed and shares the
+    batch q48-style component semantics. The pinned guarantees here
+    live in tests/test_streaming_dedup_ingest.py (batch-union
+    equivalence, crash-replay convergence, seeded-corpus backfill)
+    and tests/test_indexproj.py (zero index-side exchange against the
     projection, plain/bucketed output equality).
 
     Returns the accepted corpus (doc_id, lang, band0, band1) ordered
@@ -1148,4 +1155,216 @@ def z30_streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representatives), so the bands come straight off the corpus
     return (
         tbl.read().select("doc_id", "lang", "band0", "band1").orderBy("doc_id")
+    )
+
+
+def _z32_oracle() -> str:
+    from eeg_data_lake_spark.workload.dedup import _SHINGLE_SQL, _minhash_sql
+
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sig AS (
+      SELECT s.doc_id, d.lang,
+             coalesce(md5({_minhash_sql(0)} || {_minhash_sql(1)}),
+                      md5(coalesce(d.text, ''))) AS band0,
+             coalesce(md5({_minhash_sql(2)} || {_minhash_sql(3)}),
+                      md5(coalesce(d.text, ''))) AS band1
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sig a JOIN sig b
+        ON (a.band0 = b.band0 OR a.band1 = b.band1)
+       AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, other) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.other FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, min(other) AS m FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> m)
+    SELECT s.doc_id, s.lang, s.band0, s.band1
+    FROM sig s LEFT JOIN losers l ON s.doc_id = l.node
+    WHERE l.node IS NULL
+    """
+
+
+@register(
+    "z32_streaming_minhash_resolved",
+    oracle=_z32_oracle(),
+    tags=("streaming", "dedup", "minhash", "lsh", "incremental", "resolved"),
+)
+def z32_streaming_minhash_resolved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash-LSH ingest with ORDER-INDEPENDENT terminal
+    resolution (streaming/resolved.py — the oracle-backed twin of the
+    greedy z30): the documents table arrives as three micro-batches;
+    each batch lands in the corpus banded (q34/q35's expressions),
+    contributes its collision edges to the global pair graph
+    (within-batch via the identical-signature collapse, cross-batch
+    via the posting-index probe — a LATER chained_commit leg, so the
+    probe is replay-stable by construction), and appends its novel
+    band postings; the terminal ``resolve_accepted`` then keeps the
+    min doc_id per connected component over the FULL accumulated
+    graph.
+
+    FULLY oracle-backed even though the path is streaming: acceptance
+    is a global property of the corpus (min per component), not of
+    arrival order — a duplicate whose smaller id arrives in a LATER
+    batch still wins, exactly as the batch q48-style global minimum
+    does — so the DuckDB oracle computes the same components with a
+    recursive CTE over the q35 band-collision graph (with with_bands'
+    content-hash fallback for degenerate docs, which the oracle
+    spells as coalesce to md5 of the raw text). Union-replay ≡ batch
+    and crash convergence are pinned in tests/test_streaming_resolved.py.
+
+    Returns the resolved corpus (doc_id, lang, band0, band1)."""
+    import os
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.resolved import (
+        minhash_resolved_family,
+        resolve_accepted,
+        stream_resolved_ingest,
+    )
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "mhr_q_", ["doc_id", "text", "lang"]
+    )
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_resolved_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string, lang string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z32",
+        family=minhash_resolved_family(),
+    )
+    return (
+        resolve_accepted(tbl)
+        .select("doc_id", "lang", "band0", "band1")
+        .orderBy("doc_id")
+    )
+
+
+def _z33_oracle() -> str:
+    from eeg_data_lake_spark.workload.dedup import _POW2_SQL, _SHINGLE_SQL
+
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, coalesce({_SHINGLE_SQL}, []) AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, len(sl) AS n_shingles, k.k AS k,
+             sum(CASE WHEN s.s IS NOT NULL
+                       AND (CAST(('0x' || substr(md5(s.s), 1, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_hi,
+             sum(CASE WHEN s.s IS NOT NULL
+                       AND (CAST(('0x' || substr(md5(s.s), 9, 8)) AS UBIGINT)
+                            // {_POW2_SQL}[k.k + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS c_lo
+      FROM sh
+      LEFT JOIN LATERAL (SELECT UNNEST(sl) AS s) AS s(s) ON TRUE,
+      UNNEST(range(32)) AS k(k)
+      GROUP BY doc_id, n_shingles, k.k
+    ),
+    fps AS (
+      SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+             CAST(sum(CASE WHEN c_hi > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                  AS BIGINT) AS fp_hi,
+             CAST(sum(CASE WHEN c_lo > 0 THEN {_POW2_SQL}[k + 1] ELSE 0 END)
+                  AS BIGINT) AS fp_lo
+      FROM bits GROUP BY doc_id, n_shingles
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+      WHERE a.n_shingles > 0 AND b.n_shingles > 0
+        AND bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+    ),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, other) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.other FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, min(other) AS m FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> m)
+    SELECT f.doc_id, d.lang, f.fp_hi, f.fp_lo
+    FROM fps f
+    JOIN documents d ON f.doc_id = d.doc_id
+    LEFT JOIN losers l ON f.doc_id = l.node
+    WHERE l.node IS NULL
+    """
+
+
+@register(
+    "z33_streaming_simhash_resolved",
+    oracle=_z33_oracle(),
+    tags=(
+        "streaming",
+        "dedup",
+        "simhash",
+        "hamming",
+        "incremental",
+        "resolved",
+    ),
+)
+def z33_streaming_simhash_resolved(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SimHash ingest with ORDER-INDEPENDENT terminal
+    resolution (streaming/resolved.py — the oracle-backed twin of the
+    greedy z22): the documents table arrives as three micro-batches;
+    each batch lands in the corpus fingerprinted (r40's md5-derived
+    oracle-checkable bits), contributes its Hamming-verified collision
+    edges (within-batch via the identical-fingerprint collapse,
+    cross-batch via the Manku block posting probe + inline verify),
+    and appends block postings for its novel fingerprints; terminal
+    resolution keeps the min doc_id per connected component.
+
+    FULLY oracle-backed: the DuckDB oracle reuses r40/r41's
+    integer-exact CTEs (fingerprint bits, hamming <= 3 pairs,
+    n_shingles > 0 pairing contract — degenerate docs never pair and
+    all survive) and resolves the same components with a recursive
+    CTE. Union-replay ≡ batch and crash convergence are pinned in
+    tests/test_streaming_resolved.py.
+
+    Returns the resolved corpus (doc_id, lang, fp_hi, fp_lo)."""
+    import os
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.resolved import (
+        resolve_accepted,
+        simhash_resolved_family,
+        stream_resolved_ingest,
+    )
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "shr_q_", ["doc_id", "text", "lang"]
+    )
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    stream_resolved_ingest(
+        spark,
+        src,
+        "doc_id bigint, text string, lang string",
+        tbl,
+        os.path.join(d, "ck"),
+        sink_id="z33",
+        family=simhash_resolved_family(),
+    )
+    return (
+        resolve_accepted(tbl)
+        .select("doc_id", "lang", "fp_hi", "fp_lo")
+        .orderBy("doc_id")
     )
