@@ -156,3 +156,108 @@ def chunk_rows(
             yield pd.DataFrame(out, columns=cols)
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def cdc_oracle_ctes(
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+    payload_sql: str = "encode(text)",
+    source_sql: str = "documents",
+    id_sql: str = "doc_id",
+) -> str:
+    """The gear-CDC chunker as PURE ANSI SQL — the DuckDB oracle twin
+    of ``cdc_cut_points``/``chunk_rows``, so the z23/z24/z25 chunk
+    reports are hash-checkable instead of rows-only.
+
+    Why this is SQL-expressible after all: the cut decision is
+    ``(h & (avg_size-1)) == 0``, and since ``2^k mod avg_size == 0``
+    for ``k >= log2(avg_size)``, the masked hash depends on only the
+    last ``log2(avg_size)`` bytes — for the default avg 256, EIGHT
+    ``lag()`` terms over the byte sequence, in plain integer
+    arithmetic on the gear table's LOW byte (little-endian digest[0]).
+    The full 64-byte uint64 window is irrelevant to the mask. The
+    remaining sequential part — "next cut is the first candidate in
+    [pos+min, pos+max], else a forced cut at pos+max" — is a recursive
+    CTE whose per-doc depth is ceil(len/min): tiny, and DuckDB runs
+    all docs' scans in lockstep.
+
+    Byte access without blob functions (DuckDB 1.0 has no blob
+    substring/md5): everything runs on ``hex(payload)`` — byte i is
+    ``substr(hx, 2*i+1, 2)``, chunk identity is the hex SLICE itself
+    (byte-equality == hex-equality, no digest needed, and unlike
+    ``md5(VARCHAR)`` it is well-defined when a cut splits a multi-byte
+    UTF-8 character).
+
+    Returns the CTE body (caller prepends ``WITH RECURSIVE``), ending
+    in ``chunks(doc_id, chunk_idx, "offset", length, chunk_hex)`` —
+    the SQL mirror of ``chunk_rows`` minus the md5 column. The gear
+    table's low bytes are embedded as 256 literals (an S-box constant,
+    derived by the same ``gear_table()`` md5 recipe both engines use).
+    """
+    bits = int(round(math.log2(avg_size)))
+    if 2 ** bits != avg_size or not 2 <= bits <= 8:
+        raise ValueError("avg_size must be a power of two in [4, 256]")
+    mod = 1 << bits
+    t8 = gear_table() % np.uint64(256)
+    gear_values = ",".join(
+        f"('{b:02X}',{int(t8[b]) % mod})" for b in range(256)
+    )
+    lag_terms = "\n    + ".join(
+        f"{1 << k} * COALESCE(lag(t8, {k}) OVER w, 0)" if k else "t8"
+        for k in range(bits)
+    )
+    return f"""
+gear(hx, t8) AS (VALUES {gear_values}),
+payloads AS (
+  SELECT {id_sql} AS doc_id, hex({payload_sql}) AS hx_payload,
+         octet_length({payload_sql}) AS n
+  FROM {source_sql}
+),
+bytes AS (
+  SELECT p.doc_id, unnest(range(p.n)) AS pos, p.hx_payload
+  FROM payloads p
+),
+tvals AS (
+  SELECT b.doc_id, b.pos, g.t8
+  FROM bytes b JOIN gear g ON g.hx = substr(b.hx_payload, 2*b.pos + 1, 2)
+),
+hashes AS (
+  SELECT doc_id, pos,
+    ( {lag_terms}
+    ) % {mod} AS h8
+  FROM tvals
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+cand AS (
+  SELECT doc_id, pos + 1 AS cut FROM hashes WHERE h8 = 0
+),
+cuts(doc_id, pos) AS (
+  SELECT doc_id, 0 FROM payloads WHERE n > 0
+  UNION ALL
+  SELECT cuts.doc_id,
+    COALESCE(
+      (SELECT min(c.cut) FROM cand c
+        WHERE c.doc_id = cuts.doc_id
+          AND c.cut >= cuts.pos + {min_size}
+          AND c.cut <= cuts.pos + {max_size}
+          AND c.cut < p.n),
+      least(cuts.pos + {max_size}, p.n))
+  FROM cuts JOIN payloads p ON p.doc_id = cuts.doc_id
+  WHERE cuts.pos < p.n
+),
+chunk_bounds AS (
+  SELECT doc_id, pos AS chunk_off,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_end,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS chunk_idx
+  FROM cuts
+),
+chunks AS (
+  SELECT cb.doc_id, cb.chunk_idx,
+         cb.chunk_off AS "offset",
+         cb.chunk_end - cb.chunk_off AS length,
+         substr(p.hx_payload, 2*cb.chunk_off + 1,
+                2*(cb.chunk_end - cb.chunk_off)) AS chunk_hex
+  FROM chunk_bounds cb JOIN payloads p ON p.doc_id = cb.doc_id
+  WHERE cb.chunk_end IS NOT NULL
+)"""

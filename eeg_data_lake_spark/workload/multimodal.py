@@ -5,8 +5,11 @@ q47 is fully oracle-checked (byte length, md5, hex prefix are
 bit-identical between Spark and DuckDB over the same UTF-8 payload).
 z16 oracle-checks the REAL PNG codec end-to-end (SQL-expressible
 pixel generator, decoded pixel sums hash-matched); r45 does the same
-for PCM16 audio. q97/q88 run the same real decode but emit
-non-SQL-derivable byte/resample stats → rows-only.
+for PCM16 audio. The CDC chunking family z23/z24/z25 is fully
+oracle-checked too (round 8): the gear cut mask depends on only the
+last 8 bytes, so DuckDB re-derives every boundary — see
+functions/chunking.cdc_oracle_ctes. q97/q88 run the same real decode
+but emit non-SQL-derivable byte/resample stats → rows-only.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark.functions.chunking import cdc_oracle_ctes
 from eeg_data_lake_spark.functions.multimodal import (
     attach_binary_payload,
     decode_image_features,
@@ -698,6 +702,23 @@ def z27_wav_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z23_cdc_chunk_dedup",
+    oracle=f"""
+    WITH RECURSIVE {cdc_oracle_ctes()},
+    occ AS (
+      SELECT doc_id, length,
+             count(*) OVER (PARTITION BY chunk_hex) AS n_occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*)                                 AS n_chunks,
+           sum(length)::BIGINT                      AS n_bytes,
+           count(CASE WHEN n_occ >= 2 THEN 1 END)   AS dup_chunks,
+           COALESCE(sum(CASE WHEN n_occ >= 2 THEN length END), 0)::BIGINT
+                                                    AS dup_bytes
+    FROM occ
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
     tags=("multimodal", "dedup", "binary", "cdc"),
 )
 def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,12 +730,15 @@ def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the storage/transfer dedup primitive for a multimodal lake, robust
     to byte insertions where fixed-size chunking loses all alignment.
 
-    Rows-only by design: the gear rolling hash is not SQL-expressible
-    (the sliding 64-byte mod-2^64 recurrence); semantics are pinned by
-    property tests instead — chunks exactly partition each payload,
-    size bounds hold, boundaries resynchronize after an insertion, and
-    the Spark plumbing matches the pure-python chunker row for row
-    (tests/test_cdc_chunking.py).
+    FULLY oracle-backed (upgraded from rows-only in round 8): the cut
+    decision ``(h & 255) == 0`` depends on only the last 8 bytes
+    (``2^k mod 256 == 0`` for k >= 8), so DuckDB re-derives every
+    boundary with eight lag() terms + a recursive CTE for the
+    min/max scan — see ``cdc_oracle_ctes`` in functions/chunking.py.
+    Chunk identity in the oracle is the hex byte-slice itself
+    (byte-equality, no md5 needed), so the dup accounting matches the
+    Spark side's md5 grouping exactly. Property tests additionally pin
+    partition/size/resync invariants (tests/test_cdc_chunking.py).
 
     Plan: the chunker is a narrow Arrow-batched mapInPandas (per-row
     CPU, the r45/q97 codec shape — measured flat at 10x); the ONLY
@@ -749,6 +773,26 @@ def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z24_streaming_chunk_ingest",
+    oracle=f"""
+    WITH RECURSIVE {cdc_oracle_ctes()},
+    uniq AS (
+      SELECT chunk_hex, min(length) AS length FROM chunks GROUP BY chunk_hex
+    ),
+    logical AS (
+      SELECT count(*) AS n_docs,
+             COALESCE(sum(octet_length(encode(text))), 0)::BIGINT
+               AS logical_bytes
+      FROM documents
+    ),
+    physical AS (
+      SELECT count(*) AS n_unique_chunks,
+             COALESCE(sum(length), 0)::BIGINT AS stored_bytes
+      FROM uniq
+    )
+    SELECT n_docs, logical_bytes, n_unique_chunks, stored_bytes,
+           round(logical_bytes / greatest(stored_bytes, 1), 4) AS dedup_ratio
+    FROM logical, physical
+    """,
     tags=("streaming", "multimodal", "dedup", "binary", "cdc"),
 )
 def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,12 +804,17 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     append, exactly-once across replays (corpus-first/index-second
     txn discipline).
 
-    Rows-only by design (the gear rolling hash is not
-    SQL-expressible); the pinned guarantees live in
-    tests/test_streaming_chunkdedup.py: the index equals the batch
-    z23 chunking of the full corpus (one row per unique chunk, union
-    over batches), replay converges, and re-ingesting edited copies
-    of already-stored blobs adds only the edited regions' chunks.
+    FULLY oracle-backed (upgraded from rows-only in round 8): the
+    storage report is ORDER-INDEPENDENT — the corpus totals and the
+    unique-chunk set don't depend on which batch stored a chunk first
+    — so the streaming result equals the batch chunking of the full
+    corpus, which DuckDB re-derives via ``cdc_oracle_ctes``
+    (functions/chunking.py). The streaming-specific guarantees remain
+    pinned in tests/test_streaming_chunkdedup.py: the index equals the
+    batch z23 chunking of the full corpus (one row per unique chunk,
+    union over batches), replay converges, and re-ingesting edited
+    copies of already-stored blobs adds only the edited regions'
+    chunks.
 
     Returns the one-row storage report: docs + logical bytes vs
     unique chunks + stored bytes and the dedup ratio."""
@@ -804,6 +853,30 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z25_chunkstore_lifecycle",
+    oracle=f"""
+    WITH RECURSIVE {cdc_oracle_ctes()},
+    all_uniq AS (
+      SELECT chunk_hex, min(length) AS length FROM chunks GROUP BY chunk_hex
+    ),
+    live_uniq AS (
+      SELECT DISTINCT chunk_hex FROM chunks WHERE doc_id % 2 = 0
+    ),
+    dropped AS (
+      SELECT a.chunk_hex, a.length
+      FROM all_uniq a LEFT JOIN live_uniq l USING (chunk_hex)
+      WHERE l.chunk_hex IS NULL
+    )
+    SELECT (SELECT count(*) FROM documents)                      AS docs_put,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS docs_live,
+           (SELECT count(*) FROM all_uniq)                       AS chunks_before,
+           (SELECT count(*) FROM dropped)                        AS chunks_dropped,
+           (SELECT COALESCE(sum(length), 0)::BIGINT FROM dropped)
+                                                                 AS bytes_reclaimed,
+           (SELECT count(*) FROM all_uniq) - (SELECT count(*) FROM dropped)
+                                                                 AS chunks_after,
+           0::BIGINT                                             AS reconstruct_mismatches,
+           0::BIGINT                                             AS missing_refs
+    """,
     tags=("multimodal", "dedup", "binary", "cdc", "lifecycle"),
 )
 def z25_chunkstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,13 +891,18 @@ def z25_chunkstore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/bronze-to-silver.py:74-76 dedups whole files
     only).
 
-    Rows-only by design (gear CDC is not SQL-expressible); the
-    reclaim arithmetic, round-trip equality, and replay idempotence
-    are pinned in tests/test_chunkstore.py. The returned one-row
-    report is self-verifying: reconstruct_mismatches counts live docs
-    whose reassembled bytes differ from the original payload (md5
-    compare, 0 in a correct store) and missing_refs counts manifest
-    references GC wrongly reclaimed (0).
+    FULLY oracle-backed (upgraded from rows-only in round 8): the
+    whole lifecycle report is re-derivable from the deterministic
+    chunk model — ``cdc_oracle_ctes`` (functions/chunking.py) gives
+    DuckDB the exact chunk set, GC arithmetic is set-difference
+    between all-docs chunks and live-docs chunks, and the two
+    self-verifying counters (reconstruct_mismatches: live docs whose
+    reassembled bytes differ from the original payload; missing_refs:
+    manifest references GC wrongly reclaimed) are asserted ZERO by
+    the oracle — so a store that corrupted a single live blob now
+    fails the driver's hash check, not just the local test suite.
+    Reclaim arithmetic, round-trip equality, and replay idempotence
+    stay pinned in tests/test_chunkstore.py.
 
     Columns: docs_put, docs_live, chunks_before, chunks_dropped,
     bytes_reclaimed, chunks_after, reconstruct_mismatches,

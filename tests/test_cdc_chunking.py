@@ -151,3 +151,45 @@ def test_chunk_rows_string_ids(spark):
     rows = chunk_rows(df).collect()
     assert rows and all(r.doc_id == "doc-abc" for r in rows)
     assert sum(r.length for r in rows) == len(payload)
+
+
+def test_sql_oracle_twin_matches_python_cut_points():
+    """The DuckDB CTE (cdc_oracle_ctes) re-derives cut points
+    BIT-IDENTICALLY to cdc_cut_points on adversarial payloads: long
+    candidate-free runs (forced max-size cuts), candidate floods,
+    multi-byte UTF-8 straddling cuts, sub-min payloads, and an edited
+    copy (boundary resync). The workload oracles (z23/z24/z25) hang
+    off this equivalence."""
+    import duckdb
+
+    from eeg_data_lake_spark.functions.chunking import (
+        cdc_cut_points,
+        cdc_oracle_ctes,
+    )
+
+    texts = [
+        "a" * 3000,                        # single repeated byte
+        "the quick brown fox " * 120,      # periodic text
+        "héllo wörld ünïcödé " * 90,       # multi-byte UTF-8
+        "short",                           # below min_size
+        "x" * 64,                          # exactly min_size
+        ("the quick brown fox " * 60)      # edited copy: resync case
+        + "INSERTED"
+        + ("the quick brown fox " * 60),
+        "".join(chr(33 + (i * 7) % 90) for i in range(2500)),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT unnest(range(%d)) AS doc_id, unnest(?) AS text" % len(texts),
+        [texts],
+    )
+    sql = f"WITH RECURSIVE {cdc_oracle_ctes()} " \
+          "SELECT doc_id, \"offset\", length FROM chunks ORDER BY doc_id, \"offset\""
+    got: dict[int, list[int]] = {}
+    for d, off, ln in con.execute(sql).fetchall():
+        got.setdefault(d, [0]).append(off + ln)
+    for d, text in enumerate(texts):
+        data = text.encode()
+        want = cdc_cut_points(data)
+        assert got.get(d, [0]) == want, f"doc {d}: {got.get(d)} != {want}"
