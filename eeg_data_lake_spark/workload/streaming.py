@@ -1195,6 +1195,99 @@ def _z32_oracle() -> str:
 
 
 @register(
+    "z34_streaming_curation_maintained",
+    oracle=_z31_oracle(),
+    tags=(
+        "streaming",
+        "curation",
+        "pipeline",
+        "dedup",
+        "incremental",
+        "maintenance",
+    ),
+)
+def z34_streaming_curation_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """z31's composed streaming curation pipeline with the FULL
+    100 TB maintenance cadence running mid-stream — bucketed
+    fingerprint projection, forced policy compaction of all five
+    state tables, projection staleness repair, and vacuum — under the
+    driver's hash check, proving the maintenance path is
+    output-INVISIBLE (the round-7 verdict's gap: the registered z31
+    exercises only the plain probe path, `bucketed_base=None,
+    maintain=False`; the cadence was proven in tests/CI pins but
+    never under an oracle).
+
+    Timeline: batches 0+1 drain plain (no projection exists yet);
+    then `bucketize_fp_index` materializes the fingerprint index as a
+    catalog table bucketed+sorted at the session shuffle-partition
+    count, and a FORCED `compact_curation_state`
+    (max_small_files=1) policy-compacts every table, repairs the now-
+    stale projection at its live bucket count, and vacuums; batch 2
+    then drains with `bucketed_base` set — its dedup probe anti-joins
+    the compacted bucketed base co-located plus the txlog tail — and
+    `maintain=True` runs the post-drain cadence once more. The
+    terminal `curated_rollup` must STILL equal batch z20, so this
+    query shares z20's complete CTE oracle verbatim (same rows, same
+    hash, with compaction/vacuum/projection churn in the middle).
+
+    The catalog projection (`z34m_<uuid>_v{N}`) lives for the
+    process, like the scratch corpus dirs (_scratch_dir note);
+    superseded versions of the same base are dropped at refresh."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.curation import (
+        bucketize_fp_index,
+        compact_curation_state,
+        curated_rollup,
+        stream_curation_ingest,
+    )
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "cur_m_q_", ["doc_id", "text", "lang"]
+    )
+    # hold batch 2 aside: phase A drains 0+1, phase B drains 2 with
+    # the bucketed projection + compacted state in place
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z34m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, text string, lang string"
+
+    stream_curation_ingest(
+        spark, src, schema, tbl, ck, sink_id="z34", bucketed_base=base
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_fp_index(tbl, base, n_buckets=n_buckets)
+    # force the cadence NOW (two appends haven't crossed the default
+    # small-file threshold): compaction rewrites every table's
+    # layout, staleness repair re-projects at the LIVE bucket count,
+    # and the vacuum afterwards is safe because the fresh projection
+    # has no tail to lose
+    compact_curation_state(
+        tbl, base, max_small_files=1, vacuum_keep_versions=2
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_curation_ingest(
+        spark,
+        src,
+        schema,
+        tbl,
+        ck,
+        sink_id="z34",
+        bucketed_base=base,
+        maintain=True,
+    )
+    return curated_rollup(tbl).orderBy("split", "lang")
+
+
+@register(
     "z32_streaming_minhash_resolved",
     oracle=_z32_oracle(),
     tags=("streaming", "dedup", "minhash", "lsh", "incremental", "resolved"),

@@ -290,3 +290,52 @@ def test_backfill_crash_between_index_seeds_recovers(
     w(_batch(spark, planted, 1), 1)  # replay completes the backfills
     w(_batch(spark, planted, 2), 2)
     assert _rows(curated_rollup(table)) == want
+
+
+def test_z34_maintained_cadence_runs_and_matches_z31(spark, sf_dir):
+    """The registered z34 must not be a vacuous twin: it leaves the
+    footprints of the full maintenance cadence — a live catalog
+    projection of the fingerprint index (so batch 2's probe had a
+    bucketed base to read) and a 'compact' commit in the corpus
+    txlog's history — and its rollup equals registered z31's row for
+    row."""
+    import glob
+    import tempfile
+
+    before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(os.path.join(tempfile.gettempdir(), "cur_m_q_*")))
+    got = REGISTRY["z34_streaming_curation_maintained"].spark_fn(
+        spark, sf_dir
+    )
+    got_rows = [tuple(r) for r in got.collect()]
+
+    projections = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("z34m_") and t.name not in before
+    ]
+    assert projections, "no fingerprint projection was materialized"
+    # the projection is readable and bucketed (write_bucketed's marker
+    # contract is covered in test_indexproj; here just non-empty)
+    assert spark.table(max(projections)).count() > 0
+
+    # the forced mid-stream compaction really rewrote the corpus
+    # txlog: its history carries a 'compact' commit
+    from eeg_data_lake_spark.sources.txlog import table_history
+
+    new_dirs = (
+        set(glob.glob(os.path.join(tempfile.gettempdir(), "cur_m_q_*")))
+        - dirs_before
+    )
+    assert len(new_dirs) == 1
+    corpus = TxTable(spark, os.path.join(new_dirs.pop(), "corpus"))
+    ops = [r.op for r in table_history(corpus).collect()]
+    assert "compact" in ops
+
+    z31_rows = [
+        tuple(r)
+        for r in REGISTRY["z31_streaming_curation_pipeline"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got_rows == z31_rows
