@@ -28,6 +28,39 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: per-key distinct values above which "auto" routes to the bucketed
+#: cumulation. The measured crossover (BASELINE.md round 7): at 180k
+#: distincts/key the single-task sort wins 1.75 s vs 3.21 s — the
+#: boundary sketch + extra stages only pay off when one task's sort
+#: stops fitting comfortably; ~4M (double, long) rows ≈ 100 MB of
+#: single-task sort state is where that comfort ends. Partitioning-
+#: only: both branches are bit-identical, so a wrong guess near the
+#: threshold costs balance, never correctness.
+AUTO_BUCKET_THRESHOLD = 4_000_000
+
+
+def _auto_value_buckets(
+    df: DataFrame, key: str, value: str, threshold: int
+) -> int | None:
+    """The "auto" policy: estimate the largest per-key distinct-value
+    count with one cheap pre-pass (column-pruned scan + partial HLL,
+    |keys| rows shuffled) and pick the bucketed cumulation — at the
+    session shuffle-partition count — only when it exceeds
+    ``threshold``. A SEPARATE action on purpose: the returned plan is
+    byte-identical to the manually-selected form (q10's plan pin
+    inspects the returned DataFrame only), and the estimate never
+    materializes the heavy groupBy(key, value) shuffle."""
+    est = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(key)
+        .agg(F.approx_count_distinct(value).alias("_d"))
+        .agg(F.max("_d"))
+        .first()[0]
+    )
+    if est is not None and est > threshold:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return None
+
 
 def _bucketed_cumulative(
     pc: DataFrame, key: str, value: str, n_buckets: int
@@ -96,7 +129,8 @@ def exact_percentiles(
     ps: Sequence[float],
     prefix: str = "p",
     with_min_max: bool = False,
-    value_buckets: int | None = None,
+    value_buckets: int | None | str = "auto",
+    auto_bucket_threshold: int = AUTO_BUCKET_THRESHOLD,
 ) -> DataFrame:
     """One row per ``key`` with one column per requested percentile
     (``p50`` for 0.5, ``p12_5`` for 0.125), matching
@@ -114,8 +148,16 @@ def exact_percentiles(
     per-key window otherwise runs one task per key — three reducers
     sorting a corpus of distinct values is the same narrow-stage
     shape this operator exists to avoid, one level up. Bit-identical
-    results (integer count sums either way); use it whenever
-    |keys| << cores."""
+    results (integer count sums either way).
+
+    The default ``"auto"`` selects the strategy from a cheap per-key
+    distinct-count estimate (``_auto_value_buckets``): single-window
+    until the largest key's distincts exceed ``auto_bucket_threshold``
+    (~one comfortable task sort — see the measured crossover note on
+    AUTO_BUCKET_THRESHOLD), bucketed at the session shuffle-partition
+    count beyond it. Pass ``None`` to force single-window or an int
+    to force a bucket count — the estimate pre-pass is then skipped
+    entirely."""
     if not ps:
         raise ValueError("exact_percentiles: ps must name at least one percentile")
     if any(p < 0.0 or p > 1.0 for p in ps):
@@ -126,6 +168,15 @@ def exact_percentiles(
     # key), then rank only the non-NULL rows and left-join the full
     # key set back at the end. The key set is derived from the
     # already-tiny distinct-value relation, not from a second scan.
+    if value_buckets == "auto":
+        value_buckets = _auto_value_buckets(
+            df, key, value, auto_bucket_threshold
+        )
+    elif isinstance(value_buckets, str):
+        raise ValueError(
+            f"exact_percentiles: value_buckets must be 'auto', None, or an "
+            f"int, got {value_buckets!r}"
+        )
     counted = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
     keys = counted.select(key).distinct()
     pc = counted.filter(F.col(value).isNotNull())

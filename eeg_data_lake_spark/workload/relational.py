@@ -350,13 +350,13 @@ def q10_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         [0.5, 0.95],
         with_min_max=True,
-        # value_buckets (the bit-identical two-level cumulation that
-        # spreads the rank sort over key x value-range) stays OFF at
-        # this scale: measured sf0.1 best-of-4 1.75 s single-window vs
-        # 3.21 s bucketed — 180k distinct rows per key sort in one
-        # task faster than the boundary-sketch job + extra stages
-        # cost. Switch it on when per-key distinct values outgrow a
-        # single task's sort (the 100 TB setting).
+        # value_buckets rides the default "auto" policy: a cheap
+        # per-key distinct-count pre-pass keeps the single-window
+        # cumulation below AUTO_BUCKET_THRESHOLD (measured sf0.1:
+        # 180k distincts/key sort in one task in 1.75 s vs 3.21 s
+        # bucketed) and switches to the bit-identical bucketed form
+        # when per-key distincts outgrow a single task's sort (the
+        # 100 TB setting) — no manual flag either way.
     )
     return res.select(
         "l_returnflag",

@@ -196,3 +196,58 @@ def test_value_buckets_is_bit_identical_and_handles_edges(spark):
             ).collect()
         }
         assert bucketed == plain, nb
+
+
+def test_auto_policy_selects_by_per_key_distinct_estimate(spark, monkeypatch):
+    """The "auto" default routes through _auto_value_buckets: small
+    inputs take the single-window cumulation (no bucketed call),
+    inputs whose largest key exceeds the threshold take the bucketed
+    one at the session shuffle-partition count — and both give the
+    same rows. Explicit None / int skip the estimator entirely."""
+    from eeg_data_lake_spark.operators import percentiles as P
+
+    calls = []
+    real = P._bucketed_cumulative
+
+    def spy(pc, key, value, n_buckets):
+        calls.append(n_buckets)
+        return real(pc, key, value, n_buckets)
+
+    monkeypatch.setattr(P, "_bucketed_cumulative", spy)
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(500)] + [("b", 7.0)],
+        "k string, v double",
+    )
+    small = exact_percentiles(df, "k", "v", [0.5]).collect()
+    assert calls == []  # 500 distincts < threshold → single-window
+
+    wide = exact_percentiles(
+        df, "k", "v", [0.5], auto_bucket_threshold=100
+    ).collect()
+    expected_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert calls == [expected_n]  # 500 > 100 → bucketed at session width
+    assert sorted(map(tuple, small)) == sorted(map(tuple, wide))
+
+    # explicit selections never pay the estimator pre-pass
+    jobs = []
+    monkeypatch.setattr(
+        P, "_auto_value_buckets",
+        lambda *a, **k: jobs.append(1) or None,
+    )
+    exact_percentiles(df, "k", "v", [0.5], value_buckets=None).collect()
+    exact_percentiles(df, "k", "v", [0.5], value_buckets=2).collect()
+    assert jobs == []
+
+    with pytest.raises(ValueError, match="value_buckets"):
+        exact_percentiles(df, "k", "v", [0.5], value_buckets="bogus")
+
+
+def test_auto_estimator_handles_empty_and_all_null(spark):
+    """The estimator's max-over-keys is NULL on empty / all-NULL-value
+    input; auto must fall back to single-window without erroring."""
+    empty = spark.createDataFrame([], "k string, v double")
+    assert exact_percentiles(empty, "k", "v", [0.5]).collect() == []
+    nulls = spark.createDataFrame([("a", None)], "k string, v double")
+    rows = exact_percentiles(nulls, "k", "v", [0.5]).collect()
+    assert len(rows) == 1 and rows[0][1] is None
