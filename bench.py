@@ -137,6 +137,46 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_calibration() -> dict[str, float]:
+    """Engine-independent CPU anchors, measured fresh each run so a
+    reader can normalize round-over-round walls without the memory
+    note about this host's CPU-steal band (round 7: all three passes
+    sat ~1.28x slow and only a comment said so). Two probes:
+
+    - ``numpy_gemm_sec``: best-of-3 fixed-size float64 matmul —
+      pure ALU/cache, no I/O, deterministic FLOPs; scales 1:1 with
+      the co-tenancy slowdown the walls absorb.
+    - ``python_loop_sec``: best-of-3 fixed-count pure-python loop —
+      anchors the interpreter-side (GIL) speed the pandas-UDF legs
+      depend on.
+
+    Compare the SAME field across BENCH_r{N}.json files: wall ratios
+    between rounds are only meaningful after dividing out the
+    calibration ratio."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1024, 1024))
+    b = rng.random((1024, 1024))
+    gemm = min(
+        _timed(lambda: np.dot(a, b)) for _ in range(3)
+    )
+    loop = min(
+        _timed(lambda: sum(i * i for i in range(2_000_000)))
+        for _ in range(3)
+    )
+    return {
+        "numpy_gemm_sec": round(gemm, 4),
+        "python_loop_sec": round(loop, 4),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
     """Wall seconds per headline oracle on the same parquet; None for
     rows-only queries and oracles that exceed the timeout."""
@@ -232,6 +272,13 @@ def main() -> None:
         n: round(max(w - floor, 0.0), 3) for n, w in timings.items()
     }
     total_minus_floor = round(sum(minus_floor.values()), 3)
+    calibration = _host_calibration()
+    # share-of-run per query: round-over-round regressions read off
+    # the DISTRIBUTION, not raw walls, so a noisy-host round doesn't
+    # need external normalization to spot a genuinely slower query
+    share = {
+        n: round(w / total, 4) if total else 0.0 for n, w in timings.items()
+    }
 
     # plan audit alongside the walls (BENCH_DETAIL only): exchanges,
     # join strategies, Python stages, nested-loop flag per query —
@@ -282,6 +329,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "session_floor_sec": floor,
+        "host_calibration": calibration,
+        "share_of_run": share,
         "queries_minus_floor": minus_floor,
         "value_minus_floor": total_minus_floor,
         "duckdb": duck,
@@ -321,6 +370,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "session_floor_sec": floor,
+        "host_calibration": calibration,
         "value_minus_floor": total_minus_floor,
         "spark_vs_duckdb_total": agg_ratio,
         "spark_vs_duckdb_total_comparable": agg_ratio_comparable,
