@@ -198,6 +198,16 @@ def cdc_oracle_ctes(
     bits = int(round(math.log2(avg_size)))
     if 2 ** bits != avg_size or not 2 <= bits <= 8:
         raise ValueError("avg_size must be a power of two in [4, 256]")
+    if min_size < 1 or max_size < min_size:
+        # the Python twin's candidate cursor (ci) is strictly monotone
+        # so it terminates for any bounds; the SQL recursion has no
+        # consumed-candidate state and min_size=0 would let the
+        # correlated min() return c.cut == pos forever — refuse the
+        # inputs the recursion can't represent instead of hanging
+        raise ValueError(
+            "min_size must be >= 1 and max_size >= min_size "
+            f"(got {min_size}/{max_size})"
+        )
     mod = 1 << bits
     t8 = gear_table() % np.uint64(256)
     gear_values = ",".join(

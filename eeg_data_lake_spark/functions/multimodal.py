@@ -528,10 +528,21 @@ def parse_wav(raw: bytes) -> tuple[int, int, bytes]:
     # bytes PAST the declared RIFF extent are tolerated: common tools
     # append ID3/LIST trailer tags beyond the RIFF size, and real-world
     # files carrying them must survive ingest (the round-7 strict
-    # refusal quarantined them — reverted on review). Strictness is
-    # kept where it protects the decode: the chunk walk below is
-    # bounded by the declared extent and must consume it EXACTLY, so
-    # intra-extent truncation/stray-byte malformations still raise.
+    # refusal quarantined them — reverted on review). ONE trailer class
+    # stays refused: a trailer that is itself another RIFF form means
+    # the payload is two concatenated WAV files, and returning the
+    # first's samples as "the" decode would silently misrepresent the
+    # row (duration/byte stats wrong, second recording dropped) —
+    # that's a malformation, not a tag. Strictness is kept where it
+    # protects the decode: the chunk walk below is bounded by the
+    # declared extent and must consume it EXACTLY, so intra-extent
+    # truncation/stray-byte malformations still raise.
+    trailer = raw[8 + declared :]
+    if trailer[:4] == b"RIFF":
+        raise ValueError(
+            "WAV: trailer begins another RIFF form — concatenated "
+            "WAV files, refusing to return only the first"
+        )
     if raw[8:12] != b"WAVE":
         raise ValueError("WAV: not a WAVE form")
     fmt = data = None

@@ -39,6 +39,25 @@ from pyspark.sql import functions as F
 AUTO_BUCKET_THRESHOLD = 4_000_000
 
 
+#: memoized auto decisions keyed by (analyzed-plan semantic hash, key,
+#: value, threshold): constructing the same percentile plan repeatedly
+#: (a bench loop, a plan audit, a retry) pays the estimator action
+#: once. Staleness is partitioning-only — data changing under an
+#: identical plan can at worst route a borderline input to the other
+#: (bit-identical) cumulation — and the cache is size-capped.
+_AUTO_CACHE: dict[tuple, int | None] = {}
+_AUTO_CACHE_MAX = 256
+
+
+def _plan_key(df: DataFrame) -> int | None:
+    """Semantic hash of the analyzed plan, or None (→ no memoization)
+    when the internal accessor drifts — the estimate then just runs."""
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+
+
 def _auto_value_buckets(
     df: DataFrame, key: str, value: str, threshold: int
 ) -> int | None:
@@ -46,10 +65,18 @@ def _auto_value_buckets(
     count with one cheap pre-pass (column-pruned scan + partial HLL,
     |keys| rows shuffled) and pick the bucketed cumulation — at the
     session shuffle-partition count — only when it exceeds
-    ``threshold``. A SEPARATE action on purpose: the returned plan is
+    ``threshold``. Because it is a separate action it RE-RUNS ``df``'s
+    lineage: cheap when ``df`` is a (column-pruned) table read — the
+    intended shape — but callers feeding an expensive derived pipeline
+    should persist it first or pass an explicit ``value_buckets``.
+    Separate on purpose: the returned plan is
     byte-identical to the manually-selected form (q10's plan pin
     inspects the returned DataFrame only), and the estimate never
     materializes the heavy groupBy(key, value) shuffle."""
+    pk = _plan_key(df)
+    memo_key = (pk, key, value, threshold)
+    if pk is not None and memo_key in _AUTO_CACHE:
+        return _AUTO_CACHE[memo_key]
     est = (
         df.filter(F.col(value).isNotNull())
         .groupBy(key)
@@ -57,9 +84,16 @@ def _auto_value_buckets(
         .agg(F.max("_d"))
         .first()[0]
     )
+    decision = None
     if est is not None and est > threshold:
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return None
+        decision = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if pk is not None:
+        if len(_AUTO_CACHE) >= _AUTO_CACHE_MAX:
+            _AUTO_CACHE.clear()
+        _AUTO_CACHE[memo_key] = decision
+    return decision
 
 
 def _bucketed_cumulative(

@@ -59,7 +59,12 @@ def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, 
             sc._gateway.new_array(jvm.double, 0),
             jvm.java.util.ArrayList(),
         )
-    except (Py4JError, AttributeError, TypeError) as exc:
+    except Py4JError as exc:
+        # ONLY the JVM-drift signal maps to the skip-grade error: a
+        # Python-side AttributeError/TypeError here would be a coding
+        # bug in THIS function, and classifying it as version drift
+        # would silently skip every shuffle-budget pin (the exact
+        # regressions those pins guard) — let it propagate
         raise ShuffleMetricsUnavailable(
             "shuffle metrics unavailable on this Spark version: the "
             "AppStatusStore internals (listenerBus/stageList) no "
@@ -75,7 +80,8 @@ def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, 
                 s.shuffleWriteBytes(),
                 s.shuffleWriteRecords(),
             )
-    except (Py4JError, AttributeError) as exc:
+    except Py4JError as exc:
+        # same narrowing as above: JVM accessor drift only
         raise ShuffleMetricsUnavailable(
             "shuffle metrics unavailable on this Spark version: the "
             "stage-data accessor names changed — re-derive them "

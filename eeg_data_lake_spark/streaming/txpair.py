@@ -54,6 +54,18 @@ from eeg_data_lake_spark.sources.contracts import (
 from eeg_data_lake_spark.sources.txlog import TxTable
 
 
+#: per-table contract schema, keyed by table path. The full
+#: TxTable.read() a cold gate pays (txlog replay + parquet footer
+#: read) would otherwise run once per LEG per TRIGGER — driver latency
+#: that grows with the corpus's file count on a long-lived stream.
+#: Sound to cache per process: within one stream the only schema
+#: changes flow through this gate's own passing appends (merged into
+#: the cache below); a concurrent writer evolving the table from
+#: elsewhere was already outside the gate's best-effort contract (the
+#: "old" schema is one footer either way).
+_CONTRACT_SCHEMAS: dict[str, object] = {}
+
+
 def contract_gate(target: TxTable, df: DataFrame) -> None:
     """Refuse a micro-batch whose schema would poison ``target``'s
     readers — the per-trigger schema contract every streaming sink in
@@ -71,17 +83,31 @@ def contract_gate(target: TxTable, df: DataFrame) -> None:
     additive columns — the gate then misses a drop of such a column
     but never falsely refuses. A table with no rows yet gates nothing
     (first write defines the contract)."""
-    if target.version() < 0:
-        return
-    try:
-        old = target.read().schema
-    except ValueError:
-        return  # logged versions but no data files: nothing to poison
+    old = _CONTRACT_SCHEMAS.get(target.path)
+    if old is None:
+        if target.version() < 0:
+            return
+        try:
+            old = target.read().schema
+        except ValueError:
+            return  # logged versions but no data files: nothing to poison
+        _CONTRACT_SCHEMAS[target.path] = old
     problems = append_compatibility_problems(old, df.schema)
     if problems:
         raise ValueError(
             f"schema contract violation appending to {target.path}:\n  "
             + "\n  ".join(problems)
+        )
+    # a passing batch may carry additive columns: fold them into the
+    # cached contract so a LATER batch that drops them again is caught
+    # (matching what a fresh footer read after the append would show)
+    have = {f.name for f in old.fields}
+    extra = [f for f in df.schema.fields if f.name not in have]
+    if extra:
+        from pyspark.sql.types import StructType
+
+        _CONTRACT_SCHEMAS[target.path] = StructType(
+            list(old.fields) + extra
         )
 
 

@@ -193,3 +193,17 @@ def test_sql_oracle_twin_matches_python_cut_points():
         data = text.encode()
         want = cdc_cut_points(data)
         assert got.get(d, [0]) == want, f"doc {d}: {got.get(d)} != {want}"
+
+
+def test_sql_oracle_twin_refuses_nonterminating_bounds():
+    """The SQL recursion has no consumed-candidate cursor, so
+    min_size=0 (candidate == pos forever) and inverted bounds must be
+    refused at build time rather than hanging DuckDB."""
+    import pytest
+
+    from eeg_data_lake_spark.functions.chunking import cdc_oracle_ctes
+
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_oracle_ctes(min_size=0)
+    with pytest.raises(ValueError, match="min_size"):
+        cdc_oracle_ctes(min_size=64, max_size=32)

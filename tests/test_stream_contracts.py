@@ -210,3 +210,32 @@ def test_curation_family_gates_per_trigger(spark, tmp_path):
             ),
             1,
         )
+
+
+def test_gate_schema_cache_folds_additive_columns(spark, tmp_path):
+    """The per-process contract cache (txpair._CONTRACT_SCHEMAS) must
+    (a) spare the per-trigger TxTable.read() once warm, and (b) fold
+    a PASSING batch's additive columns into the cached contract so a
+    later batch dropping them refuses — strictly stronger than the
+    one-footer read it replaces, which missed drops of post-footer
+    additive columns."""
+    from unittest import mock
+
+    from eeg_data_lake_spark.streaming import txpair
+
+    tbl = TxTable(spark, os.path.join(str(tmp_path), "cachegate"))
+    tbl.append(spark.createDataFrame([(1, "a")], "doc_id bigint, v string"))
+
+    base = spark.createDataFrame([(2, "b")], "doc_id bigint, v string")
+    txpair.contract_gate(tbl, base)  # cold: populates the cache
+    with mock.patch.object(
+        TxTable, "read", side_effect=AssertionError("cache miss")
+    ):
+        txpair.contract_gate(tbl, base)  # warm: no read()
+
+    widened = spark.createDataFrame(
+        [(3, "c", 1.5)], "doc_id bigint, v string, extra double"
+    )
+    txpair.contract_gate(tbl, widened)  # additive passes, folds in
+    with pytest.raises(ValueError, match="dropped"):
+        txpair.contract_gate(tbl, base)  # dropping 'extra' now refuses

@@ -230,3 +230,14 @@ def test_odd_final_chunk_without_pad_byte_parses():
     assert (ch, rate, data) == (1, 16000, pcm)
     _, _, frames = decode_wav_samples(raw)
     assert frames.shape == (2, 1)  # partial trailing frame dropped
+
+
+def test_concatenated_wav_files_refused():
+    """`cat a.wav b.wav` must NOT parse as just a.wav: a trailer that
+    begins another RIFF form means the row's stats would silently
+    describe only the first recording — refuse into quarantine. Plain
+    tag trailers (previous test) still pass."""
+    a = encode_wav(_pcm([1, 2, 3]), 1, 16000)
+    b = encode_wav(_pcm([9, 8]), 1, 8000)
+    with pytest.raises(ValueError, match="concatenated"):
+        parse_wav(a + b)
