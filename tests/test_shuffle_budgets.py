@@ -340,3 +340,85 @@ def test_fp_probe_budget_flat_as_index_grows(
     assert plain_big > plain_small * 1.5, (plain_small, plain_big)
     assert bkt_small <= plain_small
     assert bkt_big < plain_big
+
+
+def test_resolved_posting_probe_budget_flat_as_index_grows(
+    spark, no_broadcast, proj_base, tmp_path
+):
+    """Same invariant for the RESOLVED near-dup family (z32/z33): the
+    cross-pair probe against a bucketize_posting_index projection
+    shuffles a fixed number of records as the posting index grows —
+    the property that makes the order-independent ingest 100 TB-safe
+    (per-trigger cost batch-sized, never corpus-sized). Plain probes
+    grow with the index."""
+    from eeg_data_lake_spark.streaming.resolved import (
+        bucketize_posting_index,
+        minhash_resolved_family,
+        posting_table,
+    )
+
+    fam = minhash_resolved_family()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    t = TxTable(spark, str(tmp_path / "corpus"))
+    idx = posting_table(spark, t)
+
+    def groups_of(d):
+        aug = fam.augment(d)
+        return (
+            aug.groupBy(*fam.sketch_cols)
+            .agg(F.min("doc_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+
+    idx.append(fam.index_rows(groups_of(docs.filter("doc_id % 3 = 0"))))
+    bucketize_posting_index(t, fam, proj_base, n_buckets=4)
+    idx_small = idx.read().count()
+
+    probe_groups = groups_of(docs.filter("doc_id % 3 = 1"))
+
+    def run(frames):
+        out = None
+        for fr in frames:
+            p = fam.cross_pairs(probe_groups, fr)
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    _, plain_small = measure_shuffle(
+        spark, _noop(run([idx.read().hint("merge")]))
+    )
+    frames = index_frames(idx, proj_base)
+    assert len(frames) == 1
+    _, bkt_small = measure_shuffle(spark, _noop(run(frames)))
+
+    for shift in (1_000_000, 2_000_000, 3_000_000):
+        # perturb the TEXT too: novel shingles → novel bands → novel
+        # posting KEYS, the realistic growth mode (the real ingest's
+        # novel-only append keeps one row per distinct key, so a
+        # grown index means more distinct keys, not duplicated ones)
+        idx.append(
+            fam.index_rows(
+                groups_of(
+                    docs.withColumn("doc_id", F.col("doc_id") + shift)
+                    .withColumn(
+                        "text",
+                        F.concat(F.col("text"), F.lit(f" uniq{shift}")),
+                    )
+                )
+            )
+        )
+    bucketize_posting_index(t, fam, proj_base, n_buckets=4)
+    idx_big = idx.read().count()
+    assert idx_big > idx_small * 1.5
+    frames2 = index_frames(idx, proj_base)
+    assert len(frames2) == 1
+    _, bkt_big = measure_shuffle(spark, _noop(run(frames2)))
+    _, plain_big = measure_shuffle(
+        spark, _noop(run([idx.read().hint("merge")]))
+    )
+
+    assert bkt_big <= bkt_small * 1.05, (bkt_small, bkt_big)
+    assert plain_big > plain_small * 1.5, (plain_small, plain_big)
+    assert bkt_small <= plain_small
+    assert bkt_big < plain_big

@@ -251,3 +251,32 @@ def test_postings_stay_one_row_per_distinct_key(spark, tmp_path, planted):
     b0 = aug.select("band0").distinct().count()
     b1 = aug.select("band1").distinct().count()
     assert n == b0 + b1
+
+
+def test_bucketed_probe_path_is_output_invisible(spark, tmp_path, planted):
+    """Draining with a bucketize_posting_index projection (built after
+    batch 0, refreshed by compact_resolved_state mid-stream) must
+    resolve to exactly the plain-probe winner set — co-location is a
+    physical choice, never a semantic one."""
+    import uuid
+
+    from eeg_data_lake_spark.streaming.resolved import (
+        bucketize_posting_index,
+        compact_resolved_state,
+    )
+
+    fam = minhash_resolved_family()
+    base = f"rsb_{uuid.uuid4().hex[:8]}"
+    tbl = TxTable(spark, str(tmp_path / "mhb"))
+    w = resolved_batch_writer(tbl, fam, "t32b", bucketed_base=base)
+    w(_batch(spark, planted, 0), 0)
+    bucketize_posting_index(tbl, fam, base, n_buckets=4)
+    w(_batch(spark, planted, 1), 1)
+    compact_resolved_state(
+        tbl, fam, base, max_small_files=1, vacuum_keep_versions=2
+    )
+    w(_batch(spark, planted, 2), 2)
+    assert _ids(resolve_accepted(tbl)) == [2, 4, 5, 12, 17, 40]
+    for t in spark.catalog.listTables():
+        if t.name.startswith(base):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
