@@ -1032,6 +1032,49 @@ def r29_domain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_TOKENS = 2000
 
 
+def pack_token_shards(
+    d: DataFrame, shard_tokens: int = _SHARD_TOKENS, n_parts: int = 16
+) -> DataFrame:
+    """The two-phase distributed global prefix sum at the heart of
+    token-budget sharding, shared by r30 (raw corpus) and z35 (the
+    curated train split): input (key, n_tok [, extras]) → the same
+    rows + ``shard_id``, where shard boundaries fall every
+    ``shard_tokens`` tokens along the deterministic key order. See
+    r30's docstring for why this is range-partition + per-partition
+    subtotals + broadcast offsets instead of one unpartitioned
+    window (the single-task global-sort trap)."""
+    parts = (
+        d.repartitionByRange(n_parts, "key")
+        .sortWithinPartitions("key")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r["pid"], r["tot"])
+        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    offsets, running = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, running))
+        running += tot
+    off = parts.sparkSession.createDataFrame(offsets, "pid int, off long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off), "pid")
+        .withColumn("c", F.sum("n_tok").over(w) + F.col("off"))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("c") - F.col("n_tok")) / F.lit(float(shard_tokens))
+            ),
+        )
+    )
+
+
 @register(
     "r30_token_shard_packing",
     oracle=f"""
@@ -1081,35 +1124,8 @@ def r30_token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("key"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    parts = (
-        d.repartitionByRange(16, "key")
-        .sortWithinPartitions("key")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = sorted(
-        (r["pid"], r["tot"])
-        for r in parts.groupBy("pid").agg(F.sum("n_tok").alias("tot")).collect()
-    )
-    offsets, running = [], 0
-    for pid, tot in totals:
-        offsets.append((pid, running))
-        running += tot
-    off = parts.sparkSession.createDataFrame(offsets, "pid int, off long")
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = (
-        parts.join(F.broadcast(off), "pid")
-        .withColumn("c", F.sum("n_tok").over(w) + F.col("off"))
-    )
     return (
-        cum.withColumn(
-            "shard_id",
-            F.floor((F.col("c") - F.col("n_tok")) / F.lit(float(_SHARD_TOKENS))),
-        )
+        pack_token_shards(d)
         .groupBy("shard_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
@@ -1820,8 +1836,12 @@ def esd_remove(docs: DataFrame, dpos: DataFrame) -> DataFrame:
 # z20: the q73 curation pipeline with the ExactSubstr stage composed in
 # --------------------------------------------------------------------
 
-_Z20_ORACLE = f"""
-WITH keep AS (
+#: z20's pipeline as a reusable CTE BODY ending at ``clean`` (the
+#: per-doc curated relation: doc_id, lang, post-scrub n_tok/n_rm,
+#: scrubbed text) — z20's rollup, z31/z34's streaming twins, and
+#: z35's shard packing all compose over the same block, so the
+#: pipeline semantics cannot drift between its consumers.
+_Z20_CLEAN_CTES = """keep AS (
   SELECT min(doc_id) AS doc_id
   FROM documents GROUP BY md5(lower(trim(text)))
 ),
@@ -1832,15 +1852,15 @@ dd AS (
 words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM dd),
 grams AS (
   SELECT doc_id, CAST(i AS BIGINT) AS p,
-         array_to_string(w[(i+1):(i+{{L}})], ' ') AS g
-  FROM words, UNNEST(range(len(w) - {{L}} + 1)) AS tt(i)
-  WHERE len(w) >= {{L}}
+         array_to_string(w[(i+1):(i+{L})], ' ') AS g
+  FROM words, UNNEST(range(len(w) - {L} + 1)) AS tt(i)
+  WHERE len(w) >= {L}
 ),
 dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
 dpos AS (SELECT doc_id, p FROM grams JOIN dupg USING (g)),
 isl AS (
   SELECT doc_id, p,
-         max(p + {{L}}) OVER (PARTITION BY doc_id ORDER BY p
+         max(p + {L}) OVER (PARTITION BY doc_id ORDER BY p
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS prev_max
   FROM dpos
@@ -1852,7 +1872,7 @@ grp AS (
   FROM isl
 ),
 mrg AS (
-  SELECT doc_id, gid, min(p) AS s, max(p) + {{L}} AS e
+  SELECT doc_id, gid, min(p) AS s, max(p) + {L} AS e
   FROM grp GROUP BY doc_id, gid
 ),
 removed AS (SELECT doc_id, unnest(range(s, e)) AS t FROM mrg),
@@ -1883,7 +1903,7 @@ gated AS (
   SELECT * FROM scrub WHERE len(stext) >= 64 AND n_tok >= 12
 ),
 sh AS (
-  SELECT doc_id, {{shingle}} AS sl
+  SELECT doc_id, {shingle} AS sl
   FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
 ),
 inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
@@ -1897,15 +1917,76 @@ clean AS (
   SELECT * FROM gated
   WHERE doc_id % 50 <> 0
     AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-)
-SELECT {{split}} AS split,
+)""".format(L=_ESD_L, shingle=_SHINGLE_SQL)
+
+_Z20_ORACLE = """WITH {ctes}
+SELECT {split} AS split,
        lang,
        count(*)                        AS n_docs,
        CAST(sum(n_tok) AS BIGINT)      AS n_tokens,
        CAST(sum(n_rm) AS BIGINT)       AS n_removed
 FROM clean
 GROUP BY split, lang
-""".format(L=_ESD_L, shingle=_SHINGLE_SQL, split=_SPLIT_EXPR_SQL)
+""".format(ctes=_Z20_CLEAN_CTES, split=_SPLIT_EXPR_SQL)
+
+
+def curated_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z20's pipeline up to the per-doc curated relation — (doc_id,
+    lang, n_tok, n_rm, stext) for every document surviving exact
+    dedup → ExactSubstr scrub → scrubbed-text quality gate → holdout
+    exclusion → decontamination. The Spark mirror of the
+    ``_Z20_CLEAN_CTES`` SQL block; z20's rollup and z35's shard
+    packing are both thin consumers, so the stage semantics live in
+    exactly one place per engine. Plan shapes and their measurements
+    are documented on z20 below."""
+    from pyspark import StorageLevel
+
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    keep = (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = (
+        d.join(keep, "doc_id", "left_semi")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dpos = esd_dup_positions(
+        esd_grams(docs.select("doc_id", "w"), hashed=True)
+    )
+    iv = F.col("iv")
+    kw = F.col("kept_w")
+    scrubbed = (
+        docs.join(esd_intervals(dpos), "doc_id", "left")
+        .withColumn("kept_w", esd_kept_tokens())
+        .select(
+            "doc_id",
+            "lang",
+            F.when(iv.isNull(), F.size("w"))
+            .otherwise(F.size(kw))
+            .cast("long")
+            .alias("n_tok"),
+            F.when(iv.isNull(), F.lit(0))
+            .otherwise(F.size("w") - F.size(kw))
+            .cast("long")
+            .alias("n_rm"),
+            F.when(iv.isNull(), F.array_join(F.col("w"), " "))
+            .otherwise(
+                F.array_join(F.transform(kw, lambda s: s["wd"]), " ")
+            )
+            .alias("stext"),
+        )
+    )
+    gated = scrubbed.filter(
+        (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
+    )
+    contaminated = contaminated_doc_ids(spark, sf_dir)
+    return gated.filter(F.col("doc_id") % 50 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
 
 
 @register(
@@ -1964,54 +2045,7 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
       Nothing is O(corpus^2).
     Reference parity anchor: /root/reference/bronze-to-silver.py
     (single-node pandas dedup loop) — this is its corpus-scale form."""
-    from pyspark import StorageLevel
-
-    d = t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
-    keep = (
-        d.groupBy(fp.alias("fingerprint"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    docs = (
-        d.join(keep, "doc_id", "left_semi")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", "lang", F.split(F.col("text"), " ").alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    dpos = esd_dup_positions(
-        esd_grams(docs.select("doc_id", "w"), hashed=True)
-    )
-    iv = F.col("iv")
-    kw = F.col("kept_w")
-    scrubbed = (
-        docs.join(esd_intervals(dpos), "doc_id", "left")
-        .withColumn("kept_w", esd_kept_tokens())
-        .select(
-            "doc_id",
-            "lang",
-            F.when(iv.isNull(), F.size("w"))
-            .otherwise(F.size(kw))
-            .cast("long")
-            .alias("n_tok"),
-            F.when(iv.isNull(), F.lit(0))
-            .otherwise(F.size("w") - F.size(kw))
-            .cast("long")
-            .alias("n_rm"),
-            F.when(iv.isNull(), F.array_join(F.col("w"), " "))
-            .otherwise(
-                F.array_join(F.transform(kw, lambda s: s["wd"]), " ")
-            )
-            .alias("stext"),
-        )
-    )
-    gated = scrubbed.filter(
-        (F.length("stext") >= 64) & (F.col("n_tok") >= 12)
-    )
-    contaminated = contaminated_doc_ids(spark, sf_dir)
-    clean = gated.filter(F.col("doc_id") % 50 != 0).join(
-        contaminated, "doc_id", "left_anti"
-    )
+    clean = curated_clean_docs(spark, sf_dir)
     return (
         clean.withColumn("split", _split_col())
         .groupBy("split", "lang")
@@ -2019,5 +2053,74 @@ def z20_curation_pipeline_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("n_tokens"),
             F.sum("n_rm").cast("long").alias("n_removed"),
+        )
+    )
+
+
+_Z35_ORACLE = """WITH {ctes},
+train AS (
+  SELECT doc_id, n_tok FROM clean WHERE ({split}) = 'train'
+),
+toks AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, n_tok FROM train
+),
+cum AS (
+  SELECT key, n_tok,
+         sum(n_tok) OVER (ORDER BY key
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT CAST(floor((c - n_tok) / {budget}.0) AS BIGINT) AS shard_id,
+       count(*)                   AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM cum GROUP BY shard_id
+""".format(ctes=_Z20_CLEAN_CTES, split=_SPLIT_EXPR_SQL, budget=_SHARD_TOKENS)
+
+
+@register(
+    "z35_curated_shard_packing",
+    oracle=_Z35_ORACLE,
+    tags=("curation", "pipeline", "sharding", "prefix-sum", "capstone"),
+)
+def z35_curated_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data build's LAST mile, composed end-to-end: z20's
+    full curation pipeline (exact dedup → ExactSubstr scrub →
+    scrubbed-text quality gate → holdout exclusion → decontamination
+    via ``curated_clean_docs``), the deterministic split, and then the
+    surviving TRAIN docs packed into ≈equal-token output shards by
+    r30's two-phase distributed prefix sum (``pack_token_shards``) —
+    budgeted on the POST-SCRUB kept-token counts, because shards feed
+    a tokenizer that never sees the removed spans. Emits per-shard
+    (shard_id, n_docs, n_tokens): what a 100 TB corpus build hands to
+    the training job.
+
+    FULLY oracle-backed by composition: the SQL twin is z20's
+    ``_Z20_CLEAN_CTES`` block (shared verbatim with z20/z31/z34)
+    + the split filter + r30's cumulative-window packing CTE — the
+    two pipelines' oracles snap together exactly because both were
+    written over the same per-doc ``clean`` relation.
+
+    Plan: everything z20 measures (one corpus text shuffle, count
+    windows for dup grams, broadcast contamination probe), then ONE
+    range-partition shuffle of (key, n_tok) pairs — 40 bytes/doc, the
+    only data the packing phase moves — with the global prefix sum
+    assembled from per-partition subtotals (one driver row per
+    partition), never a single-task global window."""
+    clean = curated_clean_docs(spark, sf_dir)
+    train = (
+        clean.withColumn("split", _split_col())
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("key"),
+            "n_tok",
+        )
+    )
+    return (
+        pack_token_shards(train)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )

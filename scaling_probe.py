@@ -61,6 +61,8 @@ QUERIES = [
     "z27_wav_quarantine",         # per-row strict parse + enforce split
     "z29_streaming_exactsubstr_ingest",  # online gram-index ingest on dup-heavy 10x
     "z30_streaming_minhash_ingest",      # online LSH dedup ingest on dup-heavy 10x
+    "z32_streaming_minhash_resolved",    # order-independent resolved ingest (round 8)
+    "z34_streaming_curation_maintained", # curation w/ live maintenance cadence (round 8)
 ]
 
 #: key column to offset per table so replicas don't collide

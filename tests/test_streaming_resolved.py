@@ -116,7 +116,6 @@ def test_minhash_out_of_order_winner_matches_batch(spark, tmp_path, planted):
     _drain(spark, planted, tbl, fam, "t32")
     got = _ids(resolve_accepted(tbl))
     assert got == _batch_winners(spark, planted, fam)
-    # the explicit order-independence claims
     # the FULLY independent oracle: the planted corpus's dup structure
     # is known by construction (exact-copy groups {4,6,8}->4,
     # {12,15}->12, contentless {40,41,42} share the content-hash
