@@ -200,6 +200,86 @@ def q69_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: z36 drop threshold: a train doc is dropped only when >= this
+#: fraction of its distinct shingles appear in the eval set — the
+#: GPT-3-style tolerant rule (incidental phrase overlap survives;
+#: substantial containment doesn't).
+_DECON_FRAC = 0.2
+
+
+@register(
+    "z36_thresholded_decontamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    bench AS (
+      SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0
+    ),
+    tot AS (
+      SELECT doc_id, count(DISTINCT shingle) AS n_shingles
+      FROM inv WHERE doc_id % 50 <> 0 GROUP BY doc_id
+    ),
+    hit AS (
+      SELECT i.doc_id, count(DISTINCT i.shingle) AS n_hit
+      FROM inv i JOIN bench b ON i.shingle = b.shingle
+      WHERE i.doc_id % 50 <> 0
+      GROUP BY i.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_shingles,
+           h.n_hit,
+           round(h.n_hit / t.n_shingles, 6)            AS overlap_frac,
+           (h.n_hit >= {_DECON_FRAC} * t.n_shingles)   AS dropped
+    FROM tot t JOIN hit h USING (doc_id)
+    """,
+    tags=("curation", "decontamination", "shingle", "threshold"),
+)
+def z36_thresholded_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thresholded eval-set decontamination — the tolerant production
+    rule (GPT-3 appendix C / PaLM style): a training document is
+    dropped only when a substantial FRACTION of its distinct shingles
+    appears in the benchmark set, not on any single hit (q69's
+    conservative any-overlap rule over-drops on boilerplate phrases
+    every corpus shares). Returns every train doc with nonzero
+    overlap: its distinct-shingle count, overlapping count, overlap
+    fraction, and the >= {_DECON_FRAC:.0%} drop verdict.
+
+    Plan: the same two broadcast-probe shapes as q69 — the bench
+    shingle-hash set is small and broadcasts, the corpus side never
+    shuffles to find hits; the per-doc distinct totals ride the SAME
+    persisted shingle inventory (shingled_cached) so the corpus is
+    scanned once across both aggregates. The threshold comparison is
+    integer-safe (n_hit >= frac * n_shingles — no float division in
+    the verdict, so the boolean hash-matches DuckDB exactly; the
+    reported fraction is rounded for display only)."""
+    inv, bench = _bench_shingle_overlap(spark, sf_dir)
+    train = inv.filter(F.col("doc_id") % 50 != 0)
+    tot = train.groupBy("doc_id").agg(
+        F.countDistinct("h").alias("n_shingles")
+    )
+    hit = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hit"))
+    )
+    return tot.join(hit, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias(
+            "overlap_frac"
+        ),
+        (
+            F.col("n_hit") >= F.lit(_DECON_FRAC) * F.col("n_shingles")
+        ).alias("dropped"),
+    )
+
+
 @register(
     "q53_repetition_quality",
     oracle="""
