@@ -983,3 +983,100 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "z37_minhash_calibration",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sl
+      FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents)
+    ),
+    sizes AS (SELECT doc_id, len(sl) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_minhash_sql(0)} AS sig0,
+             {_minhash_sql(1)} AS sig1,
+             {_minhash_sql(2)} AS sig2,
+             {_minhash_sql(3)} AS sig3
+      FROM sh
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS tj
+      FROM pairs
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+    )
+    SELECT t.doc_a, t.doc_b,
+           round(t.tj, 6) AS true_jacc,
+           ( (sa.sig0 = sb.sig0)::INT + (sa.sig1 = sb.sig1)::INT
+           + (sa.sig2 = sb.sig2)::INT + (sa.sig3 = sb.sig3)::INT
+           ) / 4.0 AS est_jacc,
+           round(abs(
+             round(t.tj, 6)
+             - ((sa.sig0 = sb.sig0)::INT + (sa.sig1 = sb.sig1)::INT
+              + (sa.sig2 = sb.sig2)::INT + (sa.sig3 = sb.sig3)::INT) / 4.0
+           ), 6) AS abs_err
+    FROM truth t
+    JOIN sig sa ON sa.doc_id = t.doc_a
+    JOIN sig sb ON sb.doc_id = t.doc_b
+    """,
+    tags=("dedup", "minhash", "calibration", "audit"),
+)
+def z37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration audit — the check a data team runs before
+    trusting MinHash thresholds at corpus scale: for every TRUE
+    near-dup pair (exact shingle Jaccard >= 0.5, q33's posting-list
+    plan), compare the k=4 MinHash estimate (fraction of matching
+    signature components, q34's md5-based sketch) against the exact
+    Jaccard and report the absolute error. E[est] = J per salt, so
+    systematic bias here means a broken sketch (wrong salts,
+    non-distinct shingles, hash truncation) — and because both the
+    estimate AND the truth are DuckDB-derivable, the calibration
+    itself is hash-checked, not just eyeballed.
+
+    Plan: truth pairs come from the q33 posting-list shape (output-
+    bounded: only >= tau pairs survive); signatures are a narrow map
+    over the shared persisted shingle inventory; the two sig joins
+    are plain equi-joins keyed on doc id — the sig relation is 4
+    fixed-width md5 strings per doc, so at 100 TB each join moves
+    ~sketch bytes, never text."""
+    sh = shingled_cached(spark, sf_dir)
+    sigs = _minhash_cols(F.col("sl"))
+    sig = sh.select(
+        "doc_id", *[s.alias(f"sig{i}") for i, s in enumerate(sigs)]
+    )
+    # shingle_jaccard_pairs rounds jaccard to 6; the oracle rounds tj
+    # identically before differencing, so abs_err is bit-identical
+    pairs = shingle_jaccard_pairs(sh).select(
+        "doc_a", "doc_b", (F.col("jaccard")).alias("true_jacc")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(4)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(4)
+    ) / F.lit(4.0)
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "true_jacc",
+            est.alias("est_jacc"),
+            F.round(F.abs(F.col("true_jacc") - est), 6).alias("abs_err"),
+        )
+    )
