@@ -1113,7 +1113,9 @@ _SHARD_TOKENS = 2000
 
 
 def pack_token_shards(
-    d: DataFrame, shard_tokens: int = _SHARD_TOKENS, n_parts: int = 16
+    d: DataFrame,
+    shard_tokens: int = _SHARD_TOKENS,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """The two-phase distributed global prefix sum at the heart of
     token-budget sharding, shared by r30 (raw corpus) and z35 (the
@@ -1122,7 +1124,17 @@ def pack_token_shards(
     ``shard_tokens`` tokens along the deterministic key order. See
     r30's docstring for why this is range-partition + per-partition
     subtotals + broadcast offsets instead of one unpartitioned
-    window (the single-task global-sort trap)."""
+    window (the single-task global-sort trap).
+
+    ``n_parts`` defaults to the session shuffle-partition count —
+    the sort parallelism must track the cluster, not a constant (16
+    range partitions at 100 TB would be the single-task trap with
+    extra steps). Any value yields bit-identical shards: integer
+    token sums don't care where partition boundaries fall."""
+    if n_parts is None:
+        n_parts = int(
+            d.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     parts = (
         d.repartitionByRange(n_parts, "key")
         .sortWithinPartitions("key")
