@@ -207,3 +207,43 @@ def test_sql_oracle_twin_refuses_nonterminating_bounds():
         cdc_oracle_ctes(min_size=0)
     with pytest.raises(ValueError, match="min_size"):
         cdc_oracle_ctes(min_size=64, max_size=32)
+
+
+def test_sql_oracle_twin_matches_python_on_random_texts():
+    """Hypothesis sweep of the SQL twin: for arbitrary unicode texts
+    (including repeats that flood candidates and runs that starve
+    them), the DuckDB recursion's cut points equal cdc_cut_points
+    bit-for-bit. One shared in-memory DuckDB connection keeps the
+    sweep fast."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eeg_data_lake_spark.functions.chunking import (
+        cdc_cut_points,
+        cdc_oracle_ctes,
+    )
+
+    con = duckdb.connect()
+    sql = (
+        f"WITH RECURSIVE {cdc_oracle_ctes()} "
+        'SELECT "offset", length FROM chunks ORDER BY "offset"'
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="'\x00"
+            ),
+            max_size=2500,
+        )
+    )
+    def check(text):
+        con.execute("CREATE OR REPLACE TABLE documents AS SELECT 0 AS doc_id, ? AS text", [text])
+        got = [0]
+        for off, ln in con.execute(sql).fetchall():
+            got.append(off + ln)
+        assert got == cdc_cut_points(text.encode())
+
+    check()
