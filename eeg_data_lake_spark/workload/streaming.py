@@ -1347,6 +1347,86 @@ def z32_streaming_minhash_resolved(
     )
 
 
+@register(
+    "z38_streaming_minhash_maintained",
+    oracle=_z32_oracle(),
+    tags=(
+        "streaming",
+        "dedup",
+        "minhash",
+        "lsh",
+        "incremental",
+        "resolved",
+        "maintenance",
+    ),
+)
+def z38_streaming_minhash_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """z32's resolved MinHash ingest with the resolved family's FULL
+    maintenance cadence live mid-stream — the z34 treatment applied
+    to the near-dup path: batches 0+1 drain plain, then
+    ``bucketize_posting_index`` materializes the posting index
+    bucketed+sorted on the probe keys at the session shuffle width
+    and a FORCED ``compact_resolved_state`` (max_small_files=1)
+    policy-compacts the corpus/edges/postings, repairs the now-stale
+    projection at its live bucket count, and vacuums; batch 2 drains
+    against the compacted bucketed base + txlog tail with
+    ``maintain=True`` running the cadence once more. Terminal
+    resolution must STILL equal the batch answer, so this query
+    shares z32's complete recursive-CTE oracle verbatim —
+    projection/compaction/vacuum churn proven output-invisible under
+    the driver's hash check (the flat-probe shuffle budget itself is
+    CI-pinned in tests/test_shuffle_budgets.py).
+
+    The catalog projection (`z38m_<uuid>_v{N}`) lives for the
+    process, like the scratch corpus dirs (_scratch_dir note)."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.resolved import (
+        bucketize_posting_index,
+        compact_resolved_state,
+        minhash_resolved_family,
+        resolve_accepted,
+        stream_resolved_ingest,
+    )
+
+    fam = minhash_resolved_family()
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "mhm_q_", ["doc_id", "text", "lang"]
+    )
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z38m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, text string, lang string"
+
+    stream_resolved_ingest(
+        spark, src, schema, tbl, ck, sink_id="z38",
+        family=fam, bucketed_base=base,
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_posting_index(tbl, fam, base, n_buckets=n_buckets)
+    compact_resolved_state(
+        tbl, fam, base, max_small_files=1, vacuum_keep_versions=2
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_resolved_ingest(
+        spark, src, schema, tbl, ck, sink_id="z38",
+        family=fam, bucketed_base=base, maintain=True,
+    )
+    return (
+        resolve_accepted(tbl)
+        .select("doc_id", "lang", "band0", "band1")
+        .orderBy("doc_id")
+    )
+
+
 def _z33_oracle() -> str:
     from eeg_data_lake_spark.workload.dedup import _POW2_SQL, _SHINGLE_SQL
 
