@@ -235,47 +235,24 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up (untimed): one JVM query amortizes codegen/session startup,
-    # and one trivial grouped-map pandas UDF spawns the Python worker pool
-    # and imports numpy/pandas in each worker — otherwise that one-time
-    # cost lands on whichever headline query first touches a Python UDF
-    # (measured: 5.4 s vs 1.2 s steady-state for q94).
-    _execute(REGISTRY["q01_pricing_summary"].spark_fn(spark, sf_dir))
-    import numpy as _np  # noqa: F401  (imported here so workers inherit nothing)
-
-    def _warm(pdf):
-        import numpy as np
-
-        return pdf.assign(v=np.zeros(len(pdf)))
-
-    par = spark.sparkContext.defaultParallelism
-    _execute(
-        spark.range(par * 4)
-        .repartition(par, "id")
-        .groupBy("id")
-        .applyInPandas(_warm, "id long, v double")
-    )
-
-    # Session floor: the fixed per-query cost of THIS host's Spark
-    # session (job scheduling, noop-sink commit, driver round trips),
-    # measured by running an empty one-row query through the exact
-    # measurement path once per pass. Reported alongside raw walls so
-    # round-over-round deltas can separate engine throughput from the
-    # documented host CPU-steal variance: at cluster scale this floor
-    # amortizes to ~0, so wall − floor is the scale-relevant number.
-    # One UNTIMED pass of the full headline set first: the
-    # txlog/persist-heavy families (streaming ingests, curation,
-    # shingle consumers) have their own first-run warmup (scratch
-    # staging, cache population, codegen for their distinct plan
-    # shapes) that q01 + the pandas-UDF warm don't touch — without
-    # this, min-of-PASSES measures warmup luck for those queries and
-    # round-over-round deltas read as phantom regressions (round 8:
-    # z29 11.1 s first run vs 4.9 s steady; z20 4.4 vs 1.8).
+    # Warm-up: one UNTIMED pass of the FULL headline set. This
+    # subsumes the old q01 + pandas-UDF warms (the pass itself spawns
+    # the Python worker pool, imports numpy in each worker, and
+    # compiles every plan shape's codegen) AND warms what those never
+    # touched — the txlog/persist-heavy families' first-run costs
+    # (scratch staging, cache population; measured round 8: z29
+    # 11.1 s first run vs 4.9 s steady, z20 4.4 vs 1.8) — so
+    # min-of-PASSES measures steady state, not warmup luck.
     for name in HEADLINE:
         _execute(REGISTRY[name].spark_fn(spark, sf_dir))
 
     cal_start = _host_calibration()
 
+    # Session floor: the fixed per-query cost of THIS host's Spark
+    # session (job scheduling, noop-sink commit, driver round trips),
+    # measured by running an empty one-row query through the exact
+    # measurement path once per pass — at cluster scale this floor
+    # amortizes to ~0, so wall − floor is the scale-relevant number.
     floor: float | None = None
     timings: dict[str, float] = {}
     for _ in range(PASSES):

@@ -247,7 +247,7 @@ def z36_thresholded_decontamination(
     conservative any-overlap rule over-drops on boilerplate phrases
     every corpus shares). Returns every train doc with nonzero
     overlap: its distinct-shingle count, overlapping count, overlap
-    fraction, and the >= {_DECON_FRAC:.0%} drop verdict.
+    fraction, and the >= 20% (_DECON_FRAC) drop verdict.
 
     Plan: the same two broadcast-probe shapes as q69 — the bench
     shingle-hash set is small and broadcasts, the corpus side never

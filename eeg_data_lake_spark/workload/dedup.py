@@ -994,9 +994,17 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     ),
     sizes AS (SELECT doc_id, len(sl) AS n FROM sh),
     inv AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    cold AS (
+      -- mirror shingle_jaccard_pairs' MAX_SHINGLE_DF boilerplate cap
+      -- (1000000 docs) so both legs share ONE definition of
+      -- truth on ANY corpus, not just ones where the cap never binds
+      SELECT shingle FROM inv GROUP BY shingle
+      HAVING count(*) <= 1000000
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN cold c ON c.shingle = a.shingle
       GROUP BY doc_a, doc_b
     ),
     sig AS (
@@ -1034,8 +1042,10 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
 def z37_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-calibration audit — the check a data team runs before
     trusting MinHash thresholds at corpus scale: for every TRUE
-    near-dup pair (exact shingle Jaccard >= 0.5, q33's posting-list
-    plan), compare the k=4 MinHash estimate (fraction of matching
+    near-dup pair (shingle Jaccard >= 0.5 under q33's posting-list
+    plan INCLUDING its MAX_SHINGLE_DF boilerplate cap — the oracle
+    applies the same cap, so both legs share one definition of truth
+    on any corpus), compare the k=4 MinHash estimate (fraction of matching
     signature components, q34's md5-based sketch) against the exact
     Jaccard and report the absolute error. E[est] = J per salt, so
     systematic bias here means a broken sketch (wrong salts,
