@@ -58,40 +58,104 @@ def _plan_key(df: DataFrame) -> int | None:
         return None
 
 
+def _stats_distinct_bound(df: DataFrame, value: str) -> int | None:
+    """An UPPER bound on the largest per-key distinct-value count,
+    read from the optimized plan's statistics WITHOUT running a job —
+    the catalog-stats fast path of the "auto" policy. Two bounds, the
+    tighter wins:
+
+    - the ``value`` column's ndv from ``ANALYZE TABLE ... COMPUTE
+      STATISTICS FOR COLUMNS`` (per-key distincts can't exceed the
+      global distinct count);
+    - the plan's rowCount (distinct values can't exceed rows).
+
+    Both propagate into plan statistics only under
+    ``spark.sql.cbo.enabled`` (probed on this Spark version:
+    planStats.enabled alone does not) and only for catalog tables
+    that were ANALYZEd — a bare path read yields None and the caller
+    falls back to the HLL pre-pass. py4j plan access is best-effort (None on any drift),
+    mirroring ``_plan_key``."""
+    try:
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        bound: int | None = None
+        rc = jstats.rowCount()
+        if rc.isDefined():
+            # py4j may hand the scala BigInt back as a Python int or
+            # as a JavaObject depending on magnitude; str() covers both
+            bound = int(str(rc.get()))
+        it = jstats.attributeStats().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1().name() == value:
+                dc = kv._2().distinctCount()
+                if dc.isDefined():
+                    ndv = int(str(dc.get()))
+                    bound = ndv if bound is None else min(bound, ndv)
+                break
+        return bound
+    except Exception:
+        return None
+
+
 def _auto_value_buckets(
     df: DataFrame, key: str, value: str, threshold: int
 ) -> int | None:
-    """The "auto" policy: estimate the largest per-key distinct-value
-    count with one cheap pre-pass (column-pruned scan + partial HLL,
-    |keys| rows shuffled) and pick the bucketed cumulation — at the
-    session shuffle-partition count — only when it exceeds
-    ``threshold``. Because it is a separate action it RE-RUNS ``df``'s
-    lineage: cheap when ``df`` is a (column-pruned) table read — the
-    intended shape — but callers feeding an expensive derived pipeline
-    should persist it first or pass an explicit ``value_buckets``.
-    Separate on purpose: the returned plan is
+    """The "auto" policy. Routing sources, tried in order:
+
+    1. streaming input → single-window (None), decided lazily: an
+       eager estimator action would raise AnalysisException on a
+       streaming DataFrame (round-8 ADVICE guard).
+    2. catalog statistics (``_stats_distinct_bound``), NO job: if the
+       stats bound says distincts ≤ ``threshold``, single-window is
+       provably right; if the ``value`` column's ndv itself exceeds
+       ``threshold``, route bucketed (stats can't see the per-key
+       split, so this can over-route a many-key input to the bucketed
+       branch — costing only the boundary-sketch stages, never
+       correctness). At 100 TB this path replaces a full extra scan
+       of the value column with a catalog lookup.
+    3. the HLL pre-pass: estimate the largest per-key distinct count
+       with one cheap action (column-pruned scan + partial HLL,
+       |keys| rows shuffled). Because it is a separate action it
+       RE-RUNS ``df``'s lineage: cheap when ``df`` is a
+       (column-pruned) table read — the intended shape — but callers
+       feeding an expensive derived pipeline should persist it first
+       or pass an explicit ``value_buckets``.
+
+    All sources are routing-only: both cumulation branches are
+    bit-identical, so a stale or loose bound costs balance, never
+    correctness. The estimate never materializes the heavy
+    groupBy(key, value) shuffle, and the returned plan is
     byte-identical to the manually-selected form (q10's plan pin
-    inspects the returned DataFrame only), and the estimate never
-    materializes the heavy groupBy(key, value) shuffle."""
+    inspects the returned DataFrame only)."""
+    if df.isStreaming:
+        return None
     pk = _plan_key(df)
     memo_key = (pk, key, value, threshold)
     if pk is not None and memo_key in _AUTO_CACHE:
         return _AUTO_CACHE[memo_key]
-    est = (
-        df.filter(F.col(value).isNotNull())
-        .groupBy(key)
-        .agg(F.approx_count_distinct(value).alias("_d"))
-        .agg(F.max("_d"))
-        .first()[0]
-    )
-    decision = None
+    decision: int | None = None
+    bound = _stats_distinct_bound(df, value)
+    if bound is not None:
+        # no job ran: provably single-window when <= threshold;
+        # beyond it the bound is the upper-bound routing heuristic
+        est: int | None = bound
+    else:
+        est = (
+            df.filter(F.col(value).isNotNull())
+            .groupBy(key)
+            .agg(F.approx_count_distinct(value).alias("_d"))
+            .agg(F.max("_d"))
+            .first()[0]
+        )
     if est is not None and est > threshold:
         decision = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     if pk is not None:
         if len(_AUTO_CACHE) >= _AUTO_CACHE_MAX:
-            _AUTO_CACHE.clear()
+            # FIFO-evict the oldest entry (insertion-ordered dict)
+            # instead of dropping every warm entry at once
+            _AUTO_CACHE.pop(next(iter(_AUTO_CACHE)))
         _AUTO_CACHE[memo_key] = decision
     return decision
 
@@ -189,9 +253,18 @@ def exact_percentiles(
     until the largest key's distincts exceed ``auto_bucket_threshold``
     (~one comfortable task sort — see the measured crossover note on
     AUTO_BUCKET_THRESHOLD), bucketed at the session shuffle-partition
-    count beyond it. Pass ``None`` to force single-window or an int
-    to force a bucket count — the estimate pre-pass is then skipped
-    entirely."""
+    count beyond it. When catalog column statistics cover the input
+    (ANALYZEd table + plan-stats propagation) the decision is read
+    from the catalog with NO extra job; a streaming input always
+    routes single-window, lazily. Pass ``None`` to force
+    single-window or an int to force a bucket count — the estimate
+    pre-pass is then skipped entirely.
+
+    Auto decisions are memoized per analyzed plan (semantic hash): if
+    the underlying table is rewritten in place between calls, the
+    cached routing can be stale until the entry is FIFO-evicted —
+    stale routing affects PARTITIONING only (both branches are
+    bit-identical), never results."""
     if not ps:
         raise ValueError("exact_percentiles: ps must name at least one percentile")
     if any(p < 0.0 or p > 1.0 for p in ps):

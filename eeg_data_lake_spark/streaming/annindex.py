@@ -101,8 +101,9 @@ def index_batch_writer(
         # upstream embedding schema fails the trigger loudly
         from eeg_data_lake_spark.streaming.txpair import contract_gate
 
-        contract_gate(table, clustered)
+        fold = contract_gate(table, clustered)
         table.append(clustered, txn_id=f"{sink_id}:batch-{batch_id}")
+        fold()
 
     return process
 

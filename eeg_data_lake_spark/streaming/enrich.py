@@ -76,8 +76,9 @@ def scd2_enrich_writer(
         # per-trigger schema contract (streaming/txpair.py): a drifted
         # fact OR dimension schema fails this trigger loudly instead
         # of landing an incompatible file
-        contract_gate(out_table, enriched)
+        fold = contract_gate(out_table, enriched)
         out_table.append(enriched, txn_id=f"{sink_id}:batch-{batch_id}")
+        fold()
 
     return process
 

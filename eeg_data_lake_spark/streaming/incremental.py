@@ -256,13 +256,15 @@ def maintain_join_view(
             # per-step schema contract: a source table that evolved
             # incompatibly mid-maintenance fails THIS step loudly
             # (replay-clean: nothing committed for it yet)
-            contract_gate(sink, d)
+            fold = contract_gate(sink, d)
             sink.append(d, txn_id=f"ivm-{sink_id}-L{v}-R{vr}")
+            fold()
     for w, _files in feed_adds_between(
         right.path, vr, new_r, False, f"ivm {sink_id} right"
     ):
         if new_l >= 0:
             d = left.read(version=new_l).join(_delta(right, w), on)
-            contract_gate(sink, d)
+            fold = contract_gate(sink, d)
             sink.append(d, txn_id=f"ivm-{sink_id}-L{new_l}-R{w}")
+            fold()
     return new_l, new_r

@@ -66,7 +66,16 @@ from eeg_data_lake_spark.sources.txlog import TxTable
 _CONTRACT_SCHEMAS: dict[str, object] = {}
 
 
-def contract_gate(target: TxTable, df: DataFrame) -> None:
+def invalidate_contract(path: str) -> None:
+    """Drop ``path``'s cached contract schema so the next gate re-reads
+    it from the table. Call after rewriting a table's schema in place
+    at the same path (overwrite with different columns) — the cache is
+    process-wide, so a stale entry would otherwise refuse legitimate
+    appends until restart."""
+    _CONTRACT_SCHEMAS.pop(path, None)
+
+
+def contract_gate(target: TxTable, df: DataFrame):
     """Refuse a micro-batch whose schema would poison ``target``'s
     readers — the per-trigger schema contract every streaming sink in
     this package enforces (sources/contracts.py rules, append
@@ -78,19 +87,28 @@ def contract_gate(target: TxTable, df: DataFrame) -> None:
     the stream fails loudly; fixing the upstream schema and restarting
     replays the batch against unchanged state.
 
+    Returns a zero-arg callable the caller must invoke AFTER the
+    append commits (a no-op when the batch carried nothing new): a
+    passing batch may introduce additive columns, and they belong in
+    the cached contract only once they are actually in the table —
+    folding eagerly would leave phantom columns in the cache if the
+    append subsequently failed, falsely refusing later legitimate
+    batches until process restart (round-8 ADVICE).
+
     Best-effort under additive evolution: the "old" schema is the
     footer TxTable.read() serves (one file), which may predate later
     additive columns — the gate then misses a drop of such a column
     but never falsely refuses. A table with no rows yet gates nothing
-    (first write defines the contract)."""
+    (first write defines the contract). A table REWRITTEN with a
+    different schema at the same path needs ``invalidate_contract``."""
     old = _CONTRACT_SCHEMAS.get(target.path)
     if old is None:
         if target.version() < 0:
-            return
+            return lambda: None
         try:
             old = target.read().schema
         except ValueError:
-            return  # logged versions but no data files: nothing to poison
+            return lambda: None  # logged versions but no data files
         _CONTRACT_SCHEMAS[target.path] = old
     problems = append_compatibility_problems(old, df.schema)
     if problems:
@@ -98,17 +116,24 @@ def contract_gate(target: TxTable, df: DataFrame) -> None:
             f"schema contract violation appending to {target.path}:\n  "
             + "\n  ".join(problems)
         )
-    # a passing batch may carry additive columns: fold them into the
-    # cached contract so a LATER batch that drops them again is caught
-    # (matching what a fresh footer read after the append would show)
+    # additive columns fold into the cached contract (so a LATER batch
+    # that drops them again is caught, matching what a fresh footer
+    # read after the append would show) — but only once the append has
+    # committed, via the returned callable
     have = {f.name for f in old.fields}
     extra = [f for f in df.schema.fields if f.name not in have]
-    if extra:
-        from pyspark.sql.types import StructType
+    if not extra:
+        return lambda: None
+    from pyspark.sql.types import StructType
 
-        _CONTRACT_SCHEMAS[target.path] = StructType(
-            list(old.fields) + extra
-        )
+    merged = StructType(list(old.fields) + extra)
+
+    def _fold(path: str = target.path, prior=old) -> None:
+        # fold only if no other trigger refreshed the entry meanwhile
+        if _CONTRACT_SCHEMAS.get(path) is prior:
+            _CONTRACT_SCHEMAS[path] = merged
+
+    return _fold
 
 
 def batch_txn(sink_id: str, batch_id: int) -> str:
@@ -206,10 +231,12 @@ def chained_commit(
     """
     if not table.has_txn(batch_txn(sink_id, batch_id)):
         df = corpus_df() if callable(corpus_df) else corpus_df
-        contract_gate(table, df)
+        fold = contract_gate(table, df)
         table.append(df, txn_id=batch_txn(sink_id, batch_id))
+        fold()
     for idx, rows, tag in legs:
         if not idx.has_txn(index_txn(sink_id, tag, batch_id)):
             df = rows() if callable(rows) else rows
-            contract_gate(idx, df)
+            fold = contract_gate(idx, df)
             idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))
+            fold()

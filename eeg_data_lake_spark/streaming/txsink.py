@@ -30,8 +30,9 @@ def txtable_batch_writer(table: TxTable, sink_id: str):
         # per-trigger schema contract: a mid-stream upstream schema
         # change must fail THIS trigger loudly (and replay clean after
         # the fix), not land whatever the parquet append accepts
-        contract_gate(table, batch_df)
+        fold = contract_gate(table, batch_df)
         table.append(batch_df, txn_id=f"{sink_id}:batch-{batch_id}")
+        fold()
 
     return process
 

@@ -828,7 +828,12 @@ def r55_table_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "z22_streaming_simhash_ingest",
-    tags=("streaming", "dedup", "simhash", "incremental"),
+    tags=(
+        "streaming", "dedup", "simhash", "incremental",
+        # greedy batch-order accept kept as the bounded-latency option;
+        # the RECOMMENDED path is the order-independent resolved twin
+        "superseded-by:z33_streaming_simhash_resolved",
+    ),
 )
 def z22_streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental streaming SimHash near-dup ingest end-to-end: the
@@ -1106,7 +1111,12 @@ def z31_streaming_curation_pipeline(
 
 @register(
     "z30_streaming_minhash_ingest",
-    tags=("streaming", "dedup", "minhash", "lsh", "incremental"),
+    tags=(
+        "streaming", "dedup", "minhash", "lsh", "incremental",
+        # greedy batch-order accept kept as the bounded-latency option;
+        # the RECOMMENDED path is the order-independent resolved twin
+        "superseded-by:z32_streaming_minhash_resolved",
+    ),
 )
 def z30_streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH near-dup ingest end-to-end

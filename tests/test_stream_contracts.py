@@ -236,6 +236,55 @@ def test_gate_schema_cache_folds_additive_columns(spark, tmp_path):
     widened = spark.createDataFrame(
         [(3, "c", 1.5)], "doc_id bigint, v string, extra double"
     )
-    txpair.contract_gate(tbl, widened)  # additive passes, folds in
+    # additive passes, but the fold is DEFERRED to the returned
+    # callable (round-8 ADVICE: a failed append must not leave phantom
+    # columns in the cache) — before invoking it, dropping 'extra'
+    # still passes...
+    fold = txpair.contract_gate(tbl, widened)
+    txpair.contract_gate(tbl, base)
+    # ...and after the simulated append commit, it refuses
+    tbl.append(widened)
+    fold()
     with pytest.raises(ValueError, match="dropped"):
-        txpair.contract_gate(tbl, base)  # dropping 'extra' now refuses
+        txpair.contract_gate(tbl, base)
+
+
+def test_gate_fold_skipped_on_append_failure(spark, tmp_path):
+    """A batch whose additive columns pass the gate but whose APPEND
+    then fails must leave the cached contract untouched: the next
+    base-schema batch is legitimate (the table never widened) and has
+    to pass. The eager-fold version of the gate falsely refused it
+    until process restart."""
+    from eeg_data_lake_spark.streaming import txpair
+
+    tbl = TxTable(spark, os.path.join(str(tmp_path), "failgate"))
+    tbl.append(spark.createDataFrame([(1, "a")], "doc_id bigint, v string"))
+    base = spark.createDataFrame([(2, "b")], "doc_id bigint, v string")
+    widened = spark.createDataFrame(
+        [(3, "c", 1.5)], "doc_id bigint, v string, extra double"
+    )
+    txpair.contract_gate(tbl, base)  # warm the cache
+    fold = txpair.contract_gate(tbl, widened)
+    del fold  # append failed: the fold callable is never invoked
+    txpair.contract_gate(tbl, base)  # must NOT raise
+
+
+def test_invalidate_contract_unsticks_rewritten_table(spark, tmp_path):
+    """A table rewritten in place with a different schema at the same
+    path strands the process-wide cache on the old contract;
+    invalidate_contract(path) is the hook that unsticks it."""
+    from eeg_data_lake_spark.streaming import txpair
+
+    path = os.path.join(str(tmp_path), "rewrite")
+    tbl = TxTable(spark, path)
+    tbl.append(spark.createDataFrame([(1, "a")], "doc_id bigint, v string"))
+    base = spark.createDataFrame([(2, "b")], "doc_id bigint, v string")
+    txpair.contract_gate(tbl, base)  # cache the old contract
+
+    slim = spark.createDataFrame([(9,)], "doc_id bigint")
+    tbl.overwrite(slim)  # table legitimately rewritten at the same path
+    with pytest.raises(ValueError, match="dropped"):
+        txpair.contract_gate(tbl, slim)  # stale cache falsely refuses
+    txpair.invalidate_contract(path)
+    fold = txpair.contract_gate(tbl, slim)  # fresh read: passes
+    fold()
