@@ -339,3 +339,44 @@ def test_z34_maintained_cadence_runs_and_matches_z31(spark, sf_dir):
         .collect()
     ]
     assert got_rows == z31_rows
+
+
+def test_rollup_localcheckpoint_blocks_are_reclaimed(
+    spark, tmp_path, planted
+):
+    """curated_rollup materializes its multi-consumer docs relation
+    with localCheckpoint on the argument that ContextCleaner reclaims
+    the blocks once the returned frame is dropped (a CacheManager
+    persist would accumulate forever — nobody can unpersist a frame
+    the returned lazy plan still reads). Assert the argument: N
+    rollups in one session must not grow the session's cached-RDD
+    block count monotonically."""
+    import gc
+    import time
+
+    table = TxTable(spark, str(tmp_path / "corpus_leak"))
+    w = curation_batch_writer(table, "leak")
+    for i in range(3):
+        w(_batch(spark, planted, i), i)
+
+    def cached_rdd_count() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    counts = []
+    for _ in range(4):
+        df = curated_rollup(table)
+        df.write.format("noop").mode("overwrite").save()
+        del df
+        # the cleaner runs asynchronously off Python GC → py4j finalize
+        # → ContextCleaner queue; poll until it settles
+        gc.collect()
+        for _ in range(40):
+            spark.sparkContext._jvm.System.gc()
+            if cached_rdd_count() <= (counts[-1] if counts else 10**9):
+                break
+            time.sleep(0.25)
+        counts.append(cached_rdd_count())
+    # steady state, not monotone growth: the last rollup may leave its
+    # own blocks pending cleanup, but four runs must not stack four
+    # generations of checkpoint blocks
+    assert counts[-1] <= counts[0] + 1, counts
