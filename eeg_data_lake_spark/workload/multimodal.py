@@ -771,9 +771,9 @@ def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "z24_streaming_chunk_ingest",
-    oracle=f"""
+#: z24's storage-report oracle — shared verbatim by the maintained
+#: twin z40, so the two registrations cannot drift semantically.
+_Z24_ORACLE = f"""
     WITH RECURSIVE {cdc_oracle_ctes()},
     uniq AS (
       SELECT chunk_hex, min(length) AS length FROM chunks GROUP BY chunk_hex
@@ -792,7 +792,12 @@ def z23_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_docs, logical_bytes, n_unique_chunks, stored_bytes,
            round(logical_bytes / greatest(stored_bytes, 1), 4) AS dedup_ratio
     FROM logical, physical
-    """,
+    """
+
+
+@register(
+    "z24_streaming_chunk_ingest",
+    oracle=_Z24_ORACLE,
     tags=("streaming", "multimodal", "dedup", "binary", "cdc"),
 )
 def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,6 +852,89 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl,
         os.path.join(d, "ck"),
         sink_id="z24",
+    )
+    return dedup_report(tbl)
+
+
+@register(
+    "z40_streaming_chunk_maintained",
+    oracle=_Z24_ORACLE,
+    tags=(
+        "streaming",
+        "multimodal",
+        "dedup",
+        "binary",
+        "cdc",
+        "maintenance",
+    ),
+)
+def z40_streaming_chunk_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """z24's incremental CDC chunk-store ingest with the chunk-index
+    family's FULL maintenance cadence live mid-stream -- the z34
+    treatment applied to the content-addressed path: batches 0+1
+    drain plain, then ``bucketize_chunk_index`` materializes the
+    chunk index as a catalog table bucketed+sorted on chunk_md5 at
+    the session shuffle width and a FORCED ``compact_chunk_index``
+    (max_small_files=1) policy-compacts it, repairs the now-stale
+    projection at its live bucket count, and vacuums; batch 2 drains
+    against the compacted bucketed base + txlog tail (its novelty
+    probe anti-joins the projection co-located) with
+    ``maintain=True`` running the cadence once more. The terminal
+    storage report must STILL equal the batch chunking of the full
+    corpus, so this query shares z24's oracle verbatim --
+    bucketize/compaction/vacuum churn proven output-invisible under
+    the driver's hash check.
+
+    The catalog projection (`z40m_<uuid>_v{N}`) lives for the
+    process, like the scratch corpus dirs (_scratch_dir note)."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        bucketize_chunk_index,
+        compact_chunk_index,
+        dedup_report,
+        stream_chunk_ingest,
+    )
+
+    blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    d = _scratch_dir("chunk_m_q_")
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    for i in range(3):
+        stage = os.path.join(d, f"stage_{i}")
+        blobs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z40m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, payload binary"
+
+    stream_chunk_ingest(
+        spark, src, schema, tbl, ck, sink_id="z40", bucketed_base=base
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_chunk_index(tbl, base, n_buckets=n_buckets)
+    compact_chunk_index(
+        tbl, base, n_buckets=n_buckets,
+        max_small_files=1, vacuum_keep_versions=2,
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_chunk_ingest(
+        spark, src, schema, tbl, ck, sink_id="z40",
+        bucketed_base=base, maintain=True, vacuum_keep_versions=2,
     )
     return dedup_report(tbl)
 

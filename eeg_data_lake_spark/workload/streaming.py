@@ -1551,3 +1551,153 @@ def z33_streaming_simhash_resolved(
         .select("doc_id", "lang", "fp_hi", "fp_lo")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "z39_streaming_exactsubstr_maintained",
+    oracle=_z29_oracle(),
+    tags=(
+        "streaming",
+        "curation",
+        "dedup",
+        "exact-substring",
+        "incremental",
+        "maintenance",
+    ),
+)
+def z39_streaming_exactsubstr_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """z29's incremental ExactSubstr ingest with the gram-index
+    family's FULL maintenance cadence live mid-stream — the z34
+    treatment applied to the saturating gram index: batches 0+1 drain
+    plain, then ``bucketize_gram_index`` materializes the index as a
+    catalog table bucketed+sorted on g at the session shuffle width
+    and a FORCED ``compact_gram_index`` (max_small_files=1)
+    policy-compacts it, repairs the now-stale projection at its live
+    bucket count, and vacuums; batch 2 drains against the compacted
+    bucketed base + txlog tail with ``maintain=True`` running the
+    cadence once more. The terminal removal pass must STILL equal
+    batch z18, so this query shares z18's complete CTE oracle
+    verbatim — bucketize/compaction/vacuum churn proven
+    output-invisible under the driver's hash check (the zero-exchange
+    probe co-location itself is CI-pinned in
+    tests/test_shuffle_budgets.py).
+
+    The catalog projection (`z39m_<uuid>_v{N}`) lives for the
+    process, like the scratch corpus dirs (_scratch_dir note)."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.exactsubstr import (
+        bucketize_gram_index,
+        compact_gram_index,
+        exact_substring_removal,
+        stream_exactsubstr_ingest,
+    )
+
+    d, src = _staged_doc_batches(spark, sf_dir, "esd_m_q_", ["doc_id", "text"])
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z39m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, text string"
+
+    stream_exactsubstr_ingest(
+        spark, src, schema, tbl, ck, sink_id="z39", bucketed_base=base
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_gram_index(tbl, base, n_buckets=n_buckets)
+    compact_gram_index(
+        tbl, base, n_buckets=n_buckets,
+        max_small_files=1, vacuum_keep_versions=2,
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_exactsubstr_ingest(
+        spark, src, schema, tbl, ck, sink_id="z39",
+        bucketed_base=base, maintain=True, vacuum_keep_versions=2,
+    )
+    return exact_substring_removal(tbl).orderBy("doc_id")
+
+
+@register(
+    "z41_streaming_simhash_maintained",
+    oracle=_z33_oracle(),
+    tags=(
+        "streaming",
+        "dedup",
+        "simhash",
+        "hamming",
+        "incremental",
+        "resolved",
+        "maintenance",
+    ),
+)
+def z41_streaming_simhash_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """z33's resolved SimHash ingest with the resolved family's FULL
+    maintenance cadence live mid-stream — completing the z34/z38/z39/
+    z40 set so EVERY streaming ingest family runs bucketize + forced
+    compaction + staleness repair + vacuum under its oracle: batches
+    0+1 drain plain, then ``bucketize_posting_index`` materializes
+    the Manku block-posting index bucketed+sorted on the probe keys
+    at the session shuffle width and a FORCED
+    ``compact_resolved_state`` (max_small_files=1) policy-compacts
+    the corpus/edges/postings, repairs the now-stale projection at
+    its live bucket count, and vacuums; batch 2 drains against the
+    compacted bucketed base + txlog tail with ``maintain=True``
+    running the cadence once more. Terminal resolution must STILL
+    equal the batch answer, so this query shares z33's complete
+    recursive-CTE oracle verbatim.
+
+    The catalog projection (`z41m_<uuid>_v{N}`) lives for the
+    process, like the scratch corpus dirs (_scratch_dir note)."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.resolved import (
+        bucketize_posting_index,
+        compact_resolved_state,
+        resolve_accepted,
+        simhash_resolved_family,
+        stream_resolved_ingest,
+    )
+
+    fam = simhash_resolved_family()
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "shm_q_", ["doc_id", "text", "lang"]
+    )
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z41m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, text string, lang string"
+
+    stream_resolved_ingest(
+        spark, src, schema, tbl, ck, sink_id="z41",
+        family=fam, bucketed_base=base,
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_posting_index(tbl, fam, base, n_buckets=n_buckets)
+    compact_resolved_state(
+        tbl, fam, base, max_small_files=1, vacuum_keep_versions=2
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_resolved_ingest(
+        spark, src, schema, tbl, ck, sink_id="z41",
+        family=fam, bucketed_base=base, maintain=True,
+    )
+    return (
+        resolve_accepted(tbl)
+        .select("doc_id", "lang", "fp_hi", "fp_lo")
+        .orderBy("doc_id")
+    )
