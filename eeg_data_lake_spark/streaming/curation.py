@@ -394,16 +394,20 @@ def stream_curation_ingest(
         )
 
 
-def curated_rollup(table: TxTable) -> DataFrame:
-    """The terminal resolution pass: winners from the fingerprint
-    index (min per fingerprint — order-independent), ExactSubstr scrub
-    of the winners against the winner-filtered gram counts, z20's
-    statistical quality gate on the SCRUBBED text, holdout exclusion,
-    decontamination anti-join, deterministic split, per-(split, lang)
-    rollup. Every expression is z20's (shared helpers: esd_grams /
-    esd_intervals / esd_kept_tokens / _split_col), so after the stream
-    drains this equals batch z20 row for row — z31 shares z20's CTE
-    oracle verbatim."""
+def curated_docs(table: TxTable) -> DataFrame:
+    """The terminal resolution pass up to the PER-DOC curated relation
+    — (doc_id, lang, n_tok, n_rm, stext) for every stream-ingested
+    document surviving winner resolution (min per fingerprint —
+    order-independent), ExactSubstr scrub against the winner-filtered
+    gram counts, z20's statistical quality gate on the SCRUBBED text,
+    holdout exclusion, and the decontamination anti-join. The
+    streaming mirror of batch ``curated_clean_docs``
+    (workload/curation.py): ``curated_rollup`` and the streaming
+    shard packing (z42) are both thin consumers, so the stage
+    semantics live in exactly one place per path. Every expression is
+    z20's (shared helpers: esd_grams / esd_intervals /
+    esd_kept_tokens), so after the stream drains this equals batch
+    z20's per-doc relation row for row."""
     spark = table.spark
     winners = (
         fp_index_table(spark, table)
@@ -478,11 +482,18 @@ def curated_rollup(table: TxTable) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = gated.filter(F.col("doc_id") % 50 != 0).join(
+    return gated.filter(F.col("doc_id") % 50 != 0).join(
         contaminated, "doc_id", "left_anti"
     )
+
+
+def curated_rollup(table: TxTable) -> DataFrame:
+    """``curated_docs`` + deterministic split + per-(split, lang)
+    rollup — z31/z34's terminal phase, sharing z20's CTE oracle
+    verbatim (split via the shared _split_col)."""
     return (
-        clean.withColumn("split", _split_col())
+        curated_docs(table)
+        .withColumn("split", _split_col())
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),

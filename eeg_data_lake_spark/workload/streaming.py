@@ -1701,3 +1701,110 @@ def z41_streaming_simhash_maintained(
         .select("doc_id", "lang", "fp_hi", "fp_lo")
         .orderBy("doc_id")
     )
+
+
+def _z35_oracle():
+    from eeg_data_lake_spark.workload.curation import _Z35_ORACLE
+
+    return _Z35_ORACLE
+
+
+@register(
+    "z42_streaming_curated_shard_packing",
+    oracle=_z35_oracle(),
+    tags=(
+        "streaming",
+        "curation",
+        "pipeline",
+        "sharding",
+        "prefix-sum",
+        "maintenance",
+        "capstone",
+    ),
+)
+def z42_streaming_curated_shard_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production shape of the training-data build, end to end
+    ONLINE: z34's maintained streaming curation (three micro-batch
+    drains with the bucketed fingerprint projection, forced five-table
+    policy compaction, staleness repair and vacuum live mid-stream)
+    whose terminal phase packs the curated TRAIN split into
+    token-budget shards via r30/z35's two-phase distributed prefix sum
+    — drain + maintenance + packing under ONE composed oracle.
+
+    FULLY oracle-backed by double composition: the SQL twin is
+    batch z35's ``_Z35_ORACLE`` verbatim — itself z20's
+    ``_Z20_CLEAN_CTES`` block (shared by z20/z31/z34/z35 and now this
+    query) + the split filter + r30's cumulative-window packing CTE —
+    so the streaming drain must reproduce batch z20's per-doc curated
+    relation exactly (the z31/z34 guarantee, via the shared
+    ``curated_docs``) AND the packing must reproduce r30's global
+    prefix sum exactly (append-stable: boundaries depend only on the
+    deterministic md5 key order, pinned in tests).
+
+    Plan: everything z34 measures (per-trigger probes against the
+    bucketed base + tail, periodic compaction), then ONE
+    range-partition shuffle of (key, n_tok) pairs — ~40 B/doc, the
+    only data the packing phase moves — with the global offsets
+    assembled from per-partition subtotals, never a single-task
+    window. The rollup/packing both read the shared per-doc relation
+    ``streaming.curation.curated_docs``."""
+    import os
+    import uuid
+
+    from eeg_data_lake_spark.sources.txlog import TxTable
+    from eeg_data_lake_spark.streaming.curation import (
+        bucketize_fp_index,
+        compact_curation_state,
+        curated_docs,
+        stream_curation_ingest,
+    )
+    from eeg_data_lake_spark.workload.curation import (
+        _split_col,
+        pack_token_shards,
+    )
+
+    d, src = _staged_doc_batches(
+        spark, sf_dir, "cur_p_q_", ["doc_id", "text", "lang"]
+    )
+    held = os.path.join(d, "held_batch_2.parquet")
+    os.rename(os.path.join(src, "batch_2.parquet"), held)
+
+    tbl = TxTable(spark, os.path.join(d, "corpus"))
+    base = f"z42m_{uuid.uuid4().hex[:8]}"
+    ck = os.path.join(d, "ck")
+    schema = "doc_id bigint, text string, lang string"
+
+    stream_curation_ingest(
+        spark, src, schema, tbl, ck, sink_id="z42", bucketed_base=base
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bucketize_fp_index(tbl, base, n_buckets=n_buckets)
+    compact_curation_state(
+        tbl, base, max_small_files=1, vacuum_keep_versions=2
+    )
+
+    os.rename(held, os.path.join(src, "batch_2.parquet"))
+    stream_curation_ingest(
+        spark, src, schema, tbl, ck, sink_id="z42",
+        bucketed_base=base, maintain=True,
+    )
+    train = (
+        curated_docs(tbl)
+        .withColumn("split", _split_col())
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("key"),
+            "n_tok",
+        )
+    )
+    return (
+        pack_token_shards(train)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
