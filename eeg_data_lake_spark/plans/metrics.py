@@ -29,9 +29,12 @@ class ShuffleMetricsUnavailable(RuntimeError):
     opaque py4j error."""
 
 
-def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, int]]:
-    """{(stageId, attemptId): (shuffleWriteBytes, shuffleWriteRecords)}
-    for every stage the status store currently RETAINS.
+def _stage_shuffle_map(
+    spark: SparkSession,
+) -> dict[tuple[int, int], tuple[int, int, int, int]]:
+    """{(stageId, attemptId): (shuffleWriteBytes, shuffleWriteRecords,
+    memoryBytesSpilled, diskBytesSpilled)} for every stage the status
+    store currently RETAINS.
 
     Raises ShuffleMetricsUnavailable when the private[spark] surface it
     reads (listenerBus().waitUntilEmpty(), the 5-arg stageList) no
@@ -71,7 +74,7 @@ def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, 
             "longer match the expected signature — re-derive them "
             f"against the new Spark ({exc})"
         ) from exc
-    out: dict[tuple[int, int], tuple[int, int]] = {}
+    out: dict[tuple[int, int], tuple[int, int, int, int]] = {}
     try:
         it = stages.iterator()
         while it.hasNext():
@@ -79,6 +82,8 @@ def _stage_shuffle_map(spark: SparkSession) -> dict[tuple[int, int], tuple[int, 
             out[(s.stageId(), s.attemptId())] = (
                 s.shuffleWriteBytes(),
                 s.shuffleWriteRecords(),
+                s.memoryBytesSpilled(),
+                s.diskBytesSpilled(),
             )
     except Py4JError as exc:
         # same narrowing as above: JVM accessor drift only
@@ -98,7 +103,8 @@ def shuffle_totals(spark: SparkSession) -> tuple[int, int]:
     diff two of these to budget an action, use ``measure_shuffle``,
     which diffs per-stage IDs and is immune to eviction of pre-action
     stages."""
-    return tuple(map(sum, zip(*_stage_shuffle_map(spark).values()))) or (0, 0)
+    totals = tuple(map(sum, zip(*_stage_shuffle_map(spark).values())))
+    return (totals[0], totals[1]) if totals else (0, 0)
 
 
 def measure_shuffle(
@@ -123,6 +129,25 @@ def measure_shuffle(
     action()
     after = _stage_shuffle_map(spark)
     new = [v for k, v in after.items() if k not in before]
-    tot_b = sum(b for b, _ in new)
-    tot_r = sum(r for _, r in new)
+    tot_b = sum(v[0] for v in new)
+    tot_r = sum(v[1] for v in new)
     return tot_b, tot_r
+
+
+def measure_spill(
+    spark: SparkSession, action: Callable[[], object]
+) -> tuple[int, int]:
+    """Run ``action()`` and return the (memoryBytesSpilled,
+    diskBytesSpilled) its new stages recorded — the same
+    snapshot-diff accounting as ``measure_shuffle`` (stage-keyed,
+    eviction-immune), reading the spill counters the UI's stage table
+    shows. Used by the spill-regime parity tests: the one execution
+    regime local[32]/128 GiB never enters on its own is external
+    sort/agg spill, so those tests force it via the SQL spill
+    thresholds and assert HERE that a spill actually happened while
+    the oracle hash stays green."""
+    before = _stage_shuffle_map(spark)
+    action()
+    after = _stage_shuffle_map(spark)
+    new = [v for k, v in after.items() if k not in before]
+    return sum(v[2] for v in new), sum(v[3] for v in new)

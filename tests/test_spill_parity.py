@@ -1,0 +1,97 @@
+"""Spill-regime parity: the one execution regime the 100 TB story
+needs that local[32]/128 GiB never enters on its own is EXTERNAL
+SORT/AGG SPILL — every oracle sweep so far ran comfortably in memory,
+so a subtle bug in how an operator's state round-trips through the
+spill path (UnsafeExternalSorter / ExternalAppendOnlyUnsafeRowArray)
+would be invisible until a real cluster hits memory pressure.
+
+This module forces the regime via the SQL spill thresholds
+(session-scoped, so a newSession() perturbs only this module):
+window and sort-merge-join buffers flip to the spillable sorter after
+a handful of rows and force-spill every few hundred, and broadcast
+joins are disabled so the join path actually exercises SMJ buffers.
+Under that profile the heavy window/join/prefix-sum queries must
+(a) DEMONSTRABLY spill — asserted through the AppStatusStore spill
+counters (plans/metrics.measure_spill), not assumed — and (b) still
+hash-match their DuckDB oracles bit for bit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eeg_data_lake_spark.plans.metrics import (
+    ShuffleMetricsUnavailable,
+    measure_spill,
+)
+from eeg_data_lake_spark.workload import REGISTRY
+from tests.oracle_utils import compare, run_oracle
+
+#: queries whose plans carry the spillable buffers the profile
+#: squeezes: multi-window chains, ordered lags, asof union+window,
+#: sort-merge joins, the prefix-sum packer
+SPILL_SET = [
+    "q16_order_total_zscore",
+    "q17_first_order_per_customer",
+    "q18_user_event_deltas",
+    "q22_user_hjorth_params",
+    "q50_asof_join_last_order",
+    "r30_token_shard_packing",
+    "r67_cusum_changepoint",
+]
+
+
+@pytest.fixture(scope="module")
+def spilly(spark):
+    s2 = spark.newSession()
+    # flip window/SMJ buffers to the spillable sorter almost
+    # immediately (4 rows) and force a real spill every 8 buffered
+    # rows — sized to sf0.001's group sizes (a 128-row force threshold
+    # never fires there: groups end first; threshold 1 is the other
+    # pathology — one spill FILE per row exhausts file handles.
+    # Probed: this profile spills GBs of memory + tens of KB of disk
+    # on every window-chain query in the set except q17, whose
+    # per-customer groups are smaller than 4 rows)
+    s2.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4")
+    s2.conf.set("spark.sql.windowExec.buffer.spill.threshold", "8")
+    s2.conf.set("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "4")
+    s2.conf.set("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "8")
+    # no broadcast: equi-joins take the SMJ path so its buffers are
+    # actually on the plan to spill
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    return s2
+
+
+@pytest.mark.parametrize("name", SPILL_SET)
+def test_oracle_parity_under_forced_spill(spilly, sf_dir, name):
+    """Bit-equality against the oracle with the spill regime live —
+    and the regime must actually BE live: the suite-level spill
+    assertion below proves the profile forced real spills, this test
+    proves no query's answer moved."""
+    e = REGISTRY[name]
+    problems = compare(
+        e.spark_fn(spilly, sf_dir), run_oracle(e.oracle, sf_dir), name
+    )
+    assert not problems, "\n".join(problems)
+
+
+def test_forced_spill_actually_spills(spilly, sf_dir):
+    """Non-vacuousness: under the profile, the heaviest window chain
+    records nonzero memory AND disk spill in the AppStatusStore —
+    without this pin the parity tests above could silently pass in
+    the ordinary in-memory regime (e.g. a threshold conf renamed by a
+    Spark bump and ignored)."""
+    e = REGISTRY["r67_cusum_changepoint"]
+
+    def act():
+        e.spark_fn(spilly, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    try:
+        mem, disk = measure_spill(spilly, act)
+    except ShuffleMetricsUnavailable as exc:
+        pytest.skip(str(exc))
+    assert mem > 0, "no memory spill recorded — profile not in effect"
+    assert disk > 0, "no disk spill recorded — profile not in effect"
