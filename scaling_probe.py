@@ -9,7 +9,9 @@ degenerate exact copies) into /tmp/sf1_probe, then times the same
 queries at both scales. Replicated data is a PERF probe only — all
 correctness runs stay on the driver's own parquet.
 
-Run: python scaling_probe.py      (prints a small JSON report)
+Run: python scaling_probe.py [query ...]   (prints a small JSON report;
+naming queries probes just that subset — used to extend BASELINE.md
+round over round without re-timing the whole set)
 """
 
 from __future__ import annotations
@@ -63,6 +65,10 @@ QUERIES = [
     "z30_streaming_minhash_ingest",      # online LSH dedup ingest on dup-heavy 10x
     "z32_streaming_minhash_resolved",    # order-independent resolved ingest (round 8)
     "z34_streaming_curation_maintained", # curation w/ live maintenance cadence (round 8)
+    "z39_streaming_exactsubstr_maintained",  # gram-index maintenance cadence (round 9)
+    "z40_streaming_chunk_maintained",        # chunk-store maintenance cadence (round 9)
+    "z41_streaming_simhash_maintained",      # resolved-SimHash maintenance cadence (round 9)
+    "z42_streaming_curated_shard_packing",   # maintained drain -> shard packing (round 9)
 ]
 
 #: key column to offset per table so replicas don't collide
@@ -127,8 +133,9 @@ def main() -> None:
         build(spark)
     # warm-up
     timeq(spark, "q01_pricing_summary", SRC, passes=1)
+    names = sys.argv[1:] or QUERIES
     report = {}
-    for name in QUERIES:
+    for name in names:
         small = timeq(spark, name, SRC)
         big = timeq(spark, name, DST)
         report[name] = {
