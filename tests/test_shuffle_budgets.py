@@ -422,3 +422,86 @@ def test_resolved_posting_probe_budget_flat_as_index_grows(
     assert plain_big > plain_small * 1.5, (plain_small, plain_big)
     assert bkt_small <= plain_small
     assert bkt_big < plain_big
+
+
+def test_chunk_probe_budget_flat_as_index_grows(
+    spark, no_broadcast, proj_base, tmp_path
+):
+    """The CDC chunk-store novelty probe against a
+    bucketize_chunk_index projection: shuffled records must be FLAT
+    as the chunk index grows — completing the per-family flatness
+    pins (gram/block/fp/resolved-posting above) for the round-9
+    maintained family z40. The plain txlog probe is the growth
+    control."""
+    from eeg_data_lake_spark.functions.chunking import chunk_rows
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        bucketize_chunk_index,
+        chunk_batch_writer,
+        chunk_index_table,
+        novel_against,
+    )
+    from eeg_data_lake_spark.workload.multimodal import (
+        attach_binary_payload,
+    )
+
+    blobs = attach_binary_payload(
+        spark.read.parquet(f"{SF01}/documents.parquet")
+    ).select("doc_id", "payload")
+    t = TxTable(spark, str(tmp_path / "corpus"))
+    w = chunk_batch_writer(t, "budget", bucketed_base=proj_base)
+    for i in range(3):
+        w(blobs.filter(f"doc_id % 4 = {i}"), i)
+    bucketize_chunk_index(t, proj_base, n_buckets=4)
+    idx = chunk_index_table(spark, t)
+    idx_small = idx.read().count()
+
+    probe_batch = (
+        chunk_rows(blobs.filter("doc_id % 4 = 3"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.min("length").alias("length"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    _, plain_small = measure_shuffle(
+        spark, _noop(novel_against(probe_batch, [idx.read().hint("merge")]))
+    )
+    frames = index_frames(idx, proj_base)
+    assert len(frames) == 1  # fresh projection, no tail
+    _, bkt_small = measure_shuffle(
+        spark, _noop(novel_against(probe_batch, frames))
+    )
+
+    # grow the index ~2x. Shifted ids alone would re-offer identical
+    # chunk bytes (no index growth), and appending/prepending a salt
+    # only mints the junction chunk (CDC boundaries resync on
+    # content) — so salt the TEXT everywhere (vowel translation) and
+    # re-encode: every chunk's bytes change, all chunks novel.
+    salted = attach_binary_payload(
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .withColumn("text", F.translate(F.col("text"), "aeiou", "01234"))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).select("doc_id", "payload")
+    for i in range(3):
+        w(salted.filter(f"doc_id % 4 = {i}"), 10 + i)
+    bucketize_chunk_index(t, proj_base, n_buckets=4)
+    idx_big = idx.read().count()
+    assert idx_big > idx_small * 1.5, (idx_small, idx_big)
+    frames2 = index_frames(idx, proj_base)
+    assert len(frames2) == 1
+    _, bkt_big = measure_shuffle(
+        spark, _noop(novel_against(probe_batch, frames2))
+    )
+    _, plain_big = measure_shuffle(
+        spark, _noop(novel_against(probe_batch, [idx.read().hint("merge")]))
+    )
+
+    # THE pin: bucketed probe records are independent of index size
+    assert bkt_big <= bkt_small * 1.05, (bkt_small, bkt_big)
+    # the plain probe is what grows (sanity that the signal exists)
+    assert plain_big > plain_small * 1.5, (plain_small, plain_big)
+    # and the projection never costs MORE than the plain read
+    assert bkt_small <= plain_small
+    assert bkt_big < plain_big
