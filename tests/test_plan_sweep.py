@@ -42,6 +42,7 @@ BNLJ_OK = {
     "r65_rfm_segmentation",        # global quintile boundaries row
     "z24_streaming_chunk_ingest",  # 1-row corpus agg × 1-row store agg
     "z25_chunkstore_lifecycle",    # 1-row put/check/gc report aggs
+    "z40_streaming_chunk_maintained",  # z24's dedup_report: same 1-row aggs
 }
 
 
