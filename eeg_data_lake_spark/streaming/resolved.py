@@ -279,7 +279,16 @@ def resolved_batch_writer(
             backfill_settled = (
                 e_tbl.version() >= 0 and p_tbl.version() >= 0
             )
-        aug = family.augment(batch_df)
+        # the augmented batch feeds THREE independent actions (the
+        # corpus append, the member join-back inside edge_rows, and
+        # the groups derivation) — without materialization each one
+        # re-runs family.augment, and for SimHash that narrow map (an
+        # md5 per shingle x 64 bit sums) IS the family's dominant
+        # cost: measured 64 s -> ~23 s for z33 at sf0.1 when this
+        # checkpoint landed (round 9). Same per-batch eager-checkpoint
+        # convention as groups below; ContextCleaner reclaims the
+        # blocks when the trigger's frames drop.
+        aug = family.augment(batch_df).localCheckpoint(eager=True)
         elig = (
             aug.filter(family.eligible(aug)) if family.eligible else aug
         )
