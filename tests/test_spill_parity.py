@@ -38,6 +38,12 @@ SPILL_SET = [
     "q50_asof_join_last_order",
     "r30_token_shard_packing",
     "r67_cusum_changepoint",
+    # streaming ingest families: with broadcast off, their per-trigger
+    # index probes (anti/semi-joins against the accumulated index)
+    # become sort-merge joins whose buffers the profile spills — the
+    # exact shape a memory-pressured 100 TB trigger would take
+    "z29_streaming_exactsubstr_ingest",
+    "z32_streaming_minhash_resolved",
 ]
 
 
