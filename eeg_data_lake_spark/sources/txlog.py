@@ -274,6 +274,23 @@ class _LogState:
     stats: dict[str, dict]  # per live file: {"rows": n, "bytes": b, "cols": {...}}
 
 
+#: callbacks invoked with the table PATH after any commit that can
+#: REWRITE schema-visible state in place (overwrite — upsert can't:
+#: its unionByName requires the update schema to match): higher
+#: layers register cache invalidators here (streaming/txpair.py's
+#: contract-schema cache) without this module importing them —
+#: listeners must be idempotent and never raise.
+ON_REWRITE: list = []
+
+
+def _notify_rewrite(path: str) -> None:
+    for fn in ON_REWRITE:
+        try:
+            fn(path)
+        except Exception:
+            pass  # a cache invalidator must never fail a commit
+
+
 class TxTable:
     """Handle to a transaction-logged parquet table rooted at ``path``."""
 
@@ -630,9 +647,11 @@ class TxTable:
         semantics. A competing rewrite that already removed pinned
         files still raises ConcurrentModificationError."""
         state = self._replay(upto=pin_version)
-        return self._commit(
+        v = self._commit(
             self._write_data(df), state.files, txn_id, "overwrite"
         )
+        _notify_rewrite(self.path)
+        return v
 
     def upsert(
         self,

@@ -68,11 +68,24 @@ _CONTRACT_SCHEMAS: dict[str, object] = {}
 
 def invalidate_contract(path: str) -> None:
     """Drop ``path``'s cached contract schema so the next gate re-reads
-    it from the table. Call after rewriting a table's schema in place
-    at the same path (overwrite with different columns) — the cache is
-    process-wide, so a stale entry would otherwise refuse legitimate
-    appends until restart."""
+    it from the table. Wired automatically: txlog notifies ON_REWRITE
+    after every overwrite commit (the one op that can rewrite a
+    table's schema in place at the same path), so an in-process
+    rewrite can never strand the gate on a stale contract. The public
+    hook remains for out-of-band rewrites (another process replacing
+    the files)."""
     _CONTRACT_SCHEMAS.pop(path, None)
+
+
+# in-process overwrites invalidate the contract cache automatically;
+# registration at import time is idempotent across reloads by name
+from eeg_data_lake_spark.sources import txlog as _txlog
+
+if not any(
+    getattr(fn, "__name__", "") == "invalidate_contract"
+    for fn in _txlog.ON_REWRITE
+):
+    _txlog.ON_REWRITE.append(invalidate_contract)
 
 
 def contract_gate(target: TxTable, df: DataFrame):

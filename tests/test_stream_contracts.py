@@ -269,10 +269,13 @@ def test_gate_fold_skipped_on_append_failure(spark, tmp_path):
     txpair.contract_gate(tbl, base)  # must NOT raise
 
 
-def test_invalidate_contract_unsticks_rewritten_table(spark, tmp_path):
-    """A table rewritten in place with a different schema at the same
-    path strands the process-wide cache on the old contract;
-    invalidate_contract(path) is the hook that unsticks it."""
+def test_overwrite_auto_invalidates_contract_cache(spark, tmp_path):
+    """An in-process schema rewrite (TxTable.overwrite) must not
+    strand the process-wide contract cache: txlog's ON_REWRITE hook
+    calls invalidate_contract automatically, so the next gate reads
+    the fresh schema instead of falsely refusing until restart. The
+    manual hook remains for OUT-OF-BAND rewrites (another process) —
+    simulated here by re-planting a stale cache entry."""
     from eeg_data_lake_spark.streaming import txpair
 
     path = os.path.join(str(tmp_path), "rewrite")
@@ -280,11 +283,19 @@ def test_invalidate_contract_unsticks_rewritten_table(spark, tmp_path):
     tbl.append(spark.createDataFrame([(1, "a")], "doc_id bigint, v string"))
     base = spark.createDataFrame([(2, "b")], "doc_id bigint, v string")
     txpair.contract_gate(tbl, base)  # cache the old contract
+    wide_schema = txpair._CONTRACT_SCHEMAS[path]
 
     slim = spark.createDataFrame([(9,)], "doc_id bigint")
-    tbl.overwrite(slim)  # table legitimately rewritten at the same path
-    with pytest.raises(ValueError, match="dropped"):
-        txpair.contract_gate(tbl, slim)  # stale cache falsely refuses
-    txpair.invalidate_contract(path)
+    tbl.overwrite(slim)  # rewrite fires ON_REWRITE -> cache dropped
+    assert path not in txpair._CONTRACT_SCHEMAS
     fold = txpair.contract_gate(tbl, slim)  # fresh read: passes
+    fold()
+
+    # out-of-band rewrite (no in-process overwrite): stale entry
+    # refuses until the manual hook clears it
+    txpair._CONTRACT_SCHEMAS[path] = wide_schema
+    with pytest.raises(ValueError, match="dropped"):
+        txpair.contract_gate(tbl, slim)
+    txpair.invalidate_contract(path)
+    fold = txpair.contract_gate(tbl, slim)
     fold()
