@@ -102,3 +102,34 @@ def test_r47_dsir_enriches_target_domain(spark, sf_dir):
     # log-weights arrive in selection order: non-increasing
     ws = [r.dsir_logweight for r in rows]
     assert all(a >= b for a, b in zip(ws, ws[1:]))
+
+
+def test_pack_token_shards_invariant_to_sort_parallelism(spark):
+    """pack_token_shards' docstring claims ANY n_parts yields
+    bit-identical shards (integer token sums don't care where range-
+    partition boundaries fall) — pin it directly: per-key shard
+    assignments must match across n_parts 1 / 3 / 16, including keys
+    that tie in token count and partitions that come out empty."""
+    import random
+
+    from eeg_data_lake_spark.workload.curation import pack_token_shards
+
+    rng = random.Random(11)
+    rows = [
+        (f"{i:04d}-{rng.randint(0, 9)}", rng.choice([1, 7, 50, 50, 213]))
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(rows, "key string, n_tok long")
+
+    def assign(n_parts):
+        return {
+            r["key"]: r["shard_id"]
+            for r in pack_token_shards(
+                d, shard_tokens=500, n_parts=n_parts
+            ).collect()
+        }
+
+    base = assign(1)
+    assert len(base) == 400
+    for n in (3, 16):
+        assert assign(n) == base, n
