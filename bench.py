@@ -224,13 +224,18 @@ def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     out: dict[str, float | None] = {}
-    for name in HEADLINE:
-        oracle = REGISTRY[name].oracle
-        if not oracle:
-            out[name] = None
-            continue
-        best: float | None = None
-        for _ in range(PASSES):
+    # serpentine here too: the DuckDB phase is as multi-minute as the
+    # Spark one, so fixed order would couple each oracle's samples to
+    # the same wall-clock band — the exact artifact the Spark loop's
+    # reversal exists to break (the round-9 bisect; see module
+    # docstring). Both engines get the same treatment, per-pass.
+    best: dict[str, float] = {}
+    for p in range(PASSES):
+        for name in (HEADLINE if p % 2 == 0 else reversed(HEADLINE)):
+            oracle = REGISTRY[name].oracle
+            if not oracle:
+                out[name] = None
+                continue
             con = duckdb.connect()
             for tbl in tables:
                 con.sql(
@@ -242,13 +247,13 @@ def _duckdb_timings(sf_dir: str) -> dict[str, float | None]:
             try:
                 con.sql(oracle).fetchall()
                 wall = round(time.perf_counter() - t0, 3)
-                best = wall if best is None else min(best, wall)
+                best[name] = min(best.get(name, wall), wall)
             except Exception:
                 pass  # interrupted (timeout) or unsupported
             finally:
                 timer.cancel()
                 con.close()
-        out[name] = best
+            out[name] = best.get(name)
     return out
 
 

@@ -58,26 +58,64 @@ def _plan_key(df: DataFrame) -> int | None:
         return None
 
 
-def _stats_distinct_bound(df: DataFrame, value: str) -> int | None:
-    """An UPPER bound on the largest per-key distinct-value count,
-    read from the optimized plan's statistics WITHOUT running a job —
-    the catalog-stats fast path of the "auto" policy. Two bounds, the
-    tighter wins:
+#: optimized-plan node classes through which catalog statistics pass
+#: UNSCALED: a bare relation serves its ANALYZE numbers verbatim, a
+#: Project neither filters rows nor rescales column stats. Anything
+#: else (Filter, Join, Aggregate, Sample, ...) runs Catalyst's
+#: ESTIMATION (FilterEstimation scales ndv/rowCount by estimated
+#: selectivity), which can land BELOW the true count — no longer an
+#: upper bound, so the fast path must bail to the HLL pre-pass.
+_STATS_SAFE_NODES = frozenset(
+    {"Project", "LogicalRelation", "HiveTableRelation", "SubqueryAlias"}
+)
+
+
+def _stats_plan_is_unscaled(jplan) -> bool:
+    """True iff every node of the optimized plan is one through which
+    catalog stats pass verbatim (see _STATS_SAFE_NODES)."""
+    name = jplan.getClass().getSimpleName()
+    if name not in _STATS_SAFE_NODES:
+        return False
+    it = jplan.children().iterator()
+    while it.hasNext():
+        if not _stats_plan_is_unscaled(it.next()):
+            return False
+    return True
+
+
+def _stats_distinct_bound(df: DataFrame, value: str) -> tuple[int | None, bool]:
+    """(bound, is_ndv): an UPPER bound on the largest per-key
+    distinct-value count, read from the optimized plan's statistics
+    WITHOUT running a job — the catalog-stats fast path of the "auto"
+    policy. ``is_ndv`` tells the caller whether the bound came from
+    the ``value`` column's distinct count (tight enough to ROUTE on)
+    or only from rowCount (safe for the <= threshold short-circuit,
+    too loose to justify skipping the HLL pre-pass beyond it). Two
+    sources, the tighter wins:
 
     - the ``value`` column's ndv from ``ANALYZE TABLE ... COMPUTE
       STATISTICS FOR COLUMNS`` (per-key distincts can't exceed the
       global distinct count);
     - the plan's rowCount (distinct values can't exceed rows).
 
-    Both propagate into plan statistics only under
-    ``spark.sql.cbo.enabled`` (probed on this Spark version:
-    planStats.enabled alone does not) and only for catalog tables
-    that were ANALYZEd — a bare path read yields None and the caller
-    falls back to the HLL pre-pass. py4j plan access is best-effort (None on any drift),
-    mirroring ``_plan_key``."""
+    The upper-bound claim only holds when the stats pass through the
+    plan UNSCALED — bare scan / Project shapes. Under a Filter or
+    Join, Catalyst's estimation multiplies ndv/rowCount by an
+    estimated selectivity that can undershoot reality, so those plans
+    return (None, False) and the caller runs the pre-pass. Stats
+    propagate only under ``spark.sql.cbo.enabled`` (probed on this
+    Spark version: planStats.enabled alone does not) and only for
+    ANALYZEd catalog tables — a bare path read also yields None.
+    py4j plan access is best-effort (None on any drift), mirroring
+    ``_plan_key``. The name match is case-insensitive, following
+    Spark's default column resolution."""
     try:
-        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        jplan = df._jdf.queryExecution().optimizedPlan()
+        if not _stats_plan_is_unscaled(jplan):
+            return None, False
+        jstats = jplan.stats()
         bound: int | None = None
+        is_ndv = False
         rc = jstats.rowCount()
         if rc.isDefined():
             # py4j may hand the scala BigInt back as a Python int or
@@ -86,15 +124,16 @@ def _stats_distinct_bound(df: DataFrame, value: str) -> int | None:
         it = jstats.attributeStats().iterator()
         while it.hasNext():
             kv = it.next()
-            if kv._1().name() == value:
+            if kv._1().name().lower() == value.lower():
                 dc = kv._2().distinctCount()
                 if dc.isDefined():
                     ndv = int(str(dc.get()))
-                    bound = ndv if bound is None else min(bound, ndv)
+                    if bound is None or ndv <= bound:
+                        bound, is_ndv = ndv, True
                 break
-        return bound
+        return bound, is_ndv
     except Exception:
-        return None
+        return None, False
 
 
 def _auto_value_buckets(
@@ -105,14 +144,18 @@ def _auto_value_buckets(
     1. streaming input → single-window (None), decided lazily: an
        eager estimator action would raise AnalysisException on a
        streaming DataFrame (round-8 ADVICE guard).
-    2. catalog statistics (``_stats_distinct_bound``), NO job: if the
-       stats bound says distincts ≤ ``threshold``, single-window is
-       provably right; if the ``value`` column's ndv itself exceeds
-       ``threshold``, route bucketed (stats can't see the per-key
-       split, so this can over-route a many-key input to the bucketed
-       branch — costing only the boundary-sketch stages, never
-       correctness). At 100 TB this path replaces a full extra scan
-       of the value column with a catalog lookup.
+    2. catalog statistics (``_stats_distinct_bound``), NO job, and
+       only for plans where stats pass through UNSCALED (bare scan /
+       Project — never under Filter/Join estimation): if the bound
+       says distincts ≤ ``threshold``, single-window is provably
+       right regardless of which source produced it; beyond the
+       threshold only the ``value`` column's own ndv routes bucketed
+       (stats can't see the per-key split, so this can over-route a
+       many-key input — costing only the boundary-sketch stages,
+       never correctness), while a rowCount-only bound is too loose
+       to route on and falls through to the pre-pass. At 100 TB the
+       hit path replaces a full extra scan of the value column with
+       a catalog lookup.
     3. the HLL pre-pass: estimate the largest per-key distinct count
        with one cheap action (column-pruned scan + partial HLL,
        |keys| rows shuffled). Because it is a separate action it
@@ -134,10 +177,12 @@ def _auto_value_buckets(
     if pk is not None and memo_key in _AUTO_CACHE:
         return _AUTO_CACHE[memo_key]
     decision: int | None = None
-    bound = _stats_distinct_bound(df, value)
-    if bound is not None:
-        # no job ran: provably single-window when <= threshold;
-        # beyond it the bound is the upper-bound routing heuristic
+    bound, is_ndv = _stats_distinct_bound(df, value)
+    if bound is not None and (bound <= threshold or is_ndv):
+        # no job ran: provably single-window when <= threshold (any
+        # source); beyond it only the column's own ndv is tight
+        # enough to route bucketed — a rowCount-only bound above the
+        # threshold says nothing about distincts and falls through
         est: int | None = bound
     else:
         est = (

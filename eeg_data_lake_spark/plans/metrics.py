@@ -125,13 +125,22 @@ def measure_shuffle(
     measuring (pytest's serial execution satisfies this). Skipped
     stages (reused exchanges) contribute nothing new — exactly the
     accounting a budget wants."""
+    new = _new_stage_metrics(spark, action)
+    return sum(v[0] for v in new), sum(v[1] for v in new)
+
+
+def _new_stage_metrics(
+    spark: SparkSession, action: Callable[[], object]
+) -> list[tuple[int, int, int, int]]:
+    """The shared snapshot-diff core of measure_shuffle/measure_spill:
+    run ``action()`` and return the metric tuples of stages that
+    appeared (or re-attempted) during it — stage-keyed, so eviction of
+    pre-action stages from the status store never skews the diff. One
+    implementation so a future accounting fix cannot land one-sided."""
     before = _stage_shuffle_map(spark)
     action()
     after = _stage_shuffle_map(spark)
-    new = [v for k, v in after.items() if k not in before]
-    tot_b = sum(v[0] for v in new)
-    tot_r = sum(v[1] for v in new)
-    return tot_b, tot_r
+    return [v for k, v in after.items() if k not in before]
 
 
 def measure_spill(
@@ -146,8 +155,5 @@ def measure_spill(
     sort/agg spill, so those tests force it via the SQL spill
     thresholds and assert HERE that a spill actually happened while
     the oracle hash stays green."""
-    before = _stage_shuffle_map(spark)
-    action()
-    after = _stage_shuffle_map(spark)
-    new = [v for k, v in after.items() if k not in before]
+    new = _new_stage_metrics(spark, action)
     return sum(v[2] for v in new), sum(v[3] for v in new)

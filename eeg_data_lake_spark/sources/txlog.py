@@ -275,8 +275,9 @@ class _LogState:
 
 
 #: callbacks invoked with the table PATH after any commit that can
-#: REWRITE schema-visible state in place (overwrite — upsert can't:
-#: its unionByName requires the update schema to match): higher
+#: REWRITE schema-visible state in place: overwrite (arbitrary new
+#: schema) and upsert (unionByName's implicit type promotion can
+#: widen column types when the updates frame is wider-typed). Higher
 #: layers register cache invalidators here (streaming/txpair.py's
 #: contract-schema cache) without this module importing them —
 #: listeners must be idempotent and never raise.
@@ -674,9 +675,15 @@ class TxTable:
             updates, keys, "left_anti"
         )
         merged = survivors.unionByName(updates)
-        return self._commit(
+        v = self._commit(
             self._write_data(merged), state.files, txn_id, "upsert"
         )
+        # unionByName type promotion means an upsert CAN rewrite the
+        # table's schema in place (int updates column vs bigint table
+        # → merged files land widened) — same invalidation need as
+        # overwrite
+        _notify_rewrite(self.path)
+        return v
 
     def read(
         self,

@@ -72,7 +72,11 @@ from eeg_data_lake_spark.sources.indexproj import (
     index_frames,
 )
 from eeg_data_lake_spark.sources.txlog import TxTable, maybe_compact
-from eeg_data_lake_spark.streaming.txpair import chained_commit
+from eeg_data_lake_spark.streaming.txpair import (
+    batch_txn,
+    chained_commit,
+    index_txn,
+)
 
 
 @dataclass(frozen=True)
@@ -279,6 +283,16 @@ def resolved_batch_writer(
             backfill_settled = (
                 e_tbl.version() >= 0 and p_tbl.version() >= 0
             )
+        # full-replay short-circuit: a crash-restarted batch whose
+        # THREE legs all committed would otherwise pay the eager
+        # augment checkpoint below for zero work (chained_commit would
+        # no-op every leg anyway)
+        if (
+            table.has_txn(batch_txn(sink_id, batch_id))
+            and e_tbl.has_txn(index_txn(sink_id, "edges", batch_id))
+            and p_tbl.has_txn(index_txn(sink_id, "post", batch_id))
+        ):
+            return
         # the augmented batch feeds THREE independent actions (the
         # corpus append, the member join-back inside edge_rows, and
         # the groups derivation) — without materialization each one

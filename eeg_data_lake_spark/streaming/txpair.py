@@ -69,23 +69,38 @@ _CONTRACT_SCHEMAS: dict[str, object] = {}
 def invalidate_contract(path: str) -> None:
     """Drop ``path``'s cached contract schema so the next gate re-reads
     it from the table. Wired automatically: txlog notifies ON_REWRITE
-    after every overwrite commit (the one op that can rewrite a
-    table's schema in place at the same path), so an in-process
-    rewrite can never strand the gate on a stale contract. The public
-    hook remains for out-of-band rewrites (another process replacing
-    the files)."""
+    after every overwrite and upsert commit (the ops that can rewrite
+    a table's schema in place at the same path — upsert via
+    unionByName's type promotion), so an in-process rewrite can never
+    strand the gate on a stale contract. The public hook remains for
+    out-of-band rewrites (another process replacing the files)."""
     _CONTRACT_SCHEMAS.pop(path, None)
 
 
-# in-process overwrites invalidate the contract cache automatically;
-# registration at import time is idempotent across reloads by name
+def _contract_rewrite_listener(path: str) -> None:
+    """The ON_REWRITE callback, indirected through sys.modules so a
+    reloaded txpair is still invalidated correctly: a listener bound
+    to THIS module object would keep popping from the pre-reload
+    _CONTRACT_SCHEMAS dict while gates populate the fresh one."""
+    import sys
+
+    mod = sys.modules.get(__name__)
+    if mod is not None:
+        mod._CONTRACT_SCHEMAS.pop(path, None)
+    else:  # torn-down interpreter edge: fall back to this closure
+        _CONTRACT_SCHEMAS.pop(path, None)
+
+
+# in-process schema rewrites (overwrite / type-promoting upsert)
+# invalidate the contract cache automatically; registration is
+# idempotent across reloads by name
 from eeg_data_lake_spark.sources import txlog as _txlog
 
 if not any(
-    getattr(fn, "__name__", "") == "invalidate_contract"
+    getattr(fn, "__name__", "") == "_contract_rewrite_listener"
     for fn in _txlog.ON_REWRITE
 ):
-    _txlog.ON_REWRITE.append(invalidate_contract)
+    _txlog.ON_REWRITE.append(_contract_rewrite_listener)
 
 
 def contract_gate(target: TxTable, df: DataFrame):

@@ -263,8 +263,6 @@ def test_auto_policy_routes_from_catalog_stats_without_a_job(
     catalog already knows the answer. DataFrame.first (the pre-pass's
     only action) is patched to explode, so any job attempt fails the
     test; routing decisions must match the estimator's."""
-    import pyspark.sql as pssql
-
     from eeg_data_lake_spark.operators import percentiles as P
 
     tname = "pct_stats_tbl"
@@ -282,12 +280,24 @@ def test_auto_policy_routes_from_catalog_stats_without_a_job(
     spark.catalog.refreshTable(tname)
     try:
         df = spark.table(tname)
-        bound = P._stats_distinct_bound(df, "v")
-        assert bound is not None and 400 <= bound <= 402
+        bound, is_ndv = P._stats_distinct_bound(df, "v")
+        assert is_ndv and bound is not None and 400 <= bound <= 402
+        # case-insensitive resolution, like the rest of the operator
+        bound_uc, is_ndv_uc = P._stats_distinct_bound(df, "V")
+        assert (bound_uc, is_ndv_uc) == (bound, is_ndv)
+        # a FILTERED plan re-scales stats by estimated selectivity --
+        # no longer an upper bound, so the fast path must bail
+        assert P._stats_distinct_bound(df.filter("v > 1"), "v") == (
+            None,
+            False,
+        )
 
         P._AUTO_CACHE.clear()
+        # patch the CONCRETE class instances actually carry (Spark 4:
+        # pyspark.sql.classic), else the patch never intercepts and
+        # the no-job assertions are vacuous
         monkeypatch.setattr(
-            pssql.DataFrame,
+            type(spark.range(1)),
             "first",
             lambda self: (_ for _ in ()).throw(
                 AssertionError("auto policy ran the pre-pass job")
@@ -296,8 +306,20 @@ def test_auto_policy_routes_from_catalog_stats_without_a_job(
         # below threshold -> single-window, decided from stats alone
         assert P._auto_value_buckets(df, "k", "v", 1000) is None
         # above threshold -> bucketed at session width, still no job
+        # (the bound came from the column's ndv, tight enough to route)
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         assert P._auto_value_buckets(df, "k", "v", 100) == width
+        # rowCount-only bound ABOVE the threshold must NOT route
+        # bucketed -- it says nothing about distincts; the policy
+        # falls through to the pre-pass (which here explodes loudly)
+        P._AUTO_CACHE.clear()
+        monkeypatch.setattr(
+            P, "_stats_distinct_bound", lambda df, v: (401, False)
+        )
+        with pytest.raises(AssertionError, match="pre-pass"):
+            P._auto_value_buckets(df, "k", "v", 100)
+        # ...while the same loose bound below threshold short-circuits
+        assert P._auto_value_buckets(df, "k", "v", 1000) is None
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prior)
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
@@ -308,12 +330,10 @@ def test_auto_policy_streaming_input_stays_lazy(spark, tmp_path, monkeypatch):
     """A streaming DataFrame must route single-window WITHOUT any
     eager action (the estimator's .first() would raise
     AnalysisException on a stream)."""
-    import pyspark.sql as pssql
-
     from eeg_data_lake_spark.operators import percentiles as P
 
     monkeypatch.setattr(
-        pssql.DataFrame,
+        type(spark.range(1)),
         "first",
         lambda self: (_ for _ in ()).throw(
             AssertionError("auto policy ran an action on a stream")
@@ -336,7 +356,7 @@ def test_auto_cache_evicts_oldest_not_everything(monkeypatch):
 
     monkeypatch.setattr(P, "_AUTO_CACHE_MAX", 3)
     monkeypatch.setattr(P, "_AUTO_CACHE", {})
-    monkeypatch.setattr(P, "_stats_distinct_bound", lambda df, v: 1)
+    monkeypatch.setattr(P, "_stats_distinct_bound", lambda df, v: (1, True))
 
     class FakeDF:
         isStreaming = False
