@@ -107,9 +107,24 @@ def _stats_distinct_bound(df: DataFrame, value: str) -> tuple[int | None, bool]:
     Spark version: planStats.enabled alone does not) and only for
     ANALYZEd catalog tables — a bare path read also yields None.
     py4j plan access is best-effort (None on any drift), mirroring
-    ``_plan_key``. The name match is case-insensitive, following
-    Spark's default column resolution."""
+    ``_plan_key``. The name match follows the session's
+    ``spark.sql.caseSensitive`` conf, like Spark's own column
+    resolution (exact under case-sensitive sessions, else
+    case-insensitive).
+
+    Note the bound is only as exact as its source: catalog ndv from
+    ANALYZE is itself an HLL approximation, so "upper bound" means
+    upper bound on the ESTIMATE's error class — same class as the
+    HLL pre-pass, minus the extra scan — not a hard count. Routing
+    tolerance covers that (both branches are bit-identical)."""
     try:
+        case_sensitive = (
+            str(
+                df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+            ).lower()
+            == "true"
+        )
+        want = value if case_sensitive else value.lower()
         jplan = df._jdf.queryExecution().optimizedPlan()
         if not _stats_plan_is_unscaled(jplan):
             return None, False
@@ -124,7 +139,8 @@ def _stats_distinct_bound(df: DataFrame, value: str) -> tuple[int | None, bool]:
         it = jstats.attributeStats().iterator()
         while it.hasNext():
             kv = it.next()
-            if kv._1().name().lower() == value.lower():
+            got = kv._1().name()
+            if (got if case_sensitive else got.lower()) == want:
                 dc = kv._2().distinctCount()
                 if dc.isDefined():
                     ndv = int(str(dc.get()))
@@ -147,8 +163,10 @@ def _auto_value_buckets(
     2. catalog statistics (``_stats_distinct_bound``), NO job, and
        only for plans where stats pass through UNSCALED (bare scan /
        Project — never under Filter/Join estimation): if the bound
-       says distincts ≤ ``threshold``, single-window is provably
-       right regardless of which source produced it; beyond the
+       says distincts ≤ ``threshold``, single-window is right
+       (approximately — catalog ndv from ANALYZE is itself an HLL
+       estimate, the same error class as the pre-pass, minus the
+       scan) regardless of which source produced it; beyond the
        threshold only the ``value`` column's own ndv routes bucketed
        (stats can't see the per-key split, so this can over-route a
        many-key input — costing only the boundary-sketch stages,
@@ -179,10 +197,12 @@ def _auto_value_buckets(
     decision: int | None = None
     bound, is_ndv = _stats_distinct_bound(df, value)
     if bound is not None and (bound <= threshold or is_ndv):
-        # no job ran: provably single-window when <= threshold (any
-        # source); beyond it only the column's own ndv is tight
-        # enough to route bucketed — a rowCount-only bound above the
-        # threshold says nothing about distincts and falls through
+        # no job ran: <= threshold routes single-window (any source;
+        # approximately — catalog ndv is an HLL estimate, same error
+        # class as the pre-pass below); beyond it only the column's
+        # own ndv is tight enough to route bucketed — a rowCount-only
+        # bound above the threshold says nothing about distincts and
+        # falls through
         est: int | None = bound
     else:
         est = (

@@ -286,12 +286,22 @@ def resolved_batch_writer(
         # full-replay short-circuit: a crash-restarted batch whose
         # THREE legs all committed would otherwise pay the eager
         # augment checkpoint below for zero work (chained_commit would
-        # no-op every leg anyway)
-        if (
-            table.has_txn(batch_txn(sink_id, batch_id))
-            and e_tbl.has_txn(index_txn(sink_id, "edges", batch_id))
-            and p_tbl.has_txn(index_txn(sink_id, "post", batch_id))
-        ):
+        # no-op every leg anyway). The probes are threaded into
+        # chained_commit as known_committed so the common (non-replay)
+        # path pays each table's txlog replay ONCE per trigger, not
+        # twice (round-9 ADVICE)
+        txns = {
+            batch_txn(sink_id, batch_id): table.has_txn(
+                batch_txn(sink_id, batch_id)
+            ),
+            index_txn(sink_id, "edges", batch_id): e_tbl.has_txn(
+                index_txn(sink_id, "edges", batch_id)
+            ),
+            index_txn(sink_id, "post", batch_id): p_tbl.has_txn(
+                index_txn(sink_id, "post", batch_id)
+            ),
+        }
+        if all(txns.values()):
             return
         # the augmented batch feeds THREE independent actions (the
         # corpus append, the member join-back inside edge_rows, and
@@ -343,6 +353,7 @@ def resolved_batch_writer(
             [(e_tbl, edge_rows, "edges"), (p_tbl, posting_rows, "post")],
             sink_id,
             batch_id,
+            known_committed=txns,
         )
 
     return process

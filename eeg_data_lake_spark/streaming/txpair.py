@@ -233,6 +233,7 @@ def chained_commit(
     legs: list[tuple[TxTable, DataFrame | Callable[[], DataFrame], str]],
     sink_id: str,
     batch_id: int,
+    known_committed: dict[str, bool] | None = None,
 ) -> None:
     """The pair discipline generalized to one corpus + N index legs,
     committed in the FIXED order given: corpus first under
@@ -256,14 +257,30 @@ def chained_commit(
       (``existing.doc_id < candidate.doc_id`` is unaffected by the
       batch's own minima being present, a row never compares
       strictly-less than itself).
+
+    ``known_committed`` lets a caller that already probed some legs'
+    txn ids THIS trigger (e.g. a full-replay short-circuit) pass the
+    results in, so the common path doesn't pay a second txlog replay
+    per table. Sound under the same single-writer-per-sink assumption
+    the probe→append window already relies on: within one trigger
+    nothing else commits this batch's txn ids, so a flag probed
+    moments earlier in the same invocation is exactly as fresh as a
+    re-probe here would be. Ids absent from the dict fall back to a
+    live ``has_txn``.
     """
-    if not table.has_txn(batch_txn(sink_id, batch_id)):
+
+    def committed(tbl: TxTable, txn: str) -> bool:
+        if known_committed is not None and txn in known_committed:
+            return known_committed[txn]
+        return tbl.has_txn(txn)
+
+    if not committed(table, batch_txn(sink_id, batch_id)):
         df = corpus_df() if callable(corpus_df) else corpus_df
         fold = contract_gate(table, df)
         table.append(df, txn_id=batch_txn(sink_id, batch_id))
         fold()
     for idx, rows, tag in legs:
-        if not idx.has_txn(index_txn(sink_id, tag, batch_id)):
+        if not committed(idx, index_txn(sink_id, tag, batch_id)):
             df = rows() if callable(rows) else rows
             fold = contract_gate(idx, df)
             idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))

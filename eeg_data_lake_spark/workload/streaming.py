@@ -1695,6 +1695,7 @@ def z41_streaming_simhash_maintained(
     stream_resolved_ingest(
         spark, src, schema, tbl, ck, sink_id="z41",
         family=fam, bucketed_base=base, maintain=True,
+        vacuum_keep_versions=2,
     )
     return (
         resolve_accepted(tbl)
@@ -1788,7 +1789,7 @@ def z42_streaming_curated_shard_packing(
     os.rename(held, os.path.join(src, "batch_2.parquet"))
     stream_curation_ingest(
         spark, src, schema, tbl, ck, sink_id="z42",
-        bucketed_base=base, maintain=True,
+        bucketed_base=base, maintain=True, vacuum_keep_versions=2,
     )
     train = (
         curated_docs(tbl)
