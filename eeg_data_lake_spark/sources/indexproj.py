@@ -214,6 +214,69 @@ def compact_index(
     return refreshed
 
 
+def gc_projections(
+    spark: SparkSession,
+    prefix: str,
+    keep_bases: Sequence[str] = (),
+) -> list[str]:
+    """Drop every projection catalog table named
+    ``{prefix}<suffix>_v<N>`` whose base is not in ``keep_bases`` —
+    the reclaim hook for query wrappers that mint a fresh
+    per-invocation base (``z39m_<uuid>`` style): ``bucketize_index``
+    drops only superseded VERSIONS of the same base, so without this
+    every invocation (a bench loop, a parity sweep) leaves one live
+    projection + warehouse directory behind forever.
+
+    Provenance-gated like the orphan reclaim in sources/bucketed.py:
+    a table is dropped only when its warehouse directory carries the
+    ``MARKER_FILE`` our bucketed writer stamps (or the location
+    cannot be resolved to a local path at all — then DROP TABLE is
+    the only cleanup available and the catalog entry was created this
+    session anyway). An unmarked local directory at a matching name
+    is somebody else's data: skipped, with a warning. Returns the
+    dropped table names."""
+    import os
+    import warnings
+    from urllib.parse import urlparse
+
+    from pyspark.errors import AnalysisException
+
+    from eeg_data_lake_spark.sources.bucketed import MARKER_FILE
+
+    pat = re.compile(rf"{re.escape(prefix)}[0-9a-z]+_v\d+")
+    keep = {f"{b}_v" for b in keep_bases}
+    dropped: list[str] = []
+    for tbl in spark.catalog.listTables():
+        if not pat.fullmatch(tbl.name):
+            continue
+        if any(tbl.name.startswith(k) for k in keep):
+            continue
+        loc_path: str | None = None
+        try:
+            loc = urlparse(
+                spark.sql(f"DESCRIBE TABLE EXTENDED {tbl.name}")
+                .filter("col_name = 'Location'")
+                .collect()[0][1]
+            )
+            if loc.scheme in ("", "file"):
+                loc_path = loc.path
+        except (AnalysisException, IndexError):
+            pass  # dropped-under-us / no Location row: fall through
+        if loc_path is not None and os.path.isdir(loc_path) and not (
+            os.path.exists(os.path.join(loc_path, MARKER_FILE))
+        ):
+            warnings.warn(
+                f"gc_projections: {tbl.name!r} matches prefix "
+                f"{prefix!r} but its directory carries no provenance "
+                f"marker — skipping (not ours to drop)",
+                stacklevel=2,
+            )
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        dropped.append(tbl.name)
+    return dropped
+
+
 def newest_projection(
     spark: SparkSession, base: str
 ) -> tuple[str, int] | None:

@@ -887,11 +887,13 @@ def z40_streaming_chunk_maintained(
     bucketize/compaction/vacuum churn proven output-invisible under
     the driver's hash check.
 
-    The catalog projection (`z40m_<uuid>_v{N}`) lives for the
-    process, like the scratch corpus dirs (_scratch_dir note)."""
+    The catalog projection (`z40m_<uuid>_v{N}`) is reclaimed at the
+    START of the next invocation (gc_projections): the terminal report reads only the
+    txlog tables."""
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.chunkdedup import (
         bucketize_chunk_index,
@@ -917,6 +919,10 @@ def z40_streaming_chunk_maintained(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z40m_")
     base = f"z40m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, payload binary"

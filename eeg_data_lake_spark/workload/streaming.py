@@ -1242,12 +1242,14 @@ def z34_streaming_curation_maintained(
     query shares z20's complete CTE oracle verbatim (same rows, same
     hash, with compaction/vacuum/projection churn in the middle).
 
-    The catalog projection (`z34m_<uuid>_v{N}`) lives for the
-    process, like the scratch corpus dirs (_scratch_dir note);
-    superseded versions of the same base are dropped at refresh."""
+    The catalog projection (`z34m_<uuid>_v{N}`) is reclaimed at the
+    START of the next invocation (gc_projections): the terminal rollup reads only the
+    txlog tables; superseded versions of the same base are dropped at
+    refresh."""
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.curation import (
         bucketize_fp_index,
@@ -1265,6 +1267,10 @@ def z34_streaming_curation_maintained(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z34m_")
     base = f"z34m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, text string, lang string"
@@ -1293,6 +1299,7 @@ def z34_streaming_curation_maintained(
         sink_id="z34",
         bucketed_base=base,
         maintain=True,
+        vacuum_keep_versions=2,
     )
     return curated_rollup(tbl).orderBy("split", "lang")
 
@@ -1389,11 +1396,13 @@ def z38_streaming_minhash_maintained(
     the driver's hash check (the flat-probe shuffle budget itself is
     CI-pinned in tests/test_shuffle_budgets.py).
 
-    The catalog projection (`z38m_<uuid>_v{N}`) lives for the
-    process, like the scratch corpus dirs (_scratch_dir note)."""
+    The catalog projection (`z38m_<uuid>_v{N}`) is reclaimed at the
+    START of the next invocation (gc_projections): the terminal resolution reads only
+    the txlog tables."""
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.resolved import (
         bucketize_posting_index,
@@ -1411,6 +1420,10 @@ def z38_streaming_minhash_maintained(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z38m_")
     base = f"z38m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, text string, lang string"
@@ -1429,6 +1442,7 @@ def z38_streaming_minhash_maintained(
     stream_resolved_ingest(
         spark, src, schema, tbl, ck, sink_id="z38",
         family=fam, bucketed_base=base, maintain=True,
+        vacuum_keep_versions=2,
     )
     return (
         resolve_accepted(tbl)
@@ -1584,11 +1598,13 @@ def z39_streaming_exactsubstr_maintained(
     probe co-location itself is CI-pinned in
     tests/test_shuffle_budgets.py).
 
-    The catalog projection (`z39m_<uuid>_v{N}`) lives for the
-    process, like the scratch corpus dirs (_scratch_dir note)."""
+    The catalog projection (`z39m_<uuid>_v{N}`) is reclaimed at the
+    START of the next invocation (gc_projections): the terminal removal pass reads
+    only the txlog tables."""
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.exactsubstr import (
         bucketize_gram_index,
@@ -1602,6 +1618,10 @@ def z39_streaming_exactsubstr_maintained(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z39m_")
     base = f"z39m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, text string"
@@ -1655,11 +1675,13 @@ def z41_streaming_simhash_maintained(
     equal the batch answer, so this query shares z33's complete
     recursive-CTE oracle verbatim.
 
-    The catalog projection (`z41m_<uuid>_v{N}`) lives for the
-    process, like the scratch corpus dirs (_scratch_dir note)."""
+    The catalog projection (`z41m_<uuid>_v{N}`) is reclaimed at the
+    START of the next invocation (gc_projections): the terminal resolution reads only
+    the txlog tables."""
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.resolved import (
         bucketize_posting_index,
@@ -1677,6 +1699,10 @@ def z41_streaming_simhash_maintained(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z41m_")
     base = f"z41m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, text string, lang string"
@@ -1754,6 +1780,7 @@ def z42_streaming_curated_shard_packing(
     import os
     import uuid
 
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
     from eeg_data_lake_spark.sources.txlog import TxTable
     from eeg_data_lake_spark.streaming.curation import (
         bucketize_fp_index,
@@ -1773,6 +1800,10 @@ def z42_streaming_curated_shard_packing(
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 
     tbl = TxTable(spark, os.path.join(d, "corpus"))
+    # reclaim PRIOR runs' projections before minting this run's —
+    # without this a bench loop / parity sweep leaves one live
+    # catalog table + warehouse dir per invocation forever
+    gc_projections(spark, "z42m_")
     base = f"z42m_{uuid.uuid4().hex[:8]}"
     ck = os.path.join(d, "ck")
     schema = "doc_id bigint, text string, lang string"

@@ -701,3 +701,78 @@ def test_stream_ingest_maintain_flag_runs_the_compaction_cadence(
     assert v == idx.version()
     assert len(index_frames(idx, base)) == 1
     assert projection_buckets(spark, name) == 4
+
+
+def test_gc_projections_drops_by_prefix_and_respects_keep(spark, tmp_path):
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
+
+    pref = f"gcp{uuid.uuid4().hex[:6]}_"
+    base_a, base_b = f"{pref}aaaa", f"{pref}bbbb"
+    idx = TxTable(spark, str(tmp_path / "gidx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    name_a = bucketize_index(idx, base_a, ["k"], n_buckets=2)
+    name_b = bucketize_index(idx, base_b, ["k"], n_buckets=2)
+
+    # keep_bases protects the named base, everything else under the
+    # prefix goes
+    dropped = gc_projections(spark, pref, keep_bases=[base_b])
+    assert dropped == [name_a]
+    live = {t.name for t in spark.catalog.listTables()}
+    assert name_b in live and name_a not in live
+
+    # and a full sweep reclaims the kept one too
+    assert gc_projections(spark, pref) == [name_b]
+    assert name_b not in {t.name for t in spark.catalog.listTables()}
+
+
+def test_gc_projections_skips_unmarked_directories(spark, tmp_path):
+    import os
+    from urllib.parse import urlparse
+
+    from eeg_data_lake_spark.sources.bucketed import MARKER_FILE
+    from eeg_data_lake_spark.sources.indexproj import gc_projections
+
+    pref = f"gcu{uuid.uuid4().hex[:6]}_"
+    idx = TxTable(spark, str(tmp_path / "uidx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    name = bucketize_index(idx, pref + "cccc", ["k"], n_buckets=2)
+    loc = urlparse(
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter("col_name = 'Location'")
+        .collect()[0][1]
+    ).path
+    marker = os.path.join(loc, MARKER_FILE)
+    os.unlink(marker)
+    # provenance gone: the sweep must not destroy what it can't prove
+    # is ours
+    with pytest.warns(UserWarning, match="no provenance marker"):
+        assert gc_projections(spark, pref) == []
+    assert name in {t.name for t in spark.catalog.listTables()}
+    with open(marker, "w"):
+        pass
+    assert gc_projections(spark, pref) == [name]
+
+
+def test_maintained_wrapper_reclaims_prior_run_projections(spark, sf_dir):
+    """Running a maintained family twice leaves ONE live projection
+    (the second run's) — the gc-at-start hook reclaims the previous
+    invocation's catalog table instead of accumulating one per run."""
+    from eeg_data_lake_spark.workload import REGISTRY
+
+    fn = REGISTRY["z39_streaming_exactsubstr_maintained"].spark_fn
+    first = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    after_first = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("z39m_")
+    }
+    assert len(after_first) == 1
+    second = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    after_second = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("z39m_")
+    }
+    assert len(after_second) == 1
+    assert after_second != after_first  # the survivor is run 2's
+    assert second == first
