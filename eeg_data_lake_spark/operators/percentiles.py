@@ -24,6 +24,7 @@ controllable error — the step-1 shuffle shape is unchanged.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,6 +48,43 @@ AUTO_BUCKET_THRESHOLD = 4_000_000
 #: (bit-identical) cumulation — and the cache is size-capped.
 _AUTO_CACHE: dict[tuple, int | None] = {}
 _AUTO_CACHE_MAX = 256
+
+
+@dataclass(frozen=True)
+class PercentileRoute:
+    """The routing decision of one ``exact_percentiles`` call — the
+    observability record task-7 style operators need at scale: an
+    operator that silently chose the single-task window on a 100 TB
+    input is a debugging trap, so every call records WHICH path
+    decided (and on what evidence) where the caller can read it.
+
+    ``source``: ``forced`` (explicit value_buckets), ``streaming``
+    (lazy single-window — an eager estimate would raise on a
+    streaming frame), ``memo`` (cached decision for this analyzed
+    plan), ``stats`` (catalog statistics, no job), or ``prepass``
+    (the HLL estimate action). ``bound`` is the per-key
+    distinct-count evidence the decision used (None when no estimate
+    ran). ``value_buckets`` is the decision itself: None =
+    single-window cumulation, int = bucketed at that width."""
+
+    source: str
+    value_buckets: int | None
+    bound: int | None = None
+
+
+#: last call's routing record (read via ``last_route``). A plain
+#: module-level cell, not df.observe(): attaching a CollectMetrics
+#: node would change the returned plan (q10's plan pin reads it), and
+#: the record must be readable BEFORE any action runs. Per-process
+#: like the memo cache; concurrent driver threads see the most recent
+#: writer, which is the standard trade for debug counters.
+_LAST_ROUTE: PercentileRoute | None = None
+
+
+def last_route() -> PercentileRoute | None:
+    """The ``PercentileRoute`` of the most recent ``exact_percentiles``
+    call in this process (None before the first call)."""
+    return _LAST_ROUTE
 
 
 def _plan_key(df: DataFrame) -> int | None:
@@ -154,7 +192,7 @@ def _stats_distinct_bound(df: DataFrame, value: str) -> tuple[int | None, bool]:
 
 def _auto_value_buckets(
     df: DataFrame, key: str, value: str, threshold: int
-) -> int | None:
+) -> PercentileRoute:
     """The "auto" policy. Routing sources, tried in order:
 
     1. streaming input → single-window (None), decided lazily: an
@@ -187,13 +225,18 @@ def _auto_value_buckets(
     correctness. The estimate never materializes the heavy
     groupBy(key, value) shuffle, and the returned plan is
     byte-identical to the manually-selected form (q10's plan pin
-    inspects the returned DataFrame only)."""
+    inspects the returned DataFrame only).
+
+    Returns the full ``PercentileRoute`` (source + evidence +
+    decision), not just the bucket count, so the caller can surface
+    WHICH path decided — at 100 TB a silently-chosen single-task
+    window is a debugging trap."""
     if df.isStreaming:
-        return None
+        return PercentileRoute("streaming", None)
     pk = _plan_key(df)
     memo_key = (pk, key, value, threshold)
     if pk is not None and memo_key in _AUTO_CACHE:
-        return _AUTO_CACHE[memo_key]
+        return PercentileRoute("memo", _AUTO_CACHE[memo_key])
     decision: int | None = None
     bound, is_ndv = _stats_distinct_bound(df, value)
     if bound is not None and (bound <= threshold or is_ndv):
@@ -204,6 +247,7 @@ def _auto_value_buckets(
         # bound above the threshold says nothing about distincts and
         # falls through
         est: int | None = bound
+        source = "stats"
     else:
         est = (
             df.filter(F.col(value).isNotNull())
@@ -212,6 +256,7 @@ def _auto_value_buckets(
             .agg(F.max("_d"))
             .first()[0]
         )
+        source = "prepass"
     if est is not None and est > threshold:
         decision = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -222,7 +267,7 @@ def _auto_value_buckets(
             # instead of dropping every warm entry at once
             _AUTO_CACHE.pop(next(iter(_AUTO_CACHE)))
         _AUTO_CACHE[memo_key] = decision
-    return decision
+    return PercentileRoute(source, decision, est)
 
 
 def _bucketed_cumulative(
@@ -340,15 +385,20 @@ def exact_percentiles(
     # key), then rank only the non-NULL rows and left-join the full
     # key set back at the end. The key set is derived from the
     # already-tiny distinct-value relation, not from a second scan.
+    global _LAST_ROUTE
     if value_buckets == "auto":
-        value_buckets = _auto_value_buckets(
-            df, key, value, auto_bucket_threshold
-        )
+        route = _auto_value_buckets(df, key, value, auto_bucket_threshold)
+        value_buckets = route.value_buckets
     elif isinstance(value_buckets, str):
         raise ValueError(
             f"exact_percentiles: value_buckets must be 'auto', None, or an "
             f"int, got {value_buckets!r}"
         )
+    else:
+        route = PercentileRoute("forced", value_buckets)
+    # the routing decision is observable (last_route) — see
+    # PercentileRoute for why this is a record, not df.observe()
+    _LAST_ROUTE = route
     counted = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
     keys = counted.select(key).distinct()
     pc = counted.filter(F.col(value).isNotNull())

@@ -304,11 +304,15 @@ def test_auto_policy_routes_from_catalog_stats_without_a_job(
             ),
         )
         # below threshold -> single-window, decided from stats alone
-        assert P._auto_value_buckets(df, "k", "v", 1000) is None
+        route = P._auto_value_buckets(df, "k", "v", 1000)
+        assert route.value_buckets is None and route.source == "stats"
         # above threshold -> bucketed at session width, still no job
         # (the bound came from the column's ndv, tight enough to route)
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        assert P._auto_value_buckets(df, "k", "v", 100) == width
+        route = P._auto_value_buckets(df, "k", "v", 100)
+        assert route.value_buckets == width and route.source == "stats"
+        # the repeat is a memo hit, observable as such
+        assert P._auto_value_buckets(df, "k", "v", 100).source == "memo" 
         # rowCount-only bound ABOVE the threshold must NOT route
         # bucketed -- it says nothing about distincts; the policy
         # falls through to the pre-pass (which here explodes loudly)
@@ -319,7 +323,7 @@ def test_auto_policy_routes_from_catalog_stats_without_a_job(
         with pytest.raises(AssertionError, match="pre-pass"):
             P._auto_value_buckets(df, "k", "v", 100)
         # ...while the same loose bound below threshold short-circuits
-        assert P._auto_value_buckets(df, "k", "v", 1000) is None
+        assert P._auto_value_buckets(df, "k", "v", 1000).value_buckets is None
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prior)
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
@@ -345,7 +349,8 @@ def test_auto_policy_streaming_input_stays_lazy(spark, tmp_path, monkeypatch):
     ).write.parquet(sdir)
     stream = spark.readStream.schema("k string, v double").parquet(sdir)
     assert stream.isStreaming
-    assert P._auto_value_buckets(stream, "k", "v", 100) is None
+    route = P._auto_value_buckets(stream, "k", "v", 100)
+    assert route.value_buckets is None and route.source == "streaming"
 
 
 def test_auto_cache_evicts_oldest_not_everything(monkeypatch):
@@ -368,3 +373,39 @@ def test_auto_cache_evicts_oldest_not_everything(monkeypatch):
     monkeypatch.setattr(P, "_plan_key", lambda df: 3)
     P._auto_value_buckets(FakeDF(), "k", "v", 100)
     assert sorted(k[0] for k in P._AUTO_CACHE) == [1, 2, 3]
+
+
+def test_last_route_reports_each_path(spark):
+    """Every exact_percentiles call records its routing decision where
+    the caller can read it (last_route): at 100 TB an operator that
+    silently chose the single-task window is a debugging trap. The
+    stats / streaming / memo paths are asserted in their dedicated
+    tests above; this covers the public-API surface for the forced
+    and pre-pass paths plus the decision fields."""
+    from eeg_data_lake_spark.operators import percentiles as P
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(50)], "k string, v double"
+    )
+    # explicit selections record "forced" with the given decision
+    exact_percentiles(df, "k", "v", [0.5], value_buckets=None)
+    assert P.last_route() == P.PercentileRoute("forced", None)
+    exact_percentiles(df, "k", "v", [0.5], value_buckets=4)
+    assert P.last_route() == P.PercentileRoute("forced", 4)
+    # a bare createDataFrame plan has no catalog stats: auto runs the
+    # HLL pre-pass and records its evidence (~50 distincts) and the
+    # single-window decision
+    P._AUTO_CACHE.clear()
+    exact_percentiles(df, "k", "v", [0.5])
+    route = P.last_route()
+    assert route.source == "prepass"
+    assert route.value_buckets is None
+    assert 45 <= route.bound <= 55
+    # above-threshold pre-pass routes bucketed and says so
+    P._AUTO_CACHE.clear()
+    exact_percentiles(df, "k", "v", [0.5], auto_bucket_threshold=10)
+    route = P.last_route()
+    assert route.source == "prepass"
+    assert route.value_buckets == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
