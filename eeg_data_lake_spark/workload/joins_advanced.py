@@ -469,3 +469,45 @@ def r53_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_us="e",
         bin_us=30 * 60 * 1_000_000,
     )
+
+
+@register(
+    "r81_skew_aware_hot_key_join",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, avg(value) AS ty_avg FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*)               AS n_events,
+           round(sum(e.value), 2) AS total_value,
+           round(max(d.ty_avg), 6) AS ty_avg
+    FROM events e JOIN d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting", "auto-policy"),
+)
+def r81_skew_aware_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew auto-policy surfaced as a verified query: events
+    enriched with their type's mean value through
+    ``operators.skew.skew_aware_join``, which diagnoses the fact
+    side's key distribution (r59's numbers) and routes plain / salted
+    / AQE-trusted itself — q55 is the hand-wired salted form, this is
+    the policy doing the wiring. events.event_type is the honest
+    hot-key shape: ~5 uniform types means the hottest key holds ~n/5
+    rows, 6x an average reducer's share at 32 shuffle partitions, so
+    the diagnostic routes SALTED here (asserted in
+    tests/test_skew_policy.py) and the oracle is the PLAIN join —
+    hash-matching proves the policy's routing is invisible to
+    semantics at every scale. The per-type dim is broadcast-sized at
+    test SF; the policy targets the shuffle that exists when it
+    isn't."""
+    from eeg_data_lake_spark.operators.skew import skew_aware_join
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("ty_avg"))
+    joined = skew_aware_join(ev, dim, on=["event_type"], how="inner")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.max("ty_avg"), 6).alias("ty_avg"),
+    )
