@@ -25,3 +25,4 @@ from eeg_data_lake_spark.workload import curation  # noqa: F401
 from eeg_data_lake_spark.workload import stats  # noqa: F401
 from eeg_data_lake_spark.workload import formats  # noqa: F401
 from eeg_data_lake_spark.workload import analytics  # noqa: F401
+from eeg_data_lake_spark.workload import tpch_shapes  # noqa: F401
