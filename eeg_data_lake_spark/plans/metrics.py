@@ -157,3 +157,76 @@ def measure_spill(
     the oracle hash stays green."""
     new = _new_stage_metrics(spark, action)
     return sum(v[2] for v in new), sum(v[3] for v in new)
+
+
+def measure_sql_metric(
+    spark: SparkSession,
+    action: Callable[[], object],
+    metric_name: str,
+    node_name: str | None = None,
+) -> int:
+    """Run ``action()`` and sum the named SQL metric across the SQL
+    executions it produced — the per-OPERATOR counters the SQL tab
+    shows (e.g. ObjectHashAggregate's "number of sort fallback
+    tasks"), which stage-level spill counters can't see.
+
+    Needed because some alternate execution regimes leave no
+    stage-level trace at test scale: forcing
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold low
+    makes a collect_list aggregation run its SORT-BASED path (the
+    regime a memory-pressured 100 TB aggregation enters), but with
+    small groups the fallback sorter never actually hits disk, so
+    memoryBytesSpilled stays 0 — the operator metric is the honest
+    "regime was live" signal.
+
+    Matching: a plan-graph node participates when ``node_name`` is
+    None or a substring of the node's name, and its metric's NAME
+    contains ``metric_name``. Values are the UI's formatted strings
+    ("4", "0.0 B", "total (min, med, max ...)"): the leading integer
+    is taken, non-numeric-leading values are skipped. Same
+    execution-id snapshot diff as measure_shuffle, same
+    ShuffleMetricsUnavailable contract on JVM drift."""
+    import re
+
+    from py4j.protocol import Py4JError
+
+    def _exec_ids(store) -> set[int]:
+        ids = set()
+        lst = store.executionsList()
+        for i in range(lst.size()):
+            ids.add(lst.apply(i).executionId())
+        return ids
+
+    sc = spark.sparkContext
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        before = _exec_ids(store)
+        action()
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+        total = 0
+        for eid in _exec_ids(store) - before:
+            mets = store.executionMetrics(eid)
+            it = store.planGraph(eid).allNodes().iterator()
+            while it.hasNext():
+                node = it.next()
+                if node_name is not None and node_name not in node.name():
+                    continue
+                mit = node.metrics().iterator()
+                while mit.hasNext():
+                    m = mit.next()
+                    if metric_name not in m.name():
+                        continue
+                    opt = mets.get(m.accumulatorId())
+                    if not opt.isDefined():
+                        continue
+                    match = re.match(r"\s*([\d,]+)", str(opt.get()))
+                    if match:
+                        total += int(match.group(1).replace(",", ""))
+        return total
+    except Py4JError as exc:
+        raise ShuffleMetricsUnavailable(
+            "SQL metrics unavailable on this Spark version: the "
+            "SQLAppStatusStore internals (executionsList/planGraph/"
+            "executionMetrics) no longer match the expected "
+            f"signature — re-derive them against the new Spark ({exc})"
+        ) from exc

@@ -44,6 +44,16 @@ SPILL_SET = [
     # exact shape a memory-pressured 100 TB trigger would take
     "z29_streaming_exactsubstr_ingest",
     "z32_streaming_minhash_resolved",
+    # round-10: the dedup/packing heavy hitters (verdict task 6) —
+    # q33's posting-list plan is aggregate-only by design (no self-
+    # join to spill), so its forced regime is the ObjectHashAggregate
+    # sort-based fallback (profile + dedicated pin below); z35's
+    # two-phase packer runs the cumulative window + range shuffle the
+    # spill thresholds squeeze, and z42 is the same packer fed by the
+    # full maintained STREAMING drain
+    "q33_neardup_shingle_jaccard",
+    "z35_curated_shard_packing",
+    "z42_streaming_curated_shard_packing",
 ]
 
 
@@ -66,6 +76,15 @@ def spilly(spark):
     # actually on the plan to spill
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # object aggregates (collect_list/collect_set — q33's posting
+    # lists) keep at most 4 groups hashed, then run their SORT-BASED
+    # fallback path: the regime a memory-pressured 100 TB aggregation
+    # enters. At sf0.001 the fallback sorter never hits disk (groups
+    # are small), so its non-vacuousness pin reads the operator's
+    # "number of sort fallback tasks" metric, not spill bytes.
+    s2.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4"
+    )
     return s2
 
 
@@ -82,13 +101,25 @@ def test_oracle_parity_under_forced_spill(spilly, sf_dir, name):
     assert not problems, "\n".join(problems)
 
 
-def test_forced_spill_actually_spills(spilly, sf_dir):
-    """Non-vacuousness: under the profile, the heaviest window chain
-    records nonzero memory AND disk spill in the AppStatusStore —
-    without this pin the parity tests above could silently pass in
-    the ordinary in-memory regime (e.g. a threshold conf renamed by a
-    Spark bump and ignored)."""
-    e = REGISTRY["r67_cusum_changepoint"]
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the window-chain canary plus z35's packing window (round-10
+        # task 6): each family's spill must be REAL, not just its
+        # answer unchanged. q33 has its own regime pin below — its
+        # plan is aggregate-only, and the fallback sorter doesn't
+        # reach disk at this scale.
+        "r67_cusum_changepoint",
+        "z35_curated_shard_packing",
+    ],
+)
+def test_forced_spill_actually_spills(spilly, sf_dir, name):
+    """Non-vacuousness: under the profile, each pinned query records
+    nonzero memory AND disk spill in the AppStatusStore — without
+    this the parity tests above could silently pass in the ordinary
+    in-memory regime (e.g. a threshold conf renamed by a Spark bump
+    and ignored)."""
+    e = REGISTRY[name]
 
     def act():
         e.spark_fn(spilly, sf_dir).write.format("noop").mode(
@@ -101,3 +132,32 @@ def test_forced_spill_actually_spills(spilly, sf_dir):
         pytest.skip(str(exc))
     assert mem > 0, "no memory spill recorded — profile not in effect"
     assert disk > 0, "no disk spill recorded — profile not in effect"
+
+
+def test_q33_object_agg_runs_sort_fallback(spilly, sf_dir):
+    """q33's spillable surface is its collect_list posting-list
+    aggregate (the plan has no joins or windows — the posting-list
+    design exists to avoid them), so its forced regime is
+    ObjectHashAggregate's sort-based fallback. Non-vacuousness: the
+    operator's own "number of sort fallback tasks" metric must be
+    nonzero under the profile while the parity test above holds."""
+    from eeg_data_lake_spark.plans.metrics import measure_sql_metric
+
+    e = REGISTRY["q33_neardup_shingle_jaccard"]
+
+    def act():
+        e.spark_fn(spilly, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    try:
+        n = measure_sql_metric(
+            spilly, act, "number of sort fallback tasks",
+            node_name="ObjectHashAggregate",
+        )
+    except ShuffleMetricsUnavailable as exc:
+        pytest.skip(str(exc))
+    assert n > 0, (
+        "no ObjectHashAggregate task fell back to sort-based "
+        "aggregation — the forced-fallback profile is not in effect"
+    )
