@@ -26,27 +26,38 @@ module defers the accept decision instead:
    index's own frames, so the posting table holds one row per
    distinct key forever and probe fan-out never grows with corpus
    re-occurrences of a hot key.
+4. **Components leg** (round-10): the incrementally-maintained
+   connected-components state — the batch's committed edge delta
+   contracted through the current mapping, CC over that BATCH-sized
+   graph, changed (node, root) rows appended under min-semantics
+   (see ``components_table``). This turns the terminal resolution
+   from a multi-round CC over O(all edges ever) into a scan of the
+   flat mapping.
 
 Replay safety rides ``chained_commit``'s leg-order contract
 (streaming/txpair.py): the edges derivation probes the posting index,
 which is a LATER leg — provably absent this batch whenever the
-derivation (re-)runs — and the posting derivation probes only its OWN
-table, equally safe. No strictly-less tricks needed: every probe here
-is of an own/later index.
+derivation (re-)runs — the posting derivation probes only its OWN
+table, equally safe, and the components derivation reads COMMITTED
+edge rows (the edges leg lands strictly before it) plus its own
+table. No strictly-less tricks needed: every probe here is of an
+own/later index or committed bytes.
 
-**Terminal resolution** (``resolve_accepted``): connected components
-over the accumulated edge table, keep the min doc_id per component —
-order-independent by construction, so a duplicate whose smaller id
-arrives in a LATER batch still wins, exactly as the batch q48-style
-global minimum does. After the stream drains, the resolved set equals
-the batch computation row for row, which is what makes the registered
-z32/z33 queries fully oracle-backed (recursive-CTE components in
-DuckDB) even though the path is streaming.
+**Terminal resolution** (``resolve_accepted``): keep the min doc_id
+per component — order-independent by construction, so a duplicate
+whose smaller id arrives in a LATER batch still wins, exactly as the
+batch q48-style global minimum does. With the components state
+current this is a SCAN (every assertion row names a loser); a lagging
+state (crash before the comp leg's replay) completes itself with CC
+over assertions ∪ the uncovered edge delta only. After the stream
+drains, the resolved set equals the batch computation row for row,
+which is what makes the registered z32/z33 queries fully
+oracle-backed (recursive-CTE components in DuckDB) even though the
+path is streaming.
 
-Per-trigger cost is batch-sized and has NO iterative stage at all
-(the greedy writers run bounded CC per trigger; here CC runs once at
-resolve, over an edge set that is usually orders of magnitude smaller
-than the corpus). The posting probe co-locates against a
+Per-trigger cost is batch-sized: the comp leg's CC runs over the
+CONTRACTED batch graph (touched current roots + new docs), never the
+history. The posting probe co-locates against a
 ``bucketize_posting_index`` projection exactly like every other
 streaming index probe in this package (sources/indexproj.py
 base+tail; zero index-side exchange per trigger on the base).
@@ -135,6 +146,205 @@ def posting_table(spark: SparkSession, table: TxTable) -> TxTable:
     return TxTable(spark, table.path + "_post")
 
 
+def components_table(spark: SparkSession, table: TxTable) -> TxTable:
+    """The corpus's incrementally-maintained connected-components
+    state (round-10 verdict task 2): rows ``(node, root, cover_v)``
+    where every row asserts "node is in the same component as root"
+    with root < node, and ``cover_v`` is the edge-table version the
+    append covers through.
+
+    MIN-semantics by construction: a node's component minimum only
+    DECREASES as edges accumulate (components merge, never split), so
+    its current root is the minimum ``root`` over all its rows —
+    superseded rows are harmless under min, which makes appends
+    idempotent on replay, compaction transparent, and consolidation a
+    plain groupBy-min rewrite. A node with NO row is its own root.
+    Per trigger the maintenance contracts the new edges through the
+    current mapping, runs CC over that BATCH-sized contracted graph,
+    and appends only the changed rows plus a ``(-1, -1, cover_v)``
+    watermark sentinel — so the terminal resolution is a scan of
+    O(nodes-with-duplicates) rows instead of a multi-round CC over
+    O(all edges ever)."""
+    return TxTable(spark, table.path + "_comp")
+
+
+#: the components-leg row shape; node/root are the families' bigint
+#: doc ids (every concrete family keys docs by a numeric doc_id — the
+#: least/greatest pair normalization already assumes orderable ids)
+COMP_SCHEMA = "node long, root long, cover_v long"
+
+
+def _comp_sentinel(spark: SparkSession, cover_v: int) -> DataFrame:
+    """The watermark row: node == root == -1 is inert for resolution
+    (resolution reads only node != root rows) but advances
+    max(cover_v) even when a batch changed no component."""
+    return spark.range(1).select(
+        F.lit(-1).cast("long").alias("node"),
+        F.lit(-1).cast("long").alias("root"),
+        F.lit(int(cover_v)).cast("long").alias("cover_v"),
+    )
+
+
+def comp_covered_version(c_tbl: TxTable) -> int:
+    """The edge-table version the components state covers through
+    (max cover_v over all rows; -1 when the table is absent/empty)."""
+    if c_tbl.version() < 0:
+        return -1
+    try:
+        row = c_tbl.read().agg(F.max("cover_v")).first()
+    except ValueError:
+        return -1  # logged versions but no data files
+    return int(row[0]) if row and row[0] is not None else -1
+
+
+def _mapping_rows(c_tbl: TxTable) -> DataFrame | None:
+    """The raw (node, root) assertion rows (sentinels excluded), or
+    None when the table is absent/empty. Raw on purpose: superseded
+    rows are still TRUE same-component assertions, and every consumer
+    is min/connectivity-shaped, so no per-trigger groupBy over the
+    full state is ever needed."""
+    if c_tbl.version() < 0:
+        return None
+    try:
+        rows = c_tbl.read()
+    except ValueError:
+        return None
+    return rows.filter(F.col("node") != F.col("root")).select(
+        "node", "root"
+    )
+
+
+def component_delta_rows(
+    e_tbl: TxTable, c_tbl: TxTable, max_cc_rounds: int = 20
+) -> DataFrame:
+    """The components-leg derivation: fold every edge-table version
+    NOT yet covered by the components state into changed (node, root)
+    rows + the new watermark sentinel.
+
+    Replay-stable by construction: it reads only (a) COMMITTED edge
+    rows above the covered watermark — the edges leg commits strictly
+    before this leg, and committed bytes don't change on replay — and
+    (b) its OWN table (a later-leg probe in chained_commit's
+    contract: provably missing this batch when the derivation
+    (re-)runs). It deliberately does NOT re-derive the batch's edges
+    from the batch: after a crash between the post and comp legs, a
+    re-derivation would probe a posting index that now CONTAINS this
+    batch's keys, and equality of the resulting edge set would need a
+    per-family argument; the committed delta needs none.
+
+    The algorithm is textbook incremental CC with eager flattening:
+    contract each new edge's endpoints through the current mapping
+    (min over the endpoint's raw rows — min-semantics makes
+    superseded rows harmless), drop the self-loops (edges inside an
+    existing component), run CC over the contracted graph (BATCH-
+    sized: its nodes are touched current roots + never-seen docs),
+    then emit (i) the contracted CC's own non-self rows and (ii) a
+    remap join over the raw state rows — only rows whose root is a
+    CURRENT root can match (a superseded root never reappears as
+    anyone's current root, since roots only decrease), which is
+    exactly the set that must move."""
+    spark = e_tbl.spark
+    covered = comp_covered_version(c_tbl)
+    cur = e_tbl.version()
+    sentinel = _comp_sentinel(spark, max(cur, covered))
+    if cur <= covered:
+        # nothing uncovered (e.g. a replayed batch whose comp leg is
+        # the only one missing and whose edges were already folded by
+        # a later maintenance backfill): watermark only
+        return sentinel
+    if covered < 0:
+        new_edges = e_tbl.read()
+    else:
+        try:
+            new_edges = e_tbl.changes(since=covered).drop(
+                "_commit_version"
+            )
+        except ValueError as exc:
+            if "vacuumed" not in str(exc):
+                raise  # logical rewrite under the state: unsafe
+            # an out-of-band compact+vacuum deleted the uncovered
+            # tail's original files: fold the FULL edge table once —
+            # re-derived assertions are idempotent under the min
+            # contract, so this costs a one-time big fold, never
+            # correctness
+            new_edges = e_tbl.read()
+    e = (
+        new_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mapping = _mapping_rows(c_tbl)
+    if mapping is None:
+        contracted = e.select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+    else:
+        # current root per touched endpoint = min over its raw rows;
+        # endpoints with no row are their own root
+        touched = (
+            e.select(F.col("src").alias("n"))
+            .unionByName(e.select(F.col("dst").alias("n")))
+            .distinct()
+        )
+        roots = (
+            touched.join(mapping, touched.n == mapping.node, "left")
+            .groupBy("n")
+            .agg(F.coalesce(F.min("root"), F.min("n")).alias("r"))
+        )
+        contracted = (
+            e.join(roots.select(F.col("n").alias("src"), F.col("r").alias("a")), "src")
+            .join(roots.select(F.col("n").alias("dst"), F.col("r").alias("b")), "dst")
+            .select("a", "b")
+            .filter(F.col("a") != F.col("b"))
+        )
+    comp = connected_components(
+        contracted, "a", "b", max_iter=max_cc_rounds
+    )
+    remap = comp.filter(F.col("node") != F.col("component"))
+    delta = remap.select("node", F.col("component").alias("root"))
+    if mapping is not None:
+        moved = mapping.join(
+            F.broadcast(
+                remap.select(
+                    F.col("node").alias("__old"),
+                    F.col("component").alias("__new"),
+                )
+            ),
+            mapping.root == F.col("__old"),
+        ).select("node", F.col("__new").alias("root"))
+        delta = delta.unionByName(moved)
+    return (
+        delta.distinct()
+        .withColumn("cover_v", F.lit(int(cur)).cast("long"))
+        .select(
+            F.col("node").cast("long"),
+            F.col("root").cast("long"),
+            "cover_v",
+        )
+        .unionByName(sentinel)
+    )
+
+
+def consolidate_components(c_tbl: TxTable) -> bool:
+    """Rewrite the components state to one row per node (groupBy-min,
+    semantics-preserving by the min contract) plus one watermark
+    sentinel — bounding the state at |nodes-with-duplicates| no
+    matter how much churn the triggers appended. Returns whether a
+    rewrite ran."""
+    mapping = _mapping_rows(c_tbl)
+    if mapping is None:
+        return False
+    covered = comp_covered_version(c_tbl)
+    flat = (
+        mapping.groupBy("node")
+        .agg(F.min("root").alias("root"))
+        .withColumn("cover_v", F.lit(int(covered)).cast("long"))
+        .unionByName(_comp_sentinel(c_tbl.spark, covered))
+    )
+    c_tbl.overwrite(flat)
+    return True
+
+
 def bucketize_posting_index(
     table: TxTable, family: ResolvedFamily, base: str, n_buckets: int = 32
 ) -> str:
@@ -156,7 +366,7 @@ def compact_resolved_state(
     max_small_files: int = 8,
     vacuum_keep_versions: int | None = None,
 ) -> str | None:
-    """Post-drain maintenance for the three-table state: the posting
+    """Post-drain maintenance for the four-table state: the posting
     index through compact_index (projection-aware refresh before any
     vacuum), plus policy compaction of the corpus and edge txlogs,
     which take an append per micro-batch."""
@@ -173,6 +383,20 @@ def compact_resolved_state(
             and vacuum_keep_versions is not None
         ):
             t.vacuum(keep_versions=vacuum_keep_versions)
+    # the components state gets CONSOLIDATED rather than physically
+    # compacted: the groupBy-min rewrite both merges small files and
+    # drops superseded assertion rows + stale sentinels, bounding the
+    # state at |nodes-with-duplicates| (min-semantics makes it
+    # content-preserving). Same small-file trigger as maybe_compact —
+    # one append per trigger, so quiet tables skip the rewrite.
+    c_tbl = components_table(table.spark, table)
+    if c_tbl.version() >= 0:
+        state = c_tbl._replay()
+        if len(state.files) > max_small_files and consolidate_components(
+            c_tbl
+        ):
+            if vacuum_keep_versions is not None:
+                c_tbl.vacuum(keep_versions=vacuum_keep_versions)
     return refreshed
 
 
@@ -201,6 +425,36 @@ def _within_edges(
         .select("src", F.col("doc_id").alias("dst"))
     )
     return family.rep_pairs(groups).unionByName(member)
+
+
+def _backfill_components(
+    e_tbl: TxTable, c_tbl: TxTable, sink_id: str, max_cc_rounds: int = 20
+) -> None:
+    """Components bootstrap for state that predates the comp leg (a
+    corpus streamed by an older writer, or seeded edges): one full CC
+    over the accumulated edge table — the old terminal-read cost,
+    paid ONCE here so every later read is a scan. Gated on the comp
+    table's own absence; covers through the edge version read."""
+    if c_tbl.version() >= 0 or e_tbl.version() < 0:
+        return
+    cover = e_tbl.version()
+    try:
+        edges = e_tbl.read(version=cover)
+    except ValueError:
+        return  # edge table logged but holds no rows yet
+    comp = connected_components(
+        edges, "src", "dst", max_iter=max_cc_rounds
+    )
+    rows = (
+        comp.filter(F.col("node") != F.col("component"))
+        .select(
+            F.col("node").cast("long"),
+            F.col("component").cast("long").alias("root"),
+        )
+        .withColumn("cover_v", F.lit(int(cover)).cast("long"))
+        .unionByName(_comp_sentinel(e_tbl.spark, cover))
+    )
+    c_tbl.append(rows, txn_id=f"{sink_id}:comp-backfill")
 
 
 def _backfill_resolved(
@@ -257,8 +511,9 @@ def resolved_batch_writer(
     sink_id: str,
     bucketed_base: str | None = None,
 ):
-    """foreachBatch function maintaining the three-table resolved
-    state (corpus + edges + postings) exactly-once per batch via
+    """foreachBatch function maintaining the four-table resolved
+    state (corpus + edges + postings + components) exactly-once per
+    batch via
     ``chained_commit`` — see the module docstring for each leg's
     replay argument. ``bucketed_base`` names a
     ``bucketize_posting_index`` projection: both per-trigger probes
@@ -272,19 +527,26 @@ def resolved_batch_writer(
         spark = batch_df.sparkSession
         e_tbl = edges_table(spark, table)
         p_tbl = posting_table(spark, table)
-        # writer-local short-circuit: once both legs exist the backfill
-        # can never run again, so the three per-trigger txlog replays
-        # it costs (corpus/edges/postings version()) are paid once per
-        # writer, not once per batch forever
+        c_tbl = components_table(spark, table)
+        # writer-local short-circuit: once all legs exist the backfill
+        # can never run again, so the per-trigger txlog replays it
+        # costs (corpus/edges/postings/components version()) are paid
+        # once per writer, not once per batch forever
         if not backfill_settled:
             _backfill_resolved(
                 table, family, batch_df, sink_id, e_tbl, p_tbl
             )
+            # components bootstrap AFTER the edge seed: it folds the
+            # full accumulated edge table (including a just-seeded
+            # one) into the flat mapping, once
+            _backfill_components(e_tbl, c_tbl, sink_id)
             backfill_settled = (
-                e_tbl.version() >= 0 and p_tbl.version() >= 0
+                e_tbl.version() >= 0
+                and p_tbl.version() >= 0
+                and c_tbl.version() >= 0
             )
         # full-replay short-circuit: a crash-restarted batch whose
-        # THREE legs all committed would otherwise pay the eager
+        # FOUR legs all committed would otherwise pay the eager
         # augment checkpoint below for zero work (chained_commit would
         # no-op every leg anyway). The probes are threaded into
         # chained_commit as known_committed so the common (non-replay)
@@ -299,6 +561,9 @@ def resolved_batch_writer(
             ),
             index_txn(sink_id, "post", batch_id): p_tbl.has_txn(
                 index_txn(sink_id, "post", batch_id)
+            ),
+            index_txn(sink_id, "comp", batch_id): c_tbl.has_txn(
+                index_txn(sink_id, "comp", batch_id)
             ),
         }
         if all(txns.values()):
@@ -347,10 +612,20 @@ def resolved_batch_writer(
                 )
             return rows
 
+        def comp_rows() -> DataFrame:
+            # folds the COMMITTED edge delta (edges leg runs strictly
+            # before this one) into the incremental components state —
+            # see component_delta_rows for the replay argument
+            return component_delta_rows(e_tbl, c_tbl)
+
         chained_commit(
             table,
             aug,
-            [(e_tbl, edge_rows, "edges"), (p_tbl, posting_rows, "post")],
+            [
+                (e_tbl, edge_rows, "edges"),
+                (p_tbl, posting_rows, "post"),
+                (c_tbl, comp_rows, "comp"),
+            ],
             sink_id,
             batch_id,
             known_committed=txns,
@@ -402,29 +677,13 @@ def stream_resolved_ingest(
         )
 
 
-def resolve_accepted(table: TxTable, max_cc_rounds: int = 20) -> DataFrame:
-    """The terminal resolution: connected components over the
-    accumulated edge graph, keep the min doc_id per component —
-    order-independent, so after the stream drains this equals the
-    batch answer regardless of arrival order (the property the z32/z33
-    oracles check). ``max_cc_rounds`` bounds the resolve CC explicitly
-    (the q48 non-convergence contract raises loudly on graphs deeper
-    than near-dup shape). merge-on-read tolerates a corpus whose seed
-    predates the sketch columns."""
-    corpus = table.read(merge_schema=True)
-    e = edges_table(table.spark, table)
-    if e.version() < 0:
-        return corpus
-    try:
-        edges = e.read()
-    except ValueError:
-        return corpus  # edge table exists but holds no rows
-    if edges.isEmpty():
-        return corpus
+def _cc_losers(edges: DataFrame, max_cc_rounds: int) -> DataFrame:
+    """doc_ids that lose winner resolution (not their component's
+    min) under full CC over ``edges`` — the comp-less path's core."""
     comp = connected_components(
         edges, "src", "dst", max_iter=max_cc_rounds
     )
-    losers = (
+    return (
         comp.join(
             comp.groupBy("component").agg(F.min("node").alias("keep")),
             "component",
@@ -432,7 +691,75 @@ def resolve_accepted(table: TxTable, max_cc_rounds: int = 20) -> DataFrame:
         .filter(F.col("node") != F.col("keep"))
         .select(F.col("node").alias("doc_id"))
     )
-    return corpus.join(losers, "doc_id", "left_anti")
+
+
+def resolve_accepted(
+    table: TxTable,
+    max_cc_rounds: int = 20,
+    use_components: bool = True,
+) -> DataFrame:
+    """The terminal resolution: keep the min doc_id per connected
+    component of the accumulated collision graph — order-independent,
+    so after the stream drains this equals the batch answer
+    regardless of arrival order (the property the z32/z33 oracles
+    check).
+
+    With the incrementally-maintained components state current
+    (the writer's comp leg; round-10 verdict task 2) this is a SCAN:
+    every (node, root) assertion row names a loser (its component
+    holds a smaller id), so the losers are just the distinct asserted
+    nodes — O(components state), no CC, no edge read. When the state
+    LAGS the edge table (a crash before the comp leg's replay), the
+    read completes itself with CC over the assertion rows — each a
+    true same-component edge — unioned with only the UNCOVERED edge
+    delta: O(state + new edges), still never O(all edges ever). Only
+    a comp-less table (pre-comp state never re-streamed, or
+    ``use_components=False`` for the A/B probe) pays the original
+    full-graph CC; ``max_cc_rounds`` bounds every CC here (the q48
+    non-convergence contract raises loudly on graphs deeper than
+    near-dup shape). merge-on-read tolerates a corpus whose seed
+    predates the sketch columns."""
+    corpus = table.read(merge_schema=True)
+    e = edges_table(table.spark, table)
+    if e.version() < 0:
+        return corpus
+    c = components_table(table.spark, table)
+    if use_components and c.version() >= 0:
+        mapping = _mapping_rows(c)
+        if mapping is not None:
+            covered = comp_covered_version(c)
+            if covered >= e.version():
+                losers = mapping.select(
+                    F.col("node").alias("doc_id")
+                ).distinct()
+                return corpus.join(losers, "doc_id", "left_anti")
+            try:
+                tail = e.changes(since=covered).drop("_commit_version")
+                merged = (
+                    mapping.select(
+                        F.col("node").alias("src"),
+                        F.col("root").alias("dst"),
+                    )
+                    .unionByName(tail.select("src", "dst"))
+                    .filter(F.col("src") != F.col("dst"))
+                )
+                return corpus.join(
+                    _cc_losers(merged, max_cc_rounds), "doc_id", "left_anti"
+                )
+            except ValueError:
+                # the uncovered tail's original files were vacuumed
+                # out from under a lagging state: degrade to the full
+                # read below (correct, just not incremental)
+                pass
+    try:
+        edges = e.read()
+    except ValueError:
+        return corpus  # edge table exists but holds no rows
+    if edges.isEmpty():
+        return corpus
+    return corpus.join(
+        _cc_losers(edges, max_cc_rounds), "doc_id", "left_anti"
+    )
 
 
 # ------------------------------------------------ concrete families

@@ -2,7 +2,7 @@
 (streaming/resolved.py): terminal resolution equals the batch
 computation regardless of arrival order — including planted dups whose
 winning (minimum) doc_id arrives in a LATER batch, the case the greedy
-first-wins ingests keep differently — and the three-table chained
+first-wins ingests keep differently — and the four-table chained
 commit is exactly-once under a crash between every pair of legs.
 (The oracle-hash checks themselves run in test_oracle_parity.py /
 the driver; these tests pin the streaming-specific contracts.)
@@ -148,13 +148,16 @@ def uncrashed_ref(spark, planted, tmp_path_factory):
     return _ids(resolve_accepted(tbl))
 
 
-@pytest.mark.parametrize("crash_at", [1, 2, 3])
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
 def test_crash_between_any_two_legs_replays_exactly_once(
     spark, tmp_path, planted, monkeypatch, crash_at, uncrashed_ref
 ):
     """Kill batch 1's chained commit before its ``crash_at``-th append
-    (corpus / edges / postings), then replay the batch and finish the
-    stream: the resolved set must equal the uncrashed run's."""
+    (corpus / edges / postings / components), then replay the batch
+    and finish the stream: the resolved set must equal the uncrashed
+    run's. crash_at=4 is the round-10 pin: a crash between the edge
+    and component legs leaves the components state LAGGING, and the
+    replayed comp leg must fold exactly the committed edge delta."""
     fam = minhash_resolved_family()
     tbl = TxTable(spark, str(tmp_path / "mh"))
     w = resolved_batch_writer(tbl, fam, "t32")
@@ -279,3 +282,164 @@ def test_bucketed_probe_path_is_output_invisible(spark, tmp_path, planted):
     for t in spark.catalog.listTables():
         if t.name.startswith(base):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+# ------------------------- incremental components (round-10 task 2)
+
+
+def test_components_state_is_flat_and_matches_full_cc(
+    spark, tmp_path, planted
+):
+    """After a drain, the components state's min-per-node mapping must
+    equal full CC over the accumulated edge graph (same components,
+    same min roots), and every assertion row must satisfy the
+    root < node invariant the eager flattening maintains."""
+    from eeg_data_lake_spark.streaming.resolved import components_table
+
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    _drain(spark, planted, tbl, fam, "tc1")
+
+    c = components_table(spark, tbl)
+    rows = c.read().filter(F.col("node") != F.col("root"))
+    assert rows.filter(F.col("root") >= F.col("node")).count() == 0
+    mapping = {
+        r.node: r.root
+        for r in rows.groupBy("node").agg(F.min("root").alias("root")).collect()
+    }
+    comp = connected_components(edges_table(spark, tbl).read(), "src", "dst")
+    keep = comp.groupBy("component").agg(F.min("node").alias("keep"))
+    want = {
+        r.node: r.keep
+        for r in comp.join(keep, "component").filter(
+            F.col("node") != F.col("keep")
+        ).collect()
+    }
+    assert mapping == want
+
+
+def test_terminal_read_is_a_scan_when_state_is_current(
+    spark, tmp_path, planted, monkeypatch, uncrashed_ref
+):
+    """With the components state covering every edge version, the
+    terminal resolution must not run CC at all — the O(all edges
+    ever) cost task 2 removes. connected_components is patched to
+    explode; resolve_accepted must still produce the batch answer."""
+    from eeg_data_lake_spark.streaming import resolved as R
+
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    _drain(spark, planted, tbl, fam, "tc2")
+
+    def bomb(*a, **k):
+        raise AssertionError("terminal read ran CC on a current state")
+
+    monkeypatch.setattr(R, "connected_components", bomb)
+    assert _ids(R.resolve_accepted(tbl)) == uncrashed_ref
+
+
+def test_lagging_state_completes_with_delta_cc(
+    spark, tmp_path, planted, monkeypatch, uncrashed_ref
+):
+    """A crash between the post and comp legs leaves the components
+    state one batch behind. BEFORE the replay, resolve_accepted must
+    already return the batch answer (assertion rows ∪ uncovered edge
+    delta, never the full edge history); after the replay the scan
+    path takes over with the same answer."""
+    from eeg_data_lake_spark.streaming import resolved as R
+
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    w = resolved_batch_writer(tbl, fam, "tc3")
+    w(_batch(spark, planted, 0), 0)
+    w(_batch(spark, planted, 1), 1)
+
+    seen = {"n": 0}
+    real = TxTable.append
+
+    def bomb(self, df, txn_id=None):
+        seen["n"] += 1
+        if seen["n"] == 4:  # corpus, edges, post committed; comp dies
+            raise RuntimeError("injected crash")
+        return real(self, df, txn_id=txn_id)
+
+    monkeypatch.setattr(TxTable, "append", bomb)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        w(_batch(spark, planted, 2), 2)
+    monkeypatch.undo()
+
+    c = R.components_table(spark, tbl)
+    e = edges_table(spark, tbl)
+    assert R.comp_covered_version(c) < e.version()  # genuinely lagging
+    assert _ids(R.resolve_accepted(tbl)) == uncrashed_ref
+
+    w(_batch(spark, planted, 2), 2)  # foreachBatch replay
+    assert R.comp_covered_version(c) == e.version()
+    assert _ids(R.resolve_accepted(tbl)) == uncrashed_ref
+
+
+def test_consolidation_bounds_state_and_preserves_resolution(
+    spark, tmp_path, planted, uncrashed_ref
+):
+    """consolidate_components rewrites to one row per losing node +
+    one sentinel, preserving the resolution (min-semantics makes the
+    groupBy-min content-preserving) and the covered watermark."""
+    from eeg_data_lake_spark.streaming.resolved import (
+        comp_covered_version,
+        components_table,
+        consolidate_components,
+    )
+
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    _drain(spark, planted, tbl, fam, "tc4")
+    c = components_table(spark, tbl)
+    covered = comp_covered_version(c)
+    losers = {
+        r.node
+        for r in c.read().filter(F.col("node") != F.col("root")).collect()
+    }
+    assert consolidate_components(c)
+    rows = c.read().collect()
+    assert len(rows) == len(losers) + 1  # flat mapping + one sentinel
+    assert comp_covered_version(c) == covered
+    assert _ids(resolve_accepted(tbl)) == uncrashed_ref
+
+
+def test_component_free_read_matches_incremental(
+    spark, tmp_path, planted, uncrashed_ref
+):
+    """The A/B pin the scaling probe relies on: the old full-CC path
+    (use_components=False) and the incremental scan path resolve to
+    the same set."""
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    _drain(spark, planted, tbl, fam, "tc5")
+    assert (
+        _ids(resolve_accepted(tbl, use_components=False)) == uncrashed_ref
+    )
+    assert _ids(resolve_accepted(tbl)) == uncrashed_ref
+
+
+def test_precomp_state_backfills_components(spark, tmp_path, planted):
+    """A corpus whose edges predate the comp leg (simulated by
+    dropping the comp table after a drain): the next trigger's
+    backfill must bootstrap the mapping from the full edge table,
+    and the terminal read must again be CC-free."""
+    import shutil
+
+    from eeg_data_lake_spark.streaming import resolved as R
+
+    fam = minhash_resolved_family()
+    tbl = TxTable(spark, str(tmp_path / "mh"))
+    w = resolved_batch_writer(tbl, fam, "tc6")
+    w(_batch(spark, planted, 0), 0)
+    w(_batch(spark, planted, 1), 1)
+    c = R.components_table(spark, tbl)
+    shutil.rmtree(c.path)  # pre-comp-era state
+    # a FRESH writer (the short-circuit is writer-local) must backfill
+    w2 = resolved_batch_writer(tbl, fam, "tc6")
+    w2(_batch(spark, planted, 2), 2)
+    assert R.comp_covered_version(c) == edges_table(spark, tbl).version()
+    ref = _batch_winners(spark, planted, fam)
+    assert _ids(R.resolve_accepted(tbl)) == ref
