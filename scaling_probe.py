@@ -1,17 +1,22 @@
-"""Scaling probe: measure the data-bound headline queries at 10x the
-largest driver-provided scale factor (sf0.1 -> "sf1-equivalent").
+"""Scaling probe: measure the data-bound headline queries at Nx the
+largest driver-provided scale factor (sf0.1 -> "sf1-equivalent" at
+the default 10 copies, "sf10-equivalent" at 100).
 
 The driver ships sf0.001/0.01/0.1; the 100 TB claim rests on plans
-whose cost is linear in the data. This probe REPLICATES sf0.1 ten
+whose cost is linear in the data. This probe REPLICATES sf0.1 N
 times with key offsets (and a per-replica text mutation so the
 dedup/near-dup queries see a realistically duplicate-heavy corpus, not
-degenerate exact copies) into /tmp/sf1_probe, then times the same
+degenerate exact copies) into a /tmp dir, then times the same
 queries at both scales. Replicated data is a PERF probe only — all
 correctness runs stay on the driver's own parquet.
 
-Run: python scaling_probe.py [query ...]   (prints a small JSON report;
-naming queries probes just that subset — used to extend BASELINE.md
-round over round without re-timing the whole set)
+Run: python scaling_probe.py [--copies N] [--passes P] [query ...]
+(prints a small JSON report; naming queries probes just that subset —
+used to extend BASELINE.md round over round without re-timing the
+whole set). --copies 100 is the round-10 second curve point: the
+destination is /tmp/sf10_probe and single-pass timing is the default
+there (the queries are minutes-long; min-of-2 would double a probe
+that already dwarfs the ±25 % host band it tries to beat).
 """
 
 from __future__ import annotations
@@ -85,30 +90,36 @@ TABLES = [
 ]
 
 
-def build(spark) -> None:
-    if os.path.exists(DST):
-        shutil.rmtree(DST)
-    os.makedirs(DST)
+def build(spark, dst: str, copies: int) -> None:
+    """Replicate SRC ``copies`` times into ``dst``. A replica-index
+    cross join (not a ``copies``-way union: a 100-branch union plan
+    analyzes slowly and buys nothing) + key offsets + the documents
+    text-tail mutation."""
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    reps = F.explode(
+        F.array(*[F.lit(k) for k in range(copies)])
+    ).alias("__k")
     for tbl in TABLES:
         src = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         if tbl not in OFFSETS:  # tiny dims: copy as-is
-            src.write.parquet(f"{DST}/{tbl}.parquet")
+            src.write.parquet(f"{dst}/{tbl}.parquet")
             continue
-        parts = []
-        for k in range(COPIES):
-            d = src
-            for col, step in OFFSETS[tbl]:
-                d = d.withColumn(col, F.col(col) + F.lit(k * step))
-            if tbl == "documents" and "text" in d.columns:
-                # mutate the tail so replicas are near- not exact dups
-                d = d.withColumn(
-                    "text", F.concat_ws(" ", "text", F.lit(f"rep{k}"))
-                )
-            parts.append(d)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.repartition(32).write.parquet(f"{DST}/{tbl}.parquet")
+        d = src.select("*", reps)
+        for col, step in OFFSETS[tbl]:
+            d = d.withColumn(
+                col, F.col(col) + F.col("__k").cast("long") * F.lit(step)
+            )
+        if tbl == "documents" and "text" in d.columns:
+            # mutate the tail so replicas are near- not exact dups
+            d = d.withColumn(
+                "text",
+                F.concat_ws(
+                    " ", "text", F.concat(F.lit("rep"), F.col("__k"))
+                ),
+            )
+        d.drop("__k").repartition(32).write.parquet(f"{dst}/{tbl}.parquet")
 
 
 def timeq(spark, name: str, sf_dir: str, passes: int = 2) -> float:
@@ -124,34 +135,48 @@ def timeq(spark, name: str, sf_dir: str, passes: int = 2) -> float:
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    copies, passes = COPIES, 2
+    if "--copies" in args:
+        i = args.index("--copies")
+        copies = int(args[i + 1])
+        del args[i : i + 2]
+        if copies != COPIES:
+            passes = 1  # minutes-long queries: min-of-2 buys noise, not truth
+    if "--passes" in args:
+        i = args.index("--passes")
+        passes = int(args[i + 1])
+        del args[i : i + 2]
+    dst = DST if copies == COPIES else f"/tmp/sf{copies // 10}_probe"
     spark = get_spark(
         app_name="scaling-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{DST}/lineitem.parquet"):
-        build(spark)
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        build(spark, dst, copies)
     # warm-up
     timeq(spark, "q01_pricing_summary", SRC, passes=1)
-    names = sys.argv[1:] or QUERIES
+    names = args or QUERIES
+    big_key = f"sf{copies / 10:g}_s"
     report = {}
     for name in names:
-        small = timeq(spark, name, SRC)
-        big = timeq(spark, name, DST)
+        small = timeq(spark, name, SRC, passes=passes)
+        big = timeq(spark, name, dst, passes=passes)
         report[name] = {
             "sf0.1_s": small,
-            "sf1_s": big,
+            big_key: big,
             "ratio": round(big / small, 2) if small else None,
         }
-        print(json.dumps({name: report[name]}))
+        print(json.dumps({name: report[name]}), flush=True)
     total_small = round(sum(r["sf0.1_s"] for r in report.values()), 2)
-    total_big = round(sum(r["sf1_s"] for r in report.values()), 2)
+    total_big = round(sum(r[big_key] for r in report.values()), 2)
     print(
         json.dumps(
             {
                 "total_sf0.1_s": total_small,
-                "total_sf1_s": total_big,
-                "ratio_at_10x_data": round(total_big / total_small, 2),
+                f"total_{big_key}": total_big,
+                f"ratio_at_{copies}x_data": round(total_big / total_small, 2),
             }
         )
     )
