@@ -172,6 +172,17 @@ def shingle_jaccard_pairs(
     no extra join against a sizes table. Versus the classic inverted-
     index *self-join*, this shuffles the index once instead of twice and
     replaces the join with a narrow array expansion.
+
+    The expansion is TWO stacked generates, not one flattened
+    transform, and the difference is the operator's memory bound: a
+    single flatten(transform(...)) materializes ALL C(df, 2) pair
+    structs of a posting list in ONE row buffer — O(df²) task memory,
+    which the round-10 100x probe drove to a real executor OOM at
+    df ≈ 5,000 (12.5 M structs in one buffer) long before the df cap
+    binds. Stacked: posexplode emits one row per member (peak O(df)
+    for the carried tail slice), the second explode streams that
+    member's pairs — same total pair count, same shuffle, per-row
+    memory linear in df.
     """
     inv = sh.select(
         "doc_id", "n", F.explode("sl").alias("shingle")
@@ -182,24 +193,25 @@ def shingle_jaccard_pairs(
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df))
     )
     ds = F.col("ds")
-    pairs_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    x["n"].alias("na"),
-                    y["doc_id"].alias("doc_b"),
-                    y["n"].alias("nb"),
-                ),
-            ),
-        )
-    )
+    members = posting.select(
+        "ds", F.posexplode(ds).alias("i", "x")
+    ).filter(F.col("i") < F.size(ds) - 1)
     pairs = (
-        posting.select(F.explode(pairs_arr).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
-        .agg(F.count("*").alias("shared"))
+        members.select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.n").alias("na"),
+            F.explode(
+                F.slice(ds, F.col("i") + F.lit(2), F.size(ds))
+            ).alias("y"),
+        )
+        .select(
+            "doc_a",
+            "na",
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.n").alias("nb"),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
     jac = F.col("shared").cast("double") / (
         F.col("na") + F.col("nb") - F.col("shared")
