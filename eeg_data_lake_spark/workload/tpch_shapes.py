@@ -1,35 +1,58 @@
-"""The remaining distinctive TPC-H plan shapes (round-10 verdict
-task 5): Q13/Q15/Q17/Q20/Q22 adapted to the driver tables' columns.
-The repo long had the Q1/Q5/Q21 classes (q01, r36, r37); these five
-each exercise a Catalyst decorrelation or outer-join path no other
-entry pinned:
+"""TPC-H plan-shape coverage: a representative of every one of the
+22 TPC-H queries' distinctive Catalyst paths, adapted to the driver
+tables' columns.
 
-- r82 (Q13): LEFT join with a filter predicate ON THE RIGHT side
-  inside the join condition + two stacked aggregations — the outer-
-  join-preserving filter placement Catalyst must NOT push below the
-  join's null-extension.
-- r83 (Q15): aggregate view consumed twice, once through a scalar
-  max subquery — the "view + scalar-subquery against itself" shape.
-- r84 (Q17): correlated scalar aggregate subquery in WHERE
-  (per-part average), Catalyst's DecorrelateInnerQuery → aggregate +
-  join rewrite.
-- r85 (Q20): IN-subquery whose inner block carries ANOTHER
-  correlated scalar aggregate — nested decorrelation.
-- r86 (Q22): NOT EXISTS anti-join + substring bucketing + an
-  uncorrelated scalar average gate.
+Round-10 verdict task 5 added Q13/Q15/Q17/Q20/Q22 (r82–r86); this
+round completes the set with Q2/Q4/Q7/Q8/Q9/Q11/Q16/Q18/Q19
+(r87–r95). The full 22-query mapping (shape class → entry):
 
-All five run through ``spark.sql`` on temp views so the actual
-Catalyst subquery machinery plans them (not a hand-decorrelated
-DataFrame translation); the DuckDB oracles are the same SQL modulo
-dialect. Plan budgets are pinned in tests/test_tpch_shapes.py.
+| TPC-H | shape class | entry |
+|---|---|---|
+| Q1 | scan-filter-multi-agg | q01 (relational.py) |
+| Q2 | correlated scalar MIN over a shared multi-join relation | r87 |
+| Q3 | top-k over join-agg (TakeOrderedAndProject) | q02/q03 |
+| Q4 | EXISTS with correlated date predicate → left semi | r88 |
+| Q5 | six-way join, selective dim chain | r36 (joins_advanced.py) |
+| Q6 | pure filter-agg, full pushdown | q07/q09 |
+| Q7 | one dim joined TWICE with a symmetric OR pair filter | r89 |
+| Q8 | CASE-inside-agg market share over an 8-way join | r90 |
+| Q9 | LIKE-filtered multi-join profit rollup | r91 |
+| Q10 | returned-item top-k join-agg | q02 + q03's class |
+| Q11 | HAVING against an uncorrelated scalar of the SAME join | r92 |
+| Q12 | conditional counts by category | q09/q45 |
+| Q13 | right-side filter inside LEFT join ON + stacked aggs | r82 |
+| Q14 | conditional share of a filtered join | q45's class |
+| Q15 | aggregate view consumed twice via scalar max | r83 |
+| Q16 | NOT IN (null-aware anti) + count(DISTINCT) | r93 |
+| Q17 | correlated scalar avg in WHERE (DecorrelateInnerQuery) | r84 |
+| Q18 | IN over a grouped-HAVING subquery + top-k | r94 |
+| Q19 | disjunction-of-conjunctions spanning both join sides | r95 |
+| Q20 | IN-subquery carrying a nested correlated scalar | r85 |
+| Q21 | correlated multi-EXISTS/NOT-EXISTS | r37 (joins_advanced.py) |
+| Q22 | NOT EXISTS anti + substring bucket + scalar gate | r86 |
 
-Adaptations from pristine TPC-H (driver tables lack some columns):
-Q13's comment filter → o_orderpriority; Q17's container filter and
-0.2 factor → per-part 0.5·avg quantity, grouped by brand so the
-answer has stable rows at every SF; Q20's partsupp availability →
-shipped-quantity threshold (4×avg) over size-filtered parts; Q22's
-phone prefix → last digit of c_name, "no account activity" → no
-urgent order (every customer has SOME order in this data).
+All entries here run through ``spark.sql`` on temp views so the
+actual Catalyst subquery machinery plans them (not a
+hand-decorrelated DataFrame translation); the DuckDB oracles are the
+same SQL modulo dialect. Plan budgets are pinned in
+tests/test_tpch_shapes.py.
+
+Adaptations from pristine TPC-H (driver tables lack some columns —
+no partsupp table, no comment/phone/date-commit columns):
+Q2's partsupp supply cost → min shipped unit price per
+(part, supplier) derived from lineitem; Q4's commitdate →
+"shipped >60 days after order date"; Q8's part filter →
+p_type = 'PROMO'; Q9's p_name LIKE keeps its LIKE, profit's
+ps_supplycost → 0.6·p_retailprice; Q13's comment filter →
+o_orderpriority; Q16's complaint filter → negative-balance
+suppliers; Q17's container filter and 0.2 factor → per-part 0.5·avg
+quantity, grouped by brand so the answer has stable rows at every
+SF; Q20's partsupp availability → shipped-quantity threshold
+(4×avg) over size-filtered parts; Q22's phone prefix → last digit
+of c_name, "no account activity" → no urgent order (every customer
+has SOME order in this data). Sums are rounded to cents INSIDE each
+query on both engines so the driver's value hash compares stable
+numbers.
 """
 
 from __future__ import annotations
@@ -273,5 +296,486 @@ def r86_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY cgroup
         ORDER BY cgroup
+        """
+    )
+
+
+@register(
+    "r87_regional_best_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(c.unit_cost, 2) AS best_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_size <= 5
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY p.p_partkey, s.s_name
+    """,
+    tags=("sql", "tpch", "correlated-subquery", "multi-join"),
+)
+def r87_regional_best_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 shape: for each small part, the ASIA supplier whose
+    shipped unit price equals the part's REGIONAL minimum — a
+    correlated scalar MIN whose inner block repeats the outer's
+    multi-join (cost → supplier → nation → region). Catalyst must
+    decorrelate the min into a per-part aggregate over the joined
+    relation and equi-join it back; the CTE is consumed by both the
+    outer block and the subquery, so the lineitem pre-aggregate runs
+    twice by construction (exactly pristine Q2's double partsupp
+    scan). All dims broadcast; both heavy legs are the same
+    |part×supplier| aggregate. The unit-price min compares IEEE
+    doubles computed identically on both engines; output rounds to
+    cents. No partsupp table here, so supply cost is derived as
+    min(l_extendedprice / l_quantity) per (part, supplier)."""
+    _views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    return spark.sql(
+        """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM tpch_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name,
+               round(c.unit_cost, 2) AS best_cost
+        FROM tpch_part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN tpch_supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN tpch_nation n ON n.n_nationkey = s.s_nationkey
+        JOIN tpch_region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_size <= 5
+          AND c.unit_cost = (
+            SELECT min(c2.unit_cost) FROM cost c2
+            JOIN tpch_supplier s2 ON s2.s_suppkey = c2.l_suppkey
+            JOIN tpch_nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN tpch_region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+        ORDER BY p.p_partkey, s.s_name
+        """
+    )
+
+
+@register(
+    "r88_late_shipment_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate <  DATE '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    tags=("sql", "tpch", "semi-join", "exists"),
+)
+def r88_late_shipment_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of orders that had AT LEAST
+    ONE line item shipped more than 60 days after the order date —
+    an EXISTS whose correlated predicate mixes both relations'
+    columns (l_shipdate > o_orderdate + interval), so Catalyst plans
+    a left-semi join with the non-equi part as a join condition, not
+    a pushable filter. The semi join deduplicates order keys without
+    an explicit DISTINCT (pristine Q4's point); the date window
+    prunes the probe side at the scan. No l_commitdate column here,
+    so 'late' is shipped-60-days-after-order."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM tpch_orders o
+        WHERE o.o_orderdate >= DATE '1997-01-01'
+          AND o.o_orderdate <  DATE '1997-07-01'
+          AND EXISTS (SELECT 1 FROM tpch_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "r89_bilateral_shipping_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate <  DATE '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("sql", "tpch", "multi-join", "disjunction", "self-dim"),
+)
+def r89_bilateral_shipping_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year,
+    with the SAME dim table (nation) joined twice in different roles
+    (supplier's vs customer's nation) and a symmetric OR pair
+    predicate spanning both copies. Catalyst cannot push the
+    disjunction below either single join (it references both
+    roles), so it must survive as a post-join filter above the two
+    broadcast joins while each copy's scan still prunes to the
+    2-name IN-set implied by the OR. Date window prunes lineitem at
+    the scan; everything downstream of the fact shuffle is
+    |filtered| rows."""
+    _views(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM tpch_lineitem l
+          JOIN tpch_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN tpch_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN tpch_customer c ON c.c_custkey = o.o_custkey
+          JOIN tpch_nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN tpch_nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l.l_shipdate >= DATE '1996-01-01'
+            AND l.l_shipdate <  DATE '1998-01-01'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@register(
+    "r90_nation_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("sql", "tpch", "multi-join", "conditional-agg"),
+)
+def r90_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ASIA-customer PROMO-part
+    revenue by order year — the CASE-inside-aggregate ratio over the
+    widest join tree in the set (lineitem + 7 joins, nation again in
+    two roles: the share numerator keys on the SUPPLIER's nation
+    while the region filter keys on the CUSTOMER's). The share is a
+    single pass: both sums share the grouping, so the plan is one
+    fact shuffle + broadcast dims, and the ratio is computed in the
+    final aggregate — no self-join, which is the scale point of the
+    CASE formulation. Rounded to 4 places (a ratio, not cents)."""
+    _views(
+        spark, sf_dir,
+        "lineitem", "part", "supplier", "orders", "customer", "nation",
+        "region",
+    )
+    return spark.sql(
+        """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS supp_nation
+          FROM tpch_lineitem l
+          JOIN tpch_part p ON p.p_partkey = l.l_partkey
+          JOIN tpch_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN tpch_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN tpch_customer c ON c.c_custkey = o.o_custkey
+          JOIN tpch_nation n2 ON n2.n_nationkey = c.c_nationkey
+          JOIN tpch_region r ON r.r_regionkey = n2.n_regionkey
+          JOIN tpch_nation n1 ON n1.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        )
+        GROUP BY o_year ORDER BY o_year
+        """
+    )
+
+
+@register(
+    "r91_product_profit_rollup",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year ORDER BY nation, o_year
+    """,
+    tags=("sql", "tpch", "multi-join", "like-filter"),
+)
+def r91_product_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on 'widget' parts rolled up by
+    supplier nation and order year. The distinctive piece is the
+    infix LIKE '%widget%' — a contains predicate parquet can't
+    bloom-prune, so it must evaluate as a part-scan filter BEFORE
+    the join (part shrinks ~10x, and the part-side broadcast carries
+    only survivors; a plan that filtered after the join would ship
+    10x the fact rows). Profit substitutes 0.6*p_retailprice for the
+    missing ps_supplycost; the arithmetic stays a per-row expression
+    folded into the single fact pass."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return spark.sql(
+        """
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity AS amount
+          FROM tpch_lineitem l
+          JOIN tpch_part p ON p.p_partkey = l.l_partkey
+          JOIN tpch_supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN tpch_orders o ON o.o_orderkey = l.l_orderkey
+          JOIN tpch_nation n ON n.n_nationkey = s.s_nationkey
+          WHERE p.p_name LIKE '%widget%'
+        )
+        GROUP BY nation, o_year ORDER BY nation, o_year
+        """
+    )
+
+
+@register(
+    "r92_important_parts_by_nation",
+    oracle="""
+    SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS part_value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l.l_partkey
+    HAVING round(sum(l.l_extendedprice), 2) > (
+      SELECT round(0.002 * sum(l2.l_extendedprice), 2)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      WHERE n2.n_name = 'NATION_3')
+    ORDER BY part_value DESC, l.l_partkey
+    """,
+    tags=("sql", "tpch", "having", "scalar-subquery"),
+)
+def r92_important_parts_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_3 shipped value exceeds a
+    FRACTION OF THE WHOLE NATION'S total — a HAVING clause comparing
+    the group aggregate against an uncorrelated scalar subquery that
+    repeats the SAME filtered join un-grouped. Catalyst plans the
+    scalar as a 1-row subquery stage, so the filtered
+    lineitem⋈supplier⋈nation relation is computed twice (per-part
+    and global) — pristine Q11's double partsupp pass. Both passes
+    broadcast the dims and shuffle only the survivors; the HAVING
+    evaluates post-aggregate on |parts| rows. Both sides of the
+    threshold comparison are rounded to cents so the cut is
+    engine-stable."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS part_value
+        FROM tpch_lineitem l
+        JOIN tpch_supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN tpch_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+        HAVING round(sum(l.l_extendedprice), 2) > (
+          SELECT round(0.002 * sum(l2.l_extendedprice), 2)
+          FROM tpch_lineitem l2
+          JOIN tpch_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN tpch_nation n2 ON n2.n_nationkey = s2.s_nationkey
+          WHERE n2.n_name = 'NATION_3')
+        ORDER BY part_value DESC, l.l_partkey
+        """
+    )
+
+
+@register(
+    "r93_supplier_diversity_census",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("sql", "tpch", "not-in", "null-aware-anti", "count-distinct"),
+)
+def r93_supplier_diversity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each
+    (brand, type, size) bucket, excluding suppliers on a complaint
+    list via NOT IN — the null-aware anti join path (a NOT IN must
+    yield zero rows if the subquery could produce a NULL, so
+    Catalyst plans it differently from NOT EXISTS: a broadcast
+    null-aware anti join, or a plain anti when nullability is
+    provably absent). The count(DISTINCT) adds the two-phase
+    distinct-expand aggregate on top. The complaint list (negative
+    account balance, standing in for the missing s_comment) is tiny
+    and broadcasts; the IN-list size filter prunes part at the
+    scan."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM tpch_lineitem l JOIN tpch_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND p.p_type <> 'PROMO'
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM tpch_supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "r94_large_volume_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total_price,
+           round(sum(l.l_quantity), 1) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("sql", "tpch", "semi-join", "having", "top-k"),
+)
+def r94_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the top large-volume orders — an IN whose
+    subquery is a grouped aggregate WITH a HAVING cut over the same
+    fact table. Catalyst plans the IN as a left-semi join against
+    the aggregated relation (NOT a broadcast IN-list: the subquery
+    is data-dependent and order-key-sized), so lineitem is read
+    twice — once to find qualifying orders, once to re-aggregate
+    their quantities — and both passes shuffle on l_orderkey,
+    letting AQE reuse the exchange. Top-k via
+    TakeOrderedAndProject, ordered by the ROUNDED price alias (named
+    total_price ≠ o_totalprice so both engines provably sort the
+    alias) with the unique order key as tiebreak."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS total_price,
+               round(sum(l.l_quantity), 1) AS total_qty
+        FROM tpch_customer c
+        JOIN tpch_orders o ON c.c_custkey = o.o_custkey
+        JOIN tpch_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM tpch_lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 180)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY total_price DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "r95_disjunctive_discount_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("sql", "tpch", "disjunction", "pushdown"),
+)
+def r95_disjunctive_discount_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of conjunctions
+    where every OR-branch mixes part predicates (brand, size) with
+    lineitem predicates (quantity) — the classic test of whether the
+    optimizer extracts the per-table IMPLIED filters from a
+    cross-table OR. Catalyst must (a) keep p_partkey = l_partkey as
+    the hash-join key rather than falling to a nested loop over the
+    OR, and (b) push the branch-union residuals
+    (brand IN (...) OR'd sizes; quantity ∈ [1,30]) toward each scan.
+    The plan pin asserts the hash join survived; at 100 TB the
+    difference between this plan and a BNLJ is the whole query."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                 AS revenue
+        FROM tpch_lineitem l JOIN tpch_part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
         """
     )

@@ -19,6 +19,19 @@ BUDGETS = {
     "r84_small_quantity_revenue": 3,
     "r85_heavy_shippers_of_small_parts": 3,
     "r86_idle_rich_customers": 3,
+    # the set-completing nine (observed: 6/2/2/2/2/3/3/3/1). r87's 6
+    # is the Q2 double-consumption of the part-supplier cost
+    # aggregate (outer + decorrelated min), exactly pristine Q2's
+    # two partsupp passes.
+    "r87_regional_best_cost_supplier": 6,
+    "r88_late_shipment_priority_counts": 2,
+    "r89_bilateral_shipping_volume": 2,
+    "r90_nation_market_share": 2,
+    "r91_product_profit_rollup": 2,
+    "r92_important_parts_by_nation": 3,
+    "r93_supplier_diversity_census": 3,
+    "r94_large_volume_orders": 3,
+    "r95_disjunctive_discount_revenue": 1,
 }
 
 
@@ -48,3 +61,92 @@ def test_q13_shape_keeps_zero_order_customers(spark, sf_dir):
     df = REGISTRY["r82_order_count_distribution"].spark_fn(spark, sf_dir)
     total = sum(r.custdist for r in df.collect())
     assert total == t(spark, sf_dir, "customer").count()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    ("name", "kind"),
+    [
+        # Q4's EXISTS and Q18's IN-over-HAVING must both become semi
+        # joins (a rewrite to inner + DISTINCT would double-count);
+        # Q16's NOT IN must become an anti join (null-aware or plain
+        # once nullability is disproven) — the rewrites these shapes
+        # exist to pin.
+        ("r88_late_shipment_priority_counts", "LeftSemi"),
+        ("r94_large_volume_orders", "LeftSemi"),
+        ("r93_supplier_diversity_census", "LeftAnti"),
+    ],
+)
+def test_subquery_becomes_expected_join_kind(spark, sf_dir, name, kind):
+    plan = _executed_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+    assert kind in plan or "NullAware" in plan, (
+        f"{name}: expected a {kind} join in\n{plan[:2000]}"
+    )
+
+
+def test_q7_shape_keeps_both_or_directions(spark, sf_dir):
+    """The OR pair predicate is the point of the Q7 shape: a plan
+    that pushed one arm of the disjunction below the wrong nation
+    copy would silently drop a direction. Pin: the query's
+    (supp, cust) direction set equals the union of the two
+    single-direction queries computed independently (at sf0.001 only
+    one direction has rows in the window; at sf0.01+ both do — the
+    pin holds at any SF either way)."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.workload.registry import t
+
+    df = REGISTRY["r89_bilateral_shipping_volume"].spark_fn(spark, sf_dir)
+    got = {(r.supp_nation, r.cust_nation) for r in df.collect()}
+
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    su, od, cu = (t(spark, sf_dir, n) for n in ("supplier", "orders", "customer"))
+    na = t(spark, sf_dir, "nation")
+    joined = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na.alias("n1"), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(na.alias("n2"), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.col("n1.n_name").alias("sn"), F.col("n2.n_name").alias("cn")
+        )
+    )
+    want = set()
+    for a, b in [("NATION_3", "NATION_7"), ("NATION_7", "NATION_3")]:
+        if joined.where((F.col("sn") == a) & (F.col("cn") == b)).limit(1).count():
+            want.add((a, b))
+    assert got == want and want
+
+
+def test_q11_threshold_is_the_global_scalar(spark, sf_dir):
+    """Every surviving part's value must clear 0.2% of the nation's
+    total computed INDEPENDENTLY of the grouped pass — pins that the
+    scalar subquery aggregated the whole filtered join, not some
+    group-local slice."""
+    from pyspark.sql import functions as F
+
+    from eeg_data_lake_spark.workload.registry import t
+
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    total = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .agg(F.round(0.002 * F.sum("l_extendedprice"), 2).alias("thr"))
+        .collect()[0].thr
+    )
+    vals = [
+        r.part_value
+        for r in REGISTRY["r92_important_parts_by_nation"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    ]
+    assert vals and all(v > total for v in vals)
