@@ -309,7 +309,7 @@ def r86_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_name, s.s_name,
-           round(c.unit_cost, 2) AS best_cost
+           CAST(floor(c.unit_cost * 100) AS BIGINT) AS best_cost_cents
     FROM part p
     JOIN cost c ON c.l_partkey = p.p_partkey
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
@@ -339,8 +339,14 @@ def r87_regional_best_cost_supplier(
     twice by construction (exactly pristine Q2's double partsupp
     scan). All dims broadcast; both heavy legs are the same
     |part×supplier| aggregate. The unit-price min compares IEEE
-    doubles computed identically on both engines; output rounds to
-    cents. No partsupp table here, so supply cost is derived as
+    doubles computed identically on both engines — exact. The OUTPUT
+    cost is floor-of-cents on that same double, not round(x, 2):
+    round() on doubles is engine-divergent at representation
+    boundaries (Spark rounds the exact binary value via BigDecimal,
+    DuckDB rounds the scaled float — at sf0.1 three parts' costs sat
+    on an .xx5 boundary and the engines split one cent apart), while
+    floor of the identically-computed double is bit-deterministic on
+    both. No partsupp table here, so supply cost is derived as
     min(l_extendedprice / l_quantity) per (part, supplier)."""
     _views(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
     return spark.sql(
@@ -351,7 +357,7 @@ def r87_regional_best_cost_supplier(
           FROM tpch_lineitem GROUP BY l_partkey, l_suppkey
         )
         SELECT p.p_partkey, p.p_name, s.s_name,
-               round(c.unit_cost, 2) AS best_cost
+               CAST(floor(c.unit_cost * 100) AS BIGINT) AS best_cost_cents
         FROM tpch_part p
         JOIN cost c ON c.l_partkey = p.p_partkey
         JOIN tpch_supplier s ON s.s_suppkey = c.l_suppkey
