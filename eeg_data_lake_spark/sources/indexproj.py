@@ -142,6 +142,7 @@ def compact_index(
     n_buckets: int = 32,
     max_small_files: int = 8,
     target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
 ) -> str | None:
     """The maintenance cadence the module docstring names ("re-
@@ -160,11 +161,22 @@ def compact_index(
     ``vacuum_keep_versions`` set, vacuums afterwards (safe: the new
     projection has no tail to lose). Returns the refreshed projection
     name, or None when compaction didn't run or ``base`` has no
-    projection to refresh."""
+    projection to refresh.
+
+    ``small_file_bytes`` decouples the qualify cutoff from the output
+    target (txlog.compact's min_file_bytes): a cutoff BELOW the
+    target lets bin-packed outputs GRADUATE — stop qualifying as
+    small — so each fire rewrites only the un-graduated tail, never
+    the whole index. That is the production amortization: at the
+    default (cutoff == target) every file under the target re-
+    qualifies forever and each fire at test scale is a full rewrite,
+    which is what made compaction look corpus-proportional in the
+    100x probes (measured either way in probes/steady_state.py)."""
     compacted = maybe_compact(
         idx,
         max_small_files=max_small_files,
         target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
     )
     refreshed = None
     if base is not None:

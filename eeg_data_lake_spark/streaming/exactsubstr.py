@@ -111,19 +111,27 @@ def compact_gram_index(
     base: str | None,
     n_buckets: int = 32,
     max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
 ) -> str | None:
     """Post-ingest maintenance: policy-compact the gram index and,
     when compaction ran under a live ``base`` projection, re-bucketize
     it BEFORE any vacuum so the next trigger's probe keeps its
     zero-exchange co-location instead of silently degrading to the
-    full read (sources/indexproj.compact_index)."""
+    full read (sources/indexproj.compact_index). A ``small_file_bytes``
+    cutoff below ``target_file_bytes`` lets bin-packed outputs
+    graduate, bounding each fire's rewrite at the un-graduated tail
+    (see compact_index's docstring; measured in
+    probes/steady_state.py)."""
     return compact_index(
         gram_index_table(table.spark, table),
         base,
         ["g"],
         n_buckets=n_buckets,
         max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
     )
 
