@@ -135,6 +135,113 @@ def _rewritten_after(idx: TxTable, version: int) -> bool:
     return False
 
 
+#: Table property set while a delta-extend is in flight; a projection
+#: still carrying it was left by a crashed extend (physical rows past
+#: its advertised version) and must be repaired by full re-bucketize,
+#: never extended again (a second blind append would duplicate rows).
+PENDING_EXTEND_PROP = "eeg.pending_extend"
+
+
+def extend_projection(
+    idx: TxTable,
+    base: str,
+    key_cols: Sequence[str],
+    max_projection_files: int | None = None,
+) -> str | None:
+    """Tail-bounded projection refresh: APPEND the txlog tail (the
+    appends landed after the live projection's version) into the
+    existing bucketed table and rename it to ``{base}_v{current}`` —
+    instead of re-bucketizing the whole index, which is the one
+    index-∝ cost the steady-state probe left in the maintenance fire
+    (probes/steady_state.py's "honest residual"). Because the index
+    is append-only, projection(V) + appends(V..N] IS projection(N)
+    exactly; the append lands as extra per-bucket files under the SAME
+    bucket spec, so the probe's exchange elision — the corpus-∝ term —
+    is untouched.
+
+    The traded cost is per-file sortedness: Spark trusts sortBy
+    metadata only for single-file buckets, so an extended projection's
+    merge join re-inserts a partition-local sort until the next FULL
+    re-bucketize restores one file per bucket. That graduation is the
+    ``max_projection_files`` policy (default ``8 × bucket count``):
+    when the table's file count would exceed it, this function
+    declines and the caller falls back to ``bucketize_index`` — the
+    same amortize-by-cadence shape txlog compaction itself uses.
+
+    Crash-safe via ``PENDING_EXTEND_PROP``: set before the append,
+    cleared after the rename. A crash in between leaves the property
+    behind, and the next maintenance sees it and routes to the full
+    rebuild (the physical table then holds the tail rows twice over
+    the base+tail read — exact for the set-semantics dedup consumers,
+    but not a state to extend further). Declines (returns None,
+    caller re-bucketizes) when: no projection, pending marker set,
+    bucket count undeterminable, file-count graduation, logical
+    rewrite in the tail, vacuumed tail originals, or a schema-evolved
+    tail the append cannot resolve."""
+    spark = idx.spark
+    proj = newest_projection(spark, base)
+    if proj is None:
+        return None
+    name, v = proj
+    version = idx.version()
+    if version <= v:
+        return name if version == v else None
+    props = {
+        r[0]: r[1]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    }
+    if props.get(PENDING_EXTEND_PROP) == "1":
+        return None
+    live = projection_buckets(spark, name)
+    if live is None:
+        return None
+    cap = (
+        max_projection_files
+        if max_projection_files is not None
+        else 8 * live
+    )
+    if len(spark.table(name).inputFiles()) + live > cap:
+        return None  # graduated: time for the full re-bucketize
+    from eeg_data_lake_spark.sources.txlog import feed_adds_between
+
+    try:
+        adds = feed_adds_between(
+            idx.path, v, version, False, f"extend_projection({base})"
+        )
+    except ValueError:
+        # logical rewrite in the tail (projection invalid) or
+        # vacuumed tail originals (delta unrecoverable): both need
+        # the full rebuild from live content
+        return None
+    new_name = f"{base}_v{version}"
+    if adds:
+        tail = idx.changes(since=v, to=version).drop("_commit_version")
+        spark.sql(
+            f"ALTER TABLE {name} SET TBLPROPERTIES "
+            f"('{PENDING_EXTEND_PROP}'='1')"
+        )
+        try:
+            write_bucketed(tail, name, list(key_cols), live, mode="append")
+        except Exception:
+            # schema-evolved tail / writer refusal: nothing appended,
+            # clear the marker and let the caller rebuild
+            spark.sql(
+                f"ALTER TABLE {name} UNSET TBLPROPERTIES "
+                f"('{PENDING_EXTEND_PROP}')"
+            )
+            return None
+    # rewrites-only tail (adds empty): pure rename — bumping the
+    # advertised version past the rewrite commit is all a later
+    # vacuum needs to never strand this projection
+    spark.sql(f"DROP TABLE IF EXISTS {new_name}")
+    spark.sql(f"ALTER TABLE {name} RENAME TO {new_name}")
+    spark.sql(
+        f"ALTER TABLE {new_name} UNSET TBLPROPERTIES "
+        f"('{PENDING_EXTEND_PROP}')"
+    )
+    return new_name
+
+
 def compact_index(
     idx: TxTable,
     base: str | None,
@@ -144,6 +251,7 @@ def compact_index(
     target_file_bytes: int = 128 << 20,
     small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """The maintenance cadence the module docstring names ("re-
     bucketize at compaction"), as one call: policy-compact the index
@@ -171,7 +279,15 @@ def compact_index(
     default (cutoff == target) every file under the target re-
     qualifies forever and each fire at test scale is a full rewrite,
     which is what made compaction look corpus-proportional in the
-    100x probes (measured either way in probes/steady_state.py)."""
+    100x probes (measured either way in probes/steady_state.py).
+
+    The projection refresh itself is tail-bounded too: the stale
+    branch tries ``extend_projection`` (append the delta, rename)
+    before falling back to the full ``bucketize_index`` — so BOTH
+    legs of a fire now rewrite tail-, not index-, proportional bytes,
+    with the full re-bucketize amortized behind the
+    ``max_projection_files`` graduation cap (default 8 × the live
+    bucket count)."""
     compacted = maybe_compact(
         idx,
         max_small_files=max_small_files,
@@ -189,6 +305,18 @@ def compact_index(
         # strands the probe on the degraded full read, the exact
         # window this hook exists to close
         if proj is not None and _rewritten_after(idx, proj[1]):
+            # tail-bounded first: append only the delta and rename
+            # (extend_projection) — the full re-bucketize below is the
+            # graduation/repair path (file-count cap exceeded, crashed
+            # extend, vacuumed tail, schema evolution), so the common
+            # fire pays tail-sized bytes, not index-sized
+            refreshed = extend_projection(
+                idx, base, key_cols,
+                max_projection_files=max_projection_files,
+            )
+        if proj is not None and refreshed is None and _rewritten_after(
+            idx, proj[1]
+        ):
             # refresh at the LIVE projection's bucket count, not the
             # caller's default — the count encodes the shuffle-
             # partition alignment co-location depends on

@@ -95,6 +95,23 @@ def loop_anchor() -> float:
     return round(best, 4)
 
 
+def proj_file_sigs(spark, base: str) -> set[tuple[str, int]]:
+    """(basename, size) of the live projection's data files — stable
+    across the extend path's RENAME, so set-diffs isolate the bytes
+    each fire actually wrote."""
+    import os
+
+    from eeg_data_lake_spark.sources.indexproj import newest_projection
+
+    proj = newest_projection(spark, base)
+    if proj is None:
+        return set()
+    return {
+        (os.path.basename(p), os.path.getsize(p.removeprefix("file:")))
+        for p in spark.table(proj[0]).inputFiles()
+    }
+
+
 def median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -181,6 +198,8 @@ def main() -> None:
         )
         index_bytes = sum(int(s.get("bytes", 0)) for s in pre.values())
 
+        proj_sigs_pre = proj_file_sigs(spark, base)
+
         t0 = time.perf_counter()
         idx_v = compact_gram_index(
             tbl,
@@ -193,6 +212,19 @@ def main() -> None:
         )
         corpus_v = maybe_compact(tbl, max_small_files=MAX_SMALL)
         maint_s = round(time.perf_counter() - t0, 3)
+
+        # the projection leg's refresh cost: bytes in files that are
+        # NEW this fire. extend (tail-bounded append+rename) keeps
+        # every old file, so its written bytes are the tail's; a full
+        # re-bucketize replaces the whole set (index-sized)
+        proj_sigs_post = proj_file_sigs(spark, base)
+        proj_written = sum(sz for s_, sz in proj_sigs_post - proj_sigs_pre)
+        if idx_v is None:
+            proj_mode = None
+        elif proj_sigs_pre <= proj_sigs_post:
+            proj_mode = "extend"
+        else:
+            proj_mode = "rebuild"
 
         post = idx._replay().stats
         row = {
@@ -209,6 +241,9 @@ def main() -> None:
                 for s in post.values()
                 if int(s.get("bytes", 0)) >= SMALL_BYTES
             ),
+            "proj_mode": proj_mode,
+            "proj_written_bytes": proj_written,
+            "proj_files": len(proj_sigs_post),
             "loop_anchor_s": loop_anchor() if i % 12 == 0 else None,
         }
         report.append(row)
@@ -277,6 +312,19 @@ def main() -> None:
                     report[-1]["index_bytes"],
                 ],
                 "graduated_files_final": report[-1]["graduated_files"],
+                # the projection leg, per fire: mode (extend = tail-
+                # bounded append+rename, rebuild = graduation's full
+                # re-bucketize) and bytes each fire wrote — the term
+                # that WAS index-∝ before extend_projection landed
+                "proj_fire_modes": [
+                    r["proj_mode"] for r in report if r["index_compacted"]
+                ],
+                "proj_fire_written_bytes": [
+                    r["proj_written_bytes"]
+                    for r in report
+                    if r["index_compacted"]
+                ],
+                "proj_files_final": report[-1]["proj_files"],
                 "terminal_rows": len(inc_rows),
                 "terminal_equals_batch_recount": True,
             }

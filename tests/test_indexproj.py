@@ -515,11 +515,12 @@ def test_compact_index_repairs_projection_stranded_by_crash(
     idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
     idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
 
-    # call 1 crashes AFTER the compaction, BEFORE the re-bucketize
+    # call 1 crashes AFTER the compaction, BEFORE the refresh (the
+    # tail-bounded extend runs first now, so that is the crash point)
     def boom(*a, **k):
         raise RuntimeError("crash before re-project")
 
-    monkeypatch.setattr(indexproj, "bucketize_index", boom)
+    monkeypatch.setattr(indexproj, "extend_projection", boom)
     with pytest.raises(RuntimeError, match="crash before re-project"):
         compact_index(
             idx, base, ["k"], n_buckets=4, max_small_files=1,
@@ -776,3 +777,155 @@ def test_maintained_wrapper_reclaims_prior_run_projections(spark, sf_dir):
     assert len(after_second) == 1
     assert after_second != after_first  # the survivor is run 2's
     assert second == first
+
+
+def _file_sigs(spark, table):
+    """(basename, size) of every data file in a catalog table — stable
+    across ALTER TABLE RENAME (which moves the directory but keeps the
+    files), so a subset check proves the base files were NOT
+    rewritten."""
+    import os
+
+    return {
+        (os.path.basename(p), os.path.getsize(p.removeprefix("file:")))
+        for p in spark.table(table).inputFiles()
+    }
+
+
+def test_extend_projection_is_tail_bounded(spark, tmp_path, base):
+    """The steady-state probe's honest residual, closed: a maintenance
+    fire's projection refresh APPENDS the txlog tail and renames,
+    leaving every pre-existing base file byte-untouched — tail-, not
+    index-, proportional bytes — while the probe's index-side exchange
+    elision survives and the content equals the plain read."""
+    from eeg_data_lake_spark.sources.indexproj import compact_index
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    name0 = bucketize_index(idx, base, ["k"], n_buckets=4)
+    sigs0 = _file_sigs(spark, name0)
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    idx.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+
+    name1 = compact_index(
+        idx, base, ["k"], n_buckets=4, max_small_files=1,
+        vacuum_keep_versions=0,
+    )
+    assert name1 == f"{base}_v{idx.version()}"
+    sigs1 = _file_sigs(spark, name1)
+    # every original base file survived the refresh unrewritten, and
+    # the delta is at most one file per touched bucket
+    assert sigs0 <= sigs1
+    assert 0 < len(sigs1 - sigs0) <= 4
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    probe = spark.createDataFrame([(2,), (9,)], "k long")
+    plain = probe.join(idx.read().hint("merge"), "k", "left_anti")
+    fresh = probe.join(frames[0], "k", "left_anti")
+    assert count_exchanges(fresh) == count_exchanges(plain) - 1
+    assert {r.k for r in fresh.collect()} == {9}
+
+
+def test_extend_projection_graduates_at_file_cap(spark, tmp_path, base):
+    """max_projection_files is the amortization policy: when the
+    appended-delta files would overflow it, the extend declines and
+    compact_index falls back to the full re-bucketize — which also
+    restores single-file buckets (the sort-elision layout)."""
+    from eeg_data_lake_spark.sources.indexproj import (
+        compact_index,
+        extend_projection,
+    )
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    bucketize_index(idx, base, ["k"], n_buckets=4)
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    idx.compact()
+    assert extend_projection(idx, base, ["k"], max_projection_files=1) is None
+    name = compact_index(
+        idx, base, ["k"], n_buckets=4, max_small_files=1,
+        vacuum_keep_versions=0, max_projection_files=1,
+    )
+    assert name == f"{base}_v{idx.version()}"
+    assert _union_rows(index_frames(idx, base)) == {(1, "a"), (2, "b")}
+
+
+def test_crashed_extend_routes_to_full_rebuild(spark, tmp_path, base):
+    """A crash between the tail append and the rename leaves the
+    pending marker set and the projection physically past its
+    advertised version. The next maintenance must NOT extend again
+    (that would duplicate the tail) — it full-rebuilds, and the
+    rebuilt projection is exact."""
+    from eeg_data_lake_spark.sources.bucketed import write_bucketed
+    from eeg_data_lake_spark.sources.indexproj import (
+        PENDING_EXTEND_PROP,
+        compact_index,
+        extend_projection,
+    )
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    name0 = bucketize_index(idx, base, ["k"], n_buckets=4)
+    v0 = newest_projection(spark, base)[1]
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    # simulate the crashed extend: marker set, tail appended, no rename
+    spark.sql(
+        f"ALTER TABLE {name0} SET TBLPROPERTIES "
+        f"('{PENDING_EXTEND_PROP}'='1')"
+    )
+    write_bucketed(
+        idx.changes(since=v0).drop("_commit_version"),
+        name0, ["k"], 4, mode="append",
+    )
+    # the half-extended state is still EXACT for set-semantics reads
+    # (base serves the tail rows once, the tail frame serves them
+    # again — a union/anti-join consumer sees the same set)
+    assert _union_rows(index_frames(idx, base)) == {(1, "a"), (2, "b")}
+    # direct extend refuses
+    assert extend_projection(idx, base, ["k"]) is None
+    # maintenance repairs via the full rebuild path
+    idx.compact()
+    name1 = compact_index(
+        idx, base, ["k"], n_buckets=4, max_small_files=1,
+        vacuum_keep_versions=0,
+    )
+    assert name1 == f"{base}_v{idx.version()}"
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b")}
+    # the rebuild cleared the marker: the NEXT fire can extend again
+    idx.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    idx.compact()
+    name2 = extend_projection(idx, base, ["k"])
+    assert name2 == f"{base}_v{idx.version()}"
+    assert _union_rows(index_frames(idx, base)) == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
+def test_extend_projection_pure_rename_on_rewrite_only_tail(
+    spark, tmp_path, base
+):
+    """A tail containing ONLY transparent rewrites (compact/zorder —
+    no logical rows) bumps the projection's advertised version by pure
+    rename, appending nothing: the vacuum-safety repair costs zero
+    data bytes when there is no data to capture."""
+    from eeg_data_lake_spark.sources.indexproj import extend_projection
+
+    idx = TxTable(spark, str(tmp_path / "idx"))
+    idx.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    idx.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    name0 = bucketize_index(idx, base, ["k"], n_buckets=4)
+    sigs0 = _file_sigs(spark, name0)
+    idx.compact()
+    name1 = extend_projection(idx, base, ["k"])
+    assert name1 == f"{base}_v{idx.version()}"
+    assert _file_sigs(spark, name1) == sigs0  # no bytes written
+    # and the bumped projection is vacuum-proof: no tail to strand
+    idx.vacuum(keep_versions=0)
+    frames = index_frames(idx, base)
+    assert len(frames) == 1
+    assert _union_rows(frames) == {(1, "a"), (2, "b")}
