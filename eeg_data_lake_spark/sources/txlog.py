@@ -189,7 +189,7 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
 REWRITE_TRANSPARENT_OPS = {"compact", "zorder"}
 #: commit ops that logically rewrite rows in ways a file-action log
 #: cannot express as a row-level delta
-LOGICAL_REWRITE_OPS = {"overwrite", "upsert"}
+LOGICAL_REWRITE_OPS = {"overwrite", "upsert", "restore"}
 
 
 def _parse_iso_utc(s: str) -> datetime.datetime:
@@ -924,6 +924,85 @@ class TxTable:
             ):
                 shutil.rmtree(full)
         return sorted(deleted)
+
+    def restore(self, version: int, txn_id: str | None = None) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — Delta's roll-back-by-
+        rolling-forward: commit a NEW version whose live file set
+        equals snapshot ``version``. History is preserved (the restore
+        is itself a commit: time travel into the pre-restore states
+        still works, and a bad restore is undone by restoring again).
+        Purely a file-level manifest op — no data is copied or
+        rewritten; the commit re-adds the files the snapshot
+        referenced and removes the ones added since. Raises when a
+        needed snapshot file was already vacuumed (the roll-back
+        target no longer exists — Delta fails the same way; vacuum's
+        docstring calls this out as the retention trade). Classified a
+        LOGICAL rewrite end to end: the change feed raises across it
+        (the implicit deletions have no recorded row-level delta),
+        streaming sources refuse it, index projections repair by full
+        rebuild, and contract caches are invalidated via the rewrite
+        listeners. No-op (current version returned, nothing committed)
+        when the live file set already equals the snapshot's."""
+        target = self._replay(upto=version)  # raises if version absent
+        cur = self._replay()
+        tset, cset = set(target.files), set(cur.files)
+        add = sorted(tset - cset)
+        remove = sorted(cset - tset)
+        missing = [
+            f
+            for f in add
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"restore at {self.path}: version {version} references "
+                f"{missing[0]!r}, which was vacuumed — that snapshot is "
+                "unrecoverable"
+            )
+        if not add and not remove:
+            return cur.version
+        v = self._commit(add, remove, txn_id, "restore")
+        _notify_rewrite(self.path)
+        return v
+
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        txn_id: str | None = None,
+    ) -> "TxTable":
+        """CLONE: materialize snapshot ``version`` (default: latest)
+        as an INDEPENDENT txlog table at ``dest_path`` without copying
+        data — Delta's shallow clone, with hardlink isolation. Each
+        live data file is hardlinked into the clone's tree (same bytes
+        on disk; ``copy2`` fallback when the destination is on another
+        filesystem), so either table may append / rewrite / compact /
+        VACUUM afterwards without affecting the other: the filesystem
+        refcount keeps shared bytes alive until BOTH sides drop them.
+        That is strictly safer than Delta's path-referencing shallow
+        clone, which breaks when the source vacuums. The clone starts
+        a fresh history at version 0 with op ``clone`` (its provenance
+        is the commit's txn_id, if given); stats are re-read from the
+        shared footers. Raises when ``dest_path`` already holds a
+        table or data."""
+        state = self._replay(upto=version)
+        if state.version < 0 or not state.files:
+            raise ValueError(f"clone: table at {self.path} has no data")
+        dest = TxTable(self.spark, dest_path)
+        if dest._replay().version >= 0:
+            raise ValueError(
+                f"clone: destination {dest_path} already has commits"
+            )
+        for rel in state.files:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)  # cross-device destination
+        dest._commit(list(state.files), [], txn_id, "clone")
+        return dest
 
 
 def table_diff(
