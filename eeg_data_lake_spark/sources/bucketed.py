@@ -59,6 +59,74 @@ def _location_claimed(spark: SparkSession, target: str) -> bool:
     return False
 
 
+def reclaim_orphan_location(spark: SparkSession, table: str) -> None:
+    """Clear an ORPHANED warehouse directory at ``table``'s managed
+    location (a previous session wrote the files, then died before/
+    without persisting the catalog entry — the catalog here is
+    session-scoped). Such a directory wedges saveAsTable AND ALTER
+    TABLE RENAME with LOCATION_ALREADY_EXISTS forever; files with no
+    catalog entry are unreachable garbage, reclaim them.
+    Guard rails: (a) qualified names resolve to the metastore layout
+    ({db}.db/{tbl}), not a literal '{db}.{tbl}' dir that would miss
+    and leave the wedge; (b) a directory any table KNOWN TO THIS
+    CATALOG lives in is never touched; (c) rmtree is reserved for
+    directories carrying the MARKER_FILE this writer drops — i.e.
+    provably OUR orphan. A wedging directory WITHOUT the marker (some
+    other process's data at our name) is renamed aside instead, so
+    the caller's write can proceed but nothing foreign is ever
+    destroyed."""
+    import os
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        parts = table.lower().split(".")
+        if len(parts) == 1 or parts[0] == "default":
+            target = os.path.join(wh.path, parts[-1])
+        else:
+            target = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
+        # common case: no orphan dir — skip the catalog-wide
+        # location scan entirely
+        if os.path.isdir(target) and not _location_claimed(
+            spark, target
+        ):
+            if os.path.exists(os.path.join(target, MARKER_FILE)):
+                shutil.rmtree(target, ignore_errors=True)
+            else:
+                # NB: directories this writer created BEFORE the
+                # marker existed look foreign too — they are moved
+                # aside (never deleted) and accumulate until
+                # someone inspects them. That is the deliberate
+                # one-time migration cost: provenance cannot be
+                # proven retroactively, and guessing wrong once
+                # destroys someone else's data forever.
+                aside = f"{target}.foreign-{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(target, aside)
+                except OSError as exc:
+                    # permissions, concurrent removal, cross-device
+                    # warehouse path: surface a decision the caller
+                    # can act on, not a bare errno from deep inside
+                    # a write
+                    raise RuntimeError(
+                        f"bucketed table {table!r}: an unmarked "
+                        f"directory is wedging its location "
+                        f"{target} and could not be moved aside "
+                        f"({exc}); inspect and remove it manually, "
+                        f"then retry the write"
+                    ) from exc
+                import warnings
+
+                warnings.warn(
+                    f"bucketed table {table!r}: unmarked directory "
+                    f"was wedging its location; moved aside to "
+                    f"{aside} (inspect/delete manually)",
+                    stacklevel=2,
+                )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -78,70 +146,7 @@ def write_bucketed(
     the sort this writer exists to elide."""
     spark = df.sparkSession
     if not spark.catalog.tableExists(table):
-        # an ORPHANED warehouse dir (a previous session wrote the
-        # files, then died before/without persisting the catalog
-        # entry — the catalog here is session-scoped) would wedge
-        # saveAsTable with LOCATION_ALREADY_EXISTS forever; files
-        # with no catalog entry are unreachable garbage, reclaim them.
-        # Guard rails on the reclaim: (a) qualified names resolve to
-        # the metastore layout ({db}.db/{tbl}), not a literal
-        # '{db}.{tbl}' dir that would miss and leave the wedge; (b) a
-        # directory any table KNOWN TO THIS CATALOG lives in is never
-        # touched; (c) rmtree is reserved for directories carrying the
-        # MARKER_FILE this writer drops — i.e. provably OUR orphan. A
-        # wedging directory WITHOUT the marker (some other process's
-        # data at our name) is renamed aside instead, so the write can
-        # proceed but nothing foreign is ever destroyed.
-        import os
-        import shutil
-        import uuid
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            parts = table.lower().split(".")
-            if len(parts) == 1 or parts[0] == "default":
-                target = os.path.join(wh.path, parts[-1])
-            else:
-                target = os.path.join(wh.path, f"{parts[0]}.db", parts[1])
-            # common case: no orphan dir — skip the catalog-wide
-            # location scan entirely
-            if os.path.isdir(target) and not _location_claimed(
-                spark, target
-            ):
-                if os.path.exists(os.path.join(target, MARKER_FILE)):
-                    shutil.rmtree(target, ignore_errors=True)
-                else:
-                    # NB: directories this writer created BEFORE the
-                    # marker existed look foreign too — they are moved
-                    # aside (never deleted) and accumulate until
-                    # someone inspects them. That is the deliberate
-                    # one-time migration cost: provenance cannot be
-                    # proven retroactively, and guessing wrong once
-                    # destroys someone else's data forever.
-                    aside = f"{target}.foreign-{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(target, aside)
-                    except OSError as exc:
-                        # permissions, concurrent removal, cross-device
-                        # warehouse path: surface a decision the caller
-                        # can act on, not a bare errno from deep inside
-                        # a write
-                        raise RuntimeError(
-                            f"bucketed table {table!r}: an unmarked "
-                            f"directory is wedging its location "
-                            f"{target} and could not be moved aside "
-                            f"({exc}); inspect and remove it manually, "
-                            f"then retry the write"
-                        ) from exc
-                    import warnings
-
-                    warnings.warn(
-                        f"bucketed table {table!r}: unmarked directory "
-                        f"was wedging its location; moved aside to "
-                        f"{aside} (inspect/delete manually)",
-                        stacklevel=2,
-                    )
+        reclaim_orphan_location(spark, table)
     writer = (
         df.repartition(n_buckets, *bucket_cols)
         .write.format("parquet")

@@ -234,6 +234,14 @@ def extend_projection(
     # advertised version past the rewrite commit is all a later
     # vacuum needs to never strand this projection
     spark.sql(f"DROP TABLE IF EXISTS {new_name}")
+    # RENAME moves the warehouse dir, and — like saveAsTable — wedges
+    # on an orphaned directory a previous session left at the target
+    # name; same marker-gated reclaim as write_bucketed
+    from eeg_data_lake_spark.sources.bucketed import (
+        reclaim_orphan_location,
+    )
+
+    reclaim_orphan_location(spark, new_name)
     spark.sql(f"ALTER TABLE {name} RENAME TO {new_name}")
     spark.sql(
         f"ALTER TABLE {new_name} UNSET TBLPROPERTIES "

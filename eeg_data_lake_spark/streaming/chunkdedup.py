@@ -82,7 +82,10 @@ def compact_chunk_index(
     base: str | None,
     n_buckets: int = 32,
     max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """Post-ingest maintenance: policy-compact the chunk index and,
     when compaction ran under a live ``base`` projection, re-bucketize
@@ -95,7 +98,10 @@ def compact_chunk_index(
         ["chunk_md5"],
         n_buckets=n_buckets,
         max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
+        max_projection_files=max_projection_files,
     )
 
 

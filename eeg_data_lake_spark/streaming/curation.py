@@ -136,7 +136,10 @@ def compact_fp_index(
     base: str | None,
     n_buckets: int = 32,
     max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """Post-ingest maintenance: policy-compact the fingerprint index
     and, when ``base``'s projection is stale, re-bucketize it BEFORE
@@ -147,7 +150,10 @@ def compact_fp_index(
         ["fingerprint"],
         n_buckets=n_buckets,
         max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
+        max_projection_files=max_projection_files,
     )
 
 
@@ -155,7 +161,10 @@ def compact_curation_state(
     table: TxTable,
     bucketed_base: str | None = None,
     max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """Post-drain maintenance for the WHOLE five-table curation state:
     the fingerprint index through compact_fp_index (projection-aware —
@@ -163,14 +172,22 @@ def compact_curation_state(
     before any vacuum), plus policy compaction of the corpus and the
     gram/inventory/bench txlogs, which ALSO take an append per
     micro-batch and would otherwise accumulate small files without
-    bound. Returns the refreshed fingerprint projection name, if any."""
+    bound. Returns the refreshed fingerprint projection name, if any.
+
+    ``small_file_bytes`` below ``target_file_bytes`` turns on
+    graduation for EVERY leg (bin-packed outputs stop re-qualifying,
+    so each fire rewrites the un-graduated tail, not the corpus — the
+    amortization probes/steady_state.py measures)."""
     from eeg_data_lake_spark.sources.txlog import maybe_compact
 
     refreshed = compact_fp_index(
         table,
         bucketed_base,
         max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
+        max_projection_files=max_projection_files,
     )
     spark = table.spark
     others = [
@@ -181,7 +198,13 @@ def compact_curation_state(
     ]
     for t in others:
         if (
-            maybe_compact(t, max_small_files=max_small_files) is not None
+            maybe_compact(
+                t,
+                max_small_files=max_small_files,
+                target_file_bytes=target_file_bytes,
+                small_file_bytes=small_file_bytes,
+            )
+            is not None
             and vacuum_keep_versions is not None
         ):
             t.vacuum(keep_versions=vacuum_keep_versions)

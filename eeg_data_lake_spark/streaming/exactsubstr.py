@@ -114,6 +114,7 @@ def compact_gram_index(
     target_file_bytes: int = 128 << 20,
     small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """Post-ingest maintenance: policy-compact the gram index and,
     when compaction ran under a live ``base`` projection, re-bucketize
@@ -133,6 +134,7 @@ def compact_gram_index(
         target_file_bytes=target_file_bytes,
         small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
+        max_projection_files=max_projection_files,
     )
 
 

@@ -364,22 +364,36 @@ def compact_resolved_state(
     family: ResolvedFamily,
     bucketed_base: str | None = None,
     max_small_files: int = 8,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
     vacuum_keep_versions: int | None = None,
+    max_projection_files: int | None = None,
 ) -> str | None:
     """Post-drain maintenance for the four-table state: the posting
     index through compact_index (projection-aware refresh before any
     vacuum), plus policy compaction of the corpus and edge txlogs,
-    which take an append per micro-batch."""
+    which take an append per micro-batch. A ``small_file_bytes``
+    cutoff below ``target_file_bytes`` turns on graduation for every
+    leg (each fire rewrites only the un-graduated tail)."""
     refreshed = compact_index(
         posting_table(table.spark, table),
         bucketed_base,
         list(family.probe_keys),
         max_small_files=max_small_files,
+        target_file_bytes=target_file_bytes,
+        small_file_bytes=small_file_bytes,
         vacuum_keep_versions=vacuum_keep_versions,
+        max_projection_files=max_projection_files,
     )
     for t in (table, edges_table(table.spark, table)):
         if (
-            maybe_compact(t, max_small_files=max_small_files) is not None
+            maybe_compact(
+                t,
+                max_small_files=max_small_files,
+                target_file_bytes=target_file_bytes,
+                small_file_bytes=small_file_bytes,
+            )
+            is not None
             and vacuum_keep_versions is not None
         ):
             t.vacuum(keep_versions=vacuum_keep_versions)
