@@ -120,3 +120,91 @@ def test_natural_policy_cadence_bounds_files_and_keeps_oracle(
     )
     bat = sorted(map(tuple, _batch_recount(tbl).collect()))
     assert inc == bat and inc
+
+
+def test_chunk_family_natural_cadence_bounds_files_and_keeps_oracle(
+    spark, sf_dir
+):
+    """The z40 family's analog of the gram-family pin above (measured
+    at scale in probes/steady_state_chunks.py): under the NATURAL
+    policy the chunk index's live files stay bounded, compaction is
+    amortized over the cadence rather than firing per trigger, and
+    the terminal dedup accounting equals re-chunking the accumulated
+    corpus from scratch."""
+    from eeg_data_lake_spark.functions.chunking import chunk_rows
+    from eeg_data_lake_spark.functions.multimodal import (
+        attach_binary_payload,
+    )
+    from eeg_data_lake_spark.streaming.chunkdedup import (
+        bucketize_chunk_index,
+        chunk_batch_writer,
+        chunk_index_table,
+        compact_chunk_index,
+        dedup_report,
+    )
+
+    blobs = (
+        attach_binary_payload(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+        .select("doc_id", "payload")
+        .cache()
+    )
+    d = tempfile.mkdtemp(prefix="steady_chunks_test_")
+    tbl = TxTable(spark, f"{d}/corpus")
+    idx = chunk_index_table(spark, tbl)
+    base = "steadychunktest"
+    w = chunk_batch_writer(tbl, "soak-test", bucketed_base=base)
+
+    fires, live_counts = [], []
+    for i in range(N_TRIGGERS):
+        batch = blobs.filter(F.col("doc_id") % N_TRIGGERS == i).select(
+            (F.col("doc_id") * 1000 + F.lit(2 * i)).alias("doc_id"),
+            "payload",
+        )
+        if i % 2 == 1:
+            # duplicate payloads under fresh ids keep the novelty
+            # anti-join dropping chunks throughout
+            batch = batch.unionByName(
+                blobs.filter(F.col("doc_id") % N_TRIGGERS == i - 1).select(
+                    (F.col("doc_id") * 1000 + F.lit(2 * i + 1)).alias(
+                        "doc_id"
+                    ),
+                    "payload",
+                )
+            )
+        w(batch, i)
+        if i == 0:
+            bucketize_chunk_index(tbl, base, n_buckets=4)
+        fires.append(
+            compact_chunk_index(
+                tbl,
+                base,
+                n_buckets=4,
+                max_small_files=MAX_SMALL,
+                vacuum_keep_versions=2,
+            )
+            is not None
+        )
+        live_counts.append(len(idx._replay().stats))
+
+    # the chunk writer lands ONE index append per trigger (novel
+    # chunks only), each at most shuffle-partitions files
+    assert max(live_counts) <= MAX_SMALL + 4, live_counts
+    assert not all(fires) and any(fires), fires
+
+    rep = dedup_report(tbl).collect()[0].asDict()
+    corpus = tbl.read()
+    recount = (
+        chunk_rows(corpus)
+        .groupBy("chunk_md5")
+        .agg(F.min("length").alias("length"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("length").cast("long").alias("b"),
+        )
+        .collect()[0]
+    )
+    assert rep["n_unique_chunks"] == recount["n"]
+    assert rep["stored_bytes"] == recount["b"]
+    assert rep["dedup_ratio"] > 1.2  # the dup structure actually deduped
