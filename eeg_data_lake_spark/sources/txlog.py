@@ -266,6 +266,11 @@ class ConcurrentModificationError(RuntimeError):
     (the files it rewrites were already removed by the winner)."""
 
 
+class CheckConstraintViolation(ValueError):
+    """A write's rows violate a table CHECK constraint; the write was
+    aborted before its manifest existed — nothing became visible."""
+
+
 @dataclass
 class _LogState:
     version: int  # latest committed version, -1 if none
@@ -627,7 +632,9 @@ class TxTable:
     def append(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomically append ``df``; replaying the same txn_id is a
         no-op. Returns the committed (or already-current) version."""
-        return self._commit(self._write_data(df), [], txn_id, "append")
+        files = self._write_data(df)
+        self._enforce_constraints(files, "append")
+        return self._commit(files, [], txn_id, "append")
 
     def overwrite(
         self,
@@ -648,9 +655,9 @@ class TxTable:
         semantics. A competing rewrite that already removed pinned
         files still raises ConcurrentModificationError."""
         state = self._replay(upto=pin_version)
-        v = self._commit(
-            self._write_data(df), state.files, txn_id, "overwrite"
-        )
+        files = self._write_data(df)
+        self._enforce_constraints(files, "overwrite")
+        v = self._commit(files, state.files, txn_id, "overwrite")
         _notify_rewrite(self.path)
         return v
 
@@ -675,9 +682,9 @@ class TxTable:
             updates, keys, "left_anti"
         )
         merged = survivors.unionByName(updates)
-        v = self._commit(
-            self._write_data(merged), state.files, txn_id, "upsert"
-        )
+        files = self._write_data(merged)
+        self._enforce_constraints(files, "upsert")
+        v = self._commit(files, state.files, txn_id, "upsert")
         # unionByName type promotion means an upsert CAN rewrite the
         # table's schema in place (int updates column vs bigint table
         # → merged files land widened) — same invalidation need as
@@ -1002,7 +1009,120 @@ class TxTable:
             except OSError:
                 shutil.copy2(src, dst)  # cross-device destination
         dest._commit(list(state.files), [], txn_id, "clone")
+        # table metadata travels with the clone (Delta clones copy the
+        # metadata action): CHECK constraints keep enforcing at dest
+        cons = self.check_constraints()
+        if cons:
+            dest._write_constraints(cons)
         return dest
+
+    # ------------------------------------------------- CHECK constraints
+
+    #: sidecar holding the table's CHECK constraints ({name: sql_expr})
+    #: — the Delta `ALTER TABLE ADD CONSTRAINT` surface. Deliberately
+    #: NOT versioned with the manifests (an engineering simplification
+    #: over Delta's in-log metadata actions, documented here): the
+    #: constraint set is current-state metadata; time travel reads old
+    #: DATA under the current rules, which is also how consumers use
+    #: Delta in practice.
+    CONSTRAINTS_FILE = "_constraints.json"
+
+    def check_constraints(self) -> dict[str, str]:
+        """The table's CHECK constraints as {name: sql_expr} (empty
+        when none were ever added)."""
+        p = os.path.join(self.log_dir, self.CONSTRAINTS_FILE)
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def _write_constraints(self, cons: dict[str, str]) -> None:
+        tmp = os.path.join(self.log_dir, f".cons-tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, self.CONSTRAINTS_FILE))
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT ``name`` CHECK (``expr``):
+        every subsequent append/overwrite/upsert/merge validates its
+        written rows against ``expr`` BEFORE committing — a violating
+        write aborts atomically (files never become visible) with
+        ``CheckConstraintViolation``. SQL-standard semantics: a row
+        violates only when the expression evaluates to FALSE; NULL
+        passes (use an explicit ``x IS NOT NULL`` conjunct for
+        NOT-NULL intent, as in Delta).
+
+        Like Delta, adding the constraint first validates the EXISTING
+        table (one scan, pruned to the expression's columns) and
+        refuses if any current row violates it. Re-adding the same
+        (name, expr) is a no-op; a different expr under an existing
+        name raises — drop it first."""
+        from pyspark.sql import functions as F
+
+        cons = self.check_constraints()
+        if name in cons:
+            if cons[name] == expr:
+                return
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                f"expression ({cons[name]!r}); drop it first"
+            )
+        F.expr(expr)  # parse now — a typo should fail here, not mid-write
+        state = self._replay()
+        if state.files:
+            bad = self._violating(self.read(), expr)
+            if not bad.isEmpty():
+                raise CheckConstraintViolation(
+                    f"cannot add constraint {name!r}: existing rows "
+                    f"violate CHECK ({expr})"
+                )
+        cons[name] = expr
+        self._write_constraints(cons)
+
+    def drop_check_constraint(self, name: str) -> None:
+        """ALTER TABLE DROP CONSTRAINT (missing name is a no-op, as
+        with IF EXISTS)."""
+        cons = self.check_constraints()
+        if cons.pop(name, None) is not None:
+            self._write_constraints(cons)
+
+    @staticmethod
+    def _violating(df: DataFrame, expr: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.where(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            == F.lit(False)
+        )
+
+    def _enforce_constraints(self, written: list[str], op: str) -> None:
+        """Validate freshly-written (not-yet-committed) files against
+        every CHECK constraint; on violation delete them and raise, so
+        the failed write leaves no trace — readers can never observe a
+        violating row because enforcement happens before the manifest
+        exists. Cost: one column-pruned scan of the BATCH's files per
+        constraint (never the table)."""
+        cons = self.check_constraints()
+        if not cons or not written:
+            return
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in written]
+        )
+        for name, expr in cons.items():
+            if not self._violating(df, expr).isEmpty():
+                for rel in written:
+                    try:
+                        os.unlink(os.path.join(self.path, rel))
+                    except OSError:
+                        pass  # orphan at worst; vacuum reclaims it
+                raise CheckConstraintViolation(
+                    f"{op} at {self.path}: rows violate constraint "
+                    f"{name!r} CHECK ({expr}) — write aborted, nothing "
+                    "committed"
+                )
 
 
 def table_diff(
