@@ -633,7 +633,7 @@ class TxTable:
         """Atomically append ``df``; replaying the same txn_id is a
         no-op. Returns the committed (or already-current) version."""
         files = self._write_data(df)
-        self._enforce_constraints(files, "append")
+        self._enforce_constraints(files, "append", txn_id)
         return self._commit(files, [], txn_id, "append")
 
     def overwrite(
@@ -656,7 +656,7 @@ class TxTable:
         files still raises ConcurrentModificationError."""
         state = self._replay(upto=pin_version)
         files = self._write_data(df)
-        self._enforce_constraints(files, "overwrite")
+        self._enforce_constraints(files, "overwrite", txn_id)
         v = self._commit(files, state.files, txn_id, "overwrite")
         _notify_rewrite(self.path)
         return v
@@ -683,7 +683,7 @@ class TxTable:
         )
         merged = survivors.unionByName(updates)
         files = self._write_data(merged)
-        self._enforce_constraints(files, "upsert")
+        self._enforce_constraints(files, "upsert", txn_id)
         v = self._commit(files, state.files, txn_id, "upsert")
         # unionByName type promotion means an upsert CAN rewrite the
         # table's schema in place (int updates column vs bigint table
@@ -1098,15 +1098,27 @@ class TxTable:
             == F.lit(False)
         )
 
-    def _enforce_constraints(self, written: list[str], op: str) -> None:
+    def _enforce_constraints(
+        self, written: list[str], op: str, txn_id: str | None = None
+    ) -> None:
         """Validate freshly-written (not-yet-committed) files against
         every CHECK constraint; on violation delete them and raise, so
         the failed write leaves no trace — readers can never observe a
         violating row because enforcement happens before the manifest
         exists. Cost: one column-pruned scan of the BATCH's files per
-        constraint (never the table)."""
+        constraint (never the table).
+
+        An idempotent REPLAY (``txn_id`` already committed) skips
+        enforcement: the commit will no-op and the files are orphans,
+        and a constraint added AFTER the original commit must not turn
+        the replay of an already-landed batch into an error — the
+        crash-recovery path every streaming writer depends on (the
+        original rows may have been overwritten away since, which is
+        the only way the add-time validation could have passed)."""
         cons = self.check_constraints()
         if not cons or not written:
+            return
+        if txn_id and txn_id in self._replay().txn_ids:
             return
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in written]

@@ -105,3 +105,21 @@ def test_parse_error_surfaces_at_add_time(spark, tmp_path):
     with pytest.raises(Exception):
         t.add_check_constraint("bad", "v >>>> !!")
     assert t.check_constraints() == {}
+
+
+def test_replay_of_committed_txn_skips_enforcement(spark, tmp_path):
+    """Crash-recovery invariant: re-running an already-committed
+    txn_id must stay a no-op even when a constraint added AFTER the
+    original commit would reject the batch's rows today (possible
+    because the original rows were overwritten away before the add's
+    existing-data validation ran)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    bad = spark.createDataFrame([(1, -1)], "k long, v long")
+    t.append(bad, txn_id="batch-0")
+    t.overwrite(spark.createDataFrame([(2, 2)], "k long, v long"))
+    t.add_check_constraint("v_positive", "v > 0")  # current data clean
+    v = t.version()
+    # the streaming writer's crash-replay re-runs batch-0 verbatim:
+    # must no-op, not raise
+    assert t.append(bad, txn_id="batch-0") == v
+    assert _rows(t.read()) == {(2, 2)}
