@@ -189,7 +189,7 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
 REWRITE_TRANSPARENT_OPS = {"compact", "zorder"}
 #: commit ops that logically rewrite rows in ways a file-action log
 #: cannot express as a row-level delta
-LOGICAL_REWRITE_OPS = {"overwrite", "upsert", "restore"}
+LOGICAL_REWRITE_OPS = {"overwrite", "upsert", "restore", "delete"}
 
 
 def _parse_iso_utc(s: str) -> datetime.datetime:
@@ -931,6 +931,47 @@ class TxTable:
             ):
                 shutil.rmtree(full)
         return sorted(deleted)
+
+    def delete_where(
+        self, predicates: list[tuple], txn_id: str | None = None
+    ) -> int:
+        """DELETE WHERE, file-pruned (Delta's DELETE): rows matching
+        EVERY predicate (``[(col, op, value), ...]``, op in
+        ``= < <= > >=`` — the same triples ``read`` skips on) are
+        removed by rewriting ONLY the files whose min/max stats admit
+        a match; every other file stays byte-identical, which at
+        100 TB is the whole point — a DELETE of one user's rows from a
+        ZORDERed table touches a handful of files, not the table. SQL
+        DELETE semantics: a row is deleted only when the predicate
+        conjunction is TRUE; NULL keeps the row. Old versions stay
+        time-travel readable until vacuum (pair with vacuum for
+        physical erasure — the GDPR flow proven in
+        tests/test_gdpr_purge.py). Classified a logical rewrite for
+        the change feed / streaming / projections. Returns the
+        committed version (unchanged when stats prove no file can
+        match). Constraint note: survivors are existing rows, so CHECK
+        enforcement is not re-run here."""
+        state = self._replay()
+        if state.version < 0:
+            raise ValueError(f"table at {self.path} has no data")
+        affected = [
+            f
+            for f in state.files
+            if _file_may_match(state.stats.get(f), predicates)
+        ]
+        if not affected:
+            return state.version
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in affected]
+        )
+        cond = F.lit(True)
+        for col, op, value in predicates:
+            cond = cond & _OPS[op](F.col(col), F.lit(value))
+        survivors = df.where(~F.coalesce(cond, F.lit(False)))
+        add = self._write_data(survivors)
+        v = self._commit(add, affected, txn_id, "delete")
+        _notify_rewrite(self.path)
+        return v
 
     def restore(self, version: int, txn_id: str | None = None) -> int:
         """RESTORE TABLE ... TO VERSION AS OF — Delta's roll-back-by-

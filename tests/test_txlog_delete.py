@@ -1,0 +1,121 @@
+"""File-pruned DELETE WHERE on the txlog (Delta's DELETE): only files
+whose min/max stats admit a match are rewritten — everything else
+stays byte-identical — with SQL NULL-keeps-the-row semantics, change-
+feed refusal, and time-travel + vacuum interplay."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from eeg_data_lake_spark.sources.txlog import TxTable, table_history
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _file_sigs(t: TxTable) -> set[tuple[str, int]]:
+    out = set()
+    for root, _d, names in os.walk(t.data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                out.add((os.path.relpath(p, t.path), os.path.getsize(p)))
+    return out
+
+
+def _mk(spark, tmp_path):
+    """Three commits with disjoint k-ranges, so per-file stats can
+    prune precisely."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 10)
+            .selectExpr("id as k", "id * 2 as v")
+            .coalesce(1)
+        )
+    return t
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    state = t._replay()
+    untouched_before = {
+        f
+        for f in state.files
+        # files whose k-range cannot contain k < 10
+        if int(state.stats[f]["cols"]["k"]["min"]) >= 100
+    }
+    assert len(untouched_before) == 2
+    v = t.delete_where([("k", "<", 5)])
+    assert v == t.version()
+    got = _rows(t.read().select("k"))
+    assert got == {(k,) for k in list(range(5, 10)) + list(range(100, 110)) + list(range(200, 210))}
+    # the two non-matching files were not rewritten: same live paths
+    live_after = set(t._replay().files)
+    assert untouched_before <= live_after
+    ops = [r.op for r in table_history(t).collect()]
+    assert ops.count("delete") == 1
+    # time travel still sees the deleted rows
+    assert t.read(version=2).filter("k < 5").count() == 5
+
+
+def test_delete_with_no_possible_match_is_a_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.version()
+    sigs0 = _file_sigs(t)
+    assert t.delete_where([("k", ">", 10_000)]) == v0
+    assert _file_sigs(t) == sigs0  # stats proved it: nothing touched
+
+
+def test_null_predicate_keeps_the_row(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, -1)], "k long, v long"
+        )
+    )
+    t.delete_where([("v", "<", 0)])
+    assert _rows(t.read()) == {(1, 5), (2, None)}
+
+
+def test_delete_is_a_logical_rewrite_for_the_change_feed(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path)
+    t.delete_where([("k", "<", 5)])
+    with pytest.raises(ValueError, match="delete"):
+        t.changes(since=2)
+
+
+def test_delete_conjunction_and_idempotent_txn(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.delete_where(
+        [("k", ">=", 100), ("k", "<", 105)], txn_id="purge-1"
+    )
+    assert t.read().filter("k >= 100 and k < 105").count() == 0
+    assert t.read().count() == 25
+    assert t.delete_where(
+        [("k", ">=", 100), ("k", "<", 105)], txn_id="purge-1"
+    ) == v  # replay no-ops
+    assert t.version() == v
+
+
+def test_delete_then_vacuum_erases_bytes(spark, tmp_path):
+    """The GDPR flow with the pruned DELETE: after vacuum, no parquet
+    file on disk contains the deleted keys."""
+    import duckdb
+
+    t = _mk(spark, tmp_path)
+    t.delete_where([("k", "=", 3)])
+    t.vacuum(keep_versions=0)
+    hits = 0
+    for rel, _sz in _file_sigs(t):
+        p = os.path.join(t.path, rel)
+        hits += duckdb.sql(
+            f"SELECT count(*) FROM '{p}' WHERE k = 3"
+        ).fetchall()[0][0]
+    assert hits == 0
+    assert t.read().count() == 29
