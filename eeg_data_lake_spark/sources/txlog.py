@@ -189,7 +189,7 @@ def _file_may_match(stats: dict | None, predicates: list[tuple]) -> bool:
 REWRITE_TRANSPARENT_OPS = {"compact", "zorder"}
 #: commit ops that logically rewrite rows in ways a file-action log
 #: cannot express as a row-level delta
-LOGICAL_REWRITE_OPS = {"overwrite", "upsert", "restore", "delete"}
+LOGICAL_REWRITE_OPS = {"overwrite", "upsert", "restore", "delete", "update"}
 
 
 def _parse_iso_utc(s: str) -> datetime.datetime:
@@ -970,6 +970,64 @@ class TxTable:
         survivors = df.where(~F.coalesce(cond, F.lit(False)))
         add = self._write_data(survivors)
         v = self._commit(add, affected, txn_id, "delete")
+        _notify_rewrite(self.path)
+        return v
+
+    def update_where(
+        self,
+        predicates: list[tuple],
+        set_exprs: dict[str, str],
+        txn_id: str | None = None,
+    ) -> int:
+        """UPDATE ... SET col = expr WHERE ..., file-pruned like
+        ``delete_where`` (same predicate triples, same stats pruning,
+        same untouched-files guarantee). ``set_exprs`` maps existing
+        column names to SQL expressions evaluated per matched row
+        (they may reference any column); assigned values are cast to
+        the column's current type, Delta's UPDATE resolution. Rows
+        whose predicate conjunction is NULL or FALSE are rewritten
+        byte-for-byte within affected files and untouched elsewhere.
+        Updates mint NEW values, so CHECK constraints ARE enforced on
+        the rewritten files (unlike delete, whose survivors already
+        passed); a violating update aborts with nothing committed."""
+        state = self._replay()
+        if state.version < 0:
+            raise ValueError(f"table at {self.path} has no data")
+        affected = [
+            f
+            for f in state.files
+            if _file_may_match(state.stats.get(f), predicates)
+        ]
+        if not affected:
+            return state.version
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in affected]
+        )
+        schema_cols = {fld.name: fld.dataType for fld in df.schema.fields}
+        missing = [c for c in set_exprs if c not in schema_cols]
+        if missing:
+            raise ValueError(
+                f"update_where: SET columns not in table: {missing}"
+            )
+        cond = F.lit(True)
+        for col, op, value in predicates:
+            cond = cond & _OPS[op](F.col(col), F.lit(value))
+        cond = F.coalesce(cond, F.lit(False))
+        # one withColumns call: every SET expression evaluates against
+        # the ORIGINAL row (SQL UPDATE semantics) — a sequential
+        # withColumn chain would leak earlier assignments into later
+        # expressions
+        updated = df.withColumns(
+            {
+                col: F.when(
+                    cond, F.expr(expr).cast(schema_cols[col])
+                ).otherwise(F.col(col))
+                for col, expr in set_exprs.items()
+            }
+        )
+        add = self._write_data(updated)
+        self._enforce_constraints(add, "update", txn_id)
+        v = self._commit(add, affected, txn_id, "update")
         _notify_rewrite(self.path)
         return v
 

@@ -119,3 +119,69 @@ def test_delete_then_vacuum_erases_bytes(spark, tmp_path):
         ).fetchall()[0][0]
     assert hits == 0
     assert t.read().count() == 29
+
+
+def test_update_rewrites_only_matching_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    state = t._replay()
+    untouched_before = {
+        f
+        for f in state.files
+        if int(state.stats[f]["cols"]["k"]["min"]) >= 100
+    }
+    t.update_where([("k", "<", 5)], {"v": "v + 1000"})
+    assert _rows(t.read().filter("k < 5").select("v")) == {
+        (k * 2 + 1000,) for k in range(5)
+    }
+    # non-matching rows in the SAME file unchanged
+    assert _rows(t.read().filter("k >= 5 and k < 10").select("v")) == {
+        (k * 2,) for k in range(5, 10)
+    }
+    assert untouched_before <= set(t._replay().files)
+    ops = [r.op for r in table_history(t).collect()]
+    assert ops.count("update") == 1
+    with pytest.raises(ValueError, match="update"):
+        t.changes(since=2)
+
+
+def test_update_set_evaluates_against_old_row(spark, tmp_path):
+    """SQL UPDATE semantics: both SET expressions see the ORIGINAL
+    values, so swapping two columns actually swaps them."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10, 20)], "k long, a long, b long"))
+    t.update_where([("k", "=", 1)], {"a": "b", "b": "a"})
+    assert _rows(t.read()) == {(1, 20, 10)}
+
+
+def test_update_casts_to_column_type_and_unknown_column_raises(
+    spark, tmp_path
+):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.update_where([("k", "=", 1)], {"v": "1.9"})  # double -> long cast
+    assert _rows(t.read()) == {(1, 1)}
+    with pytest.raises(ValueError, match="not in table"):
+        t.update_where([("k", "=", 1)], {"nope": "1"})
+
+
+def test_update_enforces_check_constraints(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_check_constraint("v_nonneg", "v >= 0")
+    v0 = t.version()
+    from eeg_data_lake_spark.sources.txlog import CheckConstraintViolation
+
+    with pytest.raises(CheckConstraintViolation, match="update"):
+        t.update_where([("k", "<", 3)], {"v": "-1"})
+    assert t.version() == v0
+    assert t.read().filter("v < 0").count() == 0
+
+
+def test_update_null_predicate_leaves_row(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5), (2, None), (3, -1)], "k long, v long"
+        )
+    )
+    t.update_where([("v", "<", 0)], {"v": "0"})
+    assert _rows(t.read()) == {(1, 5), (2, None), (3, 0)}
