@@ -884,7 +884,10 @@ class TxTable:
         return out
 
     def vacuum(
-        self, keep_versions: int = 0, retain_after: str | None = None
+        self,
+        keep_versions: int = 0,
+        retain_after: str | None = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete data files unreachable from the retained versions
         (and orphans from crashed commits). Retention is the UNION of
@@ -893,7 +896,10 @@ class TxTable:
         version committed at or after that instant: Delta's
         ``RETAIN n HOURS`` age rule, expressed as a cutoff so callers
         own the clock. Time travel to a vacuumed version fails cleanly.
-        Returns deleted paths."""
+        Returns deleted paths. ``dry_run=True`` (Delta's VACUUM ...
+        DRY RUN) returns the would-be-deleted list without touching
+        anything — the look-before-you-irreversibly-leap check a
+        retention change wants."""
         latest = self.version()
         keep_v: set[int] = set(
             range(max(0, latest - keep_versions), latest + 1)
@@ -919,8 +925,11 @@ class TxTable:
                 full = os.path.join(root, n)
                 rel = os.path.relpath(full, self.path)
                 if n.endswith(".parquet") and rel not in keep:
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     deleted.append(rel)
+        if dry_run:
+            return sorted(deleted)
         # drop now-empty commit dirs
         for d in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, d)

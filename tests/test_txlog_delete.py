@@ -185,3 +185,47 @@ def test_update_null_predicate_leaves_row(spark, tmp_path):
     )
     t.update_where([("v", "<", 0)], {"v": "0"})
     assert _rows(t.read()) == {(1, 5), (2, None), (3, 0)}
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where([("k", "<", 5)])
+    sigs0 = _file_sigs(t)
+    would = t.vacuum(keep_versions=0, dry_run=True)
+    assert would  # the rewritten file's original is reclaimable
+    assert _file_sigs(t) == sigs0  # nothing touched
+    assert t.read(version=2).count() == 30  # time travel intact
+    really = t.vacuum(keep_versions=0)
+    assert sorted(really) == sorted(would)  # the dry run told the truth
+
+
+def test_dml_loses_commit_race_to_concurrent_rewrite(spark, tmp_path):
+    """Conflict detection for the new DML: a delete/update whose
+    affected files get compacted away underneath it (between its
+    snapshot and its commit) must raise instead of committing a
+    remove of ghost files."""
+    from eeg_data_lake_spark.sources.txlog import (
+        ConcurrentModificationError,
+    )
+
+    t = _mk(spark, tmp_path)
+    orig_write = TxTable._write_data
+    fired = []
+
+    def racing_write(self, df):
+        files = orig_write(self, df)
+        if not fired:
+            # a concurrent OPTIMIZE lands after the snapshot was
+            # taken (fire once: compact's own write must not recurse)
+            fired.append(True)
+            TxTable(self.spark, self.path).compact()
+        return files
+
+    TxTable._write_data = racing_write
+    try:
+        with pytest.raises(ConcurrentModificationError):
+            t.delete_where([("k", "<", 5)])
+    finally:
+        TxTable._write_data = orig_write
+    # the losing delete committed nothing on top of the compact
+    assert t.read().count() == 30
