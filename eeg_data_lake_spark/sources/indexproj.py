@@ -115,22 +115,29 @@ def projection_buckets(spark: SparkSession, name: str) -> int | None:
 
 
 def _rewritten_after(idx: TxTable, version: int) -> bool:
-    """Whether any physical-rewrite commit (compact/zorder) landed
-    after ``version`` — i.e. whether a projection at ``version`` could
-    be stranded by a vacuum. Manifest-tail scan: only commits AFTER
-    the projection's version are opened."""
+    """Whether any REWRITE commit — physical (compact/zorder, which
+    a later vacuum turns into a stranded tail) or logical (overwrite/
+    upsert/restore/delete/update, which invalidate the projection
+    outright: ``changes`` refuses to cross them, so ``index_frames``
+    raises on every probe) — landed after ``version``. Either way the
+    maintenance hook must repair the projection; for logical rewrites
+    ``extend_projection`` declines and the repair is the full
+    re-bucketize from live content. Manifest-tail scan: only commits
+    AFTER the projection's version are opened."""
     import json
 
     from eeg_data_lake_spark.sources.txlog import (
+        LOGICAL_REWRITE_OPS,
         REWRITE_TRANSPARENT_OPS,
         iter_manifests,
     )
 
+    repair_ops = REWRITE_TRANSPARENT_OPS | LOGICAL_REWRITE_OPS
     for v, mp in iter_manifests(idx.path):
         if v <= version:
             continue
         with open(mp) as fh:
-            if json.load(fh).get("op") in REWRITE_TRANSPARENT_OPS:
+            if json.load(fh).get("op") in repair_ops:
                 return True
     return False
 
@@ -312,19 +319,19 @@ def compact_index(
         # maybe_compact is a no-op then) — otherwise a later vacuum
         # strands the probe on the degraded full read, the exact
         # window this hook exists to close
-        if proj is not None and _rewritten_after(idx, proj[1]):
+        stale = proj is not None and _rewritten_after(idx, proj[1])
+        if stale:
             # tail-bounded first: append only the delta and rename
             # (extend_projection) — the full re-bucketize below is the
             # graduation/repair path (file-count cap exceeded, crashed
-            # extend, vacuumed tail, schema evolution), so the common
-            # fire pays tail-sized bytes, not index-sized
+            # extend, vacuumed tail, logical rewrite, schema
+            # evolution), so the common fire pays tail-sized bytes,
+            # not index-sized
             refreshed = extend_projection(
                 idx, base, key_cols,
                 max_projection_files=max_projection_files,
             )
-        if proj is not None and refreshed is None and _rewritten_after(
-            idx, proj[1]
-        ):
+        if stale and refreshed is None:
             # refresh at the LIVE projection's bucket count, not the
             # caller's default — the count encodes the shuffle-
             # partition alignment co-location depends on

@@ -627,6 +627,21 @@ class TxTable:
             "races in a row — table is pathologically contended"
         )
 
+    def _read_merged(self, relpaths: list[str]) -> DataFrame:
+        """Read specific live files under additive-schema-evolution
+        rules (mergeSchema): columns absent from older files surface
+        as NULL. Every REWRITE path (compact/zorder/delete/update)
+        must read this way — a plain multi-file read infers its schema
+        from ONE footer, and rewriting evolved files through it would
+        silently erase every column that footer lacks. The rewrite
+        then lands union-schema files, which is content-preserving
+        under the same merge-on-read rules ``read(merge_schema=True)``
+        applies (and strictly safer for plain readers: the rewritten
+        region becomes schema-uniform)."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in relpaths]
+        )
+
     # ------------------------------------------------------------- ops
 
     def append(self, df: DataFrame, txn_id: str | None = None) -> int:
@@ -790,9 +805,7 @@ class TxTable:
             files = list(state.files)
             if not files:
                 return state.version
-            df = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            )
+            df = self._read_merged(files)
             total = sum(
                 state.stats.get(f, {}).get(
                     "bytes", os.path.getsize(os.path.join(self.path, f))
@@ -820,9 +833,7 @@ class TxTable:
             return state.version
         total = sum(sizes[f] for f in small)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in small]
-        )
+        df = self._read_merged(small)
         added = self._write_data(df.repartition(n_out))
         return self._commit(added, small, txn_id, "compact")
 
@@ -970,9 +981,7 @@ class TxTable:
         ]
         if not affected:
             return state.version
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in affected]
-        )
+        df = self._read_merged(affected)
         cond = F.lit(True)
         for col, op, value in predicates:
             cond = cond & _OPS[op](F.col(col), F.lit(value))
@@ -1009,9 +1018,7 @@ class TxTable:
         ]
         if not affected:
             return state.version
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in affected]
-        )
+        df = self._read_merged(affected)
         schema_cols = {fld.name: fld.dataType for fld in df.schema.fields}
         missing = [c for c in set_exprs if c not in schema_cols]
         if missing:
@@ -1076,6 +1083,22 @@ class TxTable:
             )
         if not add and not remove:
             return cur.version
+        cons = self.check_constraints()
+        if cons and add:
+            # every currently-live file passed validation (at its
+            # write or at constraint-add time), but the RE-ADDED
+            # snapshot files may predate a constraint — restoring them
+            # unchecked would resurrect violating rows. Validate
+            # WITHOUT the delete-on-violation path: these files belong
+            # to history and must survive for time travel.
+            df = self._read_merged(add)
+            for name, expr in cons.items():
+                if not self._violating(df, expr).isEmpty():
+                    raise CheckConstraintViolation(
+                        f"restore to version {version} would resurrect "
+                        f"rows violating constraint {name!r} CHECK "
+                        f"({expr}); drop the constraint first"
+                    )
         v = self._commit(add, remove, txn_id, "restore")
         _notify_rewrite(self.path)
         return v
@@ -1112,6 +1135,17 @@ class TxTable:
             src = os.path.join(self.path, rel)
             dst = os.path.join(dest.path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                # a CRASHED clone (links laid, no commit yet) retries
+                # cleanly: its leftovers are hardlinks of our own
+                # source files. Anything else at the path is foreign
+                # data — refuse rather than clobber.
+                if os.path.samefile(src, dst):
+                    continue
+                raise ValueError(
+                    f"clone: destination {dest_path} already holds "
+                    f"unrelated data at {rel!r}"
+                )
             try:
                 os.link(src, dst)
             except OSError:
@@ -1165,7 +1199,16 @@ class TxTable:
 
         Like Delta, adding the constraint first validates the EXISTING
         table (one scan, pruned to the expression's columns) and
-        refuses if any current row violates it. Re-adding the same
+        refuses if any current row violates it.
+
+        Concurrency scope, honestly: the sidecar lives OUTSIDE the
+        manifest commit protocol (the module-level simplification
+        documented at CONSTRAINTS_FILE), so constraint DDL assumes a
+        single administrative writer — a data write already in flight
+        when the constraint lands commits unvalidated, and two
+        concurrent ADDs can lose one update. Delta closes this by
+        making metadata a logged action; this log trades that for
+        simplicity and documents the assumption instead. Re-adding the same
         (name, expr) is a no-op; a different expr under an existing
         name raises — drop it first."""
         from pyspark.sql import functions as F
@@ -1231,18 +1274,32 @@ class TxTable:
         df = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in written]
         )
-        for name, expr in cons.items():
-            if not self._violating(df, expr).isEmpty():
-                for rel in written:
-                    try:
-                        os.unlink(os.path.join(self.path, rel))
-                    except OSError:
-                        pass  # orphan at worst; vacuum reclaims it
-                raise CheckConstraintViolation(
-                    f"{op} at {self.path}: rows violate constraint "
-                    f"{name!r} CHECK ({expr}) — write aborted, nothing "
-                    "committed"
-                )
+        # ONE scan for the common (clean) case: OR the violation
+        # conditions of every constraint; only a hit pays per-
+        # constraint re-scans to name the culprit in the error
+        combined = F.lit(False)
+        for expr in cons.values():
+            combined = combined | (
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+                == F.lit(False)
+            )
+        if df.where(combined).isEmpty():
+            return
+        culprit = next(
+            (name, expr)
+            for name, expr in cons.items()
+            if not self._violating(df, expr).isEmpty()
+        )
+        for rel in written:
+            try:
+                os.unlink(os.path.join(self.path, rel))
+            except OSError:
+                pass  # orphan at worst; vacuum reclaims it
+        raise CheckConstraintViolation(
+            f"{op} at {self.path}: rows violate constraint "
+            f"{culprit[0]!r} CHECK ({culprit[1]}) — write aborted, "
+            "nothing committed"
+        )
 
 
 def table_diff(

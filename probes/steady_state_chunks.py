@@ -62,6 +62,7 @@ from eeg_data_lake_spark.streaming.chunkdedup import (  # noqa: E402
     compact_chunk_index,
     dedup_report,
 )
+from probes.steady_state import median, proj_file_sigs  # noqa: E402
 
 N_BUCKETS = 8
 MAX_SMALL = 32
@@ -79,26 +80,6 @@ def small_bytes_of(tbl: TxTable) -> tuple[int, int, int]:
         sum(sizes),
         len(sizes),
     )
-
-
-def proj_file_sigs(spark, base: str) -> set[tuple[str, int]]:
-    import os
-
-    from eeg_data_lake_spark.sources.indexproj import newest_projection
-
-    proj = newest_projection(spark, base)
-    if proj is None:
-        return set()
-    return {
-        (os.path.basename(p), os.path.getsize(p.removeprefix("file:")))
-        for p in spark.table(proj[0]).inputFiles()
-    }
-
-
-def median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:

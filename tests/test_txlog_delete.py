@@ -229,3 +229,40 @@ def test_dml_loses_commit_race_to_concurrent_rewrite(spark, tmp_path):
         TxTable._write_data = orig_write
     # the losing delete committed nothing on top of the compact
     assert t.read().count() == 30
+
+
+def test_delete_and_update_preserve_evolved_columns(spark, tmp_path):
+    """Schema-evolution regression (review finding): rewriting
+    affected files must read them under mergeSchema — a plain read
+    infers the schema from ONE footer and a delete of unrelated rows
+    could silently erase an evolved column's data."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, 30, "x"), (4, 40, "y")], "k long, v long, w string"
+        ).coalesce(1)
+    )
+    t.delete_where([("k", "=", 1)])
+    got = _rows(t.read(merge_schema=True).select("k", "v", "w"))
+    assert got == {(2, 20, None), (3, 30, "x"), (4, 40, "y")}
+    # update on the evolved column works and old rows stay NULL
+    t.update_where([("k", "=", 3)], {"w": "'z'"})
+    got = _rows(t.read(merge_schema=True).select("k", "w"))
+    assert got == {(2, None), (3, "z"), (4, "y")}
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    """Same hazard on OPTIMIZE: bin-packing evolved small files must
+    not drop the newer files' columns."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.append(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, w string")
+    )
+    t.compact()
+    got = _rows(t.read(merge_schema=True).select("k", "v", "w"))
+    assert got == {(1, 10, None), (2, 20, "x")}

@@ -169,3 +169,93 @@ def test_restore_invalidates_projection_to_full_rebuild(
         for tbl in spark.catalog.listTables():
             if tbl.name.startswith(base):
                 spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+
+
+def test_restore_refuses_to_resurrect_constraint_violations(
+    spark, tmp_path
+):
+    """Review finding: restore re-adds historical files unchecked, so
+    it must validate them against CURRENT constraints — without
+    deleting them on violation (they belong to history)."""
+    from eeg_data_lake_spark.sources.txlog import CheckConstraintViolation
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, -1)], "k long, v long"))
+    t.overwrite(spark.createDataFrame([(2, 2)], "k long, v long"))
+    t.add_check_constraint("v_pos", "v > 0")
+    with pytest.raises(CheckConstraintViolation, match="resurrect"):
+        t.restore(0)
+    assert t.version() == 1  # nothing committed
+    # history intact: the refused restore deleted nothing
+    assert _rows(t.read(version=0)) == {(1, -1)}
+    t.drop_check_constraint("v_pos")
+    t.restore(0)
+    assert _rows(t.read()) == {(1, -1)}
+
+
+def test_clone_retry_after_crash_and_foreign_refusal(spark, tmp_path):
+    """Review finding: a crashed clone (links laid, no commit) must be
+    retryable, and unrelated data at the destination must be refused,
+    never clobbered."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    state = t._replay()
+    dest = str(tmp_path / "c")
+    # simulate the crash: lay SOME of the hardlinks, commit nothing
+    crashed = TxTable(spark, dest)
+    rel = state.files[0]
+    os.makedirs(os.path.dirname(os.path.join(dest, rel)), exist_ok=True)
+    os.link(os.path.join(t.path, rel), os.path.join(dest, rel))
+    c = t.clone_to(dest)  # retry completes
+    assert _rows(c.read()) == _rows(t.read())
+    assert crashed.version() == 0
+
+    # foreign data at a destination path: refused intact
+    dest2 = str(tmp_path / "d")
+    TxTable(spark, dest2)  # creates dirs
+    foreign = os.path.join(dest2, state.files[1])
+    os.makedirs(os.path.dirname(foreign), exist_ok=True)
+    with open(foreign, "wb") as fh:
+        fh.write(b"not ours")
+    with pytest.raises(ValueError, match="unrelated data"):
+        t.clone_to(dest2)
+    with open(foreign, "rb") as fh:
+        assert fh.read() == b"not ours"  # untouched
+
+
+def test_compact_index_repairs_projection_after_logical_rewrite(
+    spark, tmp_path
+):
+    """Review finding: a restore/delete under a live projection left
+    index_frames raising on every probe until an unrelated compaction
+    fired — the staleness predicate now treats logical rewrites as
+    repair triggers, so the next maintenance call rebuilds."""
+    import uuid
+
+    from eeg_data_lake_spark.sources.indexproj import (
+        bucketize_index,
+        compact_index,
+        index_frames,
+    )
+
+    base = f"ixl_{uuid.uuid4().hex[:8]}"
+    t = TxTable(spark, str(tmp_path / "idx"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    try:
+        bucketize_index(t, base, ["k"], n_buckets=4)
+        t.delete_where([("k", "=", 2)])
+        with pytest.raises(ValueError):
+            index_frames(t, base)  # invalidated, as designed
+        name = compact_index(
+            t, base, ["k"], n_buckets=4, max_small_files=99
+        )
+        assert name is not None  # repaired WITHOUT any compaction
+        frames = index_frames(t, base)
+        assert len(frames) == 1
+        assert _rows(frames[0]) == {(1, "a")}
+    finally:
+        for tbl in spark.catalog.listTables():
+            if tbl.name.startswith(base):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
