@@ -155,7 +155,15 @@ def chunk_rows(
                 cols.append("data")
             yield pd.DataFrame(out, columns=cols)
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+    # spread the (id, payload) projection before the CPU-bound chunker
+    # so it runs at full task-slot parallelism under a one-row-group
+    # scan (operators/spread.py; identity at scale, and streaming
+    # micro-batches pass through untouched)
+    from eeg_data_lake_spark.operators.spread import spread
+
+    return spread(df.select(id_col, payload_col), by=[id_col]).mapInPandas(
+        fn, schema
+    )
 
 
 def cdc_oracle_ctes(

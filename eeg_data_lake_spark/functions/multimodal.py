@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eeg_data_lake_spark.operators.spread import spread
 from eeg_data_lake_spark.functions.imagecodec import (
     decode_image,
     encode_png,
@@ -103,7 +104,13 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[id_col, "payload"])
 
-    return df.select(id_col).mapInPandas(fn, f"{id_col} long, payload binary")
+    # the id projection is the lightweight proxy (8 bytes/row): spread
+    # it BEFORE the codec chain so the encode (and every narrow decode
+    # stage above) runs at full task-slot parallelism when the scan's
+    # file layout under-fills the cluster (operators/spread.py;
+    # identity at scale)
+    ids = spread(df.select(id_col), by=[id_col])
+    return ids.mapInPandas(fn, f"{id_col} long, payload binary")
 
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int]:
@@ -401,7 +408,12 @@ def decode_pcm_features(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(fn, PCM_SCHEMA)
+    # payload-bearing chains start here (attach_binary_payload is a
+    # pure projection): spread so the decode runs on every task slot
+    # when the scan under-fills them (identity at scale)
+    return spread(df.select(id_col, payload_col), by=[id_col]).mapInPandas(
+        fn, PCM_SCHEMA
+    )
 
 
 def pcm_frame_rms(
@@ -445,7 +457,9 @@ def pcm_frame_rms(
                 columns=["doc_id", "frame_idx", "n_frame_samples", "frame_rms"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(fn, PCM_FRAME_SCHEMA)
+    return spread(df.select(id_col, payload_col), by=[id_col]).mapInPandas(
+        fn, PCM_FRAME_SCHEMA
+    )
 
 
 # ------------------------------------------------ WAV/RIFF container
@@ -720,7 +734,10 @@ def attach_wav_payload(
                     out.append((d, encode_wav(pcm, 1, 16000)))
             yield pd.DataFrame(out, columns=[id_col, "payload"])
 
-    return df.select(id_col, text_col).mapInPandas(
+    # spread the (id, text) proxy before the container-encode chain so
+    # the codec stages run at full parallelism under a one-row-group
+    # scan (identity at scale — operators/spread.py)
+    return spread(df.select(id_col, text_col), by=[id_col]).mapInPandas(
         fn, f"{id_col} long, payload binary"
     )
 

@@ -41,6 +41,43 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+def _stage_key_batches(frame, prefix: str, key: str) -> tuple[str, str]:
+    """Stage ``frame`` as three ``key % 3`` parquet batch files under a
+    scratch dir with ONE partitioned write (the old shape was three
+    filter+coalesce(1) jobs, i.e. three full scans of the source —
+    guide §1.2: don't compute things three times). Identical row sets
+    per slice (same ``% 3`` expression), deterministic in-file row
+    order (sortWithinPartitions on the key — the per-slice writes
+    inherited the scan's key order, and the greedy streaming accepts
+    are within-batch order-sensitive). Returns (scratch_dir,
+    incoming_dir). Lives here (not workload/streaming.py, whose
+    ``_staged_batches`` delegates) because _scratch_dir does and
+    streaming.py already imports from this module."""
+    import os
+
+    d = _scratch_dir(prefix)
+    src = os.path.join(d, "incoming")
+    os.makedirs(src)
+    stage = os.path.join(d, "stage")
+    (
+        frame.withColumn("_b", (F.col(key) % 3).cast("int"))
+        .repartition(3, F.col("_b"))
+        .sortWithinPartitions(key)
+        .write.partitionBy("_b")
+        .parquet(stage)
+    )
+    for i in range(3):
+        pdir = os.path.join(stage, f"_b={i}")
+        if not os.path.isdir(pdir):  # empty slice: stage it the old way
+            pdir = os.path.join(d, f"stage_{i}")
+            frame.filter(F.col(key) % 3 == i).coalesce(1).write.parquet(pdir)
+        part = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(pdir, part), os.path.join(src, f"batch_{i}.parquet")
+        )
+    return d, src
+
+
 @register(
     "q47_binary_payload_stats",
     oracle="""
@@ -476,8 +513,12 @@ def z13_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ["dominant_band"],
             )
 
+    from eeg_data_lake_spark.operators.spread import spread
+
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
-    return d.select("doc_id", "payload").mapInPandas(fn, schema)
+    return spread(d.select("doc_id", "payload"), by=["doc_id"]).mapInPandas(
+        fn, schema
+    )
 
 
 @register(
@@ -834,16 +875,7 @@ def z24_streaming_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    d = _scratch_dir("chunk_q_")
-    src = os.path.join(d, "incoming")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(d, f"stage_{i}")
-        blobs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
-        )
+    d, src = _stage_key_batches(blobs, "chunk_q_", "doc_id")
     tbl = TxTable(spark, os.path.join(d, "corpus"))
     stream_chunk_ingest(
         spark,
@@ -905,16 +937,7 @@ def z40_streaming_chunk_maintained(
     blobs = attach_binary_payload(t(spark, sf_dir, "documents")).select(
         "doc_id", "payload"
     )
-    d = _scratch_dir("chunk_m_q_")
-    src = os.path.join(d, "incoming")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(d, f"stage_{i}")
-        blobs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
-        )
+    d, src = _stage_key_batches(blobs, "chunk_m_q_", "doc_id")
     held = os.path.join(d, "held_batch_2.parquet")
     os.rename(os.path.join(src, "batch_2.parquet"), held)
 

@@ -965,27 +965,15 @@ def _staged_batches(
     frame: DataFrame, prefix: str, key: str
 ) -> tuple[str, str]:
     """Stage ``frame`` as three ``key % 3`` parquet batch files under a
-    scratch dir — the ONE copy of the streaming-query staging
-    convention (slice order = batch order under AvailableNow +
-    maxFilesPerTrigger=1; z22/z28/z29/z30 all ride it, so the
-    determinism claim in their docstrings has a single definition;
-    workload/multimodal.z24 keeps its own copy to avoid an import
-    cycle). Returns (scratch_dir, incoming_dir)."""
-    import os
+    scratch dir — the streaming-query staging convention (slice order
+    = batch order under AvailableNow + maxFilesPerTrigger=1;
+    z22/z28/z29/z30 all ride it). Implementation lives in
+    workload/multimodal._stage_key_batches (one partitioned write, not
+    three scans), shared with z24/z40. Returns
+    (scratch_dir, incoming_dir)."""
+    from eeg_data_lake_spark.workload.multimodal import _stage_key_batches
 
-    from eeg_data_lake_spark.workload.multimodal import _scratch_dir
-
-    d = _scratch_dir(prefix)
-    src = os.path.join(d, "incoming")
-    os.makedirs(src)
-    for i in range(3):
-        stage = os.path.join(d, f"stage_{i}")
-        frame.filter(F.col(key) % 3 == i).coalesce(1).write.parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-        os.rename(
-            os.path.join(stage, part), os.path.join(src, f"batch_{i}.parquet")
-        )
-    return d, src
+    return _stage_key_batches(frame, prefix, key)
 
 
 def _staged_doc_batches(spark, sf_dir: str, prefix: str, cols) -> tuple[str, str]:

@@ -16,6 +16,17 @@ from eeg_data_lake_spark.plans import count_exchanges, join_strategies
 from eeg_data_lake_spark.sources.chunkstore import ChunkStore
 
 
+@pytest.fixture(autouse=True)
+def _plan_shape_no_spread(monkeypatch):
+    """Plan pins in this module document the AT-SCALE plan shape,
+    where the scale-adaptive input rebalance (operators/spread.py) is
+    identity by its own gate — so pin with it off rather than encode
+    the local one-row-group artifact into every exchange count.
+    Result-parity THROUGH the spread path is covered by
+    tests/test_spread.py and the oracle-parity sweep."""
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "off")
+
+
 def _payload(n, seed=7):
     out, block = bytearray(), seed.to_bytes(8, "little")
     while len(out) < n:

@@ -20,6 +20,17 @@ from eeg_data_lake_spark.sources.indexproj import (
 from eeg_data_lake_spark.sources.txlog import TxTable
 
 
+@pytest.fixture(autouse=True)
+def _plan_shape_no_spread(monkeypatch):
+    """Plan pins in this module document the AT-SCALE plan shape,
+    where the scale-adaptive input rebalance (operators/spread.py) is
+    identity by its own gate — so pin with it off rather than encode
+    the local one-row-group artifact into every exchange count.
+    Result-parity THROUGH the spread path is covered by
+    tests/test_spread.py and the oracle-parity sweep."""
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "off")
+
+
 @pytest.fixture()
 def base(spark):
     name = f"ixp_{uuid.uuid4().hex[:8]}"

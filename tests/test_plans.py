@@ -18,6 +18,17 @@ from eeg_data_lake_spark.plans import (
 from eeg_data_lake_spark.workload import REGISTRY
 
 
+@pytest.fixture(autouse=True)
+def _plan_shape_no_spread(monkeypatch):
+    """Plan pins in this module document the AT-SCALE plan shape,
+    where the scale-adaptive input rebalance (operators/spread.py) is
+    identity by its own gate — so pin with it off rather than encode
+    the local one-row-group artifact into every exchange count.
+    Result-parity THROUGH the spread path is covered by
+    tests/test_spread.py and the oracle-parity sweep."""
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD", "off")
+
+
 def q(name, spark, sf_dir):
     return REGISTRY[name].spark_fn(spark, sf_dir)
 
