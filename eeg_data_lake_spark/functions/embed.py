@@ -204,13 +204,7 @@ def with_image_embedding(
         return_type=T.ArrayType(T.FloatType()),
         batch_size=BATCH_SIZE,
     )
-    # spread before the encoder so inference runs on every task slot
-    # when the scan under-fills them (identity at scale; column
-    # pruning passes through the repartition, so only the columns the
-    # caller keeps cross the exchange)
-    from eeg_data_lake_spark.operators.spread import spread
-
-    return spread(df).withColumn(out_col, embed(payload_col))
+    return df.withColumn(out_col, embed(payload_col))
 
 
 def with_text_embedding(
@@ -250,7 +244,4 @@ def with_text_embedding(
         return_type=T.ArrayType(T.FloatType()),
         batch_size=BATCH_SIZE,
     )
-    # see with_image_embedding: scale-adaptive input rebalance
-    from eeg_data_lake_spark.operators.spread import spread
-
-    return spread(df).withColumn(out_col, embed(text_col))
+    return df.withColumn(out_col, embed(text_col))

@@ -408,12 +408,7 @@ def decode_pcm_features(
                 ],
             )
 
-    # payload-bearing chains start here (attach_binary_payload is a
-    # pure projection): spread so the decode runs on every task slot
-    # when the scan under-fills them (identity at scale)
-    return spread(df.select(id_col, payload_col), by=[id_col]).mapInPandas(
-        fn, PCM_SCHEMA
-    )
+    return df.select(id_col, payload_col).mapInPandas(fn, PCM_SCHEMA)
 
 
 def pcm_frame_rms(
@@ -457,9 +452,7 @@ def pcm_frame_rms(
                 columns=["doc_id", "frame_idx", "n_frame_samples", "frame_rms"],
             )
 
-    return spread(df.select(id_col, payload_col), by=[id_col]).mapInPandas(
-        fn, PCM_FRAME_SCHEMA
-    )
+    return df.select(id_col, payload_col).mapInPandas(fn, PCM_FRAME_SCHEMA)
 
 
 # ------------------------------------------------ WAV/RIFF container
@@ -734,10 +727,7 @@ def attach_wav_payload(
                     out.append((d, encode_wav(pcm, 1, 16000)))
             yield pd.DataFrame(out, columns=[id_col, "payload"])
 
-    # spread the (id, text) proxy before the container-encode chain so
-    # the codec stages run at full parallelism under a one-row-group
-    # scan (identity at scale — operators/spread.py)
-    return spread(df.select(id_col, text_col), by=[id_col]).mapInPandas(
+    return df.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, payload binary"
     )
 

@@ -143,17 +143,9 @@ def _tokenized(df: DataFrame) -> DataFrame:
 
 
 def _gram_counts(df: DataFrame) -> DataFrame:
-    """Per-gram saturating occurrence counts (g, c<=2) of ``df``.
-
-    The input is spread first (operators/spread.py): a micro-batch
-    arrives as ONE file → one partition, which would run the whole
-    tokenize+gram construction (the trigger's CPU-heavy narrow stage)
-    on a single core; identity when the source already supplies
-    enough splits."""
-    from eeg_data_lake_spark.operators.spread import spread
-
+    """Per-gram saturating occurrence counts (g, c<=2) of ``df``."""
     return (
-        esd_grams(_tokenized(spread(df, by=["doc_id"])), hashed=True)
+        esd_grams(_tokenized(df), hashed=True)
         .groupBy("g")
         .agg(
             F.least(F.count("*"), F.lit(ESD_DUP_THRESHOLD))
@@ -303,12 +295,8 @@ def exact_substring_removal(table: TxTable) -> DataFrame:
     positions are recomputed narrowly per doc (hashed keys, z19 mode)
     and removal is the shared array-expression tail. Output schema ==
     z18's: (doc_id, n_tokens, n_kept, n_removed, kept_md5)."""
-    from eeg_data_lake_spark.operators.spread import spread
-
     idx = gram_index_table(table.spark, table)
-    # corpus lands as one small file per trigger commit: spread so the
-    # narrow gram recompute runs at full parallelism (identity at scale)
-    docs = _tokenized(spread(table.read(), by=["doc_id"]))
+    docs = _tokenized(table.read())
     dup = (
         idx.read()
         .groupBy("g")

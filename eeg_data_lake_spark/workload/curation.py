@@ -1779,12 +1779,7 @@ def _exact_substring_plan(
     column pruning drops the string and only (doc_id, p, gram-key)
     reach shuffle 1; everything downstream of the duplicate-gram join
     is identical between the modes."""
-    from eeg_data_lake_spark.operators.spread import spread
-
-    # spread the (doc_id, text) scan before the CPU-heavy narrow gram
-    # construction — the shingled_cached convention (a one-row-group
-    # scan is one task; identity at scale — operators/spread.py)
-    d = spread(t(spark, sf_dir, "documents"), by=["doc_id"])
+    d = t(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     dpos = esd_dup_positions(esd_grams(docs, hashed=hashed_grams))
     return esd_remove(docs, dpos)

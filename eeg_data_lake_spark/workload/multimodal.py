@@ -513,12 +513,8 @@ def z13_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ["dominant_band"],
             )
 
-    from eeg_data_lake_spark.operators.spread import spread
-
     d = attach_binary_payload(t(spark, sf_dir, "documents"))
-    return spread(d.select("doc_id", "payload"), by=["doc_id"]).mapInPandas(
-        fn, schema
-    )
+    return d.select("doc_id", "payload").mapInPandas(fn, schema)
 
 
 @register(
@@ -592,7 +588,17 @@ def z21_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_image_payload(t(spark, sf_dir, "documents"))
     planted = plant_payload_corruption(d)
-    st = with_decode_status(planted)
+    # materialize the decode verdicts ONCE (2 narrow columns): the
+    # pass/quarantine union consumes the status frame twice, and
+    # without the checkpoint Spark re-evaluates the whole
+    # encode→plant→decode Python chain per branch (the plan showed the
+    # subtree duplicated — 12 Python stages for 6 functions). The
+    # checkpoint pins ~2 booleans/strings per doc, never payloads.
+    st = (
+        with_decode_status(planted)
+        .select("decode_ok", "decode_err")
+        .localCheckpoint(eager=True)
+    )
     passed, quar = enforce(
         st, {"image_decodes": F.col("decode_ok")}, mode="quarantine"
     )
@@ -719,7 +725,14 @@ def z27_wav_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_payload(t(spark, sf_dir, "documents"))
     planted = plant_wav_corruption(d)
-    st = with_wav_status(planted)
+    # z21's checkpoint rationale: pin the parser verdicts once so the
+    # pass/quarantine union doesn't re-run the encode→plant→parse
+    # Python chain per branch
+    st = (
+        with_wav_status(planted)
+        .select("wav_ok", "wav_err")
+        .localCheckpoint(eager=True)
+    )
     passed, quar = enforce(
         st, {"wav_parses": F.col("wav_ok")}, mode="quarantine"
     )
