@@ -207,36 +207,48 @@ def ingest_batch_writer(
         counts = _gram_counts(batch_df)
         frames = index_frames(idx, bucketed_base)
         if frames:
-            # 1) drop grams already known-duplicated: the row-local
-            #    c=2 marker makes this a filter + anti-join per frame
-            #    (base co-located when bucketed) — NEVER an index-wide
-            #    groupBy/sum per trigger, the term that would grow
-            #    with the corpus instead of the batch
-            for fr in frames:
-                counts = counts.join(
-                    fr.filter(F.col("c") >= ESD_DUP_THRESHOLD).select("g"),
-                    "g",
-                    "left_anti",
-                )
-            # 2) grams seen exactly once before recur in this batch:
-            #    promote with a c=2 marker row. The semi-join hits are
-            #    batch-sized, so unioning them re-shuffles only the
-            #    batch, while each frame probe stays co-located.
-            present = None
-            for fr in frames:
-                hit = counts.join(
-                    fr.filter(F.col("c") < ESD_DUP_THRESHOLD).select("g"),
-                    "g",
-                    "left_semi",
-                )
-                present = hit if present is None else present.unionByName(hit)
-            present = present.select("g").distinct()
-            promoted = present.select(
-                "g",
-                F.lit(ESD_DUP_THRESHOLD).cast("int").alias("c"),
+            # ONE left join + batch-sized agg per frame (was: an
+            # anti-join AND a semi-join per frame, plus a distinct, a
+            # union and a final anti-join — twice the probe stages for
+            # the same answer). Each frame probe stays co-located when
+            # bucketed, and every aggregation is over BATCH-sized rows
+            # keyed by the join key (partitioning reused, no extra
+            # exchange) — still NEVER an index-wide groupBy/sum.
+            # Per gram the fold tracks: _sat (some index row carries
+            # the c=2 saturation marker → drop), _seen (any index row
+            # at all → promote to the marker). _seen counting c=2 rows
+            # too is equivalent to the old c<2 semi-join: a gram with
+            # a c=2 row is dropped via _sat before _seen is consulted.
+            cur = counts.withColumn("_sat", F.lit(False)).withColumn(
+                "_seen", F.lit(False)
             )
-            delta = counts.join(present, "g", "left_anti").unionByName(
-                promoted
+            for fr in frames:
+                j = cur.join(
+                    fr.select("g", F.col("c").alias("_ic")), "g", "left"
+                )
+                cur = j.groupBy("g").agg(
+                    F.first("c").alias("c"),
+                    (
+                        F.first("_sat")
+                        | F.max(
+                            F.coalesce(
+                                F.col("_ic") >= ESD_DUP_THRESHOLD,
+                                F.lit(False),
+                            )
+                        )
+                    ).alias("_sat"),
+                    (
+                        F.first("_seen") | F.max(F.col("_ic").isNotNull())
+                    ).alias("_seen"),
+                )
+            delta = cur.filter(~F.col("_sat")).select(
+                "g",
+                F.when(
+                    F.col("_seen"), F.lit(ESD_DUP_THRESHOLD)
+                )
+                .otherwise(F.col("c"))
+                .cast("int")
+                .alias("c"),
             )
         else:
             delta = counts
