@@ -299,9 +299,19 @@ class ChunkStore:
         pass is the overwrite, which must move the surviving bytes
         regardless. Caching the store to share one pass (the
         small-data instinct) would pin the entire content store in
-        executor memory at 100 TB."""
-        from pyspark.sql import Observation
+        executor memory at 100 TB.
 
+        Deliberately NOT ``df.observe()``/``Observation`` (which would
+        fold both stat pairs into the rewrite's own action): in Spark
+        4.1 ``classic.SparkSession.observationManager`` is a LAZY val
+        of a non-serializable class — the first Observation in a
+        session materializes it, after which ANY closure that captures
+        the session fails task serialization (e.g. an MLlib model whose
+        trainingSummary rides into its transform UDF:
+        ``NotSerializableException: ObservationManager``). A
+        session-global poisoning is not worth two metadata-only scans;
+        pinned by tests/test_chunkstore.py::
+        test_gc_does_not_poison_session_serialization."""
         referenced = self.manifests.read().select(
             F.explode("chunk_md5s").alias("chunk_md5")
         ).distinct()
@@ -309,35 +319,25 @@ class ChunkStore:
         # chunk really is stored twice); after-stats count the DEDUPED
         # survivors the rewrite below materializes, so gc also heals
         # and accounts for duplicate store rows as reclaimed bytes.
-        # Both stat pairs ride the overwrite's own action as
-        # df.observe() metrics instead of two separate collect() jobs
-        # (guide §1.2: the rewrite pass scans exactly these rows
-        # anyway) — same values, two fewer passes over the store.
-        obs_all = Observation()
-        obs_live = Observation()
-        raw = self.chunks.read().observe(
-            obs_all,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("length"), F.lit(0)).alias("b"),
-        )
-        # _deduped_chunks' aggregation, inlined over the observed scan
-        # (dedup rationale documented there)
-        deduped = raw.groupBy("chunk_md5").agg(
-            F.min("length").alias("length"),
-            F.first("data").alias("data"),
-        )
-        live = (
-            deduped.join(referenced, "chunk_md5", "left_semi")
-            .select("chunk_md5", "length", "data")
-            .observe(
-                obs_live,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.sum("length"), F.lit(0)).alias("b"),
+        n_all, b_all = (
+            self.chunks.read()
+            .agg(
+                F.count("*"),
+                F.coalesce(F.sum("length"), F.lit(0)),
             )
+            .collect()[0]
         )
-        self.chunks.overwrite(live, txn_id=txn_id)
-        n_all, b_all = obs_all.get["n"], obs_all.get["b"]
-        n_live, b_live = obs_live.get["n"], obs_live.get["b"]
+        live = self._deduped_chunks().join(
+            referenced, "chunk_md5", "left_semi"
+        )
+        n_live, b_live = (
+            live.select("chunk_md5", "length")
+            .agg(F.count("*"), F.coalesce(F.sum("length"), F.lit(0)))
+            .collect()[0]
+        )
+        self.chunks.overwrite(
+            live.select("chunk_md5", "length", "data"), txn_id=txn_id
+        )
         return self.spark.createDataFrame(
             [
                 (

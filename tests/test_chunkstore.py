@@ -293,3 +293,37 @@ def test_concurrency_duplicated_chunk_row_never_corrupts(
         r.doc_id: bytes(r.payload) for r in store.reconstruct().collect()
     }
     assert got2 == {d: (v or b"") for d, v in corpus.items()}
+
+
+def test_gc_does_not_poison_session_serialization(spark, tmp_path):
+    """Spark 4.1 hazard pin: classic.SparkSession.observationManager is
+    a LAZY val of a non-serializable class. The first Observation used
+    in a session materializes it, and from then on ANY closure that
+    captures the session fails task serialization — the visible victim
+    is MLlib, whose fitted models carry a trainingSummary holding the
+    session into their transform UDF (NotSerializableException:
+    ObservationManager). gc() once used df.observe() for its reclaim
+    stats and broke every later-in-session model.transform; this test
+    runs the exact sequence that failed (gc, then fit + transform +
+    evaluate on the SAME session)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    store = ChunkStore(spark, str(tmp_path / "cs"))
+    store.put(_blobdf(spark, [(1, _payload(4000, seed=11))]), txn_id="v1")
+    store.put(_blobdf(spark, [(1, _payload(64, seed=12))]), txn_id="v2")
+    store.gc(txn_id="gc1").collect()
+
+    d = spark.createDataFrame(
+        [(0.0, 0.1, 0.2), (1.0, 0.9, 0.8)] * 10,
+        "label double, f1 double, f2 double",
+    )
+    feats = VectorAssembler(
+        inputCols=["f1", "f2"], outputCol="features"
+    ).transform(d)
+    pred = LogisticRegression().fit(feats).transform(feats)
+    acc = MulticlassClassificationEvaluator(metricName="accuracy").evaluate(
+        pred
+    )
+    assert acc == 1.0
