@@ -953,41 +953,49 @@ def r27_crossdoc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating below document granularity.
 
     Plan at scale: segment construction is narrow (split + transform +
-    slice, all codegen); the document-frequency agg and the seg-keyed
-    join back are the two unavoidable shuffles — identical shape to
-    q33's posting-list plan, so the same hot-key story applies (a
-    boilerplate segment's posting list is exactly what the DF cap
-    bounds there; here high-DF segments are the *target* and the agg
-    is count-distinct, never a pair blowup). Reassembly is a per-doc
-    sort of its own ~dozens of segments inside one agg shuffle —
-    collect_list over (pos, seg) structs, array_sort, join. Swapping
-    the seg string join key for xxhash64(seg) halves shuffle bytes at
-    100 TB; kept as the string here so the oracle shares the key."""
+    slice, all codegen, built ONCE per document as an array and then
+    posexploded — the Generate consumes a materialized child column,
+    so the per-output-row re-evaluation pathology does not apply).
+    Document frequency is computed as a WINDOW over the seg exchange
+    (sum of a first-row-per-doc indicator) instead of a groupBy + seg
+    join back: the old shape paid three exchanges (freq agg, join
+    probe, final doc agg) and a broadcast that grows with distinct
+    segments; this shape pays exactly two (one hash exchange on seg
+    feeding the window sort, one on doc_id for reassembly) and moves
+    each seg row once. Hot boilerplate segments land in one window
+    partition — the same hot-key exposure the old join's posting list
+    had, bounded the same way (a segment row is ~40 B and the window
+    computes one running indicator sum, never a pair blowup).
+    Reassembly is a per-doc sort of its own ~dozens of segments inside
+    one agg shuffle — collect_list over (pos, seg) structs,
+    array_sort. Swapping the seg string key for xxhash64(seg) halves
+    shuffle bytes at 100 TB; kept as the string here so the oracle
+    shares the key."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    nseg = F.ceil(F.size(words) / F.lit(float(_SEG_W))).cast("int")
-    # explode POSITIONS and assemble each segment per output row from
-    # the materialized token array (esd_grams' shape — exploding over
-    # a transform that builds all segment strings re-evaluates the
-    # generator per output row, the q33/q69 shingle pathology); the
-    # when() guard keeps NULL-text/empty docs out of sequence()'s
+    # the when() guard keeps NULL-text/empty docs out of sequence()'s
     # negative-stop step inference
+    nseg = F.ceil(F.size(F.col("__w")) / F.lit(float(_SEG_W))).cast("int")
     idx = F.when(nseg > 0, F.sequence(F.lit(0), nseg - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    segs = d.select(
-        "doc_id",
-        words.alias("__w"),
-        F.posexplode(idx).alias("pos", "i"),
-    ).select(
-        "doc_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.array_join(
-            F.slice("__w", F.col("i") * _SEG_W + 1, _SEG_W), " "
-        ).alias("seg"),
+    segarr = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("__w"), i * _SEG_W + 1, _SEG_W), " ")
     )
-    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
-    tagged = segs.join(freq, "seg")
+    segs = (
+        d.withColumn("__w", words)
+        .withColumn("__segs", segarr)
+        .select("doc_id", F.posexplode("__segs").alias("pos", "seg"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "seg")
+    )
+    w_seg = Window.partitionBy("seg").orderBy("doc_id")
+    first_of_doc = (
+        F.lag("doc_id").over(w_seg).isNull()
+        | (F.lag("doc_id").over(w_seg) != F.col("doc_id"))
+    ).cast("long")
+    tagged = segs.withColumn(
+        "df", F.sum(first_of_doc).over(Window.partitionBy("seg"))
+    )
     kept_struct = F.when(
         F.col("df") < _SEG_MAX_DF, F.struct("pos", "seg")
     )  # NULL for dropped segments; collect_list skips NULLs

@@ -354,11 +354,13 @@ def test_z06_triangles_read_checkpointed_edges(spark, sf_dir):
 
 
 def test_r27_segment_dedup_shape(spark, sf_dir):
-    """Narrow segment construction; DF agg + seg join + doc re-agg are
-    the only wide stages (the freq side broadcasts at test scale; at
-    100 TB it becomes a shuffle hash join on seg — still no BNLJ)."""
+    """Narrow segment construction; the document-frequency WINDOW over
+    the seg exchange and the doc re-agg are the only wide stages (the
+    old freq-agg + seg-join-back shape paid a third exchange and a
+    broadcast growing with distinct segments — r10 optimization)."""
     df = q("r27_crossdoc_segment_dedup", spark, sf_dir)
-    assert count_exchanges(df) <= 4
+    assert count_exchanges(df) <= 2
+    assert join_strategies(df) == []
     assert not has_cartesian_or_bnlj(df)
 
 
@@ -590,9 +592,9 @@ def test_z20_pipeline_scans_documents_exactly_three_times(spark, sf_dir):
 
 
 def test_r27_segments_assembled_per_row(spark, sf_dir):
-    """r27 emits positions and slices each segment per output row —
-    same invariant as the gram path; two data shuffles (segment DF
-    agg + doc rollup) plus the join back."""
+    """r27 builds each doc's segment array once and posexplodes the
+    materialized column; two data shuffles (seg window + doc rollup),
+    no join back."""
     import re
 
     df = q("r27_crossdoc_segment_dedup", spark, sf_dir)
