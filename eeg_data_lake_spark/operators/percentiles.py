@@ -382,9 +382,10 @@ def exact_percentiles(
     # builtin percentile ignores NULLs, but a group whose values are
     # ALL NULL still appears in its output (with a NULL percentile) —
     # so count NULL values into the group-by (one scan keeps every
-    # key), then rank only the non-NULL rows and left-join the full
-    # key set back at the end. The key set is derived from the
-    # already-tiny distinct-value relation, not from a second scan.
+    # key). The single-window path ranks with a null-aware conditional
+    # sum over the unfiltered relation (no key-set join at all); the
+    # bucketed path filters nulls for the range sketch and left-joins
+    # the key set back at the end.
     global _LAST_ROUTE
     if value_buckets == "auto":
         route = _auto_value_buckets(df, key, value, auto_bucket_threshold)
@@ -400,18 +401,34 @@ def exact_percentiles(
     # PercentileRoute for why this is a record, not df.observe()
     _LAST_ROUTE = route
     counted = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("_c"))
-    keys = counted.select(key).distinct()
-    pc = counted.filter(F.col(value).isNotNull())
-    if value_buckets and value_buckets > 1:
-        cum = _bucketed_cumulative(pc, key, value, value_buckets)
-    else:
+    fused_single_window = not (value_buckets and value_buckets > 1)
+    if fused_single_window:
+        # FUSED single-window path (r10 optimization, guide §2.4):
+        # rank over the UNFILTERED grouped relation with a null-aware
+        # conditional sum instead of filtering nulls out and
+        # left-joining a separately-derived key set back. NULLs sort
+        # first, contribute 0 to the running count, and the null row's
+        # empty (_lo == _hi == 0) rank interval can never bracket a
+        # target rank — so every rank/interpolation value is
+        # bit-identical to the filtered form while the plan drops one
+        # full scan of the key column (Catalyst pruned the old
+        # keys-relation into a SECOND table scan), one exchange, and
+        # the broadcast join; the final groupBy(key) reuses the
+        # window's hashpartitioning(key) exchange.
+        _nn = F.when(F.col(value).isNotNull(), F.col("_c")).otherwise(
+            F.lit(0)
+        )
         wk = Window.partitionBy(key)
         w = wk.orderBy(value)
         cum = (
-            pc.withColumn("_hi", F.sum("_c").over(w))
-            .withColumn("_lo", F.col("_hi") - F.col("_c"))
-            .withColumn("_n", F.sum("_c").over(wk))
+            counted.withColumn("_hi", F.sum(_nn).over(w))
+            .withColumn("_lo", F.col("_hi") - _nn)
+            .withColumn("_n", F.sum(_nn).over(wk))
         )
+    else:
+        keys = counted.select(key).distinct()
+        pc = counted.filter(F.col(value).isNotNull())
+        cum = _bucketed_cumulative(pc, key, value, value_buckets)
     aggs = []
     for p in ps:
         k = (F.col("_n") - 1) * F.lit(float(p))
@@ -435,9 +452,15 @@ def exact_percentiles(
         # all-NULL group gets NULLs via the key-set left join below
         aggs.append(F.min(value).alias("vmin"))
         aggs.append(F.max(value).alias("vmax"))
-    # null-SAFE left join: NULL is a legal group key (the builtin
-    # aggregates it like any other group), and a plain equality join
-    # would drop the NULL-key group's computed percentiles
+    if fused_single_window:
+        # every key survives in `counted` (all-NULL groups keep their
+        # (key, NULL) row; candidate/min/max aggregates see no
+        # qualifying rows there and yield NULL) — no key-set join
+        return cum.groupBy(key).agg(*aggs)
+    # bucketed path: null-SAFE left join — NULL is a legal group key
+    # (the builtin aggregates it like any other group), and a plain
+    # equality join would drop the NULL-key group's computed
+    # percentiles
     agged = cum.groupBy(key).agg(*aggs).withColumnRenamed(key, "__k")
     return (
         keys.join(agged, F.col(key).eqNullSafe(F.col("__k")), "left")
