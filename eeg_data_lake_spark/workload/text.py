@@ -250,21 +250,27 @@ def q43_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       the exchange, so scoring + top-k cost one shuffle, and Spark 4's
       WindowGroupLimit prunes to 3 rows per doc before the final sort.
 
-    Shuffle ledger: tf hash-agg, term window, doc window = 3 total
-    (the join formulation needed 5 plus a per-doc broadcast that could
-    not survive a web-scale doc count). Hot terms skew the term window
-    exactly like any vocab agg — AQE splits them; hot-term capping (as
-    in the dedup family) applies if the vocab must be bounded."""
+    Shuffle ledger (r10 optimization): the input rebalance is HASH on
+    doc_id, so the tf hash-agg on (doc_id, term) AND the doc-length
+    window both reuse that one exchange (hashpartitioning(doc_id)
+    satisfies their clustering) — 3 exchanges total: docs-by-id, term
+    window, doc rank window. The old round-robin rebalance paid a 4th
+    (the tf agg re-shuffled every EXPLODED token row; partitioning the
+    un-exploded text moves each document's bytes once — guide §3.3's
+    "explode after, not before, the shuffle"). Hot terms skew the term
+    window exactly like any vocab agg — AQE splits them; hot-term
+    capping (as in the dedup family) applies if the vocab must be
+    bounded."""
     d = t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    tok = d.repartition(par).select(
+    tok = d.repartition(par, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n_docs = d.count()  # scalar; one lightweight job
     scored = (
-        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
-        .withColumn("len", F.sum("tf").over(Window.partitionBy("doc_id")))
+        tf.withColumn("len", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .select(
             "doc_id",
             "term",

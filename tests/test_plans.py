@@ -91,12 +91,14 @@ def test_no_query_degrades_to_nested_loop(spark, sf_dir, name):
 
 
 def test_q43_tfidf_is_three_shuffles_no_joins(spark, sf_dir):
-    """tf hash-agg + term window + doc window (ranking reuses the doc
-    exchange); the join formulation needed five shuffles plus a
-    per-doc broadcast that can't exist at web scale."""
+    """docs-by-id rebalance (which the tf hash-agg AND the doc-length
+    window both reuse — hashpartitioning(doc_id) satisfies their
+    clustering) + term window + doc rank window; the old round-robin
+    rebalance paid a 4th exchange re-shuffling every exploded token
+    row, and the join formulation needed five plus a per-doc broadcast
+    that can't exist at web scale."""
     df = q("q43_tfidf_top_terms", spark, sf_dir)
-    # 3 hash exchanges + the single-file-parallelism round-robin
-    assert count_exchanges(df) == 4
+    assert count_exchanges(df) == 3
     assert join_strategies(df) == []
 
 
