@@ -294,22 +294,23 @@ class ChunkStore:
         txlog survivors-into-fresh-files overwrite, conflict-checked
         against concurrent commits.
 
-        Stats passes over the store touch only (chunk_md5, length) —
-        24-byte rows, no payload bytes on the wire — and the rewrite
-        pass is the overwrite, which must move the surviving bytes
-        regardless. Caching the store to share one pass (the
-        small-data instinct) would pin the entire content store in
-        executor memory at 100 TB.
+        The stats pass over the store touches only (chunk_md5, length)
+        — 24-byte rows, no payload bytes on the wire, ONE job for both
+        the before- and after-stat pairs — and the rewrite pass is the
+        overwrite, which must move the surviving bytes regardless.
+        Caching the store to share one pass (the small-data instinct)
+        would pin the entire content store in executor memory at
+        100 TB.
 
         Deliberately NOT ``df.observe()``/``Observation`` (which would
-        fold both stat pairs into the rewrite's own action): in Spark
+        fold the stat pairs into the rewrite's own action): in Spark
         4.1 ``classic.SparkSession.observationManager`` is a LAZY val
         of a non-serializable class — the first Observation in a
         session materializes it, after which ANY closure that captures
         the session fails task serialization (e.g. an MLlib model whose
         trainingSummary rides into its transform UDF:
         ``NotSerializableException: ObservationManager``). A
-        session-global poisoning is not worth two metadata-only scans;
+        session-global poisoning is not worth one metadata-only scan;
         pinned by tests/test_chunkstore.py::
         test_gc_does_not_poison_session_serialization."""
         referenced = self.manifests.read().select(
@@ -319,21 +320,35 @@ class ChunkStore:
         # chunk really is stored twice); after-stats count the DEDUPED
         # survivors the rewrite below materializes, so gc also heals
         # and accounts for duplicate store rows as reclaimed bytes.
-        n_all, b_all = (
+        # BOTH stat pairs come from ONE metadata-only aggregation job:
+        # group the (chunk_md5, length) pairs, flag each group as
+        # referenced via a left join against the referenced set, then
+        # roll physical counts (sum of group sizes / lengths) and live
+        # counts (referenced groups, min length per group — exactly
+        # what _deduped_chunks materializes) up in one pass.
+        per_chunk = (
             self.chunks.read()
+            .select("chunk_md5", "length")
+            .groupBy("chunk_md5")
             .agg(
-                F.count("*"),
-                F.coalesce(F.sum("length"), F.lit(0)),
+                F.count(F.lit(1)).alias("_rows"),
+                F.sum("length").alias("_bytes"),
+                F.min("length").alias("_minlen"),
             )
-            .collect()[0]
+            .join(
+                referenced.withColumn("_ref", F.lit(True)),
+                "chunk_md5",
+                "left",
+            )
         )
+        n_all, b_all, n_live, b_live = per_chunk.agg(
+            F.coalesce(F.sum("_rows"), F.lit(0)),
+            F.coalesce(F.sum("_bytes"), F.lit(0)),
+            F.count(F.when(F.col("_ref"), 1)),
+            F.coalesce(F.sum(F.when(F.col("_ref"), F.col("_minlen"))), F.lit(0)),
+        ).collect()[0]
         live = self._deduped_chunks().join(
             referenced, "chunk_md5", "left_semi"
-        )
-        n_live, b_live = (
-            live.select("chunk_md5", "length")
-            .agg(F.count("*"), F.coalesce(F.sum("length"), F.lit(0)))
-            .collect()[0]
         )
         self.chunks.overwrite(
             live.select("chunk_md5", "length", "data"), txn_id=txn_id
