@@ -289,10 +289,10 @@ def _bucketed_cumulative(
     # the boundary sketch is a SEPARATE action, and ReusedExchange
     # only dedupes within one plan — without materialization the
     # operator's heaviest stage (scan + groupBy(key, value) shuffle)
-    # would run twice, once for ~B doubles and once for real.
-    # Materialize the distinct-value relation ONCE; both the sketch
-    # and the ranking read the checkpoint.
-    pc = pc.localCheckpoint(eager=True)
+    # would run twice, once for ~B doubles and once for real. The
+    # caller checkpoints the grouped relation before filtering, so
+    # the sketch, the ranking, AND the caller's key set all read one
+    # materialization.
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(pc.approxQuantile(value, qs, 0.01)))
     if not bounds:
@@ -426,6 +426,13 @@ def exact_percentiles(
             .withColumn("_n", F.sum(_nn).over(wk))
         )
     else:
+        # materialize the grouped relation ONCE (the bucketed branch's
+        # boundary sketch is a separate action, and its key set must
+        # cover all-NULL-value keys): deriving `keys` from the
+        # checkpoint keeps Catalyst from pruning it into a SECOND full
+        # scan of the key column, which is what a bare
+        # counted.select(key).distinct() optimized into (r10)
+        counted = counted.localCheckpoint(eager=True)
         keys = counted.select(key).distinct()
         pc = counted.filter(F.col(value).isNotNull())
         cum = _bucketed_cumulative(pc, key, value, value_buckets)
