@@ -2,7 +2,16 @@
 action time from the SAME pass as the real work — no second scan.
 This is the production pattern for row-count / null-rate / range
 assertions on every medallion build (a separate validation query would
-double the 100 TB read)."""
+double the 100 TB read).
+
+Spark 4.1 caveat (why NON-TEST source avoids Observation): the first
+Observation in a session materializes SparkSession's lazy, non-
+serializable observationManager field, after which any closure that
+captures the session (MLlib models carrying a trainingSummary into
+their transform UDF) fails task serialization. See
+tests/test_chunkstore.py::test_gc_does_not_poison_session_serialization;
+these tests run AFTER the suite's MLlib modules in alphabetical order,
+so the capability demo stays safe here."""
 
 from __future__ import annotations
 
