@@ -141,6 +141,16 @@ HOST_ANCHORS = [
         "label": "32c-cotenant-2026",
         "gemm_band": [0.0015, 0.0090],
         "loop_band": [0.085, 0.175],
+        # gemm/loop ratio band (historical 0.023-0.032, with margin):
+        # normalization scales by the LOOP anchor, so it is only
+        # honest when both probes tell the same host-speed story. A
+        # round-10 window measured loop FAST (0.099) while gemm ran
+        # 3-12x SLOW (0.009-0.041, erratic memory/FPU steal invisible
+        # to loadavg) — scaling such a run by the loop ratio inflates
+        # value_normalized ~16 % above even the raw wall. A diverged
+        # calibration now emits null instead of a confidently wrong
+        # number (the same contract as an unmatched host class).
+        "ratio_band": [0.015, 0.060],
         "norm_loop_sec": 0.1143,
     },
 ]
@@ -148,14 +158,18 @@ HOST_ANCHORS = [
 
 def _match_anchor(cal: dict[str, float]) -> dict | None:
     """The HOST_ANCHORS entry whose calibration band contains this
-    run's measured (gemm, loop) sample, or None (unknown host class —
+    run's measured (gemm, loop) sample — including the gemm/loop
+    RATIO band (both probes must agree on the host's speed story) —
+    or None (unknown host class / diverged calibration —
     normalization would anchor to the wrong machine)."""
     for a in HOST_ANCHORS:
+        ratio = cal["numpy_gemm_sec"] / max(cal["python_loop_sec"], 1e-9)
         if (
             a["gemm_band"][0] <= cal["numpy_gemm_sec"] <= a["gemm_band"][1]
             and a["loop_band"][0]
             <= cal["python_loop_sec"]
             <= a["loop_band"][1]
+            and a["ratio_band"][0] <= ratio <= a["ratio_band"][1]
         ):
             return a
     return None

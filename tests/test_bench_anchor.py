@@ -35,11 +35,23 @@ def test_unknown_host_returns_none():
     ) is None
 
 
+def test_diverged_calibration_returns_none():
+    # both probes inside their own bands but telling OPPOSITE host
+    # stories (loop fast, gemm at the slow edge — the round-10 erratic
+    # steal signature): scaling by the loop anchor would inflate
+    # value_normalized above even the raw wall, so refuse to normalize
+    assert bench._match_anchor(
+        {"numpy_gemm_sec": 0.0090, "python_loop_sec": 0.0986}
+    ) is None
+
+
 def test_band_edges_are_inclusive():
     a = bench.HOST_ANCHORS[0]
+    # a ratio-consistent sample sitting ON the gemm band edge and ON
+    # the ratio band edge must still match (inclusive bounds)
+    gemm = a["gemm_band"][0]
+    loop = gemm / a["ratio_band"][0]  # ratio exactly at the low edge
+    assert a["loop_band"][0] <= loop <= a["loop_band"][1]
     assert bench._match_anchor(
-        {
-            "numpy_gemm_sec": a["gemm_band"][0],
-            "python_loop_sec": a["loop_band"][1],
-        }
+        {"numpy_gemm_sec": gemm, "python_loop_sec": loop}
     ) is a
