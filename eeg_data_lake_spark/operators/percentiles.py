@@ -273,7 +273,8 @@ def _auto_value_buckets(
 def _bucketed_cumulative(
     pc: DataFrame, key: str, value: str, n_buckets: int
 ) -> DataFrame:
-    """``pc`` (key, value, _c) + the same _lo/_hi/_n rank columns the
+    """``pc`` (key, value, _c — the UNFILTERED grouped relation,
+    NULL-value rows included) + the same _lo/_hi/_n rank columns the
     per-key window computes, but with the heavy sort parallel over
     (key × value-range-bucket) instead of one task per key.
 
@@ -285,24 +286,42 @@ def _bucketed_cumulative(
     totals relation (one window over |keys|·|buckets| rows). All
     arithmetic is the same integer count sums, so the result is
     bit-identical to the single-window form (equivalence pinned in
-    tests/test_percentiles.py)."""
+    tests/test_percentiles.py).
+
+    NULL handling is the r10 fused-ranking argument generalized to the
+    two levels (round-11, guide §2.4 — this is what let the caller's
+    null-safe key-set left join be deleted): NULL values land in
+    bucket 0 (the range test is never TRUE for NULL) and sort first
+    there, contribute 0 to the local running sum, the bucket totals,
+    and the offsets, and carry an empty (_lo == _hi) interval that can
+    never bracket a target rank — so non-null ranks are untouched and
+    an all-NULL (or NULL-key) group still surfaces its (key, NULL) row
+    with _n = 0, exactly what the final groupBy needs to emit the
+    builtin's NULL percentile."""
     # the boundary sketch is a SEPARATE action, and ReusedExchange
     # only dedupes within one plan — without materialization the
     # operator's heaviest stage (scan + groupBy(key, value) shuffle)
     # would run twice, once for ~B doubles and once for real. The
-    # caller checkpoints the grouped relation before filtering, so
-    # the sketch, the ranking, AND the caller's key set all read one
-    # materialization.
+    # caller checkpoints the grouped relation, so the sketch and the
+    # ranking read one materialization. (approxQuantile ignores NULL
+    # values, so sketching the unfiltered relation is identical to
+    # sketching the old filtered one.)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(pc.approxQuantile(value, qs, 0.01)))
     if not bounds:
         bounds = [0.0]
     barr = F.array(*[F.lit(float(b)) for b in bounds])
+    # NULL value: `b < NULL` is NULL for every boundary, filter keeps
+    # none → bucket 0
     bucket = F.size(F.filter(barr, lambda b: b < F.col(value)))
+    _nn = F.when(F.col(value).isNotNull(), F.col("_c")).otherwise(F.lit(0))
     b = pc.withColumn("_b", bucket)
+    # asc ordering puts NULLs first within bucket 0 (their 0
+    # contribution precedes every ranked row, like the single-window
+    # form)
     w_local = Window.partitionBy(key, "_b").orderBy(value)
-    local = b.withColumn("_lhi", F.sum("_c").over(w_local))
-    totals = b.groupBy(key, "_b").agg(F.sum("_c").alias("_bt"))
+    local = b.withColumn("_lhi", F.sum(_nn).over(w_local))
+    totals = b.groupBy(key, "_b").agg(F.sum(_nn).alias("_bt"))
     w_off = (
         Window.partitionBy(key)
         .orderBy("_b")
@@ -325,7 +344,7 @@ def _bucketed_cumulative(
             & (F.col("_b") == F.col("__ob")),
         )
         .withColumn("_hi", F.col("_off") + F.col("_lhi"))
-        .withColumn("_lo", F.col("_hi") - F.col("_c"))
+        .withColumn("_lo", F.col("_hi") - _nn)
         .drop("__ok", "__ob", "_off", "_lhi", "_b")
     )
 
@@ -382,10 +401,9 @@ def exact_percentiles(
     # builtin percentile ignores NULLs, but a group whose values are
     # ALL NULL still appears in its output (with a NULL percentile) —
     # so count NULL values into the group-by (one scan keeps every
-    # key). The single-window path ranks with a null-aware conditional
-    # sum over the unfiltered relation (no key-set join at all); the
-    # bucketed path filters nulls for the range sketch and left-joins
-    # the key set back at the end.
+    # key). BOTH paths rank the unfiltered relation with a null-aware
+    # conditional sum (NULL rows contribute 0 and carry empty rank
+    # intervals), so neither needs a key-set join.
     global _LAST_ROUTE
     if value_buckets == "auto":
         route = _auto_value_buckets(df, key, value, auto_bucket_threshold)
@@ -426,16 +444,17 @@ def exact_percentiles(
             .withColumn("_n", F.sum(_nn).over(wk))
         )
     else:
-        # materialize the grouped relation ONCE (the bucketed branch's
-        # boundary sketch is a separate action, and its key set must
-        # cover all-NULL-value keys): deriving `keys` from the
-        # checkpoint keeps Catalyst from pruning it into a SECOND full
-        # scan of the key column, which is what a bare
-        # counted.select(key).distinct() optimized into (r10)
+        # materialize the grouped relation ONCE: the bucketed branch's
+        # boundary sketch is a separate action, and without the
+        # checkpoint the heavy groupBy(key, value) shuffle would run
+        # twice (r10). The relation goes in UNFILTERED — NULL-value
+        # rows ride the two-level cumulation with zero contribution
+        # (see _bucketed_cumulative), which is what made the key-set
+        # distinct + null-safe left join the r10 branch still paid
+        # deletable (r11, guide §2.4: one less join, one less
+        # exchange, one less aggregate on the at-scale route)
         counted = counted.localCheckpoint(eager=True)
-        keys = counted.select(key).distinct()
-        pc = counted.filter(F.col(value).isNotNull())
-        cum = _bucketed_cumulative(pc, key, value, value_buckets)
+        cum = _bucketed_cumulative(counted, key, value, value_buckets)
     aggs = []
     for p in ps:
         k = (F.col("_n") - 1) * F.lit(float(p))
@@ -456,20 +475,13 @@ def exact_percentiles(
         )
     if with_min_max:
         # like the builtin min/max these ignore NULL values; an
-        # all-NULL group gets NULLs via the key-set left join below
+        # all-NULL group's aggregates see no qualifying rows and
+        # yield NULL on either path
         aggs.append(F.min(value).alias("vmin"))
         aggs.append(F.max(value).alias("vmax"))
-    if fused_single_window:
-        # every key survives in `counted` (all-NULL groups keep their
-        # (key, NULL) row; candidate/min/max aggregates see no
-        # qualifying rows there and yield NULL) — no key-set join
-        return cum.groupBy(key).agg(*aggs)
-    # bucketed path: null-SAFE left join — NULL is a legal group key
-    # (the builtin aggregates it like any other group), and a plain
-    # equality join would drop the NULL-key group's computed
-    # percentiles
-    agged = cum.groupBy(key).agg(*aggs).withColumnRenamed(key, "__k")
-    return (
-        keys.join(agged, F.col(key).eqNullSafe(F.col("__k")), "left")
-        .drop("__k")
-    )
+    # BOTH paths now rank the unfiltered relation, so every key —
+    # NULL keys and all-NULL-value groups included — survives into
+    # `cum` with its (key, NULL) row and the final groupBy needs no
+    # key-set join (the r10 fused argument, generalized to the
+    # bucketed route in r11)
+    return cum.groupBy(key).agg(*aggs)

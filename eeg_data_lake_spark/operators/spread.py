@@ -53,7 +53,19 @@ def spread(df: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Rebalance ``df`` to the session's task-slot count when (and only
     when) its current partitioning under-fills the cluster; identity
     otherwise. ``by`` names hash-partitioning key columns (deterministic
-    under retry); without it the rebalance is round-robin."""
+    under retry); without it the rebalance is round-robin.
+
+    CALLER CONSTRAINT (round-10 ADVICE): pass a SCAN-LEVEL projection
+    only — a narrow select straight off the source, never a frame with
+    a shuffle/aggregation already above it. The partition-count probe
+    (``df.rdd.getNumPartitions()``) forces physical planning, and under
+    AQE that EXECUTES any upstream shuffle query stages at
+    plan-construction time; those jobs' results are not reused by the
+    later real action, so a post-shuffle input would silently pay its
+    shuffle twice. Every call site in this package passes a bare scan
+    projection; keep it that way (for a post-shuffle frame, size the
+    shuffle itself instead — AQE advisory bytes or an explicit
+    partition count)."""
     if os.environ.get("SPARK_GRAFT_SPREAD", "auto") == "off":
         return df
     try:

@@ -72,6 +72,16 @@ from eeg_data_lake_spark.sources.bucketed import write_bucketed
 from eeg_data_lake_spark.sources.txlog import TxTable
 
 
+def _stage_serially() -> bool:
+    """Same env gate as txpair.chained_commit: =off forces the serial
+    job order (A/B probes, one-in-flight-job deployments)."""
+    import os
+
+    return (
+        os.environ.get("SPARK_GRAFT_STAGE_CONCURRENT", "auto") == "off"
+    )
+
+
 def storage_accounting(
     logical: DataFrame, physical: DataFrame
 ) -> DataFrame:
@@ -144,7 +154,9 @@ class ChunkStore:
             # replayable — the committed leg bumped the store version,
             # so probing a projection snapshotted before the crash
             # would (correctly) be refused as stale.
-            if not self.chunks.has_txn(f"{txn_id}:chunks"):
+            chunks_pending = not self.chunks.has_txn(f"{txn_id}:chunks")
+            novel = None
+            if chunks_pending:
                 # one row per distinct chunk in the batch; any
                 # occurrence's bytes serve (equal by content-hash
                 # identity)
@@ -159,10 +171,6 @@ class ChunkStore:
                     )
                 else:
                     novel = batch_chunks
-                self.chunks.append(
-                    novel.select("chunk_md5", "length", "data"),
-                    txn_id=f"{txn_id}:chunks",
-                )
 
             per_doc = rows.groupBy(id_col).agg(
                 F.transform(
@@ -192,9 +200,53 @@ class ChunkStore:
                     ),
                 )
             )
-            self.manifests.upsert(
-                manifests, ["doc_id"], txn_id=f"{txn_id}:manifests"
-            )
+            if chunks_pending:
+                # The two legs' DATA-WRITE jobs run concurrently
+                # (guide §2.6): the store's crash invariant — a live
+                # manifest's chunks always resolve — binds the COMMIT
+                # order (chunks manifest first, below), not the order
+                # the data files hit disk; staged files are invisible
+                # orphans until their commit_staged. Both legs consume
+                # the persisted `rows`, so the chunker itself runs
+                # once (block-level cache locks serialize first
+                # computation) and the legs overlap their own agg +
+                # write work. Measured (probes/txn_anatomy.py):
+                # put = 1.9 s of which the two write jobs are 1.77 s
+                # run back-to-back — overlap reclaims the smaller leg.
+                # SPARK_GRAFT_STAGE_CONCURRENT=off forces the serial
+                # staging order (A/B probes; same gate as txpair).
+                if _stage_serially():
+                    chunks_staged = self.chunks.stage(
+                        novel.select("chunk_md5", "length", "data")
+                    )
+                    man_staged = self.manifests.stage_upsert(
+                        manifests, ["doc_id"]
+                    )
+                else:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_chunks = pool.submit(
+                            self.chunks.stage,
+                            novel.select("chunk_md5", "length", "data"),
+                        )
+                        f_man = pool.submit(
+                            self.manifests.stage_upsert,
+                            manifests,
+                            ["doc_id"],
+                        )
+                        chunks_staged = f_chunks.result()
+                        man_staged = f_man.result()
+                self.chunks.commit_staged(
+                    chunks_staged, txn_id=f"{txn_id}:chunks"
+                )
+                self.manifests.commit_staged(
+                    man_staged, txn_id=f"{txn_id}:manifests"
+                )
+            else:
+                self.manifests.upsert(
+                    manifests, ["doc_id"], txn_id=f"{txn_id}:manifests"
+                )
         finally:
             rows.unpersist()
 
@@ -341,18 +393,38 @@ class ChunkStore:
                 "left",
             )
         )
-        n_all, b_all, n_live, b_live = per_chunk.agg(
+        stats_df = per_chunk.agg(
             F.coalesce(F.sum("_rows"), F.lit(0)),
             F.coalesce(F.sum("_bytes"), F.lit(0)),
             F.count(F.when(F.col("_ref"), 1)),
             F.coalesce(F.sum(F.when(F.col("_ref"), F.col("_minlen"))), F.lit(0)),
-        ).collect()[0]
+        )
         live = self._deduped_chunks().join(
             referenced, "chunk_md5", "left_semi"
         )
-        self.chunks.overwrite(
-            live.select("chunk_md5", "length", "data"), txn_id=txn_id
-        )
+        # The stats job and the rewrite are independent computations
+        # over the SAME pre-gc snapshot (both plans resolved their
+        # file lists at read() time above, and the overwrite only
+        # marks old files removed — vacuum deletes them later), so run
+        # them concurrently (guide §2.6) instead of back-to-back:
+        # locally the stats job hides entirely under the rewrite wall;
+        # at scale the metadata-only stats pass rides alongside the
+        # byte-moving rewrite instead of extending it.
+        if _stage_serially():
+            n_all, b_all, n_live, b_live = stats_df.collect()[0]
+            self.chunks.overwrite(
+                live.select("chunk_md5", "length", "data"), txn_id=txn_id
+            )
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                f_stats = pool.submit(lambda: stats_df.collect()[0])
+                self.chunks.overwrite(
+                    live.select("chunk_md5", "length", "data"),
+                    txn_id=txn_id,
+                )
+                n_all, b_all, n_live, b_live = f_stats.result()
         return self.spark.createDataFrame(
             [
                 (

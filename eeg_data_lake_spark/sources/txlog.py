@@ -272,6 +272,18 @@ class CheckConstraintViolation(ValueError):
 
 
 @dataclass
+class _Staged:
+    """A completed data-write phase awaiting its manifest commit
+    (``TxTable.stage`` / ``stage_upsert`` → ``commit_staged``). Until
+    committed the files are invisible orphans — readers resolve file
+    lists from the manifests only."""
+
+    add: list[str]  # freshly written data files (relative paths)
+    remove: list[str]  # files the commit will mark removed (upsert)
+    op: str  # manifest op: "append" | "upsert"
+
+
+@dataclass
 class _LogState:
     version: int  # latest committed version, -1 if none
     files: list[str]  # live data files (relative paths) at `version`
@@ -647,9 +659,57 @@ class TxTable:
     def append(self, df: DataFrame, txn_id: str | None = None) -> int:
         """Atomically append ``df``; replaying the same txn_id is a
         no-op. Returns the committed (or already-current) version."""
-        files = self._write_data(df)
-        self._enforce_constraints(files, "append", txn_id)
-        return self._commit(files, [], txn_id, "append")
+        return self.commit_staged(self.stage(df), txn_id=txn_id)
+
+    # ----------------------------------------------- two-phase commits
+    #
+    # stage() runs the Spark data-write job; commit_staged() makes the
+    # result visible (constraints + manifest link). The split exists
+    # because the COMMIT POINT of this log is the manifest hardlink —
+    # staged files are invisible orphans until then — so a multi-table
+    # writer (streaming/txpair.chained_commit, chunkstore.put) can run
+    # its legs' data-write jobs CONCURRENTLY (guide §2.6: overlap
+    # independent jobs) and still commit the manifests in the fixed
+    # crash-ordering sequence. A crash anywhere before a leg's
+    # commit_staged leaves only orphan data files (vacuum reclaims
+    # them); the crash/replay matrix is unchanged and property-tested
+    # at both seams in tests/test_txpair.py.
+
+    def stage(self, df: DataFrame) -> "_Staged":
+        """Write ``df``'s data files without committing them. The
+        returned handle is only visible to readers after
+        ``commit_staged``."""
+        return _Staged(self._write_data(df), [], "append")
+
+    def stage_upsert(self, updates: DataFrame, keys: list[str]) -> "_Staged":
+        """The MERGE write phase of ``upsert`` without its commit:
+        survivors ⋃ updates written into fresh files against the
+        CURRENT snapshot, old files recorded as the remove-set. The
+        snapshot pin matters exactly as in ``upsert`` (the remove-set
+        and the survivors come from one replay); a commit landing
+        between stage and commit_staged fails the remove-set
+        validation rather than losing rows."""
+        state = self._replay()
+        if state.version < 0:
+            return self.stage(updates)
+        survivors = self.read(version=state.version).join(
+            updates, keys, "left_anti"
+        )
+        merged = survivors.unionByName(updates)
+        return _Staged(self._write_data(merged), state.files, "upsert")
+
+    def commit_staged(
+        self, staged: "_Staged", txn_id: str | None = None
+    ) -> int:
+        """Make a ``stage``/``stage_upsert`` result visible: CHECK
+        constraints enforced on the staged files, then the atomic
+        manifest commit (idempotent on ``txn_id`` — a replayed commit
+        leaves the staged files as orphans, same as append)."""
+        self._enforce_constraints(staged.add, staged.op, txn_id)
+        v = self._commit(staged.add, staged.remove, txn_id, staged.op)
+        if staged.op in ("upsert", "overwrite"):
+            _notify_rewrite(self.path)
+        return v
 
     def overwrite(
         self,
@@ -684,28 +744,15 @@ class TxTable:
     ) -> int:
         """MERGE: matched keys replaced, new keys appended — implemented
         as survivors ⋃ updates into fresh files, old files logged as
-        removed (still readable via time travel)."""
-        state = self._replay()
-        if state.version < 0:
-            return self.append(updates, txn_id)
-        # survivors MUST come from the same snapshot the remove-set was
-        # taken from: a bare self.read() replays the log again, and a
-        # commit landing between the two replays would have its rows
-        # both merged into the new files AND kept live in its own file
-        # (the remove-set validation passes — appends remove nothing)
-        survivors = self.read(version=state.version).join(
-            updates, keys, "left_anti"
+        removed (still readable via time travel). Survivors come from
+        the same snapshot as the remove-set (see ``stage_upsert``);
+        ``commit_staged`` notifies the rewrite listeners because
+        unionByName's type promotion can rewrite the table's schema in
+        place (int updates column vs bigint table → merged files land
+        widened) — same invalidation need as overwrite."""
+        return self.commit_staged(
+            self.stage_upsert(updates, keys), txn_id=txn_id
         )
-        merged = survivors.unionByName(updates)
-        files = self._write_data(merged)
-        self._enforce_constraints(files, "upsert", txn_id)
-        v = self._commit(files, state.files, txn_id, "upsert")
-        # unionByName type promotion means an upsert CAN rewrite the
-        # table's schema in place (int updates column vs bigint table
-        # → merged files land widened) — same invalidation need as
-        # overwrite
-        _notify_rewrite(self.path)
-        return v
 
     def read(
         self,

@@ -237,9 +237,12 @@ def adaptive_index_batch_writer(
                 ]
                 return spark.createDataFrame(rows, CENTROID_SCHEMA)
 
+            # the cset derivation reads the batch (`indexed`) and
+            # the PRE-batch centroid set only -> safe to overlap
             paired_commit(
                 table, clustered, ctable, new_set_df,
                 sink_id, "cset", batch_id,
+                stage_concurrently=True,
             )
         finally:
             indexed.unpersist()

@@ -193,6 +193,8 @@ def chunk_batch_writer(
             novel = novel_against(
                 batch_chunks, index_frames(idx, bucketed_base)
             )
+            # legs derive from the batch and the index frames
+            # captured above -> safe to overlap the data writes
             paired_commit(
                 table,
                 batch_df,
@@ -206,6 +208,7 @@ def chunk_batch_writer(
                 sink_id,
                 "chunks",
                 batch_id,
+                stage_concurrently=True,
             )
         finally:
             # a failed/retried micro-batch must not strand the persisted

@@ -369,6 +369,10 @@ def curation_batch_writer(
                 ],
                 sink_id,
                 batch_id,
+                # every leg derives from the persisted batch-local
+                # `cand`/`valid` (the fp probe captured its frames
+                # above) -> safe to overlap the five data writes
+                stage_concurrently=True,
             )
         finally:
             cand.unpersist()

@@ -275,6 +275,8 @@ def dedup_batch_writer(
                         "left_anti",
                     )
             novel = novel.persist()
+            # both legs derive from the persisted batch-local
+            # `novel` only -> safe to overlap the data writes
             paired_commit(
                 table,
                 novel,
@@ -283,6 +285,7 @@ def dedup_batch_writer(
                 sink_id,
                 "bands",
                 batch_id,
+                stage_concurrently=True,
             )
         finally:
             # a failed/retried micro-batch must not strand persisted

@@ -252,8 +252,12 @@ def ingest_batch_writer(
             )
         else:
             delta = counts
+        # every derivation here reads only the batch and the index
+        # frames captured above -> safe to overlap the two legs' data
+        # writes (txpair's stage_concurrently contract)
         paired_commit(
-            table, batch_df, idx, delta, sink_id, "grams", batch_id
+            table, batch_df, idx, delta, sink_id, "grams", batch_id,
+            stage_concurrently=True,
         )
 
     return process

@@ -306,6 +306,8 @@ def simhash_batch_writer(
                 novel = novel.join(hits, "doc_id", "left_anti").persist()
             else:
                 novel = novel.persist()
+            # both legs derive from the persisted batch-local
+            # `novel` only -> safe to overlap the data writes
             paired_commit(
                 table,
                 novel.drop("n_shingles", *FP_COLS),
@@ -314,6 +316,7 @@ def simhash_batch_writer(
                 sink_id,
                 "blocks",
                 batch_id,
+                stage_concurrently=True,
             )
         finally:
             # a failed/retried micro-batch must not strand the persisted

@@ -217,14 +217,22 @@ def paired_commit(
     sink_id: str,
     tag: str,
     batch_id: int,
+    stage_concurrently: bool = False,
 ) -> None:
     """Commit one micro-batch to the (corpus, index) pair under the
     shared discipline: corpus append first under ``batch_txn``, index
     append second under ``index_txn``. Either leg may be a zero-arg
     callable, invoked only if that leg has not already committed —
     replays then skip the leg's (possibly expensive) derivation, not
-    just its write."""
-    chained_commit(table, corpus_df, [(idx, index_df, tag)], sink_id, batch_id)
+    just its write. ``stage_concurrently`` — see ``chained_commit``."""
+    chained_commit(
+        table,
+        corpus_df,
+        [(idx, index_df, tag)],
+        sink_id,
+        batch_id,
+        stage_concurrently=stage_concurrently,
+    )
 
 
 def chained_commit(
@@ -234,6 +242,7 @@ def chained_commit(
     sink_id: str,
     batch_id: int,
     known_committed: dict[str, bool] | None = None,
+    stage_concurrently: bool = False,
 ) -> None:
     """The pair discipline generalized to one corpus + N index legs,
     committed in the FIXED order given: corpus first under
@@ -267,6 +276,29 @@ def chained_commit(
     moments earlier in the same invocation is exactly as fresh as a
     re-probe here would be. Ids absent from the dict fall back to a
     live ``has_txn``.
+
+    ``stage_concurrently=True`` (round-11, guide §2.6) overlaps the
+    uncommitted legs' DATA-WRITE jobs (``TxTable.stage``) and then
+    commits the manifests in the same fixed order. Sound because the
+    txlog's commit point is the manifest hardlink — staged files are
+    invisible orphans until ``commit_staged`` — so a crash anywhere
+    before leg k's commit leaves legs >= k uncommitted exactly as the
+    serial form does (property-tested at both seams in
+    tests/test_txpair.py). It is the CALLER's assertion that every
+    leg's derivation is insensitive to whether THIS batch's earlier
+    legs have committed — a strictly stronger form of the replay
+    contract above, satisfied by every derivation that reads only the
+    batch and pre-captured index frames (the minhash/simhash/chunk/
+    exactsubstr/curation ingests). streaming/resolved.py must NOT opt
+    in: its component leg deliberately folds the edges table AFTER the
+    edges leg committed. Differences vs serial, stated: contract gates
+    run up front (a refused batch commits NOTHING instead of a prefix
+    — strictly fewer partial states, and replay after the fix
+    converges identically), and a mid-staging failure likewise commits
+    nothing. Measured motivation (probes/txn_anatomy.py, sf0.1): the
+    per-trigger cost is ~0.39 s per leg of Spark data-write job vs
+    ~5 ms of manifest fsync+replay — overlapping the jobs is the fix;
+    batching the fsync records would have saved nothing.
     """
 
     def committed(tbl: TxTable, txn: str) -> bool:
@@ -274,14 +306,55 @@ def chained_commit(
             return known_committed[txn]
         return tbl.has_txn(txn)
 
+    # SPARK_GRAFT_STAGE_CONCURRENT=off forces the serial path globally
+    # (A/B probes, deployments that want one in-flight write job per
+    # sink); the flag never turns concurrency ON for a caller that did
+    # not assert the stronger derivation contract.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STAGE_CONCURRENT", "auto") == "off":
+        stage_concurrently = False
+
+    if not stage_concurrently:
+        if not committed(table, batch_txn(sink_id, batch_id)):
+            df = corpus_df() if callable(corpus_df) else corpus_df
+            fold = contract_gate(table, df)
+            table.append(df, txn_id=batch_txn(sink_id, batch_id))
+            fold()
+        for idx, rows, tag in legs:
+            if not committed(idx, index_txn(sink_id, tag, batch_id)):
+                df = rows() if callable(rows) else rows
+                fold = contract_gate(idx, df)
+                idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))
+                fold()
+        return
+
+    pending: list[tuple[TxTable, DataFrame, str]] = []
     if not committed(table, batch_txn(sink_id, batch_id)):
         df = corpus_df() if callable(corpus_df) else corpus_df
-        fold = contract_gate(table, df)
-        table.append(df, txn_id=batch_txn(sink_id, batch_id))
-        fold()
+        pending.append((table, df, batch_txn(sink_id, batch_id)))
     for idx, rows, tag in legs:
-        if not committed(idx, index_txn(sink_id, tag, batch_id)):
+        txn = index_txn(sink_id, tag, batch_id)
+        if not committed(idx, txn):
             df = rows() if callable(rows) else rows
-            fold = contract_gate(idx, df)
-            idx.append(df, txn_id=index_txn(sink_id, tag, batch_id))
-            fold()
+            pending.append((idx, df, txn))
+    if not pending:
+        return
+    folds = [contract_gate(tbl, df) for tbl, df, _ in pending]
+    if len(pending) == 1:
+        staged = [pending[0][0].stage(pending[0][1])]
+    else:
+        # 2-3 jobs in flight is the guide's own sizing: enough to fill
+        # the tail of one leg's write with the next leg's work, not so
+        # many that tiny jobs fight for task slots
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(len(pending), 3)
+        ) as pool:
+            staged = list(
+                pool.map(lambda p: p[0].stage(p[1]), pending)
+            )
+    for (tbl, _df, txn), st, fold in zip(pending, staged, folds):
+        tbl.commit_staged(st, txn_id=txn)
+        fold()

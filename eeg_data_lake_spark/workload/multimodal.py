@@ -62,7 +62,15 @@ def _stage_key_batches(frame, prefix: str, key: str) -> tuple[str, str]:
     (
         frame.withColumn("_b", (F.col(key) % 3).cast("int"))
         .repartition(3, F.col("_b"))
-        .sortWithinPartitions(key)
+        # "_b" FIRST: the dynamic-partition write (plannedWrite) requires
+        # its output ordered by the partition column and would otherwise
+        # insert its own non-global sort on _b ABOVE this one — the
+        # in-file key order would then survive only because Spark's radix
+        # sort happens to be stable, which is not a contract (round-10
+        # ADVICE). Ordering by (_b, key) satisfies the writer's required
+        # ordering outright (no extra sort in the plan) and pins the
+        # within-batch key order the greedy streaming accepts depend on.
+        .sortWithinPartitions("_b", key)
         .write.partitionBy("_b")
         .parquet(stage)
     )

@@ -449,19 +449,24 @@ def test_adaptive_replay_and_crash_window(spark, tmp_path):
                 rows, "vec_id long, embedding array<double>"
             )
             if bid == crash_batch:
-                real_append = TxTable.append
+                # the crash seam is the centroid leg's manifest COMMIT
+                # (TxTable.commit_staged — paired_commit stages the two
+                # legs' data concurrently now, but staged files are
+                # invisible orphans, so "between the corpus commit and
+                # the centroid commit" is the same window as before)
+                real_commit = TxTable.commit_staged
 
                 def bomb(self, *a, **k):
                     if self.path.endswith("_centroids"):
                         raise RuntimeError("injected crash between legs")
-                    return real_append(self, *a, **k)
+                    return real_commit(self, *a, **k)
 
-                TxTable.append = bomb
+                TxTable.commit_staged = bomb
                 try:
                     with pytest.raises(RuntimeError, match="injected"):
                         aw(df, bid)
                 finally:
-                    TxTable.append = real_append
+                    TxTable.commit_staged = real_commit
             aw(df, bid)  # the (re)play that must land / complete
         return tbl
 

@@ -179,13 +179,17 @@ def test_put_replay_completes_after_mid_put_crash(spark, tmp_path, corpus):
     rows."""
     store = ChunkStore(spark, str(tmp_path / "cs"))
     blobs = _blobdf(spark, list(corpus.items()))
-    real_upsert = store.manifests.upsert
-    store.manifests.upsert = lambda *a, **k: (_ for _ in ()).throw(
+    # the manifest leg's COMMIT is the crash point (its data files are
+    # staged concurrently with the chunk leg's, but staged files are
+    # invisible orphans until commit_staged — the crash window is
+    # between the two manifest-link commits, exactly as before)
+    real_commit = store.manifests.commit_staged
+    store.manifests.commit_staged = lambda *a, **k: (_ for _ in ()).throw(
         RuntimeError("injected crash")
     )
     with pytest.raises(RuntimeError, match="injected crash"):
         store.put(blobs, txn_id="p0")
-    store.manifests.upsert = real_upsert
+    store.manifests.commit_staged = real_commit
     assert store.chunks.version() >= 0  # first leg landed
     assert store.manifests.version() == -1  # second leg did not
 
@@ -212,13 +216,13 @@ def test_bucketed_put_replay_survives_mid_put_crash(spark, tmp_path):
     store.bucketize(base, n_buckets=4)
     try:
         blobs = _blobdf(spark, [(2, _payload(700, 2))])
-        real_upsert = store.manifests.upsert
-        store.manifests.upsert = lambda *a, **k: (_ for _ in ()).throw(
+        real_commit = store.manifests.commit_staged
+        store.manifests.commit_staged = lambda *a, **k: (_ for _ in ()).throw(
             RuntimeError("injected crash")
         )
         with pytest.raises(RuntimeError, match="injected crash"):
             store.put(blobs, txn_id="p1", bucketed=base)
-        store.manifests.upsert = real_upsert
+        store.manifests.commit_staged = real_commit
 
         store.put(blobs, txn_id="p1", bucketed=base)  # must not raise
         got = {

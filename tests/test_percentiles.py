@@ -198,6 +198,24 @@ def test_value_buckets_is_bit_identical_and_handles_edges(spark):
         assert bucketed == plain, nb
 
 
+def test_bucketed_route_plan_has_no_keyset_join(spark):
+    """r11 pin: the bucketed (at-scale) route ranks the UNFILTERED
+    grouped relation null-aware, so the only join left in its plan is
+    the tiny broadcast offsets attach — the key-set distinct + null-
+    safe LEFT join the r10 branch still paid must stay gone."""
+    rows = [("a", 1.0), ("a", None), ("b", None), (None, 2.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = exact_percentiles(df, "k", "v", [0.5], value_buckets=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "join" not in ln
+    ]
+    # exactly the one BroadcastHashJoin/BNLJ attaching bucket offsets;
+    # no LeftOuter key-set re-attachment anywhere
+    assert len(joins) == 1, plan
+    assert "LeftOuter" not in plan, plan
+
+
 def test_auto_policy_selects_by_per_key_distinct_estimate(spark, monkeypatch):
     """The "auto" default routes through _auto_value_buckets: small
     inputs take the single-window cumulation (no bucketed call),

@@ -171,8 +171,8 @@ def uncrashed_ref(spark, planted, tmp_path_factory):
 def test_crash_between_any_two_legs_replays_exactly_once(
     spark, tmp_path, planted, monkeypatch, crash_at, uncrashed_ref
 ):
-    """Kill the chained commit before its ``crash_at``-th append
-    (1 = corpus leg, 2..5 = the index legs) during batch 1, replay the
+    """Kill the chained commit before its ``crash_at``-th manifest
+    commit (1 = corpus leg, 2..5 = the index legs) during batch 1, replay the
     batch, and require the final rollup — and every table's content —
     to equal an uncrashed run's."""
     ref, want = uncrashed_ref
@@ -181,16 +181,21 @@ def test_crash_between_any_two_legs_replays_exactly_once(
     w = curation_batch_writer(table, "s")
     w(_batch(spark, planted, 0), 0)
 
-    real_append = TxTable.append
+    # the crash seam is the manifest COMMIT (TxTable.commit_staged):
+    # with stage_concurrently the legs' data files are written before
+    # any commit, but staged files are invisible orphans — "crash
+    # before the crash_at-th commit" is the same window the append
+    # seam used to inject
+    real_commit = TxTable.commit_staged
     seen = {"n": 0}
 
-    def bomb(self, df, txn_id=None):
+    def bomb(self, staged, txn_id=None):
         seen["n"] += 1
         if seen["n"] == crash_at:
             raise RuntimeError("injected crash")
-        return real_append(self, df, txn_id=txn_id)
+        return real_commit(self, staged, txn_id=txn_id)
 
-    monkeypatch.setattr(TxTable, "append", bomb)
+    monkeypatch.setattr(TxTable, "commit_staged", bomb)
     with pytest.raises(RuntimeError, match="injected crash"):
         w(_batch(spark, planted, 1), 1)
     monkeypatch.undo()
