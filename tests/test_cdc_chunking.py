@@ -43,6 +43,30 @@ def test_gear_hash_is_sliding_window():
     assert gear_hashes(bytes(near))[i] != h0[i]
 
 
+def test_gear_hash_log_doubling_matches_per_lag_reference():
+    """r11 pin: the log-doubling scan must be BIT-IDENTICAL to the
+    per-lag definition h[i] = sum_k t[b[i-k]] << k (mod 2^64) for
+    every size class — empty, sub-window (<64), exactly 64, and
+    window-spanning payloads — or chunk boundaries (and therefore
+    every CDC query's output) silently shift."""
+    import numpy as np
+
+    from eeg_data_lake_spark.functions.chunking import _TABLE, _W
+
+    def reference(data: bytes) -> np.ndarray:
+        b = np.frombuffer(data, dtype=np.uint8)
+        t = _TABLE[b]
+        h = np.zeros(len(b), dtype=np.uint64)
+        for k in range(min(_W, len(b))):
+            h[k:] += t[: len(b) - k] << np.uint64(k)
+        return h
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 3, 63, 64, 65, 100, 1000, 5000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert np.array_equal(gear_hashes(data), reference(data)), n
+
+
 def test_table_is_deterministic():
     t1, t2 = gear_table(), gear_table()
     assert (t1 == t2).all() and len(set(t1.tolist())) == 256
