@@ -99,14 +99,34 @@ def hashed_tf_vector(s: str) -> np.ndarray:
     return v
 
 
+#: per-process projection cache, keyed by (seed, rows, dim). This
+#: module is importable on executors, so with worker reuse the global
+#: SURVIVES across tasks and across queries (guide §4.5): the "model
+#: load" — 4.2 M Gaussians for the text projection — is then paid once
+#: per worker process instead of once per predict_batch_udf instance
+#: (every query call builds a fresh UDF, whose make_predict_fn would
+#: otherwise regenerate the matrix on every worker). Determinism is
+#: unaffected: the matrix is a pure function of the fixed seed.
+_PROJ_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _gaussian_projection(seed: int, rows: int, dim: int) -> np.ndarray:
+    key = (seed, rows, dim)
+    got = _PROJ_CACHE.get(key)
+    if got is None:
+        rng = np.random.default_rng(seed)
+        got = (rng.standard_normal((rows, dim)) / np.sqrt(dim)).astype(
+            np.float32
+        )
+        _PROJ_CACHE[key] = got
+    return got
+
+
 def _make_projection(dim: int) -> np.ndarray:
     """(HASH_DIM, dim) float32 Gaussian JL projection, fixed seed,
     scaled 1/sqrt(dim) so inner products are preserved in
     expectation."""
-    rng = np.random.default_rng(PROJECTION_SEED)
-    return (
-        rng.standard_normal((HASH_DIM, dim)) / np.sqrt(dim)
-    ).astype(np.float32)
+    return _gaussian_projection(PROJECTION_SEED, HASH_DIM, dim)
 
 
 def _encode_batch(
@@ -137,11 +157,11 @@ IMAGE_PROJECTION_SEED = 0x1A6E_5EED
 
 def _make_image_projection(dim: int) -> np.ndarray:
     """(PATCH*PATCH, dim) float32 Gaussian JL projection for the
-    flattened normalized patch."""
-    rng = np.random.default_rng(IMAGE_PROJECTION_SEED)
-    return (
-        rng.standard_normal((IMAGE_PATCH * IMAGE_PATCH, dim)) / np.sqrt(dim)
-    ).astype(np.float32)
+    flattened normalized patch (same per-process cache as the text
+    projection — see _PROJ_CACHE)."""
+    return _gaussian_projection(
+        IMAGE_PROJECTION_SEED, IMAGE_PATCH * IMAGE_PATCH, dim
+    )
 
 
 def _encode_image_batch(
