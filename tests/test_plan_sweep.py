@@ -47,9 +47,23 @@ BNLJ_OK = {
 
 
 def test_no_cartesian_and_only_whitelisted_bnlj(spark, sf_dir):
+    # Plan construction is independent per query (the streaming/
+    # lifecycle entries even RUN their ingest to produce the terminal
+    # frame, which is why this sweep was the suite's single most
+    # expensive test at ~176 s) — build the plans from a small driver
+    # thread pool (guide §2.6: overlap independent jobs; 4 in flight
+    # fills the scheduler without starving the 4-core test session).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_of(item):
+        name, e = item
+        return name, explain_string(e.spark_fn(spark, sf_dir))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        plans = list(pool.map(plan_of, sorted(REGISTRY.items())))
+
     cartesian, bnlj_new, bnlj_seen = [], [], set()
-    for name, e in sorted(REGISTRY.items()):
-        plan = explain_string(e.spark_fn(spark, sf_dir))
+    for name, plan in plans:
         if re.search(r"CartesianProduct", plan):
             cartesian.append(name)
         if re.search(r"BroadcastNestedLoopJoin", plan):
