@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for a list of registered queries
-into plans/r10/<name>_<tag>.txt — the before/after evidence files the
+into plans/r{N}/<name>_<tag>.txt (PLANS_ROUND env, default r11) — the before/after evidence files the
 optimization round commits alongside the code.
 
 Usage: python probes/capture_plans.py <tag> [name ...]
@@ -27,7 +27,11 @@ def main() -> None:
 
         names = list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r11")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
