@@ -602,6 +602,10 @@ def z21_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode→plant→decode Python chain per branch (the plan showed the
     # subtree duplicated — 12 Python stages for 6 functions). The
     # checkpoint pins ~2 booleans/strings per doc, never payloads.
+    # Caveat (round-10 ADVICE): localCheckpoint lineage is NOT
+    # fault-tolerant — an executor loss after the checkpoint fails the
+    # query instead of recomputing; at cluster scale prefer a reliable
+    # checkpoint or persist with replication for this intermediate.
     st = (
         with_decode_status(planted)
         .select("decode_ok", "decode_err")
@@ -735,7 +739,8 @@ def z27_wav_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = plant_wav_corruption(d)
     # z21's checkpoint rationale: pin the parser verdicts once so the
     # pass/quarantine union doesn't re-run the encode→plant→parse
-    # Python chain per branch
+    # Python chain per branch (same executor-loss caveat as z21: not
+    # fault-tolerant lineage; prefer replicated persist at scale)
     st = (
         with_wav_status(planted)
         .select("wav_ok", "wav_err")
