@@ -1419,13 +1419,16 @@ def r61_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     side effect under test — a torn or lossy export would fail the
     count or the checksum gate."""
     from eeg_data_lake_spark.sources.jsonlsink import (
-        JsonlShardsDataSource,
         read_manifest,
         verify_export,
     )
+    from eeg_data_lake_spark.sources.pyds import register_python_sources
     from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
-    spark.dataSource.register(JsonlShardsDataSource)
+    # thread-safe one-shot registration (sources/pyds.py): a bare
+    # spark.dataSource.register here races concurrent registrations
+    # from other driver threads and can LOSE this query's own entry
+    register_python_sources(spark)
     out = _scratch_dir("train_export_q_")
     (
         t(spark, sf_dir, "documents")

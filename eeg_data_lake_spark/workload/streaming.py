@@ -563,9 +563,9 @@ def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite semantics)."""
     import os
 
+    from eeg_data_lake_spark.sources.pyds import register_python_sources
     from eeg_data_lake_spark.sources.readers import read_testdata
     from eeg_data_lake_spark.sources.txlog import TxTable
-    from eeg_data_lake_spark.sources.txstream import TxLogStreamDataSource
     from eeg_data_lake_spark.workload.multimodal import _scratch_dir
 
     e = read_testdata(spark, sf_dir, "events").select(
@@ -576,7 +576,9 @@ def r03_txlog_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two commits → the stream must drain multiple feed versions
     tbl.append(e.filter(F.col("event_id") % 2 == 0))
     tbl.append(e.filter(F.col("event_id") % 2 == 1))
-    spark.dataSource.register(TxLogStreamDataSource)
+    # thread-safe one-shot registration (sources/pyds.py): a bare
+    # register here races other driver threads' registrations
+    register_python_sources(spark)
     out = _drive_to_memory(
         spark.readStream.format("txlogcdc").option("path", tbl.path).load(),
         "txcdc_out",
